@@ -1,0 +1,166 @@
+"""Public facade mirroring the reference's class surface.
+
+``CDCSystem`` / ``CDCReplicator`` / ``CDCMonitor`` keep the reference's
+names and method signatures (cdc_system.py:92-393) so its users can
+switch engines without relearning the API — but every method body is a
+declarative DataFrame program, and state lives in parquet snapshots +
+the append-only change log rather than SQLite tables.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_system_spark import monitor as _monitor
+from cdc_system_spark.config import CDCConfig
+from cdc_system_spark.model import SchemaRegistry
+from cdc_system_spark.operators.capture import LogCapture
+from cdc_system_spark.operators.changelog import mark_synced, pending_changes
+from cdc_system_spark.operators.merge import apply_changes
+
+
+class SnapshotTable:
+    """A mutable table as versioned parquet snapshots (no Delta in env).
+
+    Writes go to ``{path}/v{n}``; ``{path}/_CURRENT`` names the live
+    version (write-new-then-flip ≈ atomic swap). Readers always see a
+    complete snapshot. At scale this is the same pattern as
+    Delta/Iceberg's version pointer, minimal edition.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, schema: T.StructType):
+        self.spark = spark
+        self.path = path
+        self.schema = schema
+        os.makedirs(path, exist_ok=True)
+
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._current_file())
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self.schema)
+        with open(self._current_file()) as f:
+            version = f.read().strip()
+        return self.spark.read.parquet(os.path.join(self.path, version))
+
+    def write(self, df: DataFrame) -> None:
+        version = f"v{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, version))
+        tmp = self._current_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._current_file())
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+class CDCSystem:
+    """Capture setup + change-log queries (≅ cdc_system.py:92-268)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        table_name: str,
+        config: CDCConfig | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self.table_name = table_name
+        self.config = config or CDCConfig()
+        self.registry = SchemaRegistry()
+        self.capture: LogCapture | None = None
+
+    def setup_cdc(self, schema: T.StructType, key: str | None = None) -> LogCapture:
+        """≅ setup_trigger_based_cdc(columns) (cdc_system.py:105-141).
+
+        Takes a typed StructType instead of a column-name list; the key
+        column is explicit (default first field) — fixing the
+        reference's columns[0]-vs-'id' inconsistency (SURVEY §1.3).
+        """
+        self.registry.register(self.table_name, schema, key)
+        self.capture = LogCapture(
+            self.spark, self.root, self.table_name, key=self.registry.key(self.table_name)
+        )
+        return self.capture
+
+    def read_log(self) -> DataFrame:
+        assert self.capture is not None, "setup_cdc first"
+        return self.capture.read_log()
+
+    def get_pending_changes(self, limit: int | None = None) -> DataFrame:
+        """≅ cdc_system.py:199-231, decoded images included."""
+        schema = self.registry.schema(self.table_name)
+        return pending_changes(self.read_log(), limit=limit, row_schema=schema)
+
+    def get_change_statistics(self) -> dict[str, dict[str, int]]:
+        return _monitor.get_change_statistics(self.read_log())
+
+
+class CDCReplicator:
+    """Batch replication source→target (≅ cdc_system.py:271-350)."""
+
+    def __init__(self, source: CDCSystem, target: SnapshotTable, key: str | None = None):
+        self.source = source
+        self.target = target
+        self.key = key or source.registry.key(source.table_name)
+
+    def replicate_changes(self, batch_size: int | None = None) -> int:
+        """One micro-batch: pending → net-effect merge → mark synced.
+
+        Returns the number of changes applied (≅ cdc_system.py:279-318).
+        Unlike the reference — which marks source rows synced *before*
+        the target commit (cdc_system.py:313-315) — the target snapshot
+        is written first, then the log flagged, so a crash re-delivers
+        into an idempotent merge instead of losing changes.
+        """
+        batch_size = batch_size or self.source.config.batch_size
+        batch = self.source.get_pending_changes(limit=batch_size)
+        batch = batch.cache()
+        n = batch.count()
+        if n == 0:
+            return 0
+        current = self.target.read()
+        merged = apply_changes(current, batch, key=self.key, change_key="record_id")
+        self.target.write(merged)
+
+        ids = batch.select("cdc_id")
+        log = self.source.read_log()
+        updated = mark_synced(log, ids)
+        # rewrite log snapshot-style (parquet has no in-place update)
+        cap = self.source.capture
+        assert cap is not None
+        tmp = cap.path + ".next"
+        updated.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(cap.path, ignore_errors=True)
+        os.replace(tmp, cap.path)
+        batch.unpersist()
+        return n
+
+
+class CDCMonitor:
+    """≅ cdc_system.py:353-393."""
+
+    def __init__(self, system: CDCSystem, pending_threshold: int = 1000):
+        self.system = system
+        self.pending_threshold = pending_threshold
+
+    def get_health_report(self) -> dict[str, Any]:
+        return _monitor.get_health_report(
+            self.system.read_log(), pending_threshold=self.pending_threshold
+        )
+
+    def print_report(self) -> None:
+        _monitor.print_report(self.get_health_report())

@@ -1,0 +1,87 @@
+"""Engine-portable expression helpers.
+
+Two problems these solve:
+
+1. **Deterministic float aggregates.** Double summation is
+   order-dependent; a distributed sum and a single-threaded oracle can
+   disagree in the last ulp, failing value-hash comparison. ``dsum`` /
+   ``davg`` route the aggregation through an exact DECIMAL accumulator
+   and cast the final value back to double — bit-stable regardless of
+   partitioning, and expressible identically in ANSI SQL
+   (``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)``).
+
+2. **Engine-portable hashing.** Spark's ``hash()`` is Murmur3 with
+   Spark-specific seeds; no external engine reproduces it. ``md5_i64``
+   derives a signed 64-bit int from the md5 hex digest — md5 is
+   identical everywhere, and the hex→int conversion below is expressible
+   in both Spark and DuckDB SQL. Used by MinHash/SimHash/LSH operators so
+   their results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared accumulator type for dsum/davg: 25 digits, 6 frac — exact for
+# TPC-H-ish money math at any tested SF, and far below Decimal(38) caps
+# so Spark's sum (which widens precision by 10) cannot overflow.
+_DEC = "decimal(25,6)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-insensitive, engine-portable SUM for double columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def dsum_sql(expr: str) -> str:
+    """The ANSI-SQL twin of :func:`dsum` (for oracle strings)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-insensitive AVG: exact decimal sum / exact count, as double.
+
+    Computed as sum/count explicitly (not AVG) so the division happens
+    once, in double, identically in both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )
+
+
+def md5_i64(col: Column | str) -> Column:
+    """Signed 64-bit int from the first 15 hex chars of md5(col).
+
+    15 hex chars = 60 bits → always fits in a signed BIGINT, so no
+    overflow-wraparound differences between engines. DuckDB twin:
+    ``CAST(CONCAT('0x', SUBSTR(MD5(x), 1, 15)) AS BIGINT)`` — see
+    :func:`md5_i64_sql`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_i64_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', SUBSTR(MD5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Array of character k-shingles of a string (for MinHash/Jaccard).
+
+    Pure builtins: sequence over start offsets + transform/substring.
+    Strings shorter than k yield a single shingle = the whole string, so
+    no document drops out of dedup silently.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))

@@ -1,0 +1,59 @@
+"""Parquet table catalog over a scale-factor directory.
+
+The driver's test data is one parquet file per table under
+``/root/testdata/sf*/`` (TESTDATA.md). This catalog is the analytics
+engine's ``spark.read`` boundary — scans stay declarative so Catalyst
+gets predicate pushdown / column pruning for free (verify with
+``.explain``: PushedFilters + ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Dimension tables small enough to broadcast at any realistic scale
+#: (region=5 rows, nation=25 at every TPC-H SF; supplier/part grow slowly).
+BROADCASTABLE = {"region", "nation", "supplier", "part"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+class TableCatalog:
+    """Lazy per-table DataFrame access: ``cat.orders``, ``cat["orders"]``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self[name]
+        raise AttributeError(name)
+
+    def register_temp_views(self) -> None:
+        """Register every table as a temp view for ``spark.sql`` use."""
+        for name in TABLES:
+            self[name].createOrReplaceTempView(name)

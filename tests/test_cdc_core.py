@@ -1,0 +1,146 @@
+"""Core CDC path tests — port of the reference's 9 test intents
+(test_cdc_system.py, SURVEY §5.1) to the Spark engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_system_spark.api import CDCMonitor, CDCReplicator, CDCSystem, SnapshotTable
+from cdc_system_spark.operators.changelog import change_statistics, pending_changes
+
+TEST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("value", T.LongType(), True),
+    ]
+)
+
+
+@pytest.fixture()
+def system(spark, tmp_path):
+    sys = CDCSystem(spark, str(tmp_path), "test_table")
+    sys.setup_cdc(TEST_SCHEMA, key="id")
+    return sys
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, TEST_SCHEMA)
+
+
+def test_cdc_setup(system, tmp_path):
+    # ≅ test_cdc_setup (test_cdc_system.py:38-48): the audit log exists (empty)
+    assert system.read_log().count() == 0
+    assert system.capture.path.endswith("test_table_cdc")
+
+
+def test_insert_capture(spark, system):
+    # ≅ test_insert_capture (test_cdc_system.py:50-64)
+    system.capture.capture_insert(_rows(spark, [(1, "test1", 100)]))
+    changes = system.get_pending_changes().collect()
+    assert len(changes) == 1
+    assert changes[0]["operation"] == "INSERT"
+    assert changes[0]["new"]["name"] == "test1"
+    assert changes[0]["old_data"] is None
+
+
+def test_update_capture(spark, system):
+    # ≅ test_update_capture (test_cdc_system.py:66-84)
+    system.capture.capture_insert(_rows(spark, [(1, "test1", 100)]))
+    system.capture.capture_update(
+        _rows(spark, [(1, "test1", 200)]), _rows(spark, [(1, "test1", 100)])
+    )
+    changes = system.get_pending_changes().collect()
+    assert [c["operation"] for c in changes] == ["INSERT", "UPDATE"]
+    upd = changes[1]
+    assert upd["old"]["value"] == 100
+    assert upd["new"]["value"] == 200
+
+
+def test_delete_capture(spark, system):
+    # ≅ test_delete_capture (test_cdc_system.py:86-103)
+    system.capture.capture_insert(_rows(spark, [(1, "test1", 100)]))
+    system.capture.capture_delete(_rows(spark, [(1, "test1", 100)]))
+    changes = system.get_pending_changes().collect()
+    assert changes[-1]["operation"] == "DELETE"
+    assert changes[-1]["old"]["name"] == "test1"
+    assert changes[-1]["new_data"] is None
+
+
+def test_mark_as_synced(spark, system, tmp_path):
+    # ≅ test_mark_as_synced (test_cdc_system.py:105-121)
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    target = SnapshotTable(spark, str(tmp_path / "target"), TEST_SCHEMA)
+    rep = CDCReplicator(system, target)
+    rep.replicate_changes()
+    assert system.get_pending_changes().count() == 0
+
+
+def test_replication(spark, system, tmp_path):
+    # ≅ test_replication (test_cdc_system.py:123-170)
+    system.capture.capture_insert(_rows(spark, [(1, "test1", 100)]))
+    target = SnapshotTable(spark, str(tmp_path / "target"), TEST_SCHEMA)
+    n = CDCReplicator(system, target).replicate_changes()
+    assert n == 1
+    out = target.read().collect()
+    assert len(out) == 1 and out[0]["name"] == "test1"
+
+
+def test_statistics(spark, system):
+    # ≅ test_statistics (test_cdc_system.py:172-198): INSERT 2, UPDATE 1, DELETE 1
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    system.capture.capture_update(_rows(spark, [(1, "a", 9)]), _rows(spark, [(1, "a", 1)]))
+    system.capture.capture_delete(_rows(spark, [(2, "b", 2)]))
+    stats = system.get_change_statistics()
+    assert stats["INSERT"]["total"] == 2
+    assert stats["UPDATE"]["total"] == 1
+    assert stats["DELETE"]["total"] == 1
+    assert stats["INSERT"]["pending"] == 2
+
+
+def test_health_report(spark, system):
+    # ≅ TestCDCMonitor.test_health_report (test_cdc_system.py:201-240)
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1)]))
+    report = CDCMonitor(system).get_health_report()
+    assert report["health_status"] == "healthy"
+    assert report["pending_changes"] > 0
+    assert set(report["statistics"]) == {"INSERT"}
+
+
+def test_full_cdc_workflow(spark, system, tmp_path):
+    # ≅ test_full_cdc_workflow (test_cdc_system.py:244-318): inserts then an
+    # update replicate correctly; demo invariant replica = inserts − deletes
+    # (shipped source.db/target.db ground truth, SURVEY §5.2).
+    system.capture.capture_insert(
+        _rows(spark, [(i, f"user{i}", i * 10) for i in range(1, 11)])
+    )
+    system.capture.capture_update(
+        _rows(spark, [(i, f"user{i}", 999) for i in range(1, 6)]),
+        _rows(spark, [(i, f"user{i}", i * 10) for i in range(1, 6)]),
+    )
+    system.capture.capture_delete(_rows(spark, [(9, "user9", 90), (10, "user10", 100)]))
+
+    target = SnapshotTable(spark, str(tmp_path / "replica"), TEST_SCHEMA)
+    rep = CDCReplicator(system, target)
+    total = 0
+    while True:
+        n = rep.replicate_changes(batch_size=6)
+        if n == 0:
+            break
+        total += n
+    assert total == 17
+    result = {r["id"]: r for r in target.read().collect()}
+    assert len(result) == 8  # 10 inserts − 2 deletes
+    assert result[1]["value"] == 999  # update propagated
+    assert 9 not in result and 10 not in result
+
+
+def test_pending_changes_order_and_limit(spark, system):
+    # reference hot query: WHERE synced=0 ORDER BY cdc_id LIMIT n
+    system.capture.capture_insert(_rows(spark, [(i, f"u{i}", i) for i in range(1, 8)]))
+    got = pending_changes(system.read_log(), limit=3).collect()
+    assert len(got) == 3
+    ids = [r["cdc_id"] for r in got]
+    assert ids == sorted(ids)
