@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families, all pure DataFrame builtins (no Python UDFs — the
+hot path stays in whole-stage codegen):
+
+* exact (hash-groupBy)
+* MinHash signatures + LSH banding (shingle → minhash → band → bucket join)
+* SimHash (bitwise majority of token hashes)
+* n-gram Jaccard verification (exact set overlap on candidate pairs)
+* embedding-cosine near-dup lives in operators/similarity.py
+
+Hashes are md5-derived (functions.portable.md5_i64) so every step is
+reproducible by an external SQL oracle — and md5 is stable across
+cluster restarts, unlike a seeded murmur.
+
+Scale notes: everything here is shuffle-on-key (shingle, band-key) with
+map-side partial aggregation; LSH banding turns the O(n²) pair problem
+into per-bucket joins. Skewed buckets (a shingle appearing in every
+doc) are the classic hazard — ``lsh_candidate_pairs`` caps bucket size
+to sidestep degenerate buckets, same as a salting guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_system_spark.functions.portable import shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One survivor (min id) per exact content hash.
+
+    GROUP BY md5(text) — a single shuffle with partial aggregation; at
+    100 TB this is the cheapest dedup and always runs first to shrink
+    input for the fuzzier passes.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perms: int = 8,
+) -> DataFrame:
+    """Per-doc MinHash signature: ``h0..h{p-1}`` columns.
+
+    Each "permutation" i is min(md5(i ‖ shingle)) over the doc's char-k
+    shingles — array_min/transform on an array column, zero explode,
+    zero shuffle: embarrassingly parallel over rows.
+    """
+    sh = shingles(F.col(text_col), k=k)
+
+    def perm(i: int):
+        # single-arg lambda: a two-arg lambda would make PySpark pass
+        # (element, index) and silently corrupt the salt
+        salt = f"{i}|"
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s))))
+
+    return df.select(F.col(id_col), *[perm(i).alias(f"h{i}") for i in range(num_perms)])
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band.
+
+    Bands are md5-folds of ``rows_per_band`` consecutive signature
+    columns; explode to (band_idx, band_key), self-join per bucket,
+    ``id1 < id2``. ``max_bucket`` drops degenerate buckets (boilerplate
+    shingles shared by everything) — at scale those would otherwise
+    produce quadratic pair blowup; real pipelines handle them with
+    stopword-shingle filtering, same effect.
+    """
+    n_bands = num_perms // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = (
+        sigs.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, "b.band_idx", "b.band_key")
+    )
+    # cap degenerate buckets
+    bucket_sizes = exploded.groupBy("band_idx", "band_key").agg(F.count("*").alias("_n"))
+    bounded = exploded.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+        on=["band_idx", "band_key"],
+        how="left_semi",
+    )
+    a = bounded.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id1"))
+    b = bounded.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id2"))
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash: bit b is the majority vote of token-hash bit b.
+
+    Token hash = md5-derived int64; the per-bit ±1 sums are one grouped
+    aggregation over exploded tokens (single shuffle on doc id).
+    Hamming-close simhashes ⇒ similar token multisets.
+    """
+    from cdc_system_spark.functions.portable import md5_i64
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("th", md5_i64(F.col("tok")))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    fold = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        fold = term if fold is None else fold + term
+    return bit_sums.select(F.col(id_col), fold.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for pairs above ``threshold``.
+
+    Distinct n-grams per doc → self-join on gram (the candidate
+    generator) → shared counts vs set sizes. O(pairs-sharing-a-gram),
+    not O(n²); in a production pipeline this runs *after* LSH banding as
+    the verification step — composable here the same way.
+    """
+    w = F.split(F.col(text_col), " ")
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+            )
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = grams.select(F.col(id_col).alias("id1"), "gram")
+    b = grams.select(F.col(id_col).alias("id2"), "gram")
+    shared = (
+        a.join(b, on="gram")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        shared.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz1") + F.col("sz2") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force cosine against one query vector: the
+  exact baseline. Pure builtins (zip_with + aggregate fold), double
+  precision, deterministic fold order — oracle-reproducible.
+* ``pairwise_neardup`` — blocked pairwise cosine (block column bounds
+  the candidate set, e.g. a label, an LSH bucket, or an IVF cell).
+* ``ivf_topk`` — the scale path: coarse-quantize vectors to the
+  nearest of C centroids once (offline), probe only the closest
+  ``nprobe`` cells at query time. Candidate set shrinks ~C/nprobe ×;
+  at 100 TB this is the difference between scanning 500B vectors and
+  scanning a few cells. Centroids here are taken deterministically
+  (first C by id) — a seeded k-means refinement would slot in without
+  changing the query path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column, decimals: int | None = 6) -> Column:
+    c = _dot(a, b) / (_norm(a) * _norm(b))
+    return F.round(c, decimals) if decimals is not None else c
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.
+
+    One narrow projection + TakeOrderedAndProject: no shuffle, no
+    collect; each partition keeps a k-heap. Rounded cosine + id
+    tiebreak ⇒ deterministic ranking.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def pairwise_neardup(
+    emb: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine, candidate-blocked on ``block_col``.
+
+    The self-join shuffles on the block key only — pairs never cross
+    blocks, which is what keeps this sub-quadratic at scale.
+    """
+    a = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )
+
+
+def assign_cells(
+    emb: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: (centroids, emb+cell_id).
+
+    Centroids = first ``num_centroids`` vectors by id (deterministic);
+    assignment = argmax cosine via a broadcast cross join + max_by —
+    C is small, so this is a map-side-only pass over the corpus.
+    """
+    centroids = emb.orderBy(id_col).limit(num_centroids).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine(F.col(vec_col), F.col("cvec"), decimals=None)
+    )
+    assigned = scored.groupBy(id_col).agg(
+        F.max_by("cell_id", F.struct("_sim", "cell_id")).alias("cell_id"),
+        F.first(vec_col).alias(vec_col),
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the ``nprobe`` cells
+    whose centroids are closest to the query."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe = (
+        centroids.withColumn("_sim", cosine(F.col("cvec"), q, decimals=None))
+        .orderBy(F.desc("_sim"), "cell_id")
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cands = assigned.join(F.broadcast(probe), on="cell_id", how="left_semi")
+    scored = cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)

@@ -1,0 +1,89 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-ratio heuristic), quality scoring, token
+counting, and document fingerprinting — all pure ``pyspark.sql.functions``
+expressions (array ops on the split-token array; no explode except where
+aggregation requires it, no Python UDFs), so they run inside
+whole-stage codegen and are SQL-oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English function-word list for the language heuristic
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + distinct-token count per document."""
+    w = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features: length, token stats, stopword ratio, score.
+
+    The score formula is arbitrary-but-fixed (length saturation ×
+    lexical diversity × stopword presence) — the point is the *shape*:
+    a single projection computing all features in one pass.
+    """
+    w = _tokens(text_col)
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda t: t.isin(EN_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(w))
+    stop_ratio = n_stop.cast("double") / n_tok
+    diversity = n_distinct.cast("double") / n_tok
+    len_sat = F.least(F.length(F.col(text_col)).cast("double") / 500.0, F.lit(1.0))
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(len_sat * diversity * (F.lit(0.5) + stop_ratio), 6).alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.03,
+) -> DataFrame:
+    """n-gram-free language heuristic: stopword ratio ⇒ 'en' vs 'unk'.
+
+    A real pipeline swaps in a fastText-style model via pandas_udf; the
+    Spark plumbing (projection shape, threshold gate) stays identical.
+    """
+    w = _tokens(text_col)
+    ratio = F.size(F.filter(w, lambda t: t.isin(EN_STOPWORDS))).cast("double") / F.size(w)
+    return df.select(
+        F.col(id_col),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("unk").alias("predicted_lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: full-content md5 + min-token-hash.
+
+    ``min_token_hash`` is a 1-permutation MinHash over the token set —
+    a cheap order-invariant sketch that survives token reordering,
+    where the md5 changes on any byte edit. Both are engine-portable.
+    """
+    w = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.array_min(F.transform(w, lambda t: F.md5(t))).alias("min_token_hash"),
+    )

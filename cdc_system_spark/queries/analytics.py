@@ -1,0 +1,327 @@
+"""Analytics query surface over the TPC-H-ish tables (SURVEY §7.1 M6).
+
+Joins (broadcast dim + shuffle fact), grouped aggregations, top-k,
+semi/anti joins, set operations, scalar string/date functions. Double
+aggregates go through the decimal accumulator (functions.portable) so
+distributed Spark sums hash-match the single-threaded DuckDB oracle
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_system_spark.functions.portable import davg, davg_sql, dsum, dsum_sql
+from cdc_system_spark.queries.base import catalog, register
+
+# -- q_pricing_summary: TPC-H Q1 shape (grouped multi-aggregate) -------------
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q_pricing_summary",
+    f"""SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql(_DISC_PRICE)} AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+    doc="whole-stage-codegen hash aggregate; partial+final combine",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# -- q_shipping_priority: TPC-H Q3 shape (3-way join + top-k) ----------------
+@register(
+    "q_shipping_priority",
+    f"""SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           {dsum_sql(_DISC_PRICE)} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    doc="fact-dim join; deterministic top-k via unique-key tiebreak",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = cat.orders.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = cat.lineitem.filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(disc_price, "revenue"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            "revenue",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# -- q_local_volume: TPC-H Q5 shape (5-way join through dims) ----------------
+@register(
+    "q_local_volume",
+    f"""SELECT n.n_name, {dsum_sql(_DISC_PRICE)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name""",
+    doc="star join: every dimension broadcast, one fact shuffle for the agg",
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    region = cat.region.filter(F.col("r_name") == "AMERICA")
+    nation = cat.nation.join(
+        F.broadcast(region), cat.nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cat.customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cat.supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(disc_price, "revenue"))
+    )
+
+
+# -- q_top_customers: revenue top-k ------------------------------------------
+@register(
+    "q_top_customers",
+    f"""SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+           {dsum_sql('o.o_totalprice')} AS total_spent,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c_custkey LIMIT 10""",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    return (
+        cat.orders.join(
+            F.broadcast(cat.customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice", "total_spent"), F.count("*").alias("n_orders"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "total_spent",
+            "n_orders",
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+# -- q_semi_join / q_anti_join ----------------------------------------------
+@register(
+    "q_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    open_orders = cat.orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cat.customer.join(open_orders, on="c_custkey", how="left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    return cat.customer.join(
+        cat.orders.select(F.col("o_custkey").alias("c_custkey")),
+        on="c_custkey",
+        how="left_anti",
+    ).select("c_custkey", "c_name")
+
+
+# -- q_agg_groupby: multi-key grouped agg ------------------------------------
+@register(
+    "q_agg_groupby",
+    f"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total,
+           {davg_sql('o_totalprice')} AS avg_price
+    FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        catalog(spark, sf_dir)
+        .orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "total"),
+            davg("o_totalprice", "avg_price"),
+        )
+    )
+
+
+# -- set operations (SURVEY §2.6: planned surface) ---------------------------
+@register(
+    "q_union",
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    a = cat.customer.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    b = cat.supplier.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "q_intersect",
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    a = cat.customer.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    b = cat.supplier.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return a.intersect(b)
+
+
+@register(
+    "q_except",
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    a = cat.customer.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    b = cat.supplier.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return a.subtract(b)  # EXCEPT (set semantics), not EXCEPT ALL
+
+
+# -- scalar functions --------------------------------------------------------
+@register(
+    "q_string_funcs",
+    """SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           SUBSTR(p_type, 1, 5) AS type_prefix,
+           CONCAT(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part WHERE p_size >= 25""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = catalog(spark, sf_dir).part.filter(F.col("p_size") >= 25)
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS order_month,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS order_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders WHERE o_orderkey % 100 = 0""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") % 100 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+@register(
+    "q_case_when",
+    """SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM orders WHERE o_orderkey % 50 = 0""",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog(spark, sf_dir).orders.filter(F.col("o_orderkey") % 50 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "q_distinct",
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog(spark, sf_dir).orders.select("o_orderpriority", "o_orderstatus").distinct()

@@ -1,0 +1,261 @@
+"""LLM-training-data pipeline queries: dedup, similarity, text analysis.
+
+Thin oracle-checked wrappers over the production operators
+(operators/dedup.py, operators/similarity.py, operators/text.py). Every
+hash in these pipelines is md5-derived, so the DuckDB oracles reproduce
+the *identical* signatures/buckets/pairs — the check covers the math,
+not just row counts.
+
+``q_dedup_exact`` unions in deterministic synthetic duplicates (the
+driver corpus is all-distinct) so the operator provably collapses them;
+the near-dup queries run on the raw corpus, which the generator seeded
+with real near-duplicates (max token-3-gram Jaccard ≈ 0.99).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators import dedup as D
+from cdc_system_spark.operators import similarity as S
+from cdc_system_spark.operators import text as X
+from cdc_system_spark.queries.base import catalog, register
+
+# DuckDB twins of the shared building blocks
+_SH = "unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5)))"
+_STOPS = "', '".join(X.EN_STOPWORDS)
+
+
+# -- exact dedup -------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    """WITH docs_aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0)
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM docs_aug GROUP BY md5(text)""",
+    doc="hash-groupBy exact dedup; synthetic dupes injected deterministically",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return D.exact_dedup(docs.unionByName(dupes))
+
+
+# -- MinHash signatures ------------------------------------------------------
+_MINHASH_SIG_SQL = f"""WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents)
+    SELECT doc_id,
+           MIN(md5('0|' || s)) AS h0, MIN(md5('1|' || s)) AS h1,
+           MIN(md5('2|' || s)) AS h2, MIN(md5('3|' || s)) AS h3
+    FROM sh GROUP BY doc_id"""
+
+
+@register(
+    "q_minhash_signature",
+    _MINHASH_SIG_SQL,
+    doc="char-5-shingle MinHash, 4 permutations, md5-portable",
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(catalog(spark, sf_dir).documents, num_perms=4)
+
+
+# -- MinHash + LSH banding candidate pairs -----------------------------------
+_LSH_SQL = f"""WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents),
+    sig AS (
+        SELECT doc_id,
+               MIN(md5('0|' || s)) AS h0, MIN(md5('1|' || s)) AS h1,
+               MIN(md5('2|' || s)) AS h2, MIN(md5('3|' || s)) AS h3,
+               MIN(md5('4|' || s)) AS h4, MIN(md5('5|' || s)) AS h5,
+               MIN(md5('6|' || s)) AS h6, MIN(md5('7|' || s)) AS h7
+        FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig)
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+
+
+@register(
+    "q_minhash_lsh_pairs",
+    _LSH_SQL,
+    doc="shingle → minhash(8) → band(4×2) → bucket self-join",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(catalog(spark, sf_dir).documents, num_perms=8)
+    return D.lsh_candidate_pairs(sigs, num_perms=8, rows_per_band=2)
+
+
+# -- SimHash -----------------------------------------------------------------
+_BITS = 16
+_TH = "CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 15)) AS BIGINT)"
+_bit_sums = ", ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_BITS)
+)
+_fold = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_BITS))
+_SIMHASH_SQL = f"""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hashed AS (SELECT doc_id, {_TH} AS th FROM toks),
+    bits AS (SELECT doc_id, {_bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({_fold} AS BIGINT) AS simhash FROM bits"""
+
+
+@register("q_simhash", _SIMHASH_SQL, doc="16-bit SimHash: majority vote of token-hash bits")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(catalog(spark, sf_dir).documents, bits=_BITS)
+
+
+# -- n-gram Jaccard verification ---------------------------------------------
+_JACCARD_SQL = """WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT id1, id2,
+           ROUND(shared * 1.0 / (s1.sz + s2.sz - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE shared * 1.0 / (s1.sz + s2.sz - shared) >= 0.6"""
+
+
+@register(
+    "q_ngram_jaccard",
+    _JACCARD_SQL,
+    doc="token-3-gram Jaccard ≥ 0.6 (exact verification pass after LSH)",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(catalog(spark, sf_dir).documents, n=3, threshold=0.6)
+
+
+# -- embedding cosine top-k (brute-force exact baseline) ---------------------
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_TOPK_SQL = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               ROUND({_dot_sql('embedding', 'qv')}
+                     / (SQRT({_dot_sql('embedding', 'embedding')})
+                        * SQRT({_dot_sql('qv', 'qv')})), 6) AS cos_sim
+        FROM embeddings, q)
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20"""
+
+
+@register(
+    "q_embedding_topk",
+    _TOPK_SQL,
+    doc="brute-force cosine top-20 vs vec_id=0; TakeOrderedAndProject, no shuffle",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.cosine_topk(emb, list(qv), k=20)
+
+
+# -- embedding near-dup pairs (label-blocked) --------------------------------
+_NEARDUP_SQL = f"""WITH e AS (
+        SELECT vec_id, label, embedding,
+               SQRT({_dot_sql('embedding', 'embedding')}) AS nrm
+        FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.4"""
+
+
+@register(
+    "q_embedding_neardup",
+    _NEARDUP_SQL,
+    doc="blocked pairwise cosine ≥ 0.4 (block = label); sub-quadratic at scale",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.pairwise_neardup(catalog(spark, sf_dir).embeddings, threshold=0.4)
+
+
+# -- IVF approximate top-k (rows-only: not naturally SQL-expressible) --------
+@register(
+    "q_ivf_topk",
+    None,
+    doc="IVF-16 nprobe-4 approximate cosine top-k; rows-only check (argmax assignment)",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    centroids, assigned = S.assign_cells(emb, num_centroids=16)
+    return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
+
+
+# -- text analysis -----------------------------------------------------------
+@register(
+    "q_token_count",
+    """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               AS n_distinct_tokens
+    FROM documents""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_count(catalog(spark, sf_dir).documents)
+
+
+@register(
+    "q_text_quality",
+    f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w), 6)
+               AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS diversity,
+           ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+                  * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)))
+                 * (0.5 + CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w)),
+                 6) AS quality_score
+    FROM t""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.text_quality(catalog(spark, sf_dir).documents)
+
+
+@register(
+    "q_lang_id",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w), 6)
+               AS stopword_ratio,
+           CASE WHEN CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w)
+                     >= 0.03
+                THEN 'en' ELSE 'unk' END AS predicted_lang
+    FROM t""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(catalog(spark, sf_dir).documents, threshold=0.03)
+
+
+@register(
+    "q_fingerprint",
+    """SELECT doc_id, md5(text) AS content_md5,
+           list_min(list_transform(string_split(text, ' '), t -> md5(t)))
+               AS min_token_hash
+    FROM documents""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(catalog(spark, sf_dir).documents)

@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores events.ts as INT64 TIMESTAMP(NANOS), which
+        # Spark 4 rejects natively; read as long, converted in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 100 TB posture: bounded scan task size; AQE re-coalesces small ones.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -32,7 +33,16 @@ BROADCASTABLE = {"region", "nation", "supplier", "part"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it arrives as a
+    # raw long — truncate to microseconds (same floor semantics as DuckDB's
+    # CAST(ts_ns AS TIMESTAMP), keeping oracle parity).
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 class TableCatalog:

@@ -1,0 +1,112 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, sorted
+column names, and order-insensitive values (floats to 1e-9, timestamps
+normalized). Usage:
+
+    python tools/verify_local.py [query ...]      # default: all
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/verify_local.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cdc_system_spark.session import get_spark  # noqa: E402
+from cdc_system_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if len(a) == len(b):
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, atol=1e-9, rtol=0)
+        except AssertionError as e:
+            problems.append("values: " + str(e).split("\n")[0] + " | " + "\n".join(str(e).split("\n")[1:3]))
+    return problems
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="verify_local", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed, passed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            failed.append(name)
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            rows_only.append(name)
+            print(f"rows  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            failed.append(name)
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failed.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            passed.append(name)
+            print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    print(
+        f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failed)} FAILED"
+        + (": " + ", ".join(failed) if failed else "")
+    )
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
