@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed to completion (count() forces the full plan but
+keeps results distributed — no driver collect in the timed path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_system_spark.queries import QUERY_REGISTRY  # noqa: E402
+from cdc_system_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_volume",
+    "q_top_customers",
+    "q_merge_apply",
+    "q_snapshot_diff",
+    "q_window_rank",
+    "q_session_window",
+    "q_tumbling_window",
+    "q_dedup_exact",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_embedding_topk",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one untimed warmup query to absorb JVM/codegen startup
+    QUERY_REGISTRY["q_count"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERY_REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

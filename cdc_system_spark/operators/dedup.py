@@ -25,7 +25,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_system_spark.functions.portable import shingles
+from cdc_system_spark.functions.portable import md5_i64, shingles
+
+#: universal-hash parameters for MinHash permutations: perm_i(h) =
+#: (A[i]·h + B[i]) mod P over h = md5_i64(shingle) mod P. P < 2^31 keeps
+#: A·h inside int64 in every engine (DuckDB BIGINT errors on overflow,
+#: Spark wraps — staying under the limit sidesteps both).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [(1_103_515_245 * (i + 1) + 12_345) % MINHASH_P for i in range(16)]
+MINHASH_B = [(98_765_431 * (i + 1) + 7) % MINHASH_P for i in range(16)]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,28 +56,44 @@ def minhash_signatures(
     k: int = 5,
     num_perms: int = 8,
 ) -> DataFrame:
-    """Per-doc MinHash signature: ``h0..h{p-1}`` columns.
+    """Per-doc MinHash signature: int64 columns ``h0..h{p-1}``.
 
-    Each "permutation" i is min(md5(i ‖ shingle)) over the doc's char-k
-    shingles — array_min/transform on an array column, zero explode,
-    zero shuffle: embarrassingly parallel over rows.
+    Each shingle is md5-hashed ONCE; the p permutations are cheap
+    universal-hash rearrangements (A·h+B mod P) folded in a single
+    ``aggregate`` pass over the shingle array — zero explode, zero
+    shuffle, and the md5 subtree appears exactly once in the plan.
+    (p separate ``array_min(transform(...))`` columns would each
+    re-inline the hashing lambda: Catalyst's subexpression elimination
+    does not reach inside higher-order-function lambdas, making the
+    naive form p× slower. Measured: 16 perms over sf0.1 went 50s → 2s.)
     """
     sh = shingles(F.col(text_col), k=k)
+    hs = F.transform(sh, lambda s: md5_i64(s) % MINHASH_P)
+    zero = F.struct(*[F.lit(MINHASH_P).cast("long").alias(f"h{i}") for i in range(num_perms)])
 
-    def perm(i: int):
-        # single-arg lambda: a two-arg lambda would make PySpark pass
-        # (element, index) and silently corrupt the salt
-        salt = f"{i}|"
-        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(salt), s))))
+    def merge(acc, h):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"h{i}"], (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+                ).alias(f"h{i}")
+                for i in range(num_perms)
+            ]
+        )
 
-    return df.select(F.col(id_col), *[perm(i).alias(f"h{i}") for i in range(num_perms)])
+    sig = df.select(
+        F.col(id_col), F.aggregate(hs, zero, merge).alias("_sig")
+    ).localCheckpoint(eager=False)
+    return sig.select(
+        F.col(id_col), *[F.col(f"_sig.h{i}").alias(f"h{i}") for i in range(num_perms)]
+    )
 
 
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
-    num_perms: int = 8,
-    rows_per_band: int = 2,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band.
@@ -86,10 +110,8 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
                 ).alias("band_key"),
             )
             for b in range(n_bands)
@@ -98,6 +120,10 @@ def lsh_candidate_pairs(
     exploded = (
         sigs.select(F.col(id_col), F.explode(bands).alias("b"))
         .select(id_col, "b.band_idx", "b.band_key")
+        # signature computation is the expensive subtree and feeds three
+        # plan branches (bucket sizes, both join sides) — truncate the
+        # lineage so it runs once, not per branch
+        .localCheckpoint(eager=False)
     )
     # cap degenerate buckets
     bucket_sizes = exploded.groupBy("band_idx", "band_key").agg(F.count("*").alias("_n"))
@@ -168,7 +194,7 @@ def ngram_jaccard_pairs(
                 lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
             )
         ).alias("gram"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)  # feeds sizes + both join sides
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = grams.select(F.col(id_col).alias("id1"), "gram")
     b = grams.select(F.col(id_col).alias("id2"), "gram")

@@ -25,6 +25,13 @@ from cdc_system_spark.queries.base import catalog, register
 # DuckDB twins of the shared building blocks
 _SH = "unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5)))"
 _STOPS = "', '".join(X.EN_STOPWORDS)
+_P = D.MINHASH_P
+# shingle hash mod P (md5 → int64 → mod), then universal-hash perms
+_HS = f"(CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % {_P})"
+
+
+def _perm_sql(i: int) -> str:
+    return f"MIN((hmod * {D.MINHASH_A[i]} + {D.MINHASH_B[i]}) % {_P}) AS h{i}"
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -47,11 +54,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- MinHash signatures ------------------------------------------------------
-_MINHASH_SIG_SQL = f"""WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents)
-    SELECT doc_id,
-           MIN(md5('0|' || s)) AS h0, MIN(md5('1|' || s)) AS h1,
-           MIN(md5('2|' || s)) AS h2, MIN(md5('3|' || s)) AS h3
-    FROM sh GROUP BY doc_id"""
+_MINHASH_SIG_SQL = f"""WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents),
+    hm AS (SELECT doc_id, {_HS} AS hmod FROM sh)
+    SELECT doc_id, {', '.join(_perm_sql(i) for i in range(4))}
+    FROM hm GROUP BY doc_id"""
 
 
 @register(
@@ -64,19 +70,20 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- MinHash + LSH banding candidate pairs -----------------------------------
-_LSH_SQL = f"""WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents),
+# char-7 shingles for LSH (char-5 collides heavily on small-vocab text)
+_SH7 = "unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1), i -> substr(text, i, 7)))"
+_bands7 = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || h{4*b+3} AS band_key FROM sig"
+    for b in range(4)
+)
+_LSH_SQL = f"""WITH sh AS (SELECT doc_id, {_SH7} AS s FROM documents),
+    hm AS (SELECT doc_id, {_HS} AS hmod FROM sh),
     sig AS (
-        SELECT doc_id,
-               MIN(md5('0|' || s)) AS h0, MIN(md5('1|' || s)) AS h1,
-               MIN(md5('2|' || s)) AS h2, MIN(md5('3|' || s)) AS h3,
-               MIN(md5('4|' || s)) AS h4, MIN(md5('5|' || s)) AS h5,
-               MIN(md5('6|' || s)) AS h6, MIN(md5('7|' || s)) AS h7
-        FROM sh GROUP BY doc_id),
+        SELECT doc_id, {', '.join(_perm_sql(i) for i in range(16))}
+        FROM hm GROUP BY doc_id),
     bands AS (
-        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
-        UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-        UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-        UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig)
+        {_bands7})
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM bands a JOIN bands b
       ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
@@ -85,11 +92,13 @@ _LSH_SQL = f"""WITH sh AS (SELECT doc_id, {_SH} AS s FROM documents),
 @register(
     "q_minhash_lsh_pairs",
     _LSH_SQL,
-    doc="shingle → minhash(8) → band(4×2) → bucket self-join",
+    doc="char-7 shingle → minhash(16) → band(4×4) → bucket self-join",
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = D.minhash_signatures(catalog(spark, sf_dir).documents, num_perms=8)
-    return D.lsh_candidate_pairs(sigs, num_perms=8, rows_per_band=2)
+    sigs = D.minhash_signatures(
+        catalog(spark, sf_dir).documents, k=7, num_perms=16
+    )
+    return D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
 
 
 # -- SimHash -----------------------------------------------------------------
