@@ -1,0 +1,71 @@
+"""Streaming analytics: watermarked windows, sessionization, dedup.
+
+The planned event-time surface (SURVEY §2.8 S9-S10) over an events-like
+stream. Each builder takes a *streaming* DataFrame and returns the
+transformed streaming DataFrame — sinks/triggers are the caller's
+(tests drive them with ``availableNow`` into memory sinks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_system_spark.functions.portable import dsum
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts with late-data watermark.
+
+    Watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted — the knob that keeps a 100 TB
+    stream's state store finite.
+    """
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows (dynamic gap-merged state) per key."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon (S10).
+
+    ``dropDuplicates`` keeps per-key state; the watermark bounds it —
+    the streaming twin of operators/dedup.exact_dedup.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])

@@ -1,0 +1,142 @@
+"""Streaming tests (SURVEY §5.3#4): availableNow drain equals the batch
+result; restart from checkpoint re-delivers nothing; watermarked
+windowed aggregation over a file stream matches the batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_system_spark.api import CDCSystem, SnapshotTable
+from cdc_system_spark.streaming.aggregations import windowed_counts
+from cdc_system_spark.streaming.replicator import StreamingReplicator
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("value", T.LongType(), True),
+    ]
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, ROW_SCHEMA)
+
+
+@pytest.fixture()
+def system(spark, tmp_path):
+    sys = CDCSystem(spark, str(tmp_path), "stream_table")
+    sys.setup_cdc(ROW_SCHEMA, key="id")
+    return sys
+
+
+def test_available_now_drain_equals_batch(spark, system, tmp_path):
+    system.capture.capture_insert(_rows(spark, [(i, f"u{i}", i) for i in range(1, 6)]))
+    system.capture.capture_update(
+        _rows(spark, [(1, "u1", 999)]), _rows(spark, [(1, "u1", 1)])
+    )
+    system.capture.capture_delete(_rows(spark, [(5, "u5", 5)]))
+
+    target = SnapshotTable(spark, str(tmp_path / "t"), ROW_SCHEMA)
+    rep = StreamingReplicator(
+        spark,
+        system.capture.path,
+        target,
+        ROW_SCHEMA,
+        key="id",
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    rep.run_available_now()
+
+    result = {r["id"]: r for r in target.read().collect()}
+    assert len(result) == 4  # 5 inserts − 1 delete
+    assert result[1]["value"] == 999
+
+
+def test_checkpoint_idempotent_restart(spark, system, tmp_path):
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    target = SnapshotTable(spark, str(tmp_path / "t"), ROW_SCHEMA)
+    kwargs = dict(key="id", checkpoint_path=str(tmp_path / "ckpt"))
+    rep = StreamingReplicator(spark, system.capture.path, target, ROW_SCHEMA, **kwargs)
+    rep.run_available_now()
+    assert target.read().count() == 2
+
+    # restart with same checkpoint, no new data → no re-delivery
+    rep2 = StreamingReplicator(spark, system.capture.path, target, ROW_SCHEMA, **kwargs)
+    rep2.run_available_now()
+    assert target.read().count() == 2
+
+    # new capture → only the delta is applied on the next drain
+    system.capture.capture_insert(_rows(spark, [(3, "c", 3)]))
+    rep3 = StreamingReplicator(spark, system.capture.path, target, ROW_SCHEMA, **kwargs)
+    rep3.run_available_now()
+    assert {r["id"] for r in target.read().collect()} == {1, 2, 3}
+
+
+def test_dead_letter_quarantine(spark, system, tmp_path):
+    # valid insert + an insert whose new_data is not decodable JSON
+    system.capture.capture_insert(_rows(spark, [(1, "ok", 1)]))
+    from cdc_system_spark.model import AUDIT_SCHEMA
+
+    bad = spark.createDataFrame(
+        [(999_000_000_000, "INSERT", 99, None, "{not-json", None, False, None)],
+        AUDIT_SCHEMA,
+    )
+    bad.write.mode("append").parquet(system.capture.path)
+
+    target = SnapshotTable(spark, str(tmp_path / "t"), ROW_SCHEMA)
+    dl = str(tmp_path / "dead")
+    rep = StreamingReplicator(
+        spark,
+        system.capture.path,
+        target,
+        ROW_SCHEMA,
+        key="id",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        dead_letter_path=dl,
+    )
+    rep.run_available_now()
+    assert {r["id"] for r in target.read().collect()} == {1}
+    quarantined = spark.read.parquet(dl)
+    assert quarantined.count() == 1
+    assert quarantined.head()["record_id"] == 99
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    # file-stream the driver's events table through the watermarked agg
+    src = "/root/testdata/sf0.001/events.parquet"
+    from cdc_system_spark.sources.catalog import load_table
+
+    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_events.write.parquet(str(tmp_path / "events_stream"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .parquet(str(tmp_path / "events_stream"))
+    )
+    agg = windowed_counts(stream, window="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["w_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    expected = {
+        (str(r["w_start"]), r["event_type"]): r["n"]
+        for r in batch_events.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        .collect()
+    }
+    assert got == expected
