@@ -20,8 +20,25 @@ Two problems these solve:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a CPU-bound stage runs at cluster parallelism.
+
+    A small parquet file scans as ONE input split, so any expensive
+    per-row computation downstream (md5 shingling, simhash, n-gram
+    explode) would run on a single core regardless of cluster size.
+    Repartition only when the input has fewer partitions than the
+    cluster's default parallelism — at real scale (100 TB → thousands of
+    splits) this is a no-op, so the shuffle cost exists only in exactly
+    the regime where it's trivially cheap (input ≪ one split).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 # Shared accumulator type for dsum/davg: 25 digits, 6 frac — exact for
 # TPC-H-ish money math at any tested SF, and far below Decimal(38) caps

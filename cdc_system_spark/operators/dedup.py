@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_system_spark.functions.portable import md5_i64, shingles
+from cdc_system_spark.functions.portable import md5_i64, shingles, spread
 
 #: universal-hash parameters for MinHash permutations: perm_i(h) =
 #: (A[i]·h + B[i]) mod P over h = md5_i64(shingle) mod P. P < 2^31 keeps
@@ -81,7 +81,7 @@ def minhash_signatures(
             ]
         )
 
-    sig = df.select(
+    sig = spread(df).select(
         F.col(id_col), F.aggregate(hs, zero, merge).alias("_sig")
     ).localCheckpoint(eager=False)
     return sig.select(
@@ -153,6 +153,9 @@ def simhash(
     """
     from cdc_system_spark.functions.portable import md5_i64
 
+    # no spread() here: the explode multiplies rows ~50× and the groupBy
+    # shuffles to cluster parallelism anyway; pre-shuffling the small doc
+    # set only adds a stage (measured slower at sf0.1).
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("th", md5_i64(F.col("tok")))
@@ -186,7 +189,7 @@ def ngram_jaccard_pairs(
     the verification step — composable here the same way.
     """
     w = F.split(F.col(text_col), " ")
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col),
         F.explode(
             F.transform(
