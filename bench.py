@@ -35,6 +35,7 @@ HEADLINE = [
     "q_simhash",
     "q_embedding_topk",
     "q_text_quality",
+    "q_frame_sample",
 ]
 
 

@@ -13,5 +13,6 @@ from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401
 from cdc_system_spark.queries import analytics  # noqa: E402,F401
 from cdc_system_spark.queries import windows  # noqa: E402,F401
 from cdc_system_spark.queries import llm  # noqa: E402,F401
+from cdc_system_spark.queries import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERY_REGISTRY", "Query", "register"]

@@ -1,0 +1,109 @@
+"""Multimodal-column queries: binary payloads through mapInPandas.
+
+The media table is synthesized deterministically from ``documents``
+(ASCII text → UTF-8 bytes), so every byte-level result the Arrow-batched
+pandas operators produce is reproducible by the DuckDB oracle with plain
+string functions (byte == character for this corpus). The decode step
+runs through :class:`~cdc_system_spark.operators.multimodal.FakeCodec` —
+a documented deterministic stand-in, since no image/audio library ships
+in this environment; the Spark plumbing (binary columns, mapInPandas
+batch iterators, 1→N frame fan-out, typed nullable metadata) is the real
+production shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators import multimodal as M
+from cdc_system_spark.queries.base import catalog, register
+
+# DuckDB twin of synthesize_media's kind/format assignment
+_KIND = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+_FMT = "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END"
+
+
+@register(
+    "q_media_catalog",
+    f"""SELECT doc_id AS media_id, {_KIND} AS kind, {_FMT} AS format,
+           CAST(LENGTH(text) AS BIGINT) AS byte_len
+    FROM documents""",
+    doc="binary media table synthesis: opaque content + typed metadata",
+)
+def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    return media.select("media_id", "kind", "format", "byte_len")
+
+
+_DECODE_SQL = f"""WITH m AS (
+        SELECT doc_id AS media_id, {_KIND} AS kind,
+               LENGTH(text) AS n, ascii(substr(text, 1, 1)) AS first,
+               md5(text) AS checksum
+        FROM documents)
+    SELECT media_id, kind, CAST(n AS BIGINT) AS byte_len, checksum,
+           CAST(CASE WHEN kind IN ('image', 'video') THEN 16 * (1 + n % 64) END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN kind IN ('image', 'video') THEN 16 * (1 + first % 64) END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN kind = 'audio' THEN 8000 * (1 + first % 6) END
+                AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN kind = 'audio' THEN n
+                     WHEN kind = 'video' THEN 1 + n % 240
+                     WHEN kind = 'image' THEN 1 END AS INTEGER) AS n_frames
+    FROM m"""
+
+
+@register(
+    "q_media_decode",
+    _DECODE_SQL,
+    doc="Arrow-batched decode via mapInPandas + FakeCodec (deterministic stub)",
+)
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    return M.decode_media(media)
+
+
+_HIST_SQL = """WITH m AS (
+        SELECT doc_id AS media_id, string_split(text, '') AS ch,
+               LENGTH(text) AS n
+        FROM documents)
+    SELECT media_id, CAST(n AS BIGINT) AS byte_len,
+           CAST(b AS INTEGER) AS bin,
+           ROUND(CAST(len(list_filter(ch, c -> ascii(c) // 32 = b)) AS DOUBLE)
+                 / GREATEST(n, 1), 6) AS ratio
+    FROM m, unnest(range(0, 8)) AS t(b)"""
+
+
+@register(
+    "q_media_byte_histogram",
+    _HIST_SQL,
+    doc="binary → fixed-length feature vector (numpy inside mapInPandas), flattened",
+)
+def q_media_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    hist = M.byte_histogram(media, bins=8)
+    return hist.select(
+        "media_id", "byte_len", F.posexplode("hist").alias("bin", "ratio")
+    )
+
+
+_FRAME_SQL = """WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(ceil(LENGTH(text) * 1.0 / 32) AS BIGINT) AS n_chunks
+        FROM documents)
+    SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+    FROM m, unnest(range(0, GREATEST(n_chunks, 1), 4)) AS t(i)"""
+
+
+@register(
+    "q_frame_sample",
+    _FRAME_SQL,
+    doc="1→N frame fan-out inside mapInPandas: 32-byte windows, stride 4",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    return M.frame_sample(media, frame_bytes=32, stride=4)

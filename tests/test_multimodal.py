@@ -1,0 +1,84 @@
+"""Multimodal plumbing tests: binary columns through mapInPandas.
+
+The reference has no media surface (its payloads are JSON text,
+cdc_system.py:145-194); this covers the driver-mandated multimodal
+extension: opaque binary payloads, Arrow-batched decode, feature
+extraction, frame fan-out, and the explicit stub boundary for real
+codecs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_system_spark.operators import multimodal as M
+from cdc_system_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return M.synthesize_media(docs)
+
+
+def test_media_schema_is_binary_plus_typed_metadata(media):
+    schema = {f.name: f.dataType for f in media.schema.fields}
+    assert isinstance(schema["content"], T.BinaryType)
+    assert isinstance(schema["byte_len"], T.LongType)
+    kinds = {r["kind"] for r in media.select("kind").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_matches_codec_on_raw_bytes(media):
+    decoded = M.decode_media(media)
+    assert decoded.schema == M.DECODED_SCHEMA
+    row = decoded.filter(F.col("media_id") == 0).head()
+    src = media.filter(F.col("media_id") == 0).head()
+    expect = M.FakeCodec().decode(0, src["kind"], bytes(src["content"]))
+    assert row.asDict() == expect
+    # kind-dependent nullability: audio rows carry no image dims
+    audio = decoded.filter(F.col("kind") == "audio")
+    assert audio.filter(F.col("width").isNotNull()).count() == 0
+    assert audio.filter(F.col("sample_rate").isNull()).count() == 0
+
+
+def test_byte_histogram_is_normalized_feature_vector(media):
+    hist = M.byte_histogram(media, bins=8)
+    row = hist.head()
+    assert len(row["hist"]) == 8
+    assert abs(sum(row["hist"]) - 1.0) < 1e-4  # rounding at 1e-6 per bin
+    assert all(0.0 <= v <= 1.0 for v in row["hist"])
+
+
+def test_frame_sample_fans_out_and_hashes_windows(media):
+    frames = M.frame_sample(media, frame_bytes=32, stride=4)
+    src = media.filter(F.col("media_id") == 1).head()
+    buf = bytes(src["content"])
+    got = {
+        r["frame_idx"]: r["frame_md5"]
+        for r in frames.filter(F.col("media_id") == 1).collect()
+    }
+    import math
+
+    n_chunks = max(math.ceil(len(buf) / 32), 1)
+    expect_idx = list(range(0, n_chunks, 4))
+    assert sorted(got) == expect_idx
+    for i in expect_idx:
+        assert got[i] == hashlib.md5(buf[i * 32 : (i + 1) * 32]).hexdigest()
+
+
+def test_frame_sample_total_fanout(media):
+    # every media item emits ≥1 frame; fan-out exceeds input rows
+    n_media = media.count()
+    frames = M.frame_sample(media, frame_bytes=32, stride=4)
+    assert frames.select("media_id").distinct().count() == n_media
+    assert frames.count() > n_media
+
+
+def test_resize_is_an_explicit_stub(media):
+    with pytest.raises(M.RealCodecUnavailable):
+        M.resize_images(media, 224, 224)
