@@ -325,3 +325,59 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog(spark, sf_dir).orders.select("o_orderpriority", "o_orderstatus").distinct()
+
+
+# -- multi-level aggregation: cube / grouping sets / pivot -------------------
+# (SURVEY §2.4 A3 maps the reference's manual rollup to native multi-level
+# aggregates; cube/grouping-sets/pivot complete that family.)
+@register(
+    "q_cube",
+    f"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    doc="cube = all 4 grouping combinations in one pass (partial-agg reuse)",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        catalog(spark, sf_dir)
+        .orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "q_grouping_sets",
+    f"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus, o_orderpriority))""",
+    doc="explicit grouping sets (native, not a UNION of scans)",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        catalog(spark, sf_dir)
+        .orders.groupingSets(
+            [["o_orderstatus"], ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@register(
+    "q_pivot",
+    f"""SELECT o_orderpriority,
+           {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders GROUP BY o_orderpriority""",
+    doc="pivot with explicit value list (no extra distinct-scan pass)",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        catalog(spark, sf_dir)
+        .orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum("o_totalprice"))
+    )
