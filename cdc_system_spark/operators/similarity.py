@@ -93,19 +93,48 @@ def assign_cells(
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: (centroids, emb+cell_id).
 
-    Centroids = first ``num_centroids`` vectors by id (deterministic);
-    assignment = argmax cosine via a broadcast cross join + max_by —
-    C is small, so this is a map-side-only pass over the corpus.
+    Centroids = first ``num_centroids`` vectors by id (deterministic; a
+    seeded k-means refinement would slot in here). They are *model
+    parameters*, C ≪ corpus by construction, so they're collected once
+    and inlined as plan literals: the argmax-cosine assignment becomes a
+    pure map-side expression — zero joins, zero shuffles over the
+    corpus. (The previous shape, broadcast crossJoin + groupBy-argmax,
+    costs a C× row blowup plus a full corpus shuffle.)
     """
     centroids = emb.orderBy(id_col).limit(num_centroids).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
     )
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col), F.col("cvec"), decimals=None)
+    cents = centroids.collect()
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell_id"])).cast("long").alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+            )
+            for r in cents
+        ]
     )
-    assigned = scored.groupBy(id_col).agg(
-        F.max_by("cell_id", F.struct("_sim", "cell_id")).alias("cell_id"),
-        F.first(vec_col).alias(vec_col),
+    scored = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            cosine(F.col(vec_col), c["cvec"], decimals=None).alias("sim"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    # argmax by (sim, cell_id) — same tiebreak as max_by(struct(sim, cell_id))
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("cell_id")
+        ),
+        lambda acc, x: F.when(
+            (x["sim"] > acc["sim"])
+            | ((x["sim"] == acc["sim"]) & (x["cell_id"] > acc["cell_id"])),
+            x,
+        ).otherwise(acc),
+    )
+    assigned = emb.select(
+        F.col(id_col), F.col(vec_col), best["cell_id"].alias("cell_id")
     )
     return centroids, assigned
 
