@@ -140,3 +140,43 @@ def test_streaming_windowed_counts_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_stateful_net_effect_accumulator(spark, system, tmp_path):
+    from cdc_system_spark.streaming.source import read_change_stream
+    from cdc_system_spark.streaming.stateful import net_effect_state
+
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
+    system.capture.capture_update(
+        _rows(spark, [(1, "a", 10)]), _rows(spark, [(1, "a", 1)])
+    )
+    system.capture.capture_delete(_rows(spark, [(2, "b", 2)]))
+
+    def drain(qname):
+        stream = read_change_stream(spark, system.capture.path)
+        out = net_effect_state(stream)
+        rows = []  # foreachBatch sink: supports checkpoint recovery
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: rows.extend(df.collect())
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        # keep the latest emission per key (update mode can emit per batch)
+        latest = {}
+        for r in sorted(rows, key=lambda r: r["last_cdc_id"]):
+            latest[r["record_id"]] = r
+        return latest
+
+    got = drain("net1")
+    assert got[1]["n_changes"] == 2 and got[1]["exists"] is True
+    assert got[2]["n_changes"] == 2 and got[2]["exists"] is False  # deleted
+
+    # state survives restart from the same checkpoint: counts accumulate
+    system.capture.capture_insert(_rows(spark, [(2, "b2", 20)]))
+    got2 = drain("net2")
+    assert got2[2]["n_changes"] == 3 and got2[2]["exists"] is True
