@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 100 TB posture: bounded scan task size; AQE re-coalesces small ones.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # default 4 MiB open-cost quantizes small inputs into a handful of
+        # splits, idling most cores (10 MB file → 3 tasks on 32 cores).
+        # 256 KiB restores scan parallelism for small/medium files and is
+        # inert at scale, where files dwarf the open cost. Measured ~2× on
+        # every lineitem-bound query at sf0.1.
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
