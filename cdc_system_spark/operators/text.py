@@ -87,3 +87,31 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(F.col(text_col)).alias("content_md5"),
         F.array_min(F.transform(w, lambda t: F.md5(t))).alias("min_token_hash"),
     )
+
+
+def term_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Corpus-wide term counts with explicit skew salting.
+
+    Token frequency is Zipfian: the hot tokens ("the", boilerplate)
+    concentrate in a handful of reducers and serialize the job at scale.
+    Two-phase aggregation splits every token across ``salt_buckets``
+    deterministic salts (doc id modulo — reproducible, unlike rand()):
+    partial counts per (token, salt) spread the hot keys across the
+    cluster; the final per-token sum combines ``salt_buckets`` rows per
+    token, which is trivially small. Result is identical to a plain
+    GROUP BY — only the shuffle distribution changes.
+
+    (AQE skew handling covers *joins*; aggregation skew still needs this
+    manual split.)
+    """
+    toks = df.select(
+        (F.col(id_col) % salt_buckets).alias("_salt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    partial = toks.groupBy("token", "_salt").agg(F.count("*").alias("_n"))
+    return partial.groupBy("token").agg(F.sum("_n").alias("n"))

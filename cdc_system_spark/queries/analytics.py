@@ -381,3 +381,40 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(dsum("o_totalprice"))
     )
+
+
+@register(
+    "q_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus""",
+    doc="exact distinct aggregate (expand+two-phase under the hood)",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        catalog(spark, sf_dir)
+        .orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_percentiles",
+    """SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag""",
+    doc="exact interpolated percentiles (sort-based, per-group)",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(name)
+            for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+        ]
+    )

@@ -268,3 +268,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(catalog(spark, sf_dir).documents)
+
+
+@register(
+    "q_term_frequency",
+    """SELECT tok AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok""",
+    doc="corpus term counts, salted two-phase agg (Zipf-skew-proof)",
+)
+def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.term_frequency(catalog(spark, sf_dir).documents)
