@@ -19,7 +19,7 @@ class DatabaseType(str, Enum):
     The reference claims sqlite/postgresql/mysql but only implements
     sqlite. Here each maps to a Spark read/write format: parquet is the
     native analytics store; postgresql/mysql are served by the JDBC
-    source (cdc_system_spark.sources.jdbc).
+    source (cdc_system_spark.sources.connectors).
     """
 
     PARQUET = "parquet"

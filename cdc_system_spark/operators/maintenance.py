@@ -1,0 +1,75 @@
+"""Change-log maintenance: compaction and date partitioning.
+
+An append-only change log accumulates one small file per capture
+(operators/capture.py LogCapture) — at streaming cadence that's
+millions of kilobyte files: listing dominates planning, scans pay an
+open-cost per file, and the streaming source tracks every path. The
+reference never faces this (SQLite table, cdc_system.py:115-126); at
+100 TB it is the first operational fire.
+
+``compact_log`` rewrites the log date-partitioned by ``changed_at`` and
+sorted by ``cdc_id`` within partitions:
+
+* **partition pruning** — time-bounded queries (the dominant access
+  pattern for a change log) skip whole directories, the Spark
+  equivalent of the reference's ``(synced, cdc_id)`` covering index
+  (SURVEY §4.1);
+* **bounded file count** — ``target_rows_per_file`` caps file size via
+  per-partition repartitioning;
+* **local cdc_id ordering** — min/max column stats per file make
+  ``cdc_id`` range predicates skip row groups.
+
+Compaction writes to a NEW root and swaps atomically-enough for an
+append-only log: writers keep appending to the active root; readers of
+the compacted root see a consistent prefix. (With a table format —
+Delta/Iceberg — this is OPTIMIZE; on plain parquet it's an explicit
+rewrite, done here so the engine stays dependency-free.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_log(
+    spark: SparkSession,
+    log_path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Rewrite an audit-schema log date-partitioned + cdc_id-sorted.
+
+    Returns {"rows", "days", "files_per_day"} for operator visibility.
+    """
+    log = spark.read.parquet(log_path)
+    rows = log.count()
+    dated = log.withColumn("change_date", F.to_date("changed_at"))
+    days = dated.select("change_date").distinct().count()
+    per_day = max(rows // max(days, 1), 1)
+    files_per_day = max(per_day // target_rows_per_file, 1)
+    (
+        dated.repartition(files_per_day * max(days, 1), "change_date", F.col("cdc_id"))
+        .sortWithinPartitions("change_date", "cdc_id")
+        .write.mode("overwrite")
+        .partitionBy("change_date")
+        .parquet(out_path)
+    )
+    return {"rows": rows, "days": days, "files_per_day": files_per_day}
+
+
+def read_log_range(
+    spark: SparkSession,
+    compacted_path: str,
+    start_date: str | None = None,
+    end_date: str | None = None,
+) -> DataFrame:
+    """Time-bounded scan of a compacted log — the predicate lands on the
+    ``change_date`` partition column, so pruning happens at file listing
+    (check: ``.explain`` shows PartitionFilters, not a full scan)."""
+    df = spark.read.parquet(compacted_path)
+    if start_date is not None:
+        df = df.filter(F.col("change_date") >= F.lit(start_date))
+    if end_date is not None:
+        df = df.filter(F.col("change_date") < F.lit(end_date))
+    return df
