@@ -418,3 +418,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
         ]
     )
+
+
+@register(
+    "q_scalar_subquery",
+    f"""WITH t AS (SELECT {davg_sql('o_totalprice')} AS thr FROM orders)
+    SELECT o_orderkey, o_totalprice FROM orders, t WHERE o_totalprice > thr""",
+    doc="scalar-subquery filter: the 1-row aggregate materializes to a "
+    "literal, so the comparison pushes into the parquet scan",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = catalog(spark, sf_dir).orders
+    # a scalar aggregate IS a driver value; inlining it keeps the second
+    # pass a plain pushable filter instead of a nested-loop join of a
+    # 1-row DataFrame against the scan
+    thr = orders.agg(davg("o_totalprice", "thr")).head()[0]
+    return orders.filter(F.col("o_totalprice") > F.lit(thr)).select(
+        "o_orderkey", "o_totalprice"
+    )
