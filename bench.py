@@ -48,15 +48,15 @@ def main() -> None:
     # one untimed warmup query to absorb JVM/codegen startup
     QUERY_REGISTRY["q_count"].fn(spark, sf_dir).collect()
 
-    # two timed runs per query, report the min: steady-state engine
+    # three timed runs per query, report the min: steady-state engine
     # throughput, not one-time plan compilation / codegen / Python-worker
-    # startup (at real scale those constants amortize to nothing; at
-    # sf0.1 they would swamp the signal)
+    # startup or transient machine load (at real scale those constants
+    # amortize to nothing; at sf0.1 they would swamp the signal)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERY_REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.count()

@@ -160,3 +160,54 @@ def ivf_topk(
     cands = assigned.join(F.broadcast(probe), on="cell_id", how="left_semi")
     scored = cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def group_normalize(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding z-score normalization via grouped-map pandas.
+
+    ``applyInPandas`` receives each group as ONE pandas frame (numpy
+    vectorized inside), the shape for per-group model-ish transforms
+    that builtins can't express cleanly (whitening, PCA-per-tenant,
+    learned scalers). Output: (id, group, norm_embedding) where each
+    dimension is (x − group mean) / group std (population, ddof=0;
+    zero-variance dims map to 0).
+
+    Scale note: one shuffle on the group key; a group must fit in one
+    executor's memory — for billion-row groups use a two-pass builtin
+    aggregate instead (the stats themselves are a groupBy).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(group_col, emb.schema[group_col].dataType),
+            T.StructField("norm_embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def norm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        mu = mat.mean(axis=0)
+        sd = mat.std(axis=0)
+        centered = np.where(sd == 0, 0.0, (mat - mu) / np.where(sd == 0, 1.0, sd))
+        rounded = np.floor(centered * 1e6 + np.where(centered >= 0, 0.5, -0.5)) / 1e6
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype("int64"),
+                group_col: pdf[group_col],
+                "norm_embedding": list(rounded),
+            }
+        )
+
+    return emb.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
+        norm, schema=out_schema
+    )

@@ -279,3 +279,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.term_frequency(catalog(spark, sf_dir).documents)
+
+
+# -- grouped-map pandas: per-label z-score normalization ---------------------
+@register(
+    "q_group_normalize",
+    None,
+    doc="applyInPandas grouped-map (numpy per group); rows-only check — "
+    "cross-engine float reduction order precludes a value-hash oracle; "
+    "math is numpy-verified in tests/test_similarity.py",
+)
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.group_normalize(catalog(spark, sf_dir).embeddings)

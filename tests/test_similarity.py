@@ -1,0 +1,65 @@
+"""Similarity operator math: IVF assignment and grouped-map
+normalization cross-checked against numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdc_system_spark.operators import similarity as S
+from cdc_system_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_assignment_matches_numpy_argmax(emb):
+    centroids, assigned = S.assign_cells(emb, num_centroids=8)
+    C = {r["cell_id"]: np.array(r["cvec"], dtype=float) for r in centroids.collect()}
+    got = {r["vec_id"]: r["cell_id"] for r in assigned.collect()}
+    for r in emb.select("vec_id", "embedding").collect():
+        v = np.array(r["embedding"], dtype=float)
+        sims = {
+            cid: float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+            for cid, c in C.items()
+        }
+        best = max(sims.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert got[r["vec_id"]] == best
+
+
+def test_ivf_topk_is_subset_of_probed_cells(emb):
+    qv = emb.filter("vec_id = 0").head()["embedding"]
+    centroids, assigned = S.assign_cells(emb, num_centroids=8)
+    top = S.ivf_topk(assigned, centroids, list(qv), k=10, nprobe=2)
+    rows = top.collect()
+    assert len(rows) == 10
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0  # self-match
+
+
+def test_group_normalize_matches_numpy(emb):
+    out = {r["vec_id"]: r for r in S.group_normalize(emb).collect()}
+    pdf = emb.select("vec_id", "label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in grp["embedding"]])
+        mu, sd = mat.mean(axis=0), mat.std(axis=0)
+        z = np.where(sd == 0, 0.0, (mat - mu) / np.where(sd == 0, 1.0, sd))
+        for (vid, expect) in zip(grp["vec_id"], z):
+            got = np.array(out[vid]["norm_embedding"])
+            assert out[vid]["label"] == label
+            np.testing.assert_allclose(got, expect, atol=5e-6)  # 1e-6 output grid + float reduction noise
+
+
+def test_group_normalize_stats_are_standard(emb):
+    # per (label, dim): mean ≈ 0, std ≈ 1 after normalization
+    rows = S.group_normalize(emb).collect()
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["norm_embedding"])
+    for label, vecs in by_label.items():
+        mat = np.array(vecs)
+        np.testing.assert_allclose(mat.mean(axis=0), 0.0, atol=1e-5)
+        sd = mat.std(axis=0)
+        nonzero = sd > 1e-9  # constant dims normalize to 0
+        np.testing.assert_allclose(sd[nonzero], 1.0, atol=1e-4)
