@@ -93,50 +93,126 @@ def assign_cells(
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: (centroids, emb+cell_id).
 
-    Centroids = first ``num_centroids`` vectors by id (deterministic; a
-    seeded k-means refinement would slot in here). They are *model
-    parameters*, C ≪ corpus by construction, so they're collected once
-    and inlined as plan literals: the argmax-cosine assignment becomes a
-    pure map-side expression — zero joins, zero shuffles over the
-    corpus. (The previous shape, broadcast crossJoin + groupBy-argmax,
+    Centroids = first ``num_centroids`` vectors by id (deterministic;
+    :func:`kmeans_refine` improves them). They are *model parameters*,
+    C ≪ corpus by construction: collected once and closed over by a
+    vectorized assignment pass — zero joins, zero shuffles over the
+    corpus. (The naive shape, broadcast crossJoin + groupBy-argmax,
     costs a C× row blowup plus a full corpus shuffle.)
     """
     centroids = emb.orderBy(id_col).limit(num_centroids).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
     )
-    cents = centroids.collect()
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell_id"])).cast("long").alias("cell_id"),
-                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
-            )
-            for r in cents
+    cents = [(int(r["cell_id"]), list(r["cvec"])) for r in centroids.collect()]
+    return centroids, _assign_vectorized(emb, cents, id_col, vec_col)
+
+
+def _assign_vectorized(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Map-side argmax-cosine assignment: one numpy matmul per Arrow
+    batch inside ``mapInPandas``.
+
+    This is the "vectorized pandas UDF where builtins get unwieldy"
+    case: the pure-builtin equivalent (transform+aggregate argmax over a
+    literal centroid array) is a higher-order-function expression, which
+    Spark *interprets* per element — measured ~14 ms/row at C=16, d=64
+    vs microseconds for ``rows @ centroids.T``. Still zero joins, zero
+    shuffles; ties break toward the larger cell id (same rule as
+    ``max_by(struct(sim, cell_id))``).
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            emb.schema[id_col],
+            emb.schema[vec_col],
+            T.StructField("cell_id", T.LongType()),
         ]
     )
-    scored = F.transform(
-        cent_lit,
-        lambda c: F.struct(
-            cosine(F.col(vec_col), c["cvec"], decimals=None).alias("sim"),
-            c["cell_id"].alias("cell_id"),
-        ),
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        rev = np.argsort(-cid_arr)  # argmax keeps FIRST max → order desc by cid
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            best = np.argmax(Mn @ Cn[rev].T, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell_id": cid_arr[rev][best],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    num_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means refinement of the IVF centroids (Lloyd steps).
+
+    Per iteration one vectorized map pass over the corpus computes the
+    argmax-cosine assignment AND per-cell partial sums of unit vectors
+    (numpy, inside ``mapInPandas``); only C·(d+1) partial rows per batch
+    shuffle to a tiny combine. New centroids are the L2-normalized means
+    (spherical update ⇒ the summed-cosine objective is non-decreasing);
+    cells that lose all members keep their previous centroid. Centroids
+    are model parameters: driver-side between iterations by design — the
+    corpus never leaves the cluster.
+    """
+    import math
+
+    init = (
+        emb.orderBy(id_col)
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec"))
     )
-    # argmax by (sim, cell_id) — same tiebreak as max_by(struct(sim, cell_id))
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(float("-inf")).alias("sim"), F.lit(-1).cast("long").alias("cell_id")
-        ),
-        lambda acc, x: F.when(
-            (x["sim"] > acc["sim"])
-            | ((x["sim"] == acc["sim"]) & (x["cell_id"] > acc["cell_id"])),
-            x,
-        ).otherwise(acc),
+    cents = [(int(r["cell_id"]), [float(x) for x in r["cvec"]]) for r in init.collect()]
+    for _ in range(iters):
+        # spherical update: average UNIT vectors (averaging raw vectors
+        # breaks Lloyd monotonicity under the cosine objective). One
+        # mapInPandas pass emits per-batch partial sums — C·(d+1) rows
+        # per batch — then a tiny groupBy combines them: the corpus is
+        # touched once per iteration, map-side only.
+        partials = _partial_cell_sums(emb, cents, vec_col)
+        merged = (
+            partials.groupBy("cell_id", "dim").agg(F.sum("s").alias("s")).collect()
+        )
+        sums: dict[int, dict[int, float]] = {}
+        for r in merged:
+            sums.setdefault(int(r["cell_id"]), {})[int(r["dim"])] = float(r["s"])
+        new_cents = []
+        for cid, old in cents:
+            cell = sums.get(cid)
+            n = cell.pop(-1, 0.0) if cell else 0.0  # dim −1 carries the count
+            if not cell or n == 0:
+                new_cents.append((cid, old))  # empty cell: keep previous
+                continue
+            vec = [cell[d] / n for d in range(len(old))]
+            nrm = math.sqrt(sum(x * x for x in vec)) or 1.0
+            new_cents.append((cid, [x / nrm for x in vec]))
+        cents = new_cents
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cell_id long, cvec array<double>"
     )
-    assigned = emb.select(
-        F.col(id_col), F.col(vec_col), best["cell_id"].alias("cell_id")
-    )
-    return centroids, assigned
 
 
 def ivf_topk(
@@ -211,3 +287,69 @@ def group_normalize(
     return emb.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
         norm, schema=out_schema
     )
+
+
+def _partial_cell_sums(
+    emb: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """Per-batch partial sums of unit vectors per assigned cell.
+
+    Emits (cell_id, dim, s) rows; ``dim = -1`` carries the member count.
+    The map-side combine happens inside numpy, so the shuffle moves
+    C·(d+1) rows per batch instead of the corpus.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell_id", T.LongType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cid_arr = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in cents])
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        rev = np.argsort(-cid_arr)
+        d = C.shape[1]
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            best = cid_arr[rev][np.argmax(Mn @ Cn[rev].T, axis=1)]
+            cell_ids, dims, sums = [], [], []
+            for j, cid in enumerate(cid_arr):
+                members = Mn[best == cid]
+                if len(members) == 0:
+                    continue
+                vec_sum = members.sum(axis=0)
+                cell_ids.extend([cid] * (d + 1))
+                dims.extend(list(range(d)) + [-1])
+                sums.extend([float(x) for x in vec_sum] + [float(len(members))])
+            yield pd.DataFrame(
+                {
+                    "cell_id": pd.Series(cell_ids, dtype="int64"),
+                    "dim": pd.Series(dims, dtype="int32"),
+                    "s": pd.Series(sums, dtype="float64"),
+                }
+            )
+
+    return emb.select(vec_col).mapInPandas(batches, schema=out_schema)
+
+
+def assign_with_centroids(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side cell assignment against an explicit centroid table
+    (e.g. the output of :func:`kmeans_refine`)."""
+    cents = [(int(r["cell_id"]), [float(x) for x in r["cvec"]]) for r in centroids.collect()]
+    return _assign_vectorized(emb, cents, id_col, vec_col)

@@ -291,3 +291,17 @@ def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.group_normalize(catalog(spark, sf_dir).embeddings)
+
+
+@register(
+    "q_ivf_kmeans_topk",
+    None,
+    doc="IVF with 2 spherical k-means refinement iterations; rows-only "
+    "check (iterative algorithm, not SQL-expressible)",
+)
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    centroids = S.kmeans_refine(emb, num_centroids=16, iters=2)
+    assigned = S.assign_with_centroids(emb, centroids)
+    return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)

@@ -44,9 +44,17 @@ def test_hot_paths_stay_in_codegen(plans):
 
 
 def test_python_only_where_intended(plans):
-    # Pandas/Arrow stages belong ONLY to the multimodal queries; every
-    # relational/text/dedup path must stay JVM-side.
-    pandas_ok = {"q_media_decode", "q_media_byte_histogram", "q_frame_sample"}
+    # Pandas/Arrow stages belong ONLY to the multimodal queries and the
+    # grouped-map normalization; every relational/text/dedup path must
+    # stay JVM-side.
+    pandas_ok = {
+        "q_media_decode",
+        "q_media_byte_histogram",
+        "q_frame_sample",
+        "q_group_normalize",
+        "q_ivf_topk",
+        "q_ivf_kmeans_topk",
+    }
     for name, df in plans.items():
         f = plan_features(df)
         if name in pandas_ok:

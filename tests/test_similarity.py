@@ -63,3 +63,30 @@ def test_group_normalize_stats_are_standard(emb):
         sd = mat.std(axis=0)
         nonzero = sd > 1e-9  # constant dims normalize to 0
         np.testing.assert_allclose(sd[nonzero], 1.0, atol=1e-4)
+
+
+def test_kmeans_refine_improves_spherical_objective(spark, emb):
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def objective(centroids_df):
+        C = np.stack(
+            [np.asarray(r["cvec"], dtype=np.float64) for r in centroids_df.collect()]
+        )
+        C = C / np.linalg.norm(C, axis=1, keepdims=True)
+        return float((unit @ C.T).max(axis=1).sum())  # best-cell cosine sum
+
+    init, _ = S.assign_cells(emb, num_centroids=8)
+    refined = S.kmeans_refine(emb, num_centroids=8, iters=2)
+    assert objective(refined) >= objective(init) - 1e-9
+
+
+def test_kmeans_query_returns_topk(spark, sf_dir):
+    from cdc_system_spark.queries import QUERY_REGISTRY
+
+    rows = QUERY_REGISTRY["q_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
