@@ -69,3 +69,40 @@ def stream_dedup(
     the streaming twin of operators/dedup.exact_dedup.
     """
     return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+
+
+def clicks_before_purchase(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase paired with
+    the same user's clicks in the preceding ``window``.
+
+    Both sides carry watermarks and the join condition time-bounds the
+    match, so Spark can evict click state older than watermark+window —
+    without the bound, stream-stream join state grows forever. The
+    batch twin (same pairs, bucketed instead of stateful) is
+    operators/temporal.bucketed_range_join.
+    """
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col(ts_col).alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col(ts_col).alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = user_id AND c_ts >= p_ts - INTERVAL {window} AND c_ts < p_ts"
+        ),
+    )

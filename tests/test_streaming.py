@@ -180,3 +180,41 @@ def test_stateful_net_effect_accumulator(spark, system, tmp_path):
     system.capture.capture_insert(_rows(spark, [(2, "b2", 20)]))
     got2 = drain("net2")
     assert got2[2]["n_changes"] == 3 and got2[2]["exists"] is True
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    from cdc_system_spark.operators.temporal import bucketed_range_join
+    from cdc_system_spark.sources.catalog import load_table
+    from cdc_system_spark.streaming.aggregations import clicks_before_purchase
+
+    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_events.write.parquet(str(tmp_path / "ev"))
+    stream = spark.readStream.schema(batch_events.schema).parquet(str(tmp_path / "ev"))
+
+    rows = []
+    q = (
+        clicks_before_purchase(stream, window="1 hour")
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["event_id"], str(r["c_ts"])) for r in rows)
+
+    purchases = batch_events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    expect = sorted(
+        (r["event_id"], str(r["c_ts"]))
+        for r in bucketed_range_join(
+            purchases, clicks, by_left="user_id", by_right="c_user",
+            left_time="p_ts", right_time="c_ts", window_seconds=3600,
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
