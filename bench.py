@@ -36,6 +36,8 @@ HEADLINE = [
     "q_embedding_topk",
     "q_text_quality",
     "q_frame_sample",
+    "q_asof_join",
+    "q_range_join",
 ]
 
 
