@@ -436,3 +436,22 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_totalprice") > F.lit(thr)).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "q_salted_join",
+    """SELECT e.event_id, e.user_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    doc="skew-salted fact-dim join: shuffles on (key, salt) so hot keys "
+    "spread over salt_count reducers; result identical to the plain join",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.skew import salted_join
+
+    cat = catalog(spark, sf_dir)
+    fact = cat.events.select("event_id", "user_id")
+    dim = cat.customer.select("c_custkey", "c_name")
+    return salted_join(
+        fact, dim, fact_key="user_id", dim_key="c_custkey",
+        salt_source="event_id", salt_count=8,
+    ).select("event_id", "user_id", "c_name")
