@@ -305,3 +305,48 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.kmeans_refine(emb, num_centroids=16, iters=2)
     assigned = S.assign_with_centroids(emb, centroids)
     return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
+
+
+@register(
+    "q_array_ops",
+    """SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS v_min,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS v_max,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+    FROM embeddings""",
+    doc="array builtins over array<float>: size/min/max + aggregate-fold L2",
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    v = F.col("embedding")
+    sq_sum = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.array_min(v).cast("double"), 6).alias("v_min"),
+        F.round(F.array_max(v).cast("double"), 6).alias("v_max"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2"),
+    )
+
+
+@register(
+    "q_regex_extract",
+    """SELECT doc_id,
+           regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_capitalized,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+    FROM documents""",
+    doc="regex scalar functions (extract + extract_all count)",
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Z][a-z]+)", 1).alias("first_capitalized"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"))).cast("long").alias(
+            "n_numbers"
+        ),
+    )
