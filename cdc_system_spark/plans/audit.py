@@ -79,7 +79,9 @@ def plan_features(df: DataFrame, with_codegen: bool = False) -> dict:
         "nested_loop_joins": n(r"\bBroadcastNestedLoopJoin\b"),
         "cartesian_products": n(r"\bCartesianProduct\b"),
         "codegen_spans": codegen,
-        "scans": n(r"\bScan parquet\b"),
+        # ReadSchema appears exactly once per scan (details section);
+        # "Scan parquet" matches twice (tree + details)
+        "scans": n(r"ReadSchema:"),
         "scans_with_pushed_filters": sum(1 for p in pushed if p.strip()),
         "python_stages": n(r"\b(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)\b"),
         "text": text,
