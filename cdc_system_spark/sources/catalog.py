@@ -33,16 +33,44 @@ BROADCASTABLE = {"region", "nation", "supplier", "part"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is INT64 TIMESTAMP(NANOS); with nanosAsLong it arrives as a
-    # raw long — truncate to microseconds (same floor semantics as DuckDB's
-    # CAST(ts_ns AS TIMESTAMP), keeping oracle parity).
     from pyspark.sql import types as T
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        if name != "events":
+            raise
+        # events.ts is INT64 TIMESTAMP(NANOS), which Spark 4 rejects at
+        # schema inference unless spark.sql.legacy.parquet.nanosAsLong is
+        # set. The driver's verify harness supplies its OWN SparkSession
+        # (no such conf), so fall back to an explicit schema that reads
+        # the physical INT64 directly — works in any session.
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    # ts long (nanos) → truncate to microseconds (same floor semantics as
+    # DuckDB's CAST(ts_ns AS TIMESTAMP), keeping oracle parity).
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
+
+
+def _events_raw_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+_EVENTS_RAW_SCHEMA = _events_raw_schema()
 
 
 class TableCatalog:
