@@ -11,6 +11,7 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 # importing the modules populates the registry
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401
 from cdc_system_spark.queries import analytics  # noqa: E402,F401
+from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401
 from cdc_system_spark.queries import windows  # noqa: E402,F401
 from cdc_system_spark.queries import llm  # noqa: E402,F401
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401
