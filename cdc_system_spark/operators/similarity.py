@@ -58,6 +58,124 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def srp_weights(
+    n_bands: int, bits_per_band: int, dim: int
+) -> dict[tuple[int, int], list[int]]:
+    """Deterministic random-hyperplane weights for SRP-LSH.
+
+    Integer components in [-1000, 1000], derived from md5 of the
+    (band, bit, position) coordinates — no RNG, so the same matrix is
+    reproducible in any engine (the DuckDB oracle embeds the identical
+    literals). Weights are model parameters: n_bands × bits × dim ints,
+    independent of corpus size.
+    """
+    import hashlib
+
+    return {
+        (b, j): [
+            int(hashlib.md5(f"srp{b}_{j}_{i}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for i in range(1, dim + 1)
+        ]
+        for b in range(n_bands)
+        for j in range(bits_per_band)
+    }
+
+
+def srp_bands(
+    emb: DataFrame,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection LSH signatures (hyperplane hashing).
+
+    Band b's value packs ``bits_per_band`` sign bits, bit j =
+    [dot(v, w_bj) > 0]. Each dot is a sequential double fold over a
+    literal int weight array — whole-stage-codegen JVM arithmetic, no
+    shuffle, no Python. Probability two vectors agree on one bit is
+    1 − θ/π, so recall tunes via bands × bits: more bits/band sharpens
+    precision, more bands recovers recall (classic OR-of-ANDs LSH).
+    """
+    w = srp_weights(n_bands, bits_per_band, dim)
+
+    def dot_w(weights: list[int]) -> Column:
+        arr = F.array(*[F.lit(x) for x in weights])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bands = []
+    for b in range(n_bands):
+        val: Column = F.lit(0)
+        for j in range(bits_per_band):
+            val = val + F.when(dot_w(w[(b, j)]) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bands.append(val.alias(f"band{b}"))
+    return emb.select(F.col(id_col), F.col(vec_col), *bands)
+
+
+def srp_lsh_pairs(
+    emb: DataFrame,
+    n_bands: int = 8,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs via SRP-LSH banding + exact cosine rescore.
+
+    The label-free scale path (cf. :func:`pairwise_neardup`, which needs
+    a blocking key): candidates = pairs sharing ANY band value, found by
+    a self-join that shuffles on (band_idx, band_val) — never the full
+    cross product. Exact cosine then filters false positives, so
+    precision is exact and only recall is approximate. At 100 TB the
+    candidate volume is governed by bucket sizes (≈ n/2^bits per band
+    per bucket), the same knob that controls skew.
+    """
+    sigs = srp_bands(emb, n_bands, bits_per_band, dim, id_col, vec_col)
+    keyed = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.col(f"band{b}").alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_val"))
+    a = keyed.select(
+        F.col(id_col).alias("id1"), "band_idx", "band_val"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id2"), "band_idx", "band_val"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )
+
+
 def pairwise_neardup(
     emb: DataFrame,
     block_col: str = "label",

@@ -199,6 +199,73 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_neardup(catalog(spark, sf_dir).embeddings, threshold=0.4)
 
 
+# -- SRP-LSH near-dup pairs (label-free scale path) --------------------------
+_SRP_BANDS, _SRP_BITS, _SRP_DIM, _SRP_TH = 8, 4, 64, 0.4
+
+
+def _srp_sql() -> str:
+    from cdc_system_spark.operators.similarity import srp_weights
+
+    w = srp_weights(_SRP_BANDS, _SRP_BITS, _SRP_DIM)
+
+    def dot_w(weights: list[int]) -> str:
+        lit = "[" + ", ".join(str(x) for x in weights) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+        )
+
+    band_exprs = ", ".join(
+        " + ".join(
+            f"(CASE WHEN {dot_w(w[(b, j)])} > 0 THEN {2**j} ELSE 0 END)"
+            for j in range(_SRP_BITS)
+        )
+        + f" AS band{b}"
+        for b in range(_SRP_BANDS)
+    )
+    band_union = "\n        UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, band{b} AS band_val FROM sig"
+        for b in range(_SRP_BANDS)
+    )
+    return f"""WITH sig AS (SELECT vec_id, {band_exprs} FROM embeddings),
+    bands AS (
+        {band_union}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id)
+    SELECT id1, id2,
+           ROUND({_dot_sql('e1.embedding', 'e2.embedding')}
+                 / (SQRT({_dot_sql('e1.embedding', 'e1.embedding')})
+                    * SQRT({_dot_sql('e2.embedding', 'e2.embedding')})), 6) AS cos_sim
+    FROM cand
+    JOIN embeddings e1 ON e1.vec_id = id1
+    JOIN embeddings e2 ON e2.vec_id = id2
+    WHERE ROUND({_dot_sql('e1.embedding', 'e2.embedding')}
+                 / (SQRT({_dot_sql('e1.embedding', 'e1.embedding')})
+                    * SQRT({_dot_sql('e2.embedding', 'e2.embedding')})), 6) >= {_SRP_TH}"""
+
+
+@register(
+    "q_srp_lsh_pairs",
+    _srp_sql(),
+    doc="random-hyperplane LSH (8 bands × 4 bits) + exact cosine rescore ≥ 0.4; "
+    "label-free near-dup — candidates shuffle on (band, bucket), never O(n²). "
+    "Driver corpus max-cos ≈ 0.5, hence the low threshold/wide bands; at real "
+    "near-dup similarity (≥0.9) the same operator runs 8 × 16-bit bands for "
+    "~1e-3 candidate selectivity",
+)
+def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.srp_lsh_pairs(
+        catalog(spark, sf_dir).embeddings,
+        n_bands=_SRP_BANDS,
+        bits_per_band=_SRP_BITS,
+        dim=_SRP_DIM,
+        threshold=_SRP_TH,
+    )
+
+
 # -- IVF approximate top-k (rows-only: not naturally SQL-expressible) --------
 @register(
     "q_ivf_topk",

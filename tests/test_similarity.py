@@ -90,3 +90,29 @@ def test_kmeans_query_returns_topk(spark, sf_dir):
     rows = QUERY_REGISTRY["q_ivf_kmeans_topk"].fn(spark, sf_dir).collect()
     assert len(rows) == 20
     assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+
+
+def test_srp_lsh_pairs_subset_of_bruteforce_with_recall(emb):
+    # SRP-LSH precision is exact (cosine rescore); recall is the
+    # LSH approximation — bound it from below at these parameters.
+    got = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in S.srp_lsh_pairs(emb, threshold=0.4).collect()
+    }
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = M @ M.T
+    truth = {
+        (int(ids[i]), int(ids[j])): round(float(sims[i, j]), 6)
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(float(sims[i, j]), 6) >= 0.4
+    }
+    assert set(got) <= set(truth)  # no false positives
+    for pair, cs in got.items():
+        assert abs(cs - truth[pair]) <= 1e-5
+    # theory: bit-agreement p = 1 - acos(0.4)/pi ≈ 0.63, band = p^4,
+    # 8 bands → recall ≈ 0.75; assert a loose floor
+    assert len(got) >= 0.5 * len(truth)
