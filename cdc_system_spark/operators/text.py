@@ -30,6 +30,31 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+#: the split GPT-style BPE applies before merges. ASCII classes only so
+#: Java (Spark) and RE2 (DuckDB) regex engines agree exactly.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def subword_token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenizer-style counts: BPE-ish regex pre-tokens per document.
+
+    ``regexp_extract_all`` runs JVM-side inside codegen — no UDF. The
+    4/3 heuristic (chars-per-token ≈ 4 for English; tokens ≈ words ×
+    4/3) gives the standard budget estimate used when a real tokenizer
+    is unavailable at pipeline speed.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_pretokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_pretokens"),
+        F.ceil(F.length(F.col(text_col)) / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality features: length, token stats, stopword ratio, score.
 

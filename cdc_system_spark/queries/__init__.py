@@ -17,5 +17,6 @@ from cdc_system_spark.queries import llm  # noqa: E402,F401
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401
 from cdc_system_spark.queries import temporal  # noqa: E402,F401
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401
+from cdc_system_spark.queries import events  # noqa: E402,F401
 
 __all__ = ["QUERY_REGISTRY", "Query", "register"]

@@ -1,0 +1,127 @@
+"""Event-stream analytics: funnel, cohort retention, sessionless paths.
+
+Classic product-analytics shapes over the ``events`` table, each a
+single grouped pass over the fact (shuffle on ``user_id`` once, then a
+tiny re-aggregation) — the plan shape that survives a 100× scale-up,
+because per-user state is bounded and no self-join of the event stream
+ever happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_system_spark.queries.base import catalog, register
+
+
+# -- q_funnel: staged conversion (view → click → purchase) -------------------
+@register(
+    "q_funnel",
+    """WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+    SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 END) AS n_view_click,
+           COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+    FROM per_user""",
+    doc="conversion funnel: one shuffle on user_id (conditional-min "
+    "stage timestamps), then a scalar rollup — no event self-joins",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog(spark, sf_dir).events
+
+    def first_ts(etype: str, alias: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts"))
+        ).alias(alias)
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view", "t_view"),
+        first_ts("click", "t_click"),
+        first_ts("purchase", "t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_view_click"),
+        F.count(F.when(purchased, 1)).alias("n_full_funnel"),
+    )
+
+
+# -- q_retention_cohorts: weekly cohort × activity-week matrix ---------------
+@register(
+    "q_retention_cohorts",
+    """WITH firsts AS (
+        SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(DATE_DIFF('day', f.cohort_week,
+                              DATE_TRUNC('week', e.ts)) / 7 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+           COUNT(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset""",
+    doc="cohort retention: first-seen week per user (one user_id "
+    "shuffle), broadcast back onto events, distinct user-week grid",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog(spark, sf_dir).events.select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    # users ≪ events: the cohort map broadcasts, so the big side is
+    # touched once with no extra shuffle beyond the distinct
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+# -- q_hash_sample: reproducible stratified sampling -------------------------
+@register(
+    "q_hash_sample",
+    """SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 < 10
+    GROUP BY lang""",
+    doc="deterministic 10% sample via md5(doc_id) — reproducible across "
+    "engines/runs/partitionings, unlike rand(); the standard trick for "
+    "stable training-data subsampling",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.functions.portable import md5_i64
+
+    docs = catalog(spark, sf_dir).documents
+    return (
+        docs.filter(md5_i64(F.col("doc_id").cast("string")) % 100 < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )

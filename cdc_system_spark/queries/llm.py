@@ -293,6 +293,21 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_bpe_token_count",
+    f"""SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.BPE_PRETOKEN_RE}')) AS BIGINT)
+               AS n_pretokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{X.BPE_PRETOKEN_RE}')))
+               AS BIGINT) AS n_distinct_pretokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents""",
+    doc="BPE-ish regex pre-tokenization counts + chars/4 budget estimate",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.subword_token_count(catalog(spark, sf_dir).documents)
+
+
+@register(
     "q_text_quality",
     f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
     SELECT doc_id,

@@ -448,8 +448,9 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = catalog(spark, sf_dir)
     cust = cat.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
-    # scalar subquery → crossJoin of a 1-row aggregate (broadcast NL of a
-    # single row; Catalyst folds it into the filter stage)
+    # scalar subquery: evaluated once and inlined as a literal — the
+    # same execute-collect-substitute strategy Spark SQL uses for
+    # uncorrelated scalar subqueries, and it keeps the filter pushable
     avg_bal = (
         cust.filter(F.col("c_acctbal") > 0.0)
         .agg(
@@ -460,10 +461,10 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("avg_bal")
         )
+        .head()[0]
     )
     return (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
         .join(
             cat.orders.filter(
                 F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
