@@ -38,6 +38,13 @@ HEADLINE = [
     "q_frame_sample",
     "q_asof_join",
     "q_range_join",
+    "q_forecast_revenue",
+    "q_returned_items",
+    "q_market_share",
+    "q_large_orders",
+    "q_srp_lsh_pairs",
+    "q_funnel",
+    "q_retention_cohorts",
 ]
 
 

@@ -221,3 +221,54 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → cluster ids.
+
+    The last step of every dedup pipeline: candidate pairs (from LSH /
+    Jaccard / SRP) form an undirected graph; each component is one
+    duplicate group, labeled by its minimum ``doc_id`` (the canonical
+    survivor). Docs in no pair become singleton clusters of themselves.
+
+    Min-label propagation: each round every node takes the min label in
+    its neighborhood; converges in O(component diameter) rounds — for
+    dup graphs that is small (near-cliques), so the driver loop runs a
+    handful of bounded Spark jobs, each 2 shuffles on the *pair* table
+    (≪ corpus). ``localCheckpoint`` truncates lineage per round so plans
+    stay flat. At extreme scale the same loop upgrades to the
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce", SOCC'14) without changing callers.
+    """
+    edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges.a == labels.node)
+            .select(F.col("b").alias("node"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.union(neighbor).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    )

@@ -94,29 +94,48 @@ def srp_bands(
     """Signed-random-projection LSH signatures (hyperplane hashing).
 
     Band b's value packs ``bits_per_band`` sign bits, bit j =
-    [dot(v, w_bj) > 0]. Each dot is a sequential double fold over a
-    literal int weight array — whole-stage-codegen JVM arithmetic, no
-    shuffle, no Python. Probability two vectors agree on one bit is
-    1 − θ/π, so recall tunes via bands × bits: more bits/band sharpens
-    precision, more bands recovers recall (classic OR-of-ANDs LSH).
+    [dot(v, w_bj) > 0]. Computed as posexplode → one hash-aggregate on
+    the vector id: every projection is a SUM of ``int64 × int64`` terms
+    (components fixed-pointed at 6 decimals — round(x·10⁶)), so (a) the
+    whole stage is native codegen'd long arithmetic, not interpreted
+    higher-order array functions or slow decimal ops, (b) partial
+    aggregation combines map-side — exploded elements of a vector are
+    co-located, so the shuffle carries ~one row per vector, and (c)
+    exact integer arithmetic makes every sign decision
+    order-independent — identical in any engine at any parallelism, no
+    float-tie edge cases. (Magnitudes: |component| ≤ ~10⁷, |weight| ≤
+    10³, dim ≤ 10³ ⇒ |sum| ≤ 10¹³ ≪ int64 range.)
+    Probability two vectors agree on one bit is 1 − θ/π, so recall tunes
+    via bands × bits: more bits/band sharpens precision, more bands
+    recovers recall (classic OR-of-ANDs LSH).
     """
     w = srp_weights(n_bands, bits_per_band, dim)
-
-    def dot_w(weights: list[int]) -> Column:
-        arr = F.array(*[F.lit(x) for x in weights])
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
+    # weight matrix as a broadcast dim-row table joined on position: one
+    # hash probe per exploded element fetches all planes' weights, vs.
+    # re-materializing literal arrays per row × plane
+    planes = [(b, j) for b in range(n_bands) for j in range(bits_per_band)]
+    wdf = emb.sparkSession.createDataFrame(
+        [
+            tuple([pos] + [w[p][pos] for p in planes])
+            for pos in range(dim)
+        ],
+        ["pos"] + [f"w_{b}_{j}" for b, j in planes],
+    )
+    ex = emb.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    vd = F.round(F.col("val").cast("double") * 1000000.0, 0).cast("long")
+    sums = [
+        F.sum(vd * F.col(f"w_{b}_{j}")).alias(f"s_{b}_{j}") for b, j in planes
+    ]
+    g = ex.join(F.broadcast(wdf), "pos").groupBy(id_col).agg(*sums)
     bands = []
     for b in range(n_bands):
         val: Column = F.lit(0)
         for j in range(bits_per_band):
-            val = val + F.when(dot_w(w[(b, j)]) > 0, F.lit(2**j)).otherwise(F.lit(0))
+            val = val + F.when(F.col(f"s_{b}_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         bands.append(val.alias(f"band{b}"))
-    return emb.select(F.col(id_col), F.col(vec_col), *bands)
+    return g.select(F.col(id_col), *bands)
 
 
 def srp_lsh_pairs(
@@ -139,38 +158,71 @@ def srp_lsh_pairs(
     per bucket), the same knob that controls skew.
     """
     sigs = srp_bands(emb, n_bands, bits_per_band, dim, id_col, vec_col)
-    keyed = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.col(f"band{b}").alias("band_val"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(F.col(id_col), F.col("bk.band_idx"), F.col("bk.band_val"))
-    a = keyed.select(
-        F.col(id_col).alias("id1"), "band_idx", "band_val"
+    keyed = (
+        sigs.join(emb.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(F.col(id_col), F.col(vec_col), F.col("bk.band_idx"), F.col("bk.band_val"))
     )
-    b = keyed.select(
-        F.col(id_col).alias("id2"), "band_idx", "band_val"
-    )
+
+    # Stage 1 — vectorized in-bucket scoring. Each bucket's pairwise
+    # cosine matrix is one numpy matmul (bucket_size × dim), Arrow-fed:
+    # corpus×bands rows cross the JVM↔Python boundary ONCE, versus
+    # materializing every candidate pair (quadratic in bucket size) as
+    # JVM rows. The margin makes stage 1 a strict superset of the final
+    # answer: numpy's reassociated float error is ~1e-12, the margin is
+    # 1e-3, so no true pair can be lost.
+    margin = 1e-3
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id1": [], "id2": []}).astype("int64")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        sim = M @ M.T
+        i, j = np.where(np.triu(sim >= threshold - margin, 1))
+        ids = pdf[id_col].to_numpy()
+        return pd.DataFrame(
+            {"id1": np.minimum(ids[i], ids[j]), "id2": np.maximum(ids[i], ids[j])}
+        )
+
     cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        keyed.groupBy("band_idx", "band_val")
+        .applyInPandas(bucket_pairs, schema="id1 long, id2 long")
         .distinct()
     )
-    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+
+    # Stage 2 — exact deterministic rescore of the survivors (≈ the
+    # true pair count, ≪ candidates): sequential-fold double dot over
+    # pre-normalized vectors, bit-identical to the oracle's list_sum.
+    unit = emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+        ).alias("unit"),
+    )
+    v1 = unit.select(F.col(id_col).alias("id1"), F.col("unit").alias("u1"))
+    v2 = unit.select(F.col(id_col).alias("id2"), F.col("unit").alias("u2"))
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .withColumn("cos_sim", F.round(_dot(F.col("u1"), F.col("u2")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )

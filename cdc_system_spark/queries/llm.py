@@ -77,16 +77,20 @@ _bands7 = "\n        UNION ALL ".join(
     f"h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || h{4*b+3} AS band_key FROM sig"
     for b in range(4)
 )
-_LSH_SQL = f"""WITH sh AS (SELECT doc_id, {_SH7} AS s FROM documents),
+_LSH_CTES = f"""sh AS (SELECT doc_id, {_SH7} AS s FROM documents),
     hm AS (SELECT doc_id, {_HS} AS hmod FROM sh),
     sig AS (
         SELECT doc_id, {', '.join(_perm_sql(i) for i in range(16))}
         FROM hm GROUP BY doc_id),
     bands AS (
-        {_bands7})
-    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id"""
+        {_bands7}),
+    lsh_pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id)"""
+_LSH_SQL = f"""WITH {_LSH_CTES}
+    SELECT id1, id2 FROM lsh_pairs"""
 
 
 @register(
@@ -99,6 +103,34 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog(spark, sf_dir).documents, k=7, num_perms=16
     )
     return D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+
+
+# -- duplicate clustering: connected components over the LSH pair graph ------
+_CLUSTER_SQL = f"""WITH RECURSIVE {_LSH_CTES},
+    edges AS (SELECT id1 AS a, id2 AS b FROM lsh_pairs
+              UNION SELECT id2, id1 FROM lsh_pairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id
+             FROM reach GROUP BY src)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.src"""
+
+
+@register(
+    "q_dup_clusters",
+    _CLUSTER_SQL,
+    doc="connected components (min-label propagation) over MinHash-LSH "
+    "pairs: every doc labeled with its duplicate-cluster canonical id; "
+    "oracle = recursive-CTE transitive closure",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    return D.duplicate_clusters(docs, pairs)
 
 
 # -- SimHash -----------------------------------------------------------------
@@ -209,10 +241,14 @@ def _srp_sql() -> str:
     w = srp_weights(_SRP_BANDS, _SRP_BITS, _SRP_DIM)
 
     def dot_w(weights: list[int]) -> str:
+        # int64 × int64 terms (6-decimal fixed point): exact and
+        # order-independent — matches the engine's hash-aggregate
+        # regardless of either side's sum order
         lit = "[" + ", ".join(str(x) for x in weights) + "]"
         return (
             f"list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit})[i]))"
+            f"i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)"
+            f" * ({lit})[i]))"
         )
 
     band_exprs = ", ".join(
@@ -227,6 +263,10 @@ def _srp_sql() -> str:
         f"SELECT vec_id, {b} AS band_idx, band{b} AS band_val FROM sig"
         for b in range(_SRP_BANDS)
     )
+    unit_dot = (
+        f"list_sum(list_transform(range(1, {_SRP_DIM} + 1), "
+        f"i -> u1.unit[i] * u2.unit[i]))"
+    )
     return f"""WITH sig AS (SELECT vec_id, {band_exprs} FROM embeddings),
     bands AS (
         {band_union}),
@@ -234,17 +274,17 @@ def _srp_sql() -> str:
         SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             AND a.vec_id < b.vec_id)
-    SELECT id1, id2,
-           ROUND({_dot_sql('e1.embedding', 'e2.embedding')}
-                 / (SQRT({_dot_sql('e1.embedding', 'e1.embedding')})
-                    * SQRT({_dot_sql('e2.embedding', 'e2.embedding')})), 6) AS cos_sim
+             AND a.vec_id < b.vec_id),
+    unitv AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / SQRT({_dot_sql('embedding', 'embedding')})) AS unit
+        FROM embeddings)
+    SELECT id1, id2, ROUND({unit_dot}, 6) AS cos_sim
     FROM cand
-    JOIN embeddings e1 ON e1.vec_id = id1
-    JOIN embeddings e2 ON e2.vec_id = id2
-    WHERE ROUND({_dot_sql('e1.embedding', 'e2.embedding')}
-                 / (SQRT({_dot_sql('e1.embedding', 'e1.embedding')})
-                    * SQRT({_dot_sql('e2.embedding', 'e2.embedding')})), 6) >= {_SRP_TH}"""
+    JOIN unitv u1 ON u1.vec_id = id1
+    JOIN unitv u2 ON u2.vec_id = id2
+    WHERE ROUND({unit_dot}, 6) >= {_SRP_TH}"""
 
 
 @register(
