@@ -125,3 +125,30 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
     )
+
+
+# -- q_event_enrichment: stream-side fact × customer dimension ---------------
+@register(
+    "q_event_enrichment",
+    """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type""",
+    doc="event enrichment: broadcast the customer dimension onto the "
+    "event stream (the foreachBatch enrichment shape), one fact shuffle "
+    "for the segment rollup",
+)
+def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", "event_type", "value")
+    cust = cat.customer.select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -133,6 +133,79 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_clusters(docs, pairs)
 
 
+# -- fuzzy dedup: edit-distance rescore of LSH candidates --------------------
+@register(
+    "q_fuzzy_dedup",
+    f"""WITH {_LSH_CTES}
+    SELECT id1, id2,
+           CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS edit_dist
+    FROM lsh_pairs
+    JOIN documents d1 ON d1.doc_id = id1
+    JOIN documents d2 ON d2.doc_id = id2
+    WHERE levenshtein(d1.text, d2.text)
+          <= 0.2 * GREATEST(LENGTH(d1.text), LENGTH(d2.text))""",
+    doc="fuzzy dedup: MinHash-LSH candidates rescored by edit distance "
+    "≤ 20% of length — O(len²) DP only on the tiny candidate set, "
+    "never on the corpus cross product",
+)
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    d1 = docs.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    d2 = docs.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    dist = F.levenshtein(F.col("t1"), F.col("t2"))
+    return (
+        pairs.join(d1, "id1")
+        .join(d2, "id2")
+        .filter(dist <= 0.2 * F.greatest(F.length("t1"), F.length("t2")))
+        .select("id1", "id2", dist.cast("long").alias("edit_dist"))
+    )
+
+
+# -- quality filtering: per-language median cut ------------------------------
+_QSCORE = (
+    "ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)"
+    " * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)))"
+    f" * (0.5 + CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE)"
+    " / len(w)), 6)"
+)
+
+
+@register(
+    "q_quality_filter",
+    f"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+                  FROM documents),
+    q AS (SELECT doc_id, lang, {_QSCORE} AS quality_score FROM t),
+    m AS (SELECT lang, quantile_cont(quality_score, 0.5) AS lang_median
+          FROM q GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.quality_score,
+           ROUND(m.lang_median, 6) AS lang_median
+    FROM q JOIN m ON q.lang = m.lang
+    WHERE q.quality_score > m.lang_median""",
+    doc="corpus filtering: keep docs above their language's median "
+    "quality score — one pass for scores, a tiny per-lang median "
+    "broadcast back; the standard quality-cut before training",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    tq = X.text_quality(docs).select("doc_id", "quality_score")
+    scored = tq.join(docs.select("doc_id", "lang"), "doc_id")
+    med = scored.groupBy("lang").agg(
+        F.percentile("quality_score", F.lit(0.5)).alias("lang_median")
+    )
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("quality_score") > F.col("lang_median"))
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            F.round("lang_median", 6).alias("lang_median"),
+        )
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 _BITS = 16
 _TH = "CAST(CONCAT('0x', SUBSTR(MD5(tok), 1, 15)) AS BIGINT)"

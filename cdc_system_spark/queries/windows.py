@@ -159,3 +159,27 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_window_ntile",
+    """SELECT o_orderkey, o_totalprice,
+           NTILE(4) OVER w AS price_quartile,
+           ROUND(CUME_DIST() OVER w, 6) AS price_cume,
+           FIRST_VALUE(o_orderkey) OVER w AS cheapest_in_month
+    FROM orders
+    WINDOW w AS (PARTITION BY DATE_TRUNC('month', o_orderdate)
+                 ORDER BY o_totalprice, o_orderkey)""",
+    doc="ntile/cume_dist/first_value per order-month; unique-key tiebreak",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy(F.date_trunc("month", F.col("o_orderdate"))).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_in_month"),
+    )
