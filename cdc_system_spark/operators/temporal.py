@@ -128,9 +128,10 @@ def bucketed_range_join(
     bs = int(window_seconds)
     # cast→double keeps sub-second precision for bucketing; the refine
     # predicate below compares the actual timestamps, so bucket rounding
-    # can never change the result.
-    l_bucket = F.floor(F.col(left_time).cast("double") / bs)
-    r_bucket = F.floor(F.col(right_time).cast("double") / bs)
+    # can never change the result. NTZ timestamps can't cast straight to
+    # double, so hop through TIMESTAMP first.
+    l_bucket = F.floor(F.col(left_time).cast("timestamp").cast("double") / bs)
+    r_bucket = F.floor(F.col(right_time).cast("timestamp").cast("double") / bs)
 
     l_exp = left.withColumn(
         "_bucket", F.explode(F.array(l_bucket - 1, l_bucket))

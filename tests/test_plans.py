@@ -54,6 +54,10 @@ def test_python_only_where_intended(plans):
         "q_group_normalize",
         "q_ivf_topk",
         "q_ivf_kmeans_topk",
+        # SRP-LSH scores candidate buckets with vectorized numpy inside
+        # applyInPandas — the bucket-local all-pairs dot products are the
+        # one place Arrow batching beats exploded JVM array math.
+        "q_srp_lsh_pairs",
     }
     for name, df in plans.items():
         f = plan_features(df)
