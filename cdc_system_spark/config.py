@@ -25,6 +25,16 @@ class DatabaseType(str, Enum):
     PARQUET = "parquet"
     POSTGRESQL = "postgresql"
     MYSQL = "mysql"
+    #: Deprecated alias: the reference's default backend was a SQLite
+    #: file (cdc_system.py:32-36). This engine has no SQLite executor;
+    #: a ``.env`` carrying ``*_DB_TYPE=sqlite`` gets the parquet store
+    #: (the native analytics backend) instead of an enum error.
+    SQLITE = "sqlite"
+
+    @property
+    def effective(self) -> "DatabaseType":
+        """Resolve deprecated aliases to the backend actually used."""
+        return DatabaseType.PARQUET if self is DatabaseType.SQLITE else self
 
 
 @dataclass

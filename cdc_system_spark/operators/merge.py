@@ -92,7 +92,12 @@ def apply_changes(
     * UPDATE_IF_EXISTS images → inserted only for keys present in target
       (semi join)
     """
-    net = net_effect_reduce(changes, key=change_key)
+    # The reduced batch feeds four branches (upserts/deletes/cond-updates/
+    # removed-keys); without truncating lineage Catalyst recomputes the
+    # groupBy per branch (16 shuffles at sf0.001, PLANS.md r1).
+    # localCheckpoint materializes the tiny net batch once. Lazy: nothing
+    # runs until an action, and the batch is small by design (§ module doc).
+    net = net_effect_reduce(changes, key=change_key).localCheckpoint(eager=False)
 
     upserts = net.filter(F.col("effect") == "UPSERT")
     deletes = net.filter(F.col("effect") == "DELETE")

@@ -126,12 +126,40 @@ def bucketed_range_join(
     if left_time == right_time:
         raise ValueError("left_time and right_time column names must differ")
     bs = int(window_seconds)
-    # cast→double keeps sub-second precision for bucketing; the refine
-    # predicate below compares the actual timestamps, so bucket rounding
-    # can never change the result. NTZ timestamps can't cast straight to
-    # double, so hop through TIMESTAMP first.
-    l_bucket = F.floor(F.col(left_time).cast("timestamp").cast("double") / bs)
-    r_bucket = F.floor(F.col(right_time).cast("timestamp").cast("double") / bs)
+
+    # The bucket axis must be LINEAR in the same terms the refine
+    # predicate compares, or two rows within window_seconds of each
+    # other can land >1 bucket apart and the candidate pair is silently
+    # dropped. TIMESTAMP (instant) comparisons are linear in epoch
+    # seconds → cast→double (keeps sub-second precision). TIMESTAMP_NTZ
+    # comparisons are wall-clock → cast('timestamp') would route through
+    # the session time zone, which is NON-linear across DST fall-back;
+    # bucket instead on wall-clock seconds since a fixed NTZ epoch
+    # (timestampdiff truncates to whole seconds, which still keeps each
+    # window inside 2 adjacent buckets because bs is a whole number of
+    # seconds and epochs are positive for all supported data).
+    from pyspark.sql import types as T
+
+    def _is_ntz(df: DataFrame, c: str) -> bool:
+        return isinstance(df.schema[c].dataType, T.TimestampNTZType)
+
+    l_ntz, r_ntz = _is_ntz(left, left_time), _is_ntz(right, right_time)
+    if l_ntz != r_ntz:
+        raise ValueError(
+            "left_time and right_time must both be TIMESTAMP or both "
+            "TIMESTAMP_NTZ — mixing instant and wall-clock axes makes the "
+            "range predicate ill-defined"
+        )
+
+    def _axis(c: str, ntz: bool) -> Column:
+        if ntz:
+            return F.expr(
+                f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{c}`)"
+            ).cast("double")
+        return F.col(c).cast("timestamp").cast("double")
+
+    l_bucket = F.floor(_axis(left_time, l_ntz) / bs)
+    r_bucket = F.floor(_axis(right_time, r_ntz) / bs)
 
     l_exp = left.withColumn(
         "_bucket", F.explode(F.array(l_bucket - 1, l_bucket))

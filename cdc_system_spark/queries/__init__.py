@@ -8,15 +8,21 @@ implementation and, where SQL-expressible, a DuckDB oracle SQL twin.
 
 from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 
-# importing the modules populates the registry
-from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401
-from cdc_system_spark.queries import analytics  # noqa: E402,F401
-from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401
-from cdc_system_spark.queries import windows  # noqa: E402,F401
-from cdc_system_spark.queries import llm  # noqa: E402,F401
-from cdc_system_spark.queries import multimodal  # noqa: E402,F401
-from cdc_system_spark.queries import temporal  # noqa: E402,F401
-from cdc_system_spark.queries import conflicts  # noqa: E402,F401
-from cdc_system_spark.queries import events  # noqa: E402,F401
+# Importing the modules populates the registry. ORDER MATTERS: the
+# driver's oracle gate checks the first 50 registry entries, so the
+# modules whose correctness is most valuable to re-verify externally
+# (the CDC core + the LLM-pipeline / temporal / events / conflicts /
+# multimodal surface — 46 queries) come first; the TPC-H-style
+# analytics / windows queries (all driver-green in round 1) follow and
+# are covered each round by tools/verify_local.py (report committed).
+from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (11)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (22)
+from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
+from cdc_system_spark.queries import events  # noqa: E402,F401  (4)
+from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
+from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (4)
+from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
+from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
+from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (11)
 
 __all__ = ["QUERY_REGISTRY", "Query", "register"]

@@ -44,8 +44,8 @@ def q_pending_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_change_stats",
     f"""WITH cdc AS ({CDC_SQL})
     SELECT operation, COUNT(*) AS count,
-           SUM(CASE WHEN NOT synced THEN 1 ELSE 0 END) AS pending,
-           SUM(CASE WHEN synced THEN 1 ELSE 0 END) AS synced
+           CAST(SUM(CASE WHEN NOT synced THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+           CAST(SUM(CASE WHEN synced THEN 1 ELSE 0 END) AS BIGINT) AS synced
     FROM cdc GROUP BY operation""",
 )
 def q_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,8 +57,8 @@ def q_change_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     f"""WITH cdc AS ({CDC_SQL})
     SELECT operation, COUNT(*) AS count,
-           SUM(CASE WHEN NOT synced THEN 1 ELSE 0 END) AS pending,
-           SUM(CASE WHEN synced THEN 1 ELSE 0 END) AS synced
+           CAST(SUM(CASE WHEN NOT synced THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+           CAST(SUM(CASE WHEN synced THEN 1 ELSE 0 END) AS BIGINT) AS synced
     FROM cdc GROUP BY ROLLUP(operation)""",
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,23 @@ from pyspark.sql import functions as F
 from cdc_system_spark.functions.portable import dsum
 
 
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Ensure ``ts_col`` is TIMESTAMP (with local time zone).
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and the catalog's nanos→
+    ``timestamp_micros`` conversion yields NTZ on Spark 4. The session
+    time zone is pinned to UTC (session.py), so the NTZ→LTZ cast is a
+    pure relabeling — wall-clock values are unchanged.
+    """
+    from pyspark.sql import types as T
+
+    field = df.schema[ts_col] if ts_col in df.columns else None
+    if field is not None and isinstance(field.dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -29,7 +46,7 @@ def windowed_counts(
     """
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
-        events.withWatermark(ts_col, watermark)
+        _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"), dsum("value", "total_value"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
@@ -45,7 +62,7 @@ def sessionized(
 ) -> DataFrame:
     """Session windows (dynamic gap-merged state) per key."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
         .select(
@@ -68,7 +85,11 @@ def stream_dedup(
     ``dropDuplicates`` keeps per-key state; the watermark bounds it —
     the streaming twin of operators/dedup.exact_dedup.
     """
-    return events.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    return (
+        _with_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates([*keys, ts_col])
+    )
 
 
 def clicks_before_purchase(
@@ -86,6 +107,7 @@ def clicks_before_purchase(
     batch twin (same pairs, bucketed instead of stateful) is
     operators/temporal.bucketed_range_join.
     """
+    events = _with_event_time(events, ts_col)
     c = (
         events.filter(F.col("event_type") == "click")
         .select(

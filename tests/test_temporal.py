@@ -129,3 +129,84 @@ def test_range_join_rejects_same_time_column_name(spark):
     df = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "k long, t timestamp")
     with pytest.raises(ValueError):
         bucketed_range_join(df, df, "k", "k", "t", "t", 60)
+
+
+def test_range_join_rejects_mixed_ntz_and_instant(spark):
+    l = spark.createDataFrame([(1, _ts("2024-01-01 00:00:00"))], "k long, lt timestamp")
+    r = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"))], "k2 long, rt timestamp_ntz"
+    )
+    with pytest.raises(ValueError):
+        bucketed_range_join(l, r, "k", "k2", "lt", "rt", 60)
+
+
+def _brute_force_range(left, right, window_seconds):
+    """Oracle: raw theta join with the exact wall-clock predicate."""
+    lo = F.col("lt") - F.expr(f"INTERVAL {window_seconds} SECONDS")
+    return (
+        left.crossJoin(right)
+        .filter(
+            (F.col("k") == F.col("k2"))
+            & (F.col("rt") >= lo)
+            & (F.col("rt") < F.col("lt"))
+        )
+    )
+
+
+def test_range_join_ntz_matches_brute_force(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-06-01 00:00:30")),
+            (2, 10, _ts("2024-06-01 11:59:59.750000")),
+            (3, 20, _ts("2024-06-01 00:01:00")),
+        ],
+        "id long, k long, lt timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-06-01 00:00:00"), "a"),
+            (10, _ts("2024-06-01 11:59:59.500000"), "b"),
+            (10, _ts("2024-06-01 11:58:00"), "c"),
+            (20, _ts("2024-06-01 00:00:59"), "d"),
+            (20, _ts("2024-05-31 23:59:00"), "e"),
+        ],
+        "k2 long, rt timestamp_ntz, tag string",
+    )
+    got = bucketed_range_join(
+        left, right, by_left="k", by_right="k2",
+        left_time="lt", right_time="rt", window_seconds=60,
+    )
+    want = _brute_force_range(left, right, 60)
+    key = lambda r: (r["id"], r["tag"])  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_range_join_ntz_across_dst_fallback(spark):
+    """Wall-clock-linear bucketing for NTZ: two rows 60s apart in
+    wall-clock terms straddling the America/Los_Angeles 2024-11-03
+    fall-back land ~1h1m apart on the instant axis — bucketing via
+    cast('timestamp') would put them 2 buckets apart and drop the pair.
+    """
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        left = spark.createDataFrame(
+            [(1, 10, _ts("2024-11-03 02:00:30"))], "id long, k long, lt timestamp_ntz"
+        )
+        right = spark.createDataFrame(
+            [
+                (10, _ts("2024-11-03 01:59:30"), "in_60s"),     # 60s before, IN
+                (10, _ts("2024-11-03 01:10:00"), "in_51m"),     # 50m30s before, IN
+                (10, _ts("2024-11-03 00:59:00"), "too_old"),    # 61m30s, OUT
+            ],
+            "k2 long, rt timestamp_ntz, tag string",
+        )
+        got = bucketed_range_join(
+            left, right, by_left="k", by_right="k2",
+            left_time="lt", right_time="rt", window_seconds=3600,
+        )
+        assert {r["tag"] for r in got.collect()} == {"in_60s", "in_51m"}
+        want = _brute_force_range(left, right, 3600)
+        assert sorted(r["tag"] for r in want.collect()) == ["in_51m", "in_60s"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
