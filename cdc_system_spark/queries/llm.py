@@ -545,3 +545,109 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_numbers"
         ),
     )
+
+
+# -- TF-IDF keyword extraction -----------------------------------------------
+@register(
+    "q_tfidf",
+    """WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df AS doc_freq,
+               ROUND(tf.tf * (CAST(n_docs + 1 AS DOUBLE) / (dfreq.df + 1)), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored)
+    SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3""",
+    doc="per-doc top-3 TF-IDF terms; rational idf (N+1)/(df+1) for "
+    "cross-engine bit-exactness (no transcendental)",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(catalog(spark, sf_dir).documents, top_k=3)
+
+
+# -- Gopher-style repetition filters -----------------------------------------
+@register(
+    "q_repetition_filter",
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                     AS gram
+          FROM t WHERE len(w) >= 2),
+    counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_grams FROM counts GROUP BY 1)
+    SELECT t.doc_id,
+        ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+            AS dup_word_frac,
+        COALESCE(ROUND(CAST(max_c AS DOUBLE) / n_grams, 6), 0.0) AS top_2gram_frac,
+        ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+              / LENGTH(text), 6) AS symbol_ratio,
+        (ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) <= 0.75
+         AND COALESCE(ROUND(CAST(max_c AS DOUBLE) / n_grams, 6), 0.0) <= 0.08)
+            AS keep
+    FROM t LEFT JOIN mx ON t.doc_id = mx.doc_id""",
+    doc="Gopher-style repetition cut: dup-word frac + top-2-gram frac + "
+    "symbol ratio; Spark side is a zero-shuffle sorted-array fold "
+    "(longest equal run), fully inside codegen",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_signals(catalog(spark, sf_dir).documents)
+
+
+# -- benchmark decontamination (train/test overlap scrub) --------------------
+_GRAM5 = (
+    "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])"
+)
+
+
+@register(
+    "q_decontaminate",
+    f"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+    bg AS (SELECT DISTINCT unnest({_GRAM5}) AS gram FROM bw WHERE len(w) >= 5),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    cg AS (SELECT doc_id, unnest({_GRAM5}) AS gram FROM cw WHERE len(w) >= 5),
+    contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    doc="decontamination: drop corpus docs sharing any token-5-gram with "
+    "the benchmark set (doc_id %% 97 = 0 as eval stand-in); benchmark "
+    "grams broadcast, corpus probes map-side",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    clean = D.decontaminate(corpus, bench, n=5)
+    return clean.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# -- deterministic stratified sampling ---------------------------------------
+@register(
+    "q_stratified_sample",
+    """SELECT doc_id, lang,
+       CAST(CONCAT('0x', SUBSTR(MD5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000 AS _bucket
+    FROM documents
+    WHERE CAST(CONCAT('0x', SUBSTR(MD5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 1000
+          < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 100 END""",
+    doc="deterministic md5-bucket stratified sampling per language "
+    "(mixture reweighting); map-side filter, reproducible across "
+    "cluster layouts unlike rand()/sampleBy",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import stratified_sample
+
+    docs = catalog(spark, sf_dir).documents
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.2}, default_rate=0.1, salt="s1"
+    ).select("doc_id", "lang", "_bucket")

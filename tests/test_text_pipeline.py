@@ -1,0 +1,98 @@
+"""Unit semantics for the corpus-curation operators added in round 2:
+TF-IDF, repetition signals, decontamination, stratified sampling.
+(Oracle parity is covered by verify_local; these pin the edge cases.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators.dedup import decontaminate, token_ngrams
+from cdc_system_spark.operators.sampling import stratified_sample
+from cdc_system_spark.operators.text import repetition_signals, tfidf_top_terms
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat"),
+            (2, "the dog ran"),
+            (3, "the cat ran"),
+        ],
+    )
+    out = tfidf_top_terms(docs, top_k=1).collect()
+    # "the" appears in all docs (df=3 → idf=1); each doc's unique-ish
+    # term (df=1 → idf=2) must win its top slot
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "sat"  # df=1, beats cat(df=2) and the(df=3)
+    assert top[2] == "dog"
+    for r in out:
+        assert r["rk"] == 1
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    docs = _docs(spark, [(1, "b a"), (2, "x y")])
+    out = tfidf_top_terms(docs, top_k=2)
+    r1 = [(r["doc_id"], r["term"]) for r in out.collect()]
+    # all terms df=1, tf=1 → equal scores; tiebreak = term asc
+    assert (1, "a") in r1 and r1.index((1, "a")) < r1.index((1, "b"))
+
+
+def test_repetition_signals_flags_repeats(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam ham " * 50 + "end"),      # "spam ham"/"ham spam" dominate
+            (2, " ".join(f"w{i}" for i in range(40))),  # all distinct, no repeats
+            (3, "one"),                          # single token: no 2-grams
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["top_2gram_frac"] > 0.4 and not got[1]["keep"]
+    assert got[2]["dup_word_frac"] == 0.0 and got[2]["keep"]
+    assert got[3]["top_2gram_frac"] == 0.0  # empty gram array, no null leak
+
+
+def test_token_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c d e")])
+    out = df.select("doc_id", token_ngrams("text", 5).alias("g")).collect()
+    got = {r["doc_id"]: r["g"] for r in out}
+    assert got[1] == []
+    assert got[2] == ["a b c d e"]
+
+
+def test_decontaminate_drops_overlapping_doc(spark):
+    bench = _docs(spark, [(100, "secret eval answer key alpha beta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "totally clean document with no overlap at all here"),
+            (2, "prefix junk secret eval answer key alpha suffix"),  # shares 5-gram
+            (3, "short doc"),  # < 5 tokens: can never be contaminated
+        ],
+    )
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=5).collect()}
+    assert kept == {1, 3}
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    s1 = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, id_col="doc_id")
+    s2 = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
+    by_lang = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 1000 docs per stratum; hash-uniform within ~15%
+    assert 420 <= by_lang["en"] <= 580
+    assert 60 <= by_lang["de"] <= 140
+    # a different salt draws a different (but same-size-ish) sample
+    s3 = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, id_col="doc_id", salt="x")
+    assert {r["doc_id"] for r in s3.collect()} != {r["doc_id"] for r in s1.collect()}
