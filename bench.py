@@ -45,6 +45,10 @@ HEADLINE = [
     "q_srp_lsh_pairs",
     "q_funnel",
     "q_retention_cohorts",
+    # round-2 corpus-curation additions
+    "q_tfidf",
+    "q_repetition_filter",
+    "q_decontaminate",
 ]
 
 
