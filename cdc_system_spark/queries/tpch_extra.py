@@ -478,3 +478,176 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# -- q_volume_shipping: TPC-H Q7 shape (bidirectional nation-pair flow) ------
+@register(
+    "q_volume_shipping",
+    f"""WITH flows AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(year FROM l.l_shipdate) AS l_year,
+               {_DISC_PRICE} AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+           {dsum_sql('volume')} AS revenue
+    FROM flows GROUP BY supp_nation, cust_nation, l_year""",
+    doc="Q7 shape: trade volume between a nation pair, both directions, "
+    "by year; both nation dims broadcast under distinct aliases, one "
+    "fact shuffle into the grouped agg",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog(spark, sf_dir)
+    n1 = c.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = c.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    flows = (
+        c.lineitem.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        flows.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(volume, "revenue"))
+    )
+
+
+# -- q_product_profit: TPC-H Q9 shape (profit by nation and year) ------------
+# no partsupp in the reduced schema: supply cost proxied by
+# 0.5 * p_retailprice * l_quantity, keeping Q9's join/agg structure intact
+_PROFIT = f"{_DISC_PRICE} - 0.5 * p.p_retailprice * l.l_quantity"
+
+
+@register(
+    "q_product_profit",
+    f"""WITH profits AS (
+        SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+               {_PROFIT} AS amount
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_type IN ('ECONOMY', 'PROMO'))
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           {dsum_sql('amount')} AS profit
+    FROM profits GROUP BY nation, o_year""",
+    doc="Q9 shape: 5-way star join, profit by supplier nation x order "
+    "year; part filter prunes the fact early via the broadcast join",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog(spark, sf_dir)
+    part = c.part.filter(F.col("p_type").isin("ECONOMY", "PROMO"))
+    joined = (
+        c.lineitem.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "profit"))
+    )
+
+
+# -- q_customer_distribution: TPC-H Q13 shape (outer join + 2-level agg) -----
+@register(
+    "q_customer_distribution",
+    """WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count""",
+    doc="Q13 shape: left-outer join with the predicate in the JOIN "
+    "condition (customers with zero qualifying orders must survive "
+    "with c_count=0 - a WHERE would silently drop them), then a "
+    "second aggregation over the first's output",
+)
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog(spark, sf_dir)
+    orders = c.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# -- q_waiting_suppliers: TPC-H Q21 shape (double EXISTS, rewritten) ---------
+@register(
+    "q_waiting_suppliers",
+    """WITH per_order AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+                   AS n_ret_supp
+        FROM lineitem GROUP BY l_orderkey),
+    sole AS (
+        SELECT DISTINCT l.l_suppkey, l.l_orderkey
+        FROM lineitem l
+        JOIN per_order p ON l.l_orderkey = p.l_orderkey
+        WHERE l.l_returnflag = 'R' AND p.n_supp >= 2 AND p.n_ret_supp = 1)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name""",
+    doc="Q21 shape: suppliers solely responsible for returns in "
+    "multi-supplier orders. The canonical EXISTS + NOT-EXISTS pair of "
+    "fact self-joins is rewritten as ONE per-order aggregation joined "
+    "back - a single fact shuffle on l_orderkey instead of three",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = catalog(spark, sf_dir)
+    li = c.lineitem
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    sole = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        sole.join(F.broadcast(c.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
