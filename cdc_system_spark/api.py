@@ -117,6 +117,27 @@ class CDCReplicator:
         self.target = target
         self.key = key or source.registry.key(source.table_name)
 
+    def _with_retries(self, fn):
+        """Honor the retry config the reference declares but never uses
+        (config.py:35-36: CDC_MAX_RETRIES / CDC_RETRY_DELAY). Retries
+        are safe here because the whole replicate step is idempotent:
+        the target write is write-new-then-flip and the log is only
+        flagged after the target version lands.
+        """
+        import time
+
+        cfg = self.source.config
+        last: Exception | None = None
+        for attempt in range(cfg.max_retries + 1):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — deliberate catch-all boundary
+                last = e
+                if attempt < cfg.max_retries:
+                    time.sleep(cfg.retry_delay_seconds)
+        assert last is not None
+        raise last
+
     def replicate_changes(self, batch_size: int | None = None) -> int:
         """One micro-batch: pending → net-effect merge → mark synced.
 
@@ -134,7 +155,7 @@ class CDCReplicator:
             return 0
         current = self.target.read()
         merged = apply_changes(current, batch, key=self.key, change_key="record_id")
-        self.target.write(merged)
+        self._with_retries(lambda: self.target.write(merged))
 
         ids = batch.select("cdc_id")
         log = self.source.read_log()

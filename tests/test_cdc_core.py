@@ -144,3 +144,52 @@ def test_pending_changes_order_and_limit(spark, system):
     assert len(got) == 3
     ids = [r["cdc_id"] for r in got]
     assert ids == sorted(ids)
+
+
+def test_replicate_retries_transient_write_failure(spark, tmp_path):
+    """CDC_MAX_RETRIES/CDC_RETRY_DELAY are real here (the reference
+    declares them, config.py:35-36, but never reads them)."""
+    from pyspark.sql import types as T
+
+    from cdc_system_spark.api import CDCReplicator, CDCSystem, SnapshotTable
+    from cdc_system_spark.config import CDCConfig
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    class FlakyTable(SnapshotTable):
+        def __init__(self, *a, fail_times=2, **kw):
+            super().__init__(*a, **kw)
+            self.attempts = 0
+            self.fail_times = fail_times
+
+        def write(self, df):
+            self.attempts += 1
+            if self.attempts <= self.fail_times:
+                raise IOError("transient sink outage")
+            super().write(df)
+
+    cfg = CDCConfig(max_retries=3, retry_delay_seconds=0)
+    system = CDCSystem(spark, str(tmp_path / "cdc"), "t", cfg)
+    cap = system.setup_cdc(schema, key="id")
+    cap.capture_insert(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    target = FlakyTable(spark, str(tmp_path / "replica"), schema)
+    rep = CDCReplicator(system, target, key="id")
+    assert rep.replicate_changes() == 2
+    assert target.attempts == 3  # 2 failures + 1 success
+    assert target.read().count() == 2
+    assert system.get_pending_changes().count() == 0  # marked only after success
+
+    # exhausted retries propagate the error and leave changes pending
+    cap.capture_insert(spark.createDataFrame([(3, "c")], schema))
+    target2 = FlakyTable(
+        spark, str(tmp_path / "replica"), schema, fail_times=99
+    )
+    rep2 = CDCReplicator(system, target2, key="id")
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        rep2.replicate_changes()
+    assert target2.attempts == cfg.max_retries + 1
+    assert system.get_pending_changes().count() == 1  # nothing lost
