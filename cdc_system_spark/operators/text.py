@@ -249,7 +249,8 @@ def repetition_signals(
         / F.length(F.col(text_col)),
         6,
     )
-    return df.select(
+    # CPU-bound per-row fold: decouple task count from input split count
+    return spread(df).select(
         F.col(id_col),
         dup_word.alias("dup_word_frac"),
         top2.alias("top_2gram_frac"),
