@@ -259,3 +259,72 @@ def repetition_signals(
             (dup_word <= max_dup_word_frac) & (top2 <= max_top_2gram_frac)
         ).alias("keep"),
     )
+
+
+#: ASCII-only patterns so Java (Spark) and RE2-ish (DuckDB) engines
+#: agree byte-for-byte; real pipelines extend the list (IBAN, SSN, ...)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrub: replace email addresses and phone-like digit runs with
+    placeholder tokens, reporting per-doc redaction counts — the
+    standard privacy pass before a corpus ships to training.
+
+    Pure per-row ``regexp_replace``/``regexp_extract_all`` inside
+    codegen: zero shuffle, linear scan, trivially 100 TB-safe. Counting
+    happens on the ORIGINAL text so the two regexes can't interact
+    (an email redaction can't create or destroy a phone match).
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    return spread(df).select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        (n_emails + n_phones > 0).alias("had_pii"),
+    )
+
+
+def rarity_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-statistics quality score: mean token rarity, where
+    rarity(token) = 1 / corpus_frequency — a transcendental-free proxy
+    for the unigram-LM surprisal filters used by CCNet-style pipelines
+    (docs of only ultra-common tokens score near 0; docs with rare
+    vocabulary score high).
+
+    Engine-exact by construction: each reciprocal is one IEEE division
+    rounded to 6 decimals, then summed through an exact DECIMAL
+    accumulator (functions.portable.dsum) — no float-summation order
+    sensitivity, no ln(). Shape: corpus term counts (salted agg) →
+    broadcast join to exploded tokens → per-doc decimal sum. Two
+    shuffles total, both with map-side partial aggregation.
+    """
+    freq = term_frequency(df, text_col, id_col)
+    toks = spread(df).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    rarity = F.round(F.lit(1.0) / F.col("n"), 6)
+    per_doc = (
+        toks.join(F.broadcast(freq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rarity.cast("decimal(25,6)")).alias("_rsum"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("_rsum").cast("double") / F.col("n_tokens"), 6).alias(
+            "mean_rarity"
+        ),
+    )

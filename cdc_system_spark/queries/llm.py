@@ -379,19 +379,6 @@ def q_srp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- IVF approximate top-k (rows-only: not naturally SQL-expressible) --------
-@register(
-    "q_ivf_topk",
-    None,
-    doc="IVF-16 nprobe-4 approximate cosine top-k; rows-only check (argmax assignment)",
-)
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = catalog(spark, sf_dir).embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    centroids, assigned = S.assign_cells(emb, num_centroids=16)
-    return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
-
-
 # -- text analysis -----------------------------------------------------------
 @register(
     "q_token_count",
@@ -474,32 +461,6 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.term_frequency(catalog(spark, sf_dir).documents)
-
-
-# -- grouped-map pandas: per-label z-score normalization ---------------------
-@register(
-    "q_group_normalize",
-    None,
-    doc="applyInPandas grouped-map (numpy per group); rows-only check — "
-    "cross-engine float reduction order precludes a value-hash oracle; "
-    "math is numpy-verified in tests/test_similarity.py",
-)
-def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.group_normalize(catalog(spark, sf_dir).embeddings)
-
-
-@register(
-    "q_ivf_kmeans_topk",
-    None,
-    doc="IVF with 2 spherical k-means refinement iterations; rows-only "
-    "check (iterative algorithm, not SQL-expressible)",
-)
-def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = catalog(spark, sf_dir).embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    centroids = S.kmeans_refine(emb, num_centroids=16, iters=2)
-    assigned = S.assign_with_centroids(emb, centroids)
-    return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
 
 
 @register(
@@ -651,3 +612,65 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, "lang", {"en": 0.5, "de": 0.2}, default_rate=0.1, salt="s1"
     ).select("doc_id", "lang", "_bucket")
+
+
+# -- PII redaction -----------------------------------------------------------
+_PII_DOCS = (
+    "SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text ||"
+    " ' contact bob@example.com or +1 (555) 123-4567' ELSE text END AS text"
+    " FROM documents"
+)
+
+
+@register(
+    "q_redact_pii",
+    f"""WITH d AS ({_PII_DOCS})
+    SELECT doc_id,
+        regexp_replace(regexp_replace(text, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+        CAST(len(regexp_extract_all(text, '{X.PII_EMAIL_RE}')) AS BIGINT)
+            AS n_emails,
+        CAST(len(regexp_extract_all(text, '{X.PII_PHONE_RE}')) AS BIGINT)
+            AS n_phones,
+        (len(regexp_extract_all(text, '{X.PII_EMAIL_RE}'))
+         + len(regexp_extract_all(text, '{X.PII_PHONE_RE}')) > 0) AS had_pii
+    FROM d""",
+    doc="PII scrub (emails + phone runs -> placeholder tokens) with "
+    "per-doc counts; synthetic PII injected on doc_id %% 20 = 0 since "
+    "the driver corpus has none; zero-shuffle map pass",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact bob@example.com or +1 (555) 123-4567"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.redact_pii(docs)
+
+
+# -- unigram-rarity quality score (CCNet-style LM-filter proxy) --------------
+@register(
+    "q_rarity_score",
+    """WITH freq AS (
+        SELECT tok AS token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / n, 6) AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_rarity
+    FROM toks JOIN freq USING (token) GROUP BY doc_id""",
+    doc="mean token rarity (1/corpus_freq) per doc - transcendental-free "
+    "unigram-surprisal proxy; salted corpus counts broadcast back, "
+    "decimal-accumulated sum for engine-exact floats",
+)
+def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.rarity_score(catalog(spark, sf_dir).documents)

@@ -1,0 +1,53 @@
+"""Rows-only LLM queries (no SQL oracle possible), registered AFTER the
+oracle-backed modules so they sit outside the driver's 50-entry value-
+hash window — a rows-only entry gets the same weak check either way,
+and this keeps every oracle-backed query inside the strong window.
+Correctness is covered by numpy cross-checks in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators import similarity as S
+from cdc_system_spark.queries.base import catalog, register
+
+
+# -- IVF approximate top-k (rows-only: not naturally SQL-expressible) --------
+@register(
+    "q_ivf_topk",
+    None,
+    doc="IVF-16 nprobe-4 approximate cosine top-k; rows-only check (argmax assignment)",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    centroids, assigned = S.assign_cells(emb, num_centroids=16)
+    return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
+
+
+# -- grouped-map pandas: per-label z-score normalization ---------------------
+@register(
+    "q_group_normalize",
+    None,
+    doc="applyInPandas grouped-map (numpy per group); rows-only check — "
+    "cross-engine float reduction order precludes a value-hash oracle; "
+    "math is numpy-verified in tests/test_similarity.py",
+)
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.group_normalize(catalog(spark, sf_dir).embeddings)
+
+
+@register(
+    "q_ivf_kmeans_topk",
+    None,
+    doc="IVF with 2 spherical k-means refinement iterations; rows-only "
+    "check (iterative algorithm, not SQL-expressible)",
+)
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    centroids = S.kmeans_refine(emb, num_centroids=16, iters=2)
+    assigned = S.assign_with_centroids(emb, centroids)
+    return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)

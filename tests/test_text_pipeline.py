@@ -96,3 +96,37 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     # a different salt draws a different (but same-size-ish) sample
     s3 = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, id_col="doc_id", salt="x")
     assert {r["doc_id"] for r in s3.collect()} != {r["doc_id"] for r in s1.collect()}
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    from cdc_system_spark.operators.text import redact_pii
+
+    docs = _docs(
+        spark,
+        [
+            (1, "reach me at alice@corp.example.org today"),
+            (2, "call +1 (555) 123-4567 or 555-987-6543 now"),
+            (3, "no personal data here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["clean_text"] == "reach me at <EMAIL> today"
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (1, 0)
+    assert got[2]["clean_text"] == "call <PHONE> or <PHONE> now"
+    assert got[2]["n_phones"] == 2
+    assert got[3]["clean_text"] == "no personal data here"
+    assert not got[3]["had_pii"]
+
+
+def test_rarity_score_orders_rare_above_common(spark):
+    from cdc_system_spark.operators.text import rarity_score
+
+    # "common" appears 4x in the corpus, "unique" once
+    docs = _docs(
+        spark,
+        [(1, "common common common"), (2, "common unique")],
+    )
+    got = {r["doc_id"]: r["mean_rarity"] for r in rarity_score(docs).collect()}
+    assert got[2] > got[1]
+    assert got[1] == 0.25  # every token has corpus freq 4
+    assert got[2] == round((0.25 + 1.0) / 2, 6)
