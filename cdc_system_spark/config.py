@@ -51,8 +51,12 @@ class DatabaseConfig:
 
     @classmethod
     def from_env(cls, prefix: str = "SOURCE") -> "DatabaseConfig":
+        # Resolve deprecated aliases (sqlite -> parquet) at the boundary
+        # so downstream code never has to consult .effective.
         return cls(
-            db_type=DatabaseType(os.environ.get(f"{prefix}_DB_TYPE", "parquet")),
+            db_type=DatabaseType(
+                os.environ.get(f"{prefix}_DB_TYPE", "parquet")
+            ).effective,
             path=os.environ.get(f"{prefix}_DB_PATH", ""),
             host=os.environ.get(f"{prefix}_DB_HOST", "localhost"),
             port=int(os.environ.get(f"{prefix}_DB_PORT", "5432")),

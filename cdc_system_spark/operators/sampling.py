@@ -49,11 +49,15 @@ def stratified_sample(
     cluster layout, unlike ``df.sampleBy`` which is seed-dependent on
     partitioning.
     """
-    rate_expr: Column = F.lit(int(default_rate * BUCKETS))
+    # round, not truncate: int(0.29 * 1000) is 289 (binary float
+    # 289.999...), int(round(...)) is the intended 290
+    rate_expr: Column = F.lit(int(round(default_rate * BUCKETS)))
     for value, rate in sorted(rates.items()):
         rate_expr = F.when(
-            F.col(strata_col) == value, F.lit(int(rate * BUCKETS))
+            F.col(strata_col) == value, F.lit(int(round(rate * BUCKETS)))
         ).otherwise(rate_expr)
-    return df.withColumn("_bucket", hash_bucket(id_col, salt)).filter(
-        F.col("_bucket") < rate_expr
+    return (
+        df.withColumn("_bucket", hash_bucket(id_col, salt))
+        .filter(F.col("_bucket") < rate_expr)
+        .drop("_bucket")  # internal helper — callers see the input schema
     )

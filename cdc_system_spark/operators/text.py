@@ -244,11 +244,20 @@ def repetition_signals(
     top2 = F.when(n_grams > 0, F.round(max_gram.cast("double") / n_grams, 6)).otherwise(
         F.lit(0.0)
     )
-    symbol_ratio = F.round(
-        F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).cast("double")
-        / F.length(F.col(text_col)),
-        6,
-    )
+    # Empty documents are routine in real web corpora; under Spark 4's
+    # default ANSI mode a bare division would abort the whole job with
+    # DIVIDE_BY_ZERO on the first zero-length text, so gate explicitly.
+    n_chars = F.length(F.col(text_col))
+    symbol_ratio = F.when(
+        n_chars > 0,
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9 ]", "")).cast(
+                "double"
+            )
+            / n_chars,
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     # CPU-bound per-row fold: decouple task count from input split count
     return spread(df).select(
         F.col(id_col),
@@ -273,16 +282,17 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     standard privacy pass before a corpus ships to training.
 
     Pure per-row ``regexp_replace``/``regexp_extract_all`` inside
-    codegen: zero shuffle, linear scan, trivially 100 TB-safe. Counting
-    happens on the ORIGINAL text so the two regexes can't interact
-    (an email redaction can't create or destroy a phone match).
+    codegen: zero shuffle, linear scan, trivially 100 TB-safe. Phones
+    are counted on the *email-redacted* text — the same string the
+    phone replacement runs on — so ``n_phones`` always equals the
+    number of ``<PHONE>`` tokens in ``clean_text`` (a 9+-digit run
+    inside an email's local/domain part is an email, not a phone).
     """
     t = F.col(text_col)
+    emailless = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
     n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
-    clean = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
-    )
+    n_phones = F.size(F.regexp_extract_all(emailless, F.lit(PII_PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(emailless, PII_PHONE_RE, "<PHONE>")
     return spread(df).select(
         F.col(id_col),
         clean.alias("clean_text"),

@@ -9,21 +9,25 @@ implementation and, where SQL-expressible, a DuckDB oracle SQL twin.
 from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 
 # Importing the modules populates the registry. ORDER MATTERS: the
-# driver's oracle gate checks the first 50 registry entries, so the
-# modules whose correctness is most valuable to re-verify externally
-# (the CDC core + the LLM-pipeline / temporal / events / conflicts /
-# multimodal surface — 46 queries) come first; the TPC-H-style
-# analytics / windows queries (all driver-green in round 1) follow and
-# are covered each round by tools/verify_local.py (report committed).
-from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (11)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (25, all oracle-backed)
-from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
-from cdc_system_spark.queries import events  # noqa: E402,F401  (4)
-from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
-from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (4)
-from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
+# driver's oracle gate checks the first 50 registry entries. Round-3
+# rotation: the windows / analytics / tpch_extra surface (43 queries —
+# driver-green in r1 except the 4 round-2 tpch_extra additions, which
+# have never had a driver CORRECTNESS row) leads, topped up to 50 with
+# temporal + conflicts + the first events queries. The LLM-pipeline /
+# CDC-core / multimodal surface (driver-green in BOTH r1 and r2)
+# trails, and every rows-only query (no oracle) sits after slot 50 so
+# no strong-check slot is wasted. All 95 remain locally verified each
+# round via tools/verify_local.py (report committed as
+# VERIFY_LOCAL_r{N}.txt). tests/test_plans.py pins this composition.
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
+from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
+from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
+from cdc_system_spark.queries import events  # noqa: E402,F401  (4)
+from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (11)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (25, all oracle-backed)
+from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (4)
+from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
 __all__ = ["QUERY_REGISTRY", "Query", "register"]

@@ -548,8 +548,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
             AS dup_word_frac,
         COALESCE(ROUND(CAST(max_c AS DOUBLE) / n_grams, 6), 0.0) AS top_2gram_frac,
-        ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-              / LENGTH(text), 6) AS symbol_ratio,
+        COALESCE(ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                            AS DOUBLE)
+              / NULLIF(LENGTH(text), 0), 6), 0.0) AS symbol_ratio,
         (ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) <= 0.75
          AND COALESCE(ROUND(CAST(max_c AS DOUBLE) / n_grams, 6), 0.0) <= 0.08)
             AS keep
@@ -594,9 +595,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- deterministic stratified sampling ---------------------------------------
 @register(
     "q_stratified_sample",
-    """SELECT doc_id, lang,
-       CAST(CONCAT('0x', SUBSTR(MD5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))
-            AS BIGINT) % 1000 AS _bucket
+    """SELECT doc_id, lang
     FROM documents
     WHERE CAST(CONCAT('0x', SUBSTR(MD5('s1' || CAST(doc_id AS VARCHAR)), 1, 15))
                AS BIGINT) % 1000
@@ -611,7 +610,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents
     return stratified_sample(
         docs, "lang", {"en": 0.5, "de": 0.2}, default_rate=0.1, salt="s1"
-    ).select("doc_id", "lang", "_bucket")
+    ).select("doc_id", "lang")
 
 
 # -- PII redaction -----------------------------------------------------------
@@ -624,17 +623,20 @@ _PII_DOCS = (
 
 @register(
     "q_redact_pii",
-    f"""WITH d AS ({_PII_DOCS})
+    f"""WITH d AS ({_PII_DOCS}),
+    e AS (SELECT doc_id, text,
+                 regexp_replace(text, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g')
+                     AS emailless
+          FROM d)
     SELECT doc_id,
-        regexp_replace(regexp_replace(text, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+        regexp_replace(emailless, '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
         CAST(len(regexp_extract_all(text, '{X.PII_EMAIL_RE}')) AS BIGINT)
             AS n_emails,
-        CAST(len(regexp_extract_all(text, '{X.PII_PHONE_RE}')) AS BIGINT)
+        CAST(len(regexp_extract_all(emailless, '{X.PII_PHONE_RE}')) AS BIGINT)
             AS n_phones,
         (len(regexp_extract_all(text, '{X.PII_EMAIL_RE}'))
-         + len(regexp_extract_all(text, '{X.PII_PHONE_RE}')) > 0) AS had_pii
-    FROM d""",
+         + len(regexp_extract_all(emailless, '{X.PII_PHONE_RE}')) > 0) AS had_pii
+    FROM e""",
     doc="PII scrub (emails + phone runs -> placeholder tokens) with "
     "per-doc counts; synthetic PII injected on doc_id %% 20 = 0 since "
     "the driver corpus has none; zero-shuffle map pass",

@@ -7,13 +7,16 @@ from cdc_system_spark.config import CDCConfig, DatabaseConfig, DatabaseType
 
 
 def test_sqlite_env_aliases_to_parquet(monkeypatch):
-    # a reference .env carrying SOURCE_DB_TYPE=sqlite must port cleanly
+    # a reference .env carrying SOURCE_DB_TYPE=sqlite must port cleanly;
+    # the alias is resolved AT THE BOUNDARY so no downstream code ever
+    # sees SQLITE (it would otherwise have to remember .effective)
     monkeypatch.setenv("SOURCE_DB_TYPE", "sqlite")
     monkeypatch.setenv("SOURCE_DB_PATH", "/tmp/source.db")
     cfg = DatabaseConfig.from_env("SOURCE")
-    assert cfg.db_type is DatabaseType.SQLITE
-    assert cfg.db_type.effective is DatabaseType.PARQUET
+    assert cfg.db_type is DatabaseType.PARQUET
     assert cfg.path == "/tmp/source.db"
+    # the enum-level alias resolution stays available for direct users
+    assert DatabaseType.SQLITE.effective is DatabaseType.PARQUET
 
 
 def test_non_alias_types_resolve_to_themselves():

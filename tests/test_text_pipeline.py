@@ -57,6 +57,17 @@ def test_repetition_signals_flags_repeats(spark):
     assert got[3]["top_2gram_frac"] == 0.0  # empty gram array, no null leak
 
 
+def test_repetition_signals_empty_doc_survives_ansi(spark):
+    # Spark 4 runs ANSI mode by default: an unguarded division by
+    # LENGTH(text)=0 would abort the whole job with DIVIDE_BY_ZERO.
+    # Empty docs are routine in web corpora — must pass through cleanly.
+    docs = _docs(spark, [(1, ""), (2, "a normal doc")])
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert got[1]["symbol_ratio"] == 0.0
+    assert got[1]["top_2gram_frac"] == 0.0
+    assert got[2]["symbol_ratio"] == 0.0  # letters+spaces only
+
+
 def test_token_ngrams_short_doc_empty(spark):
     df = _docs(spark, [(1, "a b c"), (2, "a b c d e")])
     out = df.select("doc_id", token_ngrams("text", 5).alias("g")).collect()
@@ -116,6 +127,18 @@ def test_redact_pii_replaces_and_counts(spark):
     assert got[2]["n_phones"] == 2
     assert got[3]["clean_text"] == "no personal data here"
     assert not got[3]["had_pii"]
+
+
+def test_redact_pii_counts_match_replacements(spark):
+    from cdc_system_spark.operators.text import redact_pii
+
+    # a 9+-digit run inside an email local part is an email, not a
+    # phone: n_phones counts on the email-redacted text, so it always
+    # equals the number of <PHONE> tokens in clean_text
+    docs = _docs(spark, [(1, "mail 5551234567x@example.com please")])
+    row = redact_pii(docs).collect()[0]
+    assert row["clean_text"] == "mail <EMAIL> please"
+    assert (row["n_emails"], row["n_phones"]) == (1, 0)
 
 
 def test_rarity_score_orders_rare_above_common(spark):
