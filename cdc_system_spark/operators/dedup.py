@@ -98,44 +98,58 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band.
 
-    Bands are md5-folds of ``rows_per_band`` consecutive signature
-    columns; explode to (band_idx, band_key), self-join per bucket,
-    ``id1 < id2``. ``max_bucket`` drops degenerate buckets (boilerplate
-    shingles shared by everything) — at scale those would otherwise
-    produce quadratic pair blowup; real pipelines handle them with
+    Band keys are NUMERIC: each pair of consecutive signature columns
+    packs losslessly into one int64 (``h·2³¹ + h'`` — exact because
+    every minhash is < P < 2³¹, and the product stays under 2⁶²), so a
+    ``rows_per_band=4`` band is two int64 key columns. Int64 keys hash,
+    compare, and shuffle several× cheaper than the equivalent
+    ``concat_ws`` strings (measured ~20%% off the end-to-end query) and
+    stay collision-free, unlike a mod-P fold. Explode to
+    (band_idx, k0, k1), self-join per bucket, ``id1 < id2``.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate shingles
+    shared by everything) — at scale those would otherwise produce
+    quadratic pair blowup; real pipelines handle them with
     stopword-shingle filtering, same effect.
     """
     n_bands = num_perms // rows_per_band
+    n_keys = (rows_per_band + 1) // 2
+    pack = F.lit(2**31).cast("long")
+
+    def band_keys(b: int) -> list[Column]:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        keys = []
+        for j in range(0, rows_per_band, 2):
+            k = cols[j] * pack + cols[j + 1] if j + 1 < rows_per_band else cols[j]
+            keys.append(k.alias(f"k{j // 2}"))
+        return keys
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band_idx"), *band_keys(b))
             for b in range(n_bands)
         ]
     )
+    key_cols = ["band_idx"] + [f"k{j}" for j in range(n_keys)]
     exploded = (
         sigs.select(F.col(id_col), F.explode(bands).alias("b"))
-        .select(id_col, "b.band_idx", "b.band_key")
+        .select(id_col, *[f"b.{c}" for c in key_cols])
         # signature computation is the expensive subtree and feeds three
         # plan branches (bucket sizes, both join sides) — truncate the
         # lineage so it runs once, not per branch
         .localCheckpoint(eager=False)
     )
     # cap degenerate buckets
-    bucket_sizes = exploded.groupBy("band_idx", "band_key").agg(F.count("*").alias("_n"))
+    bucket_sizes = exploded.groupBy(*key_cols).agg(F.count("*").alias("_n"))
     bounded = exploded.join(
         bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
-        on=["band_idx", "band_key"],
+        on=key_cols,
         how="left_semi",
     )
-    a = bounded.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id1"))
-    b = bounded.select(F.col("band_idx"), F.col("band_key"), F.col(id_col).alias("id2"))
+    a = bounded.select(*key_cols, F.col(id_col).alias("id1"))
+    b = bounded.select(*key_cols, F.col(id_col).alias("id2"))
     return (
-        a.join(b, on=["band_idx", "band_key"])
+        a.join(b, on=key_cols)
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()

@@ -95,9 +95,13 @@ def apply_changes(
     # The reduced batch feeds four branches (upserts/deletes/cond-updates/
     # removed-keys); without truncating lineage Catalyst recomputes the
     # groupBy per branch (16 shuffles at sf0.001, PLANS.md r1).
-    # localCheckpoint materializes the tiny net batch once. Lazy: nothing
-    # runs until an action, and the batch is small by design (§ module doc).
-    net = net_effect_reduce(changes, key=change_key).localCheckpoint(eager=False)
+    # localCheckpoint materializes the tiny net batch once. Eager: an A/B
+    # at sf0.1 (interleaved min-of-5, same session) measured eager 0.99 s
+    # vs lazy 1.02 s vs cache 0.91 s — cache is fastest but pins blocks
+    # until LRU eviction (a library primitive must not leak cache
+    # entries); eager keeps ContextCleaner-managed cleanup and the same
+    # 7-exchange plan.
+    net = net_effect_reduce(changes, key=change_key).localCheckpoint(eager=True)
 
     upserts = net.filter(F.col("effect") == "UPSERT")
     deletes = net.filter(F.col("effect") == "DELETE")

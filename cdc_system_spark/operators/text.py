@@ -313,15 +313,24 @@ def rarity_score(
 
     Engine-exact by construction: each reciprocal is one IEEE division
     rounded to 6 decimals, then summed through an exact DECIMAL
-    accumulator (functions.portable.dsum) — no float-summation order
-    sensitivity, no ln(). Shape: corpus term counts (salted agg) →
-    broadcast join to exploded tokens → per-doc decimal sum. Two
-    shuffles total, both with map-side partial aggregation.
+    accumulator — no float-summation order sensitivity, no ln().
+
+    Shape: ONE exploded-token frame, localCheckpoint'ed so the explode
+    runs once, feeds BOTH the corpus-frequency branch (salted two-phase
+    agg, same skew treatment as :func:`term_frequency`) and the per-doc
+    scoring join — without the checkpoint each branch re-explodes the
+    corpus and the plan doubles to ~8 shuffles (same fix as
+    :func:`tfidf_top_terms`).
     """
-    freq = term_frequency(df, text_col, id_col)
-    toks = spread(df).select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    toks = (
+        spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .localCheckpoint(eager=False)
     )
+    partial = toks.groupBy("token", (F.col(id_col) % 16).alias("_salt")).agg(
+        F.count("*").alias("_n")
+    )
+    freq = partial.groupBy("token").agg(F.sum("_n").alias("n"))
     rarity = F.round(F.lit(1.0) / F.col("n"), 6)
     per_doc = (
         toks.join(F.broadcast(freq), "token")

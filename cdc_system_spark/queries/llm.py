@@ -72,9 +72,12 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- MinHash + LSH banding candidate pairs -----------------------------------
 # char-7 shingles for LSH (char-5 collides heavily on small-vocab text)
 _SH7 = "unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1), i -> substr(text, i, 7)))"
+# numeric band keys: pairs of minhashes packed into int64 (h < 2^31, so
+# h*2^31 + h' is exact and collision-free) — mirrors lsh_candidate_pairs
 _bands7 = "\n        UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"h{4*b} || '|' || h{4*b+1} || '|' || h{4*b+2} || '|' || h{4*b+3} AS band_key FROM sig"
+    f"h{4*b} * 2147483648 + h{4*b+1} AS k0, "
+    f"h{4*b+2} * 2147483648 + h{4*b+3} AS k1 FROM sig"
     for b in range(4)
 )
 _LSH_CTES = f"""sh AS (SELECT doc_id, {_SH7} AS s FROM documents),
@@ -87,7 +90,7 @@ _LSH_CTES = f"""sh AS (SELECT doc_id, {_SH7} AS s FROM documents),
     lsh_pairs AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          ON a.band_idx = b.band_idx AND a.k0 = b.k0 AND a.k1 = b.k1
              AND a.doc_id < b.doc_id)"""
 _LSH_SQL = f"""WITH {_LSH_CTES}
     SELECT id1, id2 FROM lsh_pairs"""
