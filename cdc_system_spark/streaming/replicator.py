@@ -16,11 +16,16 @@ as Structured Streaming (SURVEY §2.8 S4-S8):
 
 from __future__ import annotations
 
+import time
+from collections.abc import Callable
+from datetime import datetime, timezone
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cdc_system_spark.api import SnapshotTable
+from cdc_system_spark.config import CDCConfig
 from cdc_system_spark.operators.merge import apply_changes
 from cdc_system_spark.streaming.source import read_change_stream
 
@@ -69,6 +74,9 @@ class StreamingReplicator:
         checkpoint_path: str | None = None,
         dead_letter_path: str | None = None,
         max_files_per_trigger: int | None = None,
+        config: CDCConfig | None = None,
+        on_report: Callable[[dict], None] | None = None,
+        clock: Callable[[], float] = time.monotonic,
     ):
         self.spark = spark
         self.log_path = log_path
@@ -78,6 +86,10 @@ class StreamingReplicator:
         self.checkpoint_path = checkpoint_path or log_path + "_checkpoint"
         self.dead_letter_path = dead_letter_path
         self.max_files_per_trigger = max_files_per_trigger
+        self.config = config or CDCConfig()
+        self.on_report = on_report
+        self._clock = clock
+        self._last_report: float | None = None
         self.batches_applied = 0
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -89,6 +101,32 @@ class StreamingReplicator:
             merged = apply_changes(current, decoded, key=self.key, change_key="record_id")
             self.target.write(merged)
         self.batches_applied += 1
+        self._maybe_report(batch_id)
+
+    def _maybe_report(self, batch_id: int) -> None:
+        """Emit a progress report at most once per
+        ``config.metrics_interval_seconds`` (reference: config.py:39-40 —
+        the declared metrics cadence, here driving the streaming
+        monitor's report emission). The first applied batch always
+        reports; later batches report only after the interval elapses,
+        so a hot stream doesn't flood the sink and a quiet one still
+        reports on its next batch. The report itself is metadata-cheap
+        (no log rescan in the batch hot path — full health audits stay
+        with CDCMonitor, run on demand)."""
+        if self.on_report is None:
+            return
+        now = self._clock()
+        interval = self.config.metrics_interval_seconds
+        if self._last_report is not None and now - self._last_report < interval:
+            return
+        self._last_report = now
+        self.on_report(
+            {
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+                "last_batch_id": batch_id,
+                **self.progress(),
+            }
+        )
 
     def _writer(self):
         stream = read_change_stream(
@@ -114,4 +152,5 @@ class StreamingReplicator:
         return {
             "batches_applied": self.batches_applied,
             "checkpoint": self.checkpoint_path,
+            "metrics_interval_seconds": self.config.metrics_interval_seconds,
         }

@@ -55,6 +55,41 @@ def test_available_now_drain_equals_batch(spark, system, tmp_path):
     assert result[1]["value"] == 999
 
 
+def test_metrics_interval_gates_report_emission(spark, system, tmp_path):
+    # CDC_METRICS_INTERVAL (reference config.py:39-40) drives the
+    # streaming monitor cadence: first batch reports, then at most one
+    # report per interval. Fake clock makes the gate deterministic.
+    from cdc_system_spark.config import CDCConfig
+
+    reports: list[dict] = []
+    clock = {"now": 0.0}
+    target = SnapshotTable(spark, str(tmp_path / "t"), ROW_SCHEMA)
+    rep = StreamingReplicator(
+        spark,
+        system.capture.path,
+        target,
+        ROW_SCHEMA,
+        key="id",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        config=CDCConfig(metrics_interval_seconds=60),
+        on_report=reports.append,
+        clock=lambda: clock["now"],
+    )
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1)]))
+    log = spark.read.parquet(system.capture.path)
+
+    rep._apply_batch(log, 0)          # t=0: first batch always reports
+    assert len(reports) == 1 and reports[0]["last_batch_id"] == 0
+    clock["now"] = 30.0
+    rep._apply_batch(log, 1)          # t=30 < 60: suppressed
+    assert len(reports) == 1
+    clock["now"] = 61.0
+    rep._apply_batch(log, 2)          # t=61 >= 60: reports again
+    assert len(reports) == 2 and reports[1]["last_batch_id"] == 2
+    assert reports[1]["batches_applied"] == 3
+    assert reports[1]["metrics_interval_seconds"] == 60
+
+
 def test_checkpoint_idempotent_restart(spark, system, tmp_path):
     system.capture.capture_insert(_rows(spark, [(1, "a", 1), (2, "b", 2)]))
     target = SnapshotTable(spark, str(tmp_path / "t"), ROW_SCHEMA)
