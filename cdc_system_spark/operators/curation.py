@@ -1,0 +1,155 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+A real 100 TB training-data run is not one operator — it is a fixed
+sequence of them, each stage shrinking the corpus the next stage sees:
+
+    exact dedup → near-dup clustering (MinHash-LSH) → repetition/quality
+    filter → benchmark decontamination → stratified sampling
+
+:func:`curate_corpus` composes the production operators from
+``operators/dedup.py``, ``operators/text.py`` and
+``operators/sampling.py`` into that sequence. Composition is exactly
+where cross-operator interface drift shows up (a column renamed, a
+survivor set keyed differently), so the composed pipeline is registered
+as an oracle-checked query (``q_curation_pipeline``) alongside the
+single-operator checks.
+
+Scale shape (the reason the stage ORDER is fixed): exact dedup is the
+cheapest pass (one hash-groupBy) and runs first to shrink everything
+downstream; LSH clustering runs on exact-survivors only; the per-row
+filters (repetition, n-token gate) are zero-shuffle map passes; the
+decontamination probe broadcasts the tiny benchmark gram set; the final
+sample is a map-side hash filter. Every inter-stage handoff is a
+``doc_id`` semi join — no stage rewrites another's columns.
+
+Substring-level dedup (:func:`substring_duplicate_passages`) is the
+modern-pipeline companion: repeated *passages* (boilerplate headers,
+license blocks) recur across otherwise-distinct documents and survive
+both exact and near-dup doc-level dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    token_ngrams,
+)
+from cdc_system_spark.operators.sampling import stratified_sample
+from cdc_system_spark.operators.text import repetition_signals
+from cdc_system_spark.functions.portable import spread
+
+
+def curate_corpus(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+    salt: str = "s1",
+    min_tokens: int = 5,
+    shingle_k: int = 7,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    decontam_n: int = 5,
+) -> DataFrame:
+    """Run the full curation sequence; returns the curated corpus rows.
+
+    Stages (each a ``doc_id`` semi join against the previous survivor
+    set, so the input schema passes through unchanged):
+
+    1. exact dedup — min-id survivor per ``md5(text)``
+    2. near-dup clustering — MinHash-LSH pairs → connected components;
+       keep only each cluster's canonical doc (``doc_id == cluster_id``)
+    3. repetition + length filter — Gopher-style ``keep`` verdict AND
+       ``>= min_tokens`` whitespace tokens
+    4. decontamination — drop docs sharing any token ``decontam_n``-gram
+       with the benchmark set
+    5. stratified sampling — deterministic md5-bucket mixture reweighting
+    """
+    # 1. exact dedup (survivor ids only — exact_dedup returns one row
+    # per content hash with the min id)
+    exact_ids = exact_dedup(corpus, text_col, id_col).select(id_col)
+    c1 = corpus.join(exact_ids, id_col, "left_semi")
+
+    # 2. near-dup canonical survivors
+    sigs = minhash_signatures(c1, text_col, id_col, k=shingle_k, num_perms=num_perms)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
+    )
+    clusters = duplicate_clusters(c1, pairs, id_col)
+    canonical = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    c2 = c1.join(canonical, id_col, "left_semi")
+
+    # 3. per-row filters: repetition verdict + minimum length
+    rep_keep = (
+        repetition_signals(c2, text_col, id_col).filter(F.col("keep")).select(id_col)
+    )
+    long_enough = spread(c2).filter(
+        F.size(F.split(F.col(text_col), " ")) >= min_tokens
+    )
+    c3 = long_enough.join(rep_keep, id_col, "left_semi")
+
+    # 4. benchmark decontamination (broadcast gram probe + anti join)
+    from cdc_system_spark.operators.dedup import decontaminate
+
+    c4 = decontaminate(c3, benchmark, text_col, id_col, n=decontam_n)
+
+    # 5. deterministic mixture reweighting
+    return stratified_sample(
+        c4,
+        strata_col,
+        rates if rates is not None else {"en": 0.5, "de": 0.2},
+        default_rate=default_rate,
+        id_col=id_col,
+        salt=salt,
+    )
+
+
+def substring_duplicate_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Repeated-passage detection: token ``n``-grams occurring in
+    ``min_docs``+ distinct documents, with the doc list per passage —
+    the suffix-array-lite substring dedup pass (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", uses
+    true suffix arrays; sorted n-gram postings approximate it at fixed
+    ``n``) that catches boilerplate headers and license blocks doc-level
+    dedup misses.
+
+    Shape at 100 TB: explode to DISTINCT (gram, doc) pairs — per-doc
+    dedup happens map-side in the distinct's partial aggregation — then
+    one shuffle on gram builds the posting list. ``max_posting`` caps
+    degenerate grams (the LSH ``max_bucket`` guard applied to postings):
+    a gram in everything ("all rights reserved") would otherwise carry
+    an unbounded doc array to one reducer; real pipelines drop those as
+    stop-passages, same effect. Postings are sorted so output is
+    deterministic.
+    """
+    gd = (
+        spread(df)
+        .select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("passage"))
+        .distinct()
+    )
+    return (
+        gd.groupBy("passage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(
+            (F.col("n_docs") >= min_docs) & (F.col("n_docs") <= max_posting)
+        )
+    )

@@ -1,0 +1,138 @@
+"""Composed curation-pipeline queries.
+
+``q_curation_pipeline`` runs the full training-data curation sequence
+(exact dedup → MinHash-LSH clustering → repetition/length filter →
+benchmark decontamination → stratified sampling) as ONE oracle-checked
+query — the shape a real 100 TB curation run executes, and the check
+that catches cross-operator interface drift no single-operator query
+can. ``q_substring_dedup`` is the passage-level companion.
+
+The DuckDB oracle reproduces every stage exactly (same md5-derived
+hashes, same thresholds, same rounding) — the comparison covers the
+pipeline's *math*, not just its row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators import curation as C
+from cdc_system_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+from cdc_system_spark.queries.base import catalog, register
+
+# ---- DuckDB twins of the pipeline stages (shared fragment style with
+# queries/llm.py — kept local so each module's oracle reads standalone) ----
+_HS = f"(CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % {MINHASH_P})"
+_PERMS16 = ", ".join(
+    f"MIN((hmod * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
+    for i in range(16)
+)
+_SH7 = (
+    "unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1), "
+    "i -> substr(text, i, 7)))"
+)
+_BANDS = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, h{4*b} * 2147483648 + h{4*b+1} AS k0, "
+    f"h{4*b+2} * 2147483648 + h{4*b+3} AS k1 FROM sig"
+    for b in range(4)
+)
+_GRAM5 = (
+    "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])"
+)
+_BUCKET = (
+    "CAST(CONCAT('0x', SUBSTR(MD5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 1000"
+)
+
+_CURATION_SQL = f"""WITH RECURSIVE
+    corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+    exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)),
+    c1 AS (SELECT c.* FROM corpus0 c JOIN exact_keep k USING (doc_id)),
+    sh AS (SELECT doc_id, {_SH7} AS s FROM c1),
+    hm AS (SELECT doc_id, {_HS} AS hmod FROM sh),
+    sig AS (SELECT doc_id, {_PERMS16} FROM hm GROUP BY doc_id),
+    bands AS (
+        {_BANDS}),
+    lsh_pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.k0 = b.k0 AND a.k1 = b.k1
+             AND a.doc_id < b.doc_id),
+    edges AS (SELECT id1 AS a, id2 AS b FROM lsh_pairs
+              UNION SELECT id2, id1 FROM lsh_pairs),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+    c2 AS (SELECT c.* FROM c1 c LEFT JOIN comp ON c.doc_id = comp.src
+           WHERE COALESCE(comp.cluster_id, c.doc_id) = c.doc_id),
+    c2w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c2),
+    rep_g AS (SELECT doc_id,
+                unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))
+                    AS gram
+              FROM c2w WHERE len(w) >= 2),
+    rep_counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM rep_g GROUP BY 1, 2),
+    rep_mx AS (SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_grams
+               FROM rep_counts GROUP BY 1),
+    c3 AS (SELECT c2.* FROM c2 JOIN c2w USING (doc_id) LEFT JOIN rep_mx USING (doc_id)
+           WHERE ROUND(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) <= 0.75
+             AND COALESCE(ROUND(CAST(max_c AS DOUBLE) / n_grams, 6), 0.0) <= 0.08
+             AND len(w) >= 5),
+    bw AS (SELECT string_split(text, ' ') AS w FROM bench),
+    bg AS (SELECT DISTINCT unnest({_GRAM5}) AS gram FROM bw WHERE len(w) >= 5),
+    c3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c3),
+    cg AS (SELECT doc_id, unnest({_GRAM5}) AS gram FROM c3w WHERE len(w) >= 5),
+    contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
+    c4 AS (SELECT * FROM c3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM c4
+    WHERE {_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 100 END"""
+
+
+@register(
+    "q_curation_pipeline",
+    _CURATION_SQL,
+    doc="end-to-end curation: exact dedup -> MinHash-LSH clusters -> "
+    "repetition/length filter -> 5-gram decontamination vs the "
+    "doc_id%%97 benchmark holdout -> deterministic stratified sample; "
+    "oracle reproduces every stage's math",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = C.curate_corpus(corpus, bench)
+    return out.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+_G8 = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(8))
+
+_SUBSTRING_SQL = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+                        i -> {_G8})) AS passage
+          FROM t WHERE len(w) >= 8),
+    p AS (SELECT passage, COUNT(*) AS n_docs,
+                 list_sort(list(doc_id)) AS doc_ids
+          FROM g GROUP BY passage)
+    SELECT passage, n_docs, doc_ids FROM p
+    WHERE n_docs BETWEEN 2 AND 1000"""
+
+
+@register(
+    "q_substring_dedup",
+    _SUBSTRING_SQL,
+    doc="substring-level dedup: token-8-gram passages repeated across "
+    ">=2 documents with sorted doc postings; posting-size cap mirrors "
+    "the LSH bucket guard",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    return C.substring_duplicate_passages(docs, n=8, min_docs=2, max_posting=1000)
