@@ -94,6 +94,16 @@ class FakeCodec:
             out["n_frames"] = 1
         return out
 
+    def resize(self, kind: str, content: bytes, width: int, height: int) -> bytes:
+        """Deterministic "resize" stand-in: crop the payload to a length
+        proportional to the target pixel count (``width·height/256``
+        bytes, min 1) — a pure bytes→bytes function an external SQL
+        oracle reproduces with ``substr``. A real codec decodes pixels
+        and resamples; the Spark plumbing around it is identical.
+        """
+        cap = max(1, (width * height) // 256)
+        return content[:cap]
+
 
 class RealCodecUnavailable(NotImplementedError):
     """Raised by pixel-level ops that need an actual image/audio library."""
@@ -245,19 +255,76 @@ def frame_sample(
     )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Pixel-level resize — requires a real image library.
+class RealImageCodec:
+    """Pixel-level codec — requires an actual image library (PIL).
 
-    The container ships no PIL/opencv, so this raises
-    :class:`RealCodecUnavailable` after validating the plumbing-level
-    preconditions (schema, kind filter). With a real codec the body is a
-    ``mapInPandas`` identical in shape to :func:`decode_media`.
+    The container ships no PIL/opencv, so construction raises
+    :class:`RealCodecUnavailable`; in a real deployment the methods hold
+    the actual decode/resample calls and everything downstream
+    (:func:`resize_images`) is unchanged.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
+
+    def __init__(self) -> None:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:
+            raise RealCodecUnavailable(
+                "RealImageCodec needs an image library (PIL); none is "
+                "installed. Use FakeCodec (the default) for the plumbing."
+            ) from exc
         raise RealCodecUnavailable(
-            "resize_images needs an image codec (PIL); none is installed. "
-            "The decode/feature/frame plumbing is exercised via FakeCodec instead."
-        ) from exc
-    raise RealCodecUnavailable("real-codec path intentionally unimplemented in this build")
+            "real-codec path intentionally unimplemented in this build"
+        )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("out_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, codec: FakeCodec | None = None
+) -> DataFrame:
+    """Resize every ``image``-kind payload to ``width×height`` via the
+    injected codec; emits the resized payload's length and checksum.
+
+    Same dependency-injection contract as :func:`decode_media`: the
+    default :class:`FakeCodec` crops bytes deterministically (so the
+    result is oracle-checkable); pass :class:`RealImageCodec` (or any
+    object with ``resize(kind, content, w, h) -> bytes``) for real
+    pixels. ``mapInPandas`` keeps the bytes→bytes work Arrow-batched and
+    partition-local — at 100 TB the resize cost rides the scan, nothing
+    collects.
+    """
+    codec = codec or FakeCodec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, lens, md5s = [], [], []
+            for m, k, c in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                out = codec.resize(str(k), bytes(c) if c is not None else b"", width, height)
+                ids.append(int(m))
+                lens.append(len(out))
+                md5s.append(hashlib.md5(out).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                    "out_len": pd.Series(lens, dtype="int64"),
+                    "out_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image")
+    return spread(imgs).select("media_id", "kind", "content").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )

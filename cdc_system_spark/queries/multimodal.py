@@ -107,3 +107,23 @@ _FRAME_SQL = """WITH m AS (
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(catalog(spark, sf_dir).documents)
     return M.frame_sample(media, frame_bytes=32, stride=4)
+
+
+# FakeCodec.resize crops to width·height/256 bytes: 64×48 → 12
+_RESIZE_CAP = max(1, (64 * 48) // 256)
+_RESIZE_SQL = f"""SELECT doc_id AS media_id,
+           CAST(64 AS INTEGER) AS width, CAST(48 AS INTEGER) AS height,
+           CAST(LENGTH(substr(text, 1, {_RESIZE_CAP})) AS BIGINT) AS out_len,
+           md5(substr(text, 1, {_RESIZE_CAP})) AS out_md5
+    FROM documents WHERE doc_id % 3 = 0"""
+
+
+@register(
+    "q_resize_images",
+    _RESIZE_SQL,
+    doc="codec-injected image resize (FakeCodec deterministic crop): "
+    "bytes->bytes mapInPandas over image-kind payloads",
+)
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    return M.resize_images(media, width=64, height=48)

@@ -79,6 +79,20 @@ def test_frame_sample_total_fanout(media):
     assert frames.count() > n_media
 
 
-def test_resize_is_an_explicit_stub(media):
+def test_resize_fake_codec_crops_deterministically(media):
+    # FakeCodec resize: crop to width*height/256 bytes; only image-kind
+    # rows pass through, and len/md5 match the pure-Python computation
+    out = {r["media_id"]: r for r in M.resize_images(media, 64, 48).collect()}
+    imgs = {r["media_id"]: bytes(r["content"]) for r in media.filter("kind = 'image'").collect()}
+    assert set(out) == set(imgs)
+    cap = (64 * 48) // 256
+    for mid, buf in imgs.items():
+        expect = buf[:cap] if buf else b""
+        assert out[mid]["out_len"] == max(len(expect), 0)
+        assert out[mid]["out_md5"] == hashlib.md5(expect).hexdigest()
+        assert (out[mid]["width"], out[mid]["height"]) == (64, 48)
+
+
+def test_real_codec_is_an_explicit_stub():
     with pytest.raises(M.RealCodecUnavailable):
-        M.resize_images(media, 224, 224)
+        M.RealImageCodec()
