@@ -36,7 +36,23 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the regime where it's trivially cheap (input ≪ one split).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Partition-count probe WITHOUT df.rdd: the RDD conversion physically
+    # plans the whole query into a second lineage (per spread() call, per
+    # plan branch), which doubles planning work on complex inputs. The
+    # file index is metadata: scan-rooted frames (every production call
+    # site) report their leaf files straight from the catalog. Scans of
+    # fewer files than cores are exactly the under-parallel regime spread
+    # exists for; a file can split into several tasks, but then the
+    # repartition is a small-data shuffle by construction (input ≪ one
+    # split's worth of cores), same as before.
+    n_files = len(df.inputFiles())
+    if n_files == 0:
+        # in-memory / fully-derived frame (tests, createDataFrame): the
+        # RDD probe is cheap there and keeps exact legacy behavior
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    if n_files < target:
         return df.repartition(target)
     return df
 

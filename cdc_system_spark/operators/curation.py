@@ -113,6 +113,88 @@ def curate_corpus(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    standard pre-tokenization chunking step (RAG indexing, long-doc
+    training prep). Output: one row per (doc, chunk) with the chunk
+    text and its token count.
+
+    Pure per-row builtins: token split → windowed ``slice`` over a
+    generated index sequence → explode. Zero shuffle, stays in
+    whole-stage codegen; the 1→N fan-out is a Generate node riding the
+    scan, so at 100 TB chunking is free next to the IO it shares.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - chunk_tokens) / F.lit(float(stride))) + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(w, (i * stride + 1).cast("int"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.size(F.slice(w, (i * stride + 1).cast("int"), chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        ),
+    )
+    return spread(df).select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+
+
+def sequence_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx_tokens: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign every document its position in packed fixed-length
+    training sequences: concatenate docs in id order within a shard,
+    cut the token stream every ``ctx_tokens``, and report which
+    sequence range each doc lands in — the bookkeeping a sequence-
+    packing data loader needs (which docs co-occupy a context window,
+    where each doc's tokens start).
+
+    Sharded by ``doc_id % n_shards`` ON PURPOSE: a single global
+    ordered cumulative sum is one total order — one reducer's worth of
+    window state at 100 TB. Per-shard running sums shuffle once on the
+    shard key and scale with executor count; packers do exactly this
+    (pack per input shard, never globally).
+    """
+    w = F.split(F.col(text_col), " ")
+    shard = (F.col(id_col) % n_shards).cast("int")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("shard").orderBy(id_col)
+    toks = spread(df).select(
+        F.col(id_col), shard.alias("shard"), F.size(w).cast("long").alias("n_tokens")
+    )
+    cum = toks.withColumn("_cum", F.sum("n_tokens").over(win))
+    start = F.col("_cum") - F.col("n_tokens")
+    return cum.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.expr(f"(_cum - n_tokens) div {ctx_tokens}").alias("seq_first"),
+        F.expr(f"(_cum - 1) div {ctx_tokens}").alias("seq_last"),
+    )
+
+
 def substring_duplicate_passages(
     df: DataFrame,
     text_col: str = "text",

@@ -250,21 +250,30 @@ def duplicate_clusters(
     duplicate group, labeled by its minimum ``doc_id`` (the canonical
     survivor). Docs in no pair become singleton clusters of themselves.
 
-    Min-label propagation: each round every node takes the min label in
-    its neighborhood; converges in O(component diameter) rounds — for
-    dup graphs that is small (near-cliques), so the driver loop runs a
-    handful of bounded Spark jobs, each 2 shuffles on the *pair* table
-    (≪ corpus). ``localCheckpoint`` truncates lineage per round so plans
-    stay flat. At extreme scale the same loop upgrades to the
-    large-star/small-star optimization (Kiveris et al., "Connected
-    Components in MapReduce", SOCC'14) without changing callers.
+    Min-label propagation runs ONLY over nodes that touch a candidate
+    pair — the pair graph is bounded by LSH candidate volume, orders of
+    magnitude smaller than the corpus, so each round shuffles the tiny
+    node set, never the 100 TB doc table (propagating labels for every
+    document, the naive formulation, is a corpus-wide shuffle *per
+    iteration*). Docs in no pair get their singleton label via one final
+    broadcast-able left join. Each round every node takes the min label
+    in its neighborhood; converges in O(component diameter) rounds — for
+    dup graphs that is small (near-cliques). ``localCheckpoint``
+    truncates lineage per round so plans stay flat. At extreme scale the
+    same loop upgrades to the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14)
+    without changing callers.
     """
     edges = pairs.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
-    labels = docs.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    # both directions are present, so "a" alone covers every graph node
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         neighbor = (
@@ -283,8 +292,12 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias(id_col), F.col("lbl").alias("cluster_id")
+    node_labels = labels.select(
+        F.col("node").alias(id_col), F.col("lbl").alias("_lbl")
+    )
+    return docs.select(id_col).join(node_labels, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_lbl"), F.col(id_col)).alias("cluster_id"),
     )
 
 

@@ -111,6 +111,60 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunking params: 64-token windows, 8-token overlap -> stride 56
+_CHUNK_SQL = """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) <= 64 THEN 1
+                      ELSE CAST(ceil((len(w) - 64) / 56.0) AS BIGINT) + 1 END
+                     AS n_chunks
+          FROM t)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(w, CAST(i * 56 + 1 AS BIGINT),
+                                      CAST(i * 56 + 64 AS BIGINT)), ' ')
+               AS chunk_text,
+           CAST(len(list_slice(w, CAST(i * 56 + 1 AS BIGINT),
+                               CAST(i * 56 + 64 AS BIGINT))) AS BIGINT)
+               AS n_chunk_tokens
+    FROM n, unnest(range(0, n_chunks)) AS u(i)"""
+
+
+@register(
+    "q_chunk_documents",
+    _CHUNK_SQL,
+    doc="overlapping fixed-token chunking (64-token windows, stride 56): "
+    "zero-shuffle Generate riding the scan",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    return C.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+_PACK_SQL = """WITH t AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                        AS cum
+          FROM t)
+    SELECT doc_id, shard, n_tokens,
+           cum - n_tokens AS start_tok,
+           (cum - n_tokens) // 256 AS seq_first,
+           (cum - 1) // 256 AS seq_last
+    FROM c"""
+
+
+@register(
+    "q_sequence_pack",
+    _PACK_SQL,
+    doc="sequence packing bookkeeping: per-shard running token offsets "
+    "and the 256-token context-window range each doc occupies; sharded "
+    "cumsum (one shuffle), never a global total order",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    return C.sequence_pack(docs, ctx_tokens=256, n_shards=8)
+
+
 _G8 = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(8))
 
 _SUBSTRING_SQL = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w

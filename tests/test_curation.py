@@ -1,0 +1,118 @@
+"""Unit semantics for the composed-curation operators (round 3):
+chunking, sequence packing, substring passages, and the end-to-end
+pipeline's stage interactions. (Oracle parity runs via verify_local;
+these pin edge cases and cross-stage behavior on crafted corpora.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators.curation import (
+    chunk_documents,
+    curate_corpus,
+    sequence_pack,
+    substring_duplicate_passages,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words = [f"w{i}" for i in range(10)]
+    docs = _docs(spark, [(1, " ".join(words)), (2, "short doc")])
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1)  # stride 3
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in out.collect()
+    }
+    # 10 tokens, window 4, stride 3 -> chunks at offsets 0,3,6,9 (ceil((10-4)/3)+1 = 3)
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)  # 1-token overlap
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert (1, 3) not in got
+    assert got[(2, 0)] == ("short doc", 2)  # short doc: single partial chunk
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_sequence_pack_offsets_and_spans(spark):
+    # one shard (n_shards=1): docs of 3, 4, 6 tokens; ctx=5
+    docs = _docs(
+        spark,
+        [(1, "a b c"), (2, "d e f g"), (3, "h i j k l m")],
+    )
+    out = {r["doc_id"]: r for r in sequence_pack(docs, ctx_tokens=5, n_shards=1).collect()}
+    assert (out[1]["start_tok"], out[1]["seq_first"], out[1]["seq_last"]) == (0, 0, 0)
+    # doc2 occupies tokens [3, 7) -> straddles seq 0 and 1
+    assert (out[2]["start_tok"], out[2]["seq_first"], out[2]["seq_last"]) == (3, 0, 1)
+    # doc3 occupies tokens [7, 13) -> seqs 1..2
+    assert (out[3]["start_tok"], out[3]["seq_first"], out[3]["seq_last"]) == (7, 1, 2)
+
+
+def test_sequence_pack_shards_independent(spark):
+    # same doc ids across shards restart their own offsets
+    docs = _docs(spark, [(i, "x y z") for i in range(6)])
+    out = sequence_pack(docs, ctx_tokens=100, n_shards=2).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["start_tok"])
+    for starts in by_shard.values():
+        assert sorted(starts) == [0, 3, 6]  # each shard's stream starts at 0
+
+
+def test_substring_passages_found_across_docs(spark):
+    boiler = "all rights reserved by the example corp license v2"  # 9 tokens
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta " + boiler),
+            (2, boiler + " gamma delta"),
+            (3, "no shared passage here at all in this document"),
+        ],
+    )
+    out = substring_duplicate_passages(docs, n=8, min_docs=2)
+    rows = out.collect()
+    assert rows, "shared 8-gram passage must be detected"
+    assert all(r["doc_ids"] == [1, 2] for r in rows)
+    # doc 3 shares nothing
+    assert not any(3 in r["doc_ids"] for r in rows)
+
+
+def test_substring_passages_posting_cap(spark):
+    common = " ".join(f"t{i}" for i in range(8))
+    docs = _docs(spark, [(i, common) for i in range(5)])
+    capped = substring_duplicate_passages(docs, n=8, min_docs=2, max_posting=3)
+    assert capped.count() == 0  # posting of 5 docs exceeds the cap -> dropped
+
+
+def test_curate_corpus_end_to_end_stages(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    bench_text = "benchmark question about prime numbers and their distribution today ok"
+    rows = [
+        (1, base, "en", "s", len(base)),                      # survives
+        (2, base, "en", "s", len(base)),                      # exact dupe of 1 -> dropped
+        (3, "spam " * 30 + "end", "en", "s", 5),              # repetitious -> dropped
+        (4, "tiny doc", "en", "s", 8),                        # < 5 tokens -> dropped
+        (5, bench_text + " extra words to pass the length gate fine", "en", "s", 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text, "en", "b", len(bench_text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = curate_corpus(
+        docs, bench, rates={"en": 1.0}, default_rate=1.0, salt="s1", min_tokens=5
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 2 exact-dup'd, 3 repetitious, 4 short, 5 contaminated (shares a
+    # 5-gram with the benchmark) -> only 1 survives at rate 1.0
+    assert kept == [1]

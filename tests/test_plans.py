@@ -82,6 +82,7 @@ def test_python_only_where_intended(plans):
         "q_media_decode",
         "q_media_byte_histogram",
         "q_frame_sample",
+        "q_resize_images",
         "q_group_normalize",
         "q_ivf_topk",
         "q_ivf_kmeans_topk",
