@@ -49,6 +49,10 @@ HEADLINE = [
     "q_tfidf",
     "q_repetition_filter",
     "q_decontaminate",
+    # round-3 additions: the composed pipeline + passage dedup + chunking
+    "q_curation_pipeline",
+    "q_substring_dedup",
+    "q_chunk_documents",
 ]
 
 

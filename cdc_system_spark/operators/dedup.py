@@ -301,6 +301,102 @@ def duplicate_clusters(
     )
 
 
+def star_contraction_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the scale upgrade over min-label propagation:
+    converges in O(log² n) rounds on ANY graph shape (propagation needs
+    O(diameter) rounds, which a long chain of near-dups can stretch),
+    and every round is two grouped passes over the edge set.
+
+    * large-star: every node links its larger neighbors to the minimum
+      of its neighborhood — ``(v, m)`` for v ∈ Γ(u), v > u, with
+      m = min(Γ(u) ∪ {u})
+    * small-star: every node links its smaller-or-equal neighbors and
+      itself to that minimum
+
+    Both are windowed min + filter — no neighbor lists are ever
+    collected, so hub nodes (a passage shared by millions of docs)
+    cost a shuffle, not a single-task array. Same output contract as
+    :func:`duplicate_clusters`: every doc labeled with its component's
+    min id, singletons labeling themselves.
+    """
+    from pyspark.sql import Window
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # neighborhoods are over the SYMMETRIC relation — re-symmetrize
+        # every round (the stored set is directed after small-star)
+        sym = ed.union(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        return (
+            sym.withColumn("m", m)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient max→min, then link every neighbor (all ≤ u) and u
+        # itself to the neighborhood minimum
+        oriented = (
+            ed.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        m = F.min("v").over(Window.partitionBy("u"))
+        with_m = oriented.withColumn("m", m)
+        nbrs = with_m.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_link = with_m.select("u", F.col("m").alias("v")).distinct()
+        return nbrs.union(self_link).filter(F.col("u") != F.col("v")).distinct()
+
+    edges = (
+        pairs.select(
+            F.greatest("id1", "id2").alias("u"), F.least("id1", "id2").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # convergence when the edge set stops changing: order-insensitive
+        # signature via count + xor-free sum of a portable pair hash
+        sig = edges.select(
+            F.count("*").alias("n"),
+            # decimal accumulator: a long sum of 60-bit hashes overflows
+            # (ANSI aborts); decimal(38,0) is exact at any edge count
+            F.sum(
+                md5_i64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # after convergence every edge is (node, component_min); group-min
+    # rather than assuming perfect star shape at the iteration cap
+    roots = edges.groupBy("u").agg(F.min("v").alias("_lbl")).select(
+        F.col("u").alias(id_col), F.col("_lbl")
+    )
+    return docs.select(id_col).join(roots, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_lbl"), F.col(id_col)).alias("cluster_id"),
+    )
+
+
 def token_ngrams(col: Column | str, n: int = 5) -> Column:
     """Array of token n-grams (space-joined) of a text column.
 

@@ -18,25 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_system_spark.operators import curation as C
-from cdc_system_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+from cdc_system_spark.operators import dedup as D
 from cdc_system_spark.queries.base import catalog, register
+from cdc_system_spark.queries.fragments import cluster_ctes
 
-# ---- DuckDB twins of the pipeline stages (shared fragment style with
-# queries/llm.py — kept local so each module's oracle reads standalone) ----
-_HS = f"(CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % {MINHASH_P})"
-_PERMS16 = ", ".join(
-    f"MIN((hmod * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS h{i}"
-    for i in range(16)
-)
-_SH7 = (
-    "unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1), "
-    "i -> substr(text, i, 7)))"
-)
-_BANDS = "\n        UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, h{4*b} * 2147483648 + h{4*b+1} AS k0, "
-    f"h{4*b+2} * 2147483648 + h{4*b+3} AS k1 FROM sig"
-    for b in range(4)
-)
 _GRAM5 = (
     "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])"
@@ -51,23 +36,7 @@ _CURATION_SQL = f"""WITH RECURSIVE
     bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
     exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)),
     c1 AS (SELECT c.* FROM corpus0 c JOIN exact_keep k USING (doc_id)),
-    sh AS (SELECT doc_id, {_SH7} AS s FROM c1),
-    hm AS (SELECT doc_id, {_HS} AS hmod FROM sh),
-    sig AS (SELECT doc_id, {_PERMS16} FROM hm GROUP BY doc_id),
-    bands AS (
-        {_BANDS}),
-    lsh_pairs AS (
-        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.k0 = b.k0 AND a.k1 = b.k1
-             AND a.doc_id < b.doc_id),
-    edges AS (SELECT id1 AS a, id2 AS b FROM lsh_pairs
-              UNION SELECT id2, id1 FROM lsh_pairs),
-    reach(src, dst) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-    comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id FROM reach GROUP BY src),
+    {cluster_ctes("c1")},
     c2 AS (SELECT c.* FROM c1 c LEFT JOIN comp ON c.doc_id = comp.src
            WHERE COALESCE(comp.cluster_id, c.doc_id) = c.doc_id),
     c2w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c2),
@@ -109,6 +78,26 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
+
+
+_STAR_CLUSTER_SQL = f"""WITH RECURSIVE {cluster_ctes("documents")}
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.src"""
+
+
+@register(
+    "q_dup_clusters_star",
+    _STAR_CLUSTER_SQL,
+    doc="connected components over MinHash-LSH pairs via alternating "
+    "large-star/small-star contraction (Kiveris et al. SoCC'14) — "
+    "O(log^2 n) rounds vs propagation's O(diameter); same labels, same "
+    "oracle as q_dup_clusters",
+)
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    return D.star_contraction_clusters(docs, pairs)
 
 
 # chunking params: 64-token windows, 8-token overlap -> stride 56

@@ -22,16 +22,14 @@ from cdc_system_spark.operators import similarity as S
 from cdc_system_spark.operators import text as X
 from cdc_system_spark.queries.base import catalog, register
 
-# DuckDB twins of the shared building blocks
+# DuckDB twins of the shared building blocks; the MinHash-LSH CTE
+# chain lives in queries/fragments.py (shared with queries/curation.py)
+from cdc_system_spark.queries.fragments import HS as _HS
+from cdc_system_spark.queries.fragments import cluster_ctes, lsh_ctes, perm_sql as _perm_sql
+
 _SH = "unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5)))"
 _STOPS = "', '".join(X.EN_STOPWORDS)
 _P = D.MINHASH_P
-# shingle hash mod P (md5 → int64 → mod), then universal-hash perms
-_HS = f"(CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT) % {_P})"
-
-
-def _perm_sql(i: int) -> str:
-    return f"MIN((hmod * {D.MINHASH_A[i]} + {D.MINHASH_B[i]}) % {_P}) AS h{i}"
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -70,28 +68,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- MinHash + LSH banding candidate pairs -----------------------------------
-# char-7 shingles for LSH (char-5 collides heavily on small-vocab text)
-_SH7 = "unnest(list_transform(range(1, greatest(length(text) - 6, 1) + 1), i -> substr(text, i, 7)))"
-# numeric band keys: pairs of minhashes packed into int64 (h < 2^31, so
-# h*2^31 + h' is exact and collision-free) — mirrors lsh_candidate_pairs
-_bands7 = "\n        UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"h{4*b} * 2147483648 + h{4*b+1} AS k0, "
-    f"h{4*b+2} * 2147483648 + h{4*b+3} AS k1 FROM sig"
-    for b in range(4)
-)
-_LSH_CTES = f"""sh AS (SELECT doc_id, {_SH7} AS s FROM documents),
-    hm AS (SELECT doc_id, {_HS} AS hmod FROM sh),
-    sig AS (
-        SELECT doc_id, {', '.join(_perm_sql(i) for i in range(16))}
-        FROM hm GROUP BY doc_id),
-    bands AS (
-        {_bands7}),
-    lsh_pairs AS (
-        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.k0 = b.k0 AND a.k1 = b.k1
-             AND a.doc_id < b.doc_id)"""
+# char-7 shingles for LSH (char-5 collides heavily on small-vocab text);
+# CTE chain shared via queries/fragments.py
+_LSH_CTES = lsh_ctes("documents")
 _LSH_SQL = f"""WITH {_LSH_CTES}
     SELECT id1, id2 FROM lsh_pairs"""
 
@@ -109,15 +88,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- duplicate clustering: connected components over the LSH pair graph ------
-_CLUSTER_SQL = f"""WITH RECURSIVE {_LSH_CTES},
-    edges AS (SELECT id1 AS a, id2 AS b FROM lsh_pairs
-              UNION SELECT id2, id1 FROM lsh_pairs),
-    reach(src, dst) AS (
-        SELECT a, b FROM edges
-        UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-    comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id
-             FROM reach GROUP BY src)
+_CLUSTER_SQL = f"""WITH RECURSIVE {cluster_ctes("documents")}
     SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.src"""
 

@@ -92,6 +92,37 @@ def test_substring_passages_posting_cap(spark):
     assert capped.count() == 0  # posting of 5 docs exceeds the cap -> dropped
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    # large-star/small-star (O(log^2 n) rounds) must produce the same
+    # components as min-label propagation (O(diameter) rounds) on a
+    # graph mixing the hard shapes: a long chain (stretches diameter),
+    # a clique (near-dup group), random sparse pairs, and singletons
+    import random
+
+    from cdc_system_spark.operators.dedup import (
+        duplicate_clusters,
+        star_contraction_clusters,
+    )
+
+    rnd = random.Random(7)
+    docs = spark.createDataFrame([(n,) for n in range(60)], "doc_id long")
+    edges = [(i, i + 1) for i in range(9)]                      # chain 0..9
+    edges += [(a, b) for a in range(20, 25) for b in range(20, 25) if a < b]
+    for _ in range(20):                                          # sparse random
+        a, b = rnd.sample(range(30, 56), 2)
+        edges.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(set(edges)), "id1 long, id2 long")
+    lp = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(docs, pairs).collect()}
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in star_contraction_clusters(docs, pairs).collect()
+    }
+    assert lp == st
+    assert st[9] == 0      # chain collapses to its min
+    assert st[24] == 20    # clique root
+    assert st[59] == 59    # untouched singleton labels itself
+
+
 def test_curate_corpus_end_to_end_stages(spark):
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
     bench_text = "benchmark question about prime numbers and their distribution today ok"
