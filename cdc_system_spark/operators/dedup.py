@@ -156,6 +156,42 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_jaccard_estimate(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+) -> DataFrame:
+    """Per-pair Jaccard estimate from signature agreement: the fraction
+    of MinHash permutations on which the two docs collide (an unbiased
+    estimator of shingle-set Jaccard). The standard cheap middle step
+    between LSH candidate generation and exact rescoring — at 100 TB
+    you threshold on this before paying for any exact set overlap.
+
+    Shape: the pair table (bounded by LSH candidate volume ≪ corpus) is
+    broadcast against the signature table twice — the big side is
+    scanned, never shuffled.
+    """
+    ha = sigs.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perms)],
+    )
+    hb = sigs.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perms)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_perms)
+    )
+    cand = ha.join(F.broadcast(pairs), "id1")  # stays pair-sized
+    return hb.join(F.broadcast(cand), "id2").select(
+        "id1",
+        "id2",
+        F.round(matches / F.lit(float(num_perms)), 6).alias("est_jaccard"),
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:

@@ -22,6 +22,25 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Curation-standard text normalization: lowercase, collapse
+    whitespace runs to single spaces, trim — the canonical form every
+    hash-based dedup pass should run on (otherwise "Foo  bar" and
+    "foo bar" hash apart). ASCII whitespace class so Java and RE2 engines
+    agree byte-for-byte. Zero-shuffle map pass inside codegen.
+    """
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\r]+", " ")
+    )
+    return spread(df).select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        (norm != F.col(text_col)).alias("changed"),
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + distinct-token count per document."""
     w = _tokens(text_col)

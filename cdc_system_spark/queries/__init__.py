@@ -12,9 +12,9 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 # driver's oracle gate checks the first 50 registry entries. Round-3
 # rotation: the windows / analytics / tpch_extra surface (43 queries —
 # driver-green in r1 except the 4 round-2 tpch_extra additions, which
-# have never had a driver CORRECTNESS row) leads, then the 5 brand-new
-# round-3 curation queries and temporal — exactly 50 oracle-backed
-# slots. The conflicts / events / LLM-pipeline / CDC-core / multimodal
+# have never had a driver CORRECTNESS row) leads, then the 7 brand-new
+# round-3 curation queries — exactly 50 oracle-backed slots. The
+# temporal / conflicts / events / LLM-pipeline / CDC-core / multimodal
 # surface (driver-green in BOTH r1 and r2) trails, and every rows-only
 # query (no oracle) sits after slot 50 so no strong-check slot is
 # wasted. All queries remain locally verified each round via
@@ -23,7 +23,7 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (5, new in r3)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (7, new in r3)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (4)

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from cdc_system_spark.operators import curation as C
 from cdc_system_spark.operators import dedup as D
 from cdc_system_spark.queries.base import catalog, register
-from cdc_system_spark.queries.fragments import cluster_ctes
+from cdc_system_spark.queries.fragments import cluster_ctes, lsh_ctes
 
 _GRAM5 = (
     "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
@@ -98,6 +98,50 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(docs, k=7, num_perms=16)
     pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
     return D.star_contraction_clusters(docs, pairs)
+
+
+_EST_TERMS = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+_JACCARD_EST_SQL = f"""WITH {lsh_ctes("documents")}
+    SELECT p.id1, p.id2,
+           ROUND(({_EST_TERMS}) / 16.0, 6) AS est_jaccard
+    FROM lsh_pairs p
+    JOIN sig a ON a.doc_id = p.id1
+    JOIN sig b ON b.doc_id = p.id2"""
+
+
+@register(
+    "q_minhash_jaccard_est",
+    _JACCARD_EST_SQL,
+    doc="signature-agreement Jaccard estimate per LSH candidate pair — "
+    "the cheap threshold step between banding and exact rescoring; "
+    "pair table broadcast twice, signatures never shuffled",
+)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    return D.minhash_jaccard_estimate(sigs, pairs, num_perms=16)
+
+
+_NORMALIZE_SQL = """SELECT doc_id,
+       trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) <> text
+           AS changed
+    FROM documents"""
+
+
+@register(
+    "q_normalize_text",
+    _NORMALIZE_SQL,
+    doc="canonical text normalization (lowercase + whitespace collapse + "
+    "trim) — the form hash dedup should key on; zero-shuffle map pass",
+)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.text import normalize_text
+
+    return normalize_text(catalog(spark, sf_dir).documents)
 
 
 # chunking params: 64-token windows, 8-token overlap -> stride 56

@@ -36,6 +36,38 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(2, 0)] == ("short doc", 2)  # short doc: single partial chunk
 
 
+def test_chunk_documents_reconstruction_property(spark):
+    # Property: dropping each chunk's leading `overlap` tokens (except
+    # chunk 0) and concatenating reconstructs the original document for
+    # ANY (n_tokens, chunk_tokens, overlap) — chunking loses nothing.
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        n_tokens=st.integers(min_value=1, max_value=120),
+        chunk_tokens=st.integers(min_value=2, max_value=24),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    )
+    def check(n_tokens, chunk_tokens, overlap_frac):
+        overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
+        words = [f"w{i}" for i in range(n_tokens)]
+        docs = _docs(spark, [(1, " ".join(words))])
+        rows = sorted(
+            chunk_documents(
+                docs, chunk_tokens=chunk_tokens, overlap=overlap
+            ).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        rebuilt: list[str] = []
+        for r in rows:
+            toks = r["chunk_text"].split(" ")
+            rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+            assert r["n_chunk_tokens"] == len(toks) <= chunk_tokens
+        assert rebuilt == words
+
+    check()
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     docs = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
