@@ -195,6 +195,39 @@ def sequence_pack(
     )
 
 
+def incremental_ingest(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally admit a new document batch into a curated corpus:
+    drop incoming docs whose content hash already exists in the corpus,
+    exact-dedup within the batch (min-id survivor), and union the
+    remainder — the CDC-shaped maintenance path of a training corpus
+    (this engine's change-capture surface delivers ``incoming``; this
+    operator is the merge policy for it).
+
+    Scale shape: the corpus side is reduced to its DISTINCT content
+    hashes before the join, so the anti join moves hash-width rows, not
+    documents; the batch side is tiny by construction (one sync
+    interval's worth). A production deployment keeps the corpus hash
+    set as a maintained table (the reference's audit-table pattern)
+    instead of recomputing — the join shape is identical.
+    """
+    corpus_hashes = corpus.select(
+        F.md5(F.col(text_col)).alias("_h")
+    ).distinct()
+    fresh = (
+        incoming.withColumn("_h", F.md5(F.col(text_col)))
+        .join(corpus_hashes, "_h", "left_anti")
+        .drop("_h")
+    )
+    batch_ids = exact_dedup(fresh, text_col, id_col).select(id_col)
+    deduped = fresh.join(batch_ids, id_col, "left_semi")
+    return corpus.unionByName(deduped)
+
+
 def substring_duplicate_passages(
     df: DataFrame,
     text_col: str = "text",

@@ -51,6 +51,8 @@ def stratified_sample(
     """
     # round, not truncate: int(0.29 * 1000) is 289 (binary float
     # 289.999...), int(round(...)) is the intended 290
+    #
+    # (rate-based sampling; for exact-count selection see top_k_per_stratum)
     rate_expr: Column = F.lit(int(round(default_rate * BUCKETS)))
     for value, rate in sorted(rates.items()):
         rate_expr = F.when(
@@ -60,4 +62,33 @@ def stratified_sample(
         df.withColumn("_bucket", hash_bucket(id_col, salt))
         .filter(F.col("_bucket") < rate_expr)
         .drop("_bucket")  # internal helper — callers see the input schema
+    )
+
+
+def top_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum, chosen deterministically: rank by
+    md5(salt||id) within each stratum and keep the top ``k`` — the
+    standard way to carve a fixed-size eval/holdout set per language or
+    source (rate-based sampling can't hit an exact count).
+
+    One shuffle on the stratum key; Spark's WindowGroupLimit pushes the
+    ``rank <= k`` bound below the sort so each partition keeps only k
+    candidates before the exchange — the same physical shape as any
+    top-k, safe at any stratum size. Ties are impossible (md5 of
+    distinct ids), so the selection is unique and layout-independent.
+    """
+    from pyspark.sql import Window
+
+    h = md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )

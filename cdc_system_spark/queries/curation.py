@@ -223,3 +223,71 @@ _SUBSTRING_SQL = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents
     return C.substring_duplicate_passages(docs, n=8, min_docs=2, max_posting=1000)
+
+
+_TOPK_SQL = """WITH r AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CONCAT('0x',
+                       SUBSTR(MD5('s2' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) ASC, doc_id ASC) AS rk
+        FROM documents)
+    SELECT doc_id, lang FROM r WHERE rk <= 20"""
+
+
+@register(
+    "q_topk_per_stratum",
+    _TOPK_SQL,
+    doc="exactly-k-per-stratum deterministic selection (md5 rank within "
+    "lang, k=20) — fixed-size eval-set carving; WindowGroupLimit top-k "
+    "shape",
+)
+def q_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import top_k_per_stratum
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return top_k_per_stratum(docs, "lang", 20, salt="s2")
+
+
+_INGEST_SQL = """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    newbies AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    batch AS (
+        SELECT doc_id, text, lang, source FROM newbies
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source FROM newbies
+        UNION ALL
+        SELECT doc_id + 2000000, text, lang, source FROM corpus
+        WHERE doc_id % 7 = 1),
+    fresh AS (SELECT b.* FROM batch b
+              WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY md5(text)),
+    dedup AS (SELECT f.* FROM fresh f JOIN keep USING (doc_id))
+    SELECT doc_id, lang, source FROM corpus
+    UNION ALL
+    SELECT doc_id, lang, source FROM dedup"""
+
+
+@register(
+    "q_incremental_ingest",
+    _INGEST_SQL,
+    doc="incremental corpus maintenance: a CDC-delivered batch (with "
+    "in-batch dupes and already-present content) admitted via hash anti "
+    "join + batch exact-dedup; corpus reduced to hash-width rows for "
+    "the join",
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text", "lang", "source")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    newbies = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def _remap(df: DataFrame, offset: int) -> DataFrame:
+        return df.select(
+            (F.col("doc_id") + offset).alias("doc_id"), "text", "lang", "source"
+        )
+
+    batch = newbies.unionByName(_remap(newbies, 1_000_000)).unionByName(
+        _remap(corpus.filter(F.col("doc_id") % 7 == 1), 2_000_000)
+    )
+    out = C.incremental_ingest(corpus, batch)
+    return out.select("doc_id", "lang", "source")
