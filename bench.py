@@ -4,8 +4,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
     {"metric": ..., "value": <total sec>, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed to completion (count() forces the full plan but
-keeps results distributed — no driver collect in the timed path).
+Each query is executed to completion via a noop-format write: every
+output column is actually computed (a bare count() lets Catalyst prune
+the projections, so map-heavy queries would measure ~nothing — rounds
+1-2 under-measured exactly those), while results stay distributed — no
+driver collect in the timed path.
 """
 
 from __future__ import annotations
@@ -76,7 +79,7 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

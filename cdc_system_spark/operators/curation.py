@@ -88,9 +88,19 @@ def curate_corpus(
     canonical = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     c2 = c1.join(canonical, id_col, "left_semi")
 
-    # 3. per-row filters: repetition verdict + minimum length
+    # 3. per-row filters: repetition verdict + minimum length.
+    # The lineage barrier before the filter matters: filtering directly
+    # on `keep` lets Catalyst push the predicate — and with it the whole
+    # repetition fold — below spread()'s repartition into the scan
+    # stage, which on an under-split input runs the CPU-heavy fold at
+    # file parallelism (measured 7 s vs 0.7 s at sf0.1). The checkpoint
+    # pins the fold at cluster parallelism; its output is per-doc floats,
+    # so the materialization is trivially small.
     rep_keep = (
-        repetition_signals(c2, text_col, id_col).filter(F.col("keep")).select(id_col)
+        repetition_signals(c2, text_col, id_col)
+        .localCheckpoint(eager=False)
+        .filter(F.col("keep"))
+        .select(id_col)
     )
     long_enough = spread(c2).filter(
         F.size(F.split(F.col(text_col), " ")) >= min_tokens
