@@ -224,6 +224,64 @@ def simhash(
     return bit_sums.select(F.col(id_col), fold.cast("long").alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance — the
+    pigeonhole-banded companion to MinHash-LSH (Manku et al., WWW'07
+    use the same split-the-fingerprint trick): two fingerprints within
+    ``max_hamming`` bits must agree exactly on at least one of
+    ``n_bands`` disjoint bit bands when ``max_hamming < n_bands``, so
+    banding finds every such pair without an all-pairs scan.
+
+    Shape: one grouped pass for fingerprints (shuffle on doc id),
+    explode to (band_idx, band_value) — int keys — bucket self-join,
+    then an exact ``bit_count(xor)`` rescore of candidates only. Same
+    quadratic-blowup story as MinHash-LSH: a degenerate band value is
+    bounded by the band width (2^band_bits buckets spread uniformly for
+    hash-like fingerprints).
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sim = simhash(df, text_col, id_col, bits=bits).localCheckpoint(eager=False)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright("simhash", band_bits * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
+    ).select(id_col, "simhash", "b.band_idx", "b.val")
+    a = exploded.select(
+        "band_idx", "val", F.col(id_col).alias("id1"), F.col("simhash").alias("s1")
+    )
+    b = exploded.select(
+        "band_idx", "val", F.col(id_col).alias("id2"), F.col("simhash").alias("s2")
+    )
+    cand = (
+        a.join(b, on=["band_idx", "val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        cand.filter(ham <= max_hamming)
+        .select("id1", "id2", ham.cast("int").alias("hamming"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

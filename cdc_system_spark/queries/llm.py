@@ -199,6 +199,44 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(catalog(spark, sf_dir).documents, bits=_BITS)
 
 
+# -- SimHash hamming-banded near-dup pairs (32-bit, 4 bands, hamming<=2) -----
+_B32 = 32
+_bit_sums32 = ", ".join(
+    f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_B32)
+)
+_fold32 = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(_B32))
+_SIMHASH_PAIRS_SQL = f"""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    hashed AS (SELECT doc_id, {_TH} AS th FROM toks),
+    bits AS (SELECT doc_id, {_bit_sums32} FROM hashed GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_fold32} AS BIGINT) AS simhash FROM bits),
+    bands AS (SELECT doc_id, simhash, b AS band_idx, (simhash >> (8 * b)) & 255 AS val
+              FROM sim, unnest(range(0, 4)) AS t(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                    a.simhash AS s1, b.simhash AS s2
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.val = b.val
+                  AND a.doc_id < b.doc_id)
+    SELECT id1, id2,
+           CAST(bit_count(CAST(xor(s1, s2) AS BIGINT)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(s1, s2) AS BIGINT)) <= 2"""
+
+
+@register(
+    "q_simhash_neardup",
+    _SIMHASH_PAIRS_SQL,
+    doc="SimHash near-dup pairs: 32-bit fingerprints, 4-band pigeonhole "
+    "bucketing (Manku WWW'07), exact bit_count(xor) rescore of "
+    "candidates only",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_neardup_pairs(
+        catalog(spark, sf_dir).documents, bits=32, n_bands=4, max_hamming=2
+    )
+
+
 # -- n-gram Jaccard verification ---------------------------------------------
 _JACCARD_SQL = """WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
