@@ -295,16 +295,17 @@ def ngram_jaccard_pairs(
     generator) → shared counts vs set sizes. O(pairs-sharing-a-gram),
     not O(n²); in a production pipeline this runs *after* LSH banding as
     the verification step — composable here the same way.
+
+    Gram construction goes through :func:`token_ngrams`, whose
+    ``n_tok >= n`` guard matters under Spark 4's default ANSI mode: an
+    unguarded ``element_at`` past the array end (any doc shorter than
+    ``n`` tokens) aborts the whole job with INVALID_ARRAY_INDEX — and
+    short docs are routine in real corpora. Short docs simply produce
+    no grams, matching the SQL oracle's ``range`` semantics.
     """
-    w = F.split(F.col(text_col), " ")
     grams = spread(df).select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
-            )
-        ).alias("gram"),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("gram"),
     ).distinct().localCheckpoint(eager=False)  # feeds sizes + both join sides
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = grams.select(F.col(id_col).alias("id1"), "gram")

@@ -68,6 +68,24 @@ def test_repetition_signals_empty_doc_survives_ansi(spark):
     assert got[2]["symbol_ratio"] == 0.0  # letters+spaces only
 
 
+def test_ngram_jaccard_short_doc_survives_ansi(spark):
+    # a doc shorter than n tokens must yield no grams, not an ANSI
+    # INVALID_ARRAY_INDEX abort (same hazard class as the empty-doc
+    # division: rare rows that kill the whole job)
+    from cdc_system_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "only two"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+        ],
+    )
+    rows = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert [(r["id1"], r["id2"]) for r in rows] == [(2, 3)]
+
+
 def test_token_ngrams_short_doc_empty(spark):
     df = _docs(spark, [(1, "a b c"), (2, "a b c d e")])
     out = df.select("doc_id", token_ngrams("text", 5).alias("g")).collect()
