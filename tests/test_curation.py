@@ -124,6 +124,94 @@ def test_substring_passages_posting_cap(spark):
     assert capped.count() == 0  # posting of 5 docs exceeds the cap -> dropped
 
 
+def test_top_k_per_stratum_exact_counts(spark):
+    from cdc_system_spark.operators.sampling import top_k_per_stratum
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 40 else "de") for i in range(45)], "doc_id long, lang string"
+    )
+    out = top_k_per_stratum(docs, "lang", 10, id_col="doc_id")
+    by_lang = {}
+    for r in out.collect():
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang["en"]) == 10       # exactly k
+    assert len(by_lang["de"]) == 5        # stratum smaller than k -> all
+    # deterministic: same selection on rerun, different under a new salt
+    again = {r["doc_id"] for r in top_k_per_stratum(docs, "lang", 10).collect()}
+    assert again == by_lang["en"] | by_lang["de"]
+    other = {r["doc_id"] for r in top_k_per_stratum(docs, "lang", 10, salt="x").collect()}
+    assert other != again
+
+
+def test_incremental_ingest_drops_dupes(spark):
+    from cdc_system_spark.operators.curation import incremental_ingest
+
+    corpus = _docs(spark, [(1, "alpha"), (2, "beta")])
+    batch = _docs(
+        spark,
+        [
+            (10, "gamma"),          # genuinely new -> admitted
+            (11, "alpha"),          # content already in corpus -> dropped
+            (12, "gamma"),          # in-batch dupe -> min id (10) survives
+        ],
+    )
+    out = sorted(r["doc_id"] for r in incremental_ingest(corpus, batch).collect())
+    assert out == [1, 2, 10]
+    # empty batch: corpus unchanged
+    empty = _docs(spark, [(99, "zeta")]).filter("doc_id < 0")
+    unchanged = sorted(r["doc_id"] for r in incremental_ingest(corpus, empty).collect())
+    assert unchanged == [1, 2]
+
+
+def test_normalize_text_collapses_whitespace(spark):
+    from cdc_system_spark.operators.text import normalize_text
+
+    docs = _docs(spark, [(1, "  Foo\t\tBar \n Baz "), (2, "already clean")])
+    got = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert got[1]["norm_text"] == "foo bar baz"
+    assert got[1]["changed"]
+    assert got[2]["norm_text"] == "already clean" and not got[2]["changed"]
+
+
+def test_minhash_jaccard_estimate_identical_docs(spark):
+    from cdc_system_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "a completely different document about spark engines"),
+        ],
+    )
+    sigs = minhash_signatures(docs, k=7, num_perms=8)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id1 long, id2 long")
+    got = {(r["id1"], r["id2"]): r["est_jaccard"] for r in
+           minhash_jaccard_estimate(sigs, pairs, num_perms=8).collect()}
+    assert got[(1, 2)] == 1.0             # identical shingle sets
+    assert got[(1, 3)] < 0.5              # unrelated text
+
+
+def test_simhash_neardup_identical_docs_hamming_zero(spark):
+    from cdc_system_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "totally unrelated words about database engines and planners"),
+        ],
+    )
+    rows = {(r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_neardup_pairs(docs, max_hamming=2).collect()}
+    assert rows.get((1, 2)) == 0
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
 def test_star_contraction_matches_label_propagation(spark):
     # large-star/small-star (O(log^2 n) rounds) must produce the same
     # components as min-label propagation (O(diameter) rounds) on a
