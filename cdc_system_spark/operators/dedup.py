@@ -363,11 +363,13 @@ def duplicate_clusters(
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=False)
-    # both directions are present, so "a" alone covers every graph node
+    # both directions are present, so "a" alone covers every graph node.
+    # Seed each node with min(self, min neighbor) — one grouped pass
+    # that IS the first propagation round, so near-clique dup graphs
+    # (the common case) converge at the first convergence check.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
+        edges.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.col("a")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):

@@ -55,6 +55,60 @@ def test_available_now_drain_equals_batch(spark, system, tmp_path):
     assert result[1]["value"] == 999
 
 
+def test_streaming_incremental_ingest_keeps_corpus_deduped(spark, tmp_path):
+    # Streaming x curation: document batches arrive as a file stream;
+    # each micro-batch is admitted through incremental_ingest, so the
+    # maintained corpus never accumulates content duplicates — the
+    # streaming form of corpus maintenance (incremental_ingest's unit
+    # semantics are covered in test_curation).
+    from cdc_system_spark.operators.curation import incremental_ingest
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    corpus_tbl = SnapshotTable(spark, str(tmp_path / "corpus"), schema)
+    corpus_tbl.write(spark.createDataFrame([(1, "alpha"), (2, "beta")], schema))
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        merged = incremental_ingest(corpus_tbl.read(), batch)
+        corpus_tbl.write(merged)
+
+    # two micro-batch files: new content, a corpus dupe, an in-batch dupe
+    spark.createDataFrame([(10, "gamma"), (11, "alpha")], schema).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+    spark.createDataFrame([(12, "gamma"), (13, "delta")], schema).write.mode(
+        "append"
+    ).parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {r["doc_id"]: r["text"] for r in corpus_tbl.read().collect()}
+    # content-exact: every text exactly once, dupes dropped whichever
+    # order the two files were micro-batched in
+    assert sorted(rows.values()) == ["alpha", "beta", "delta", "gamma"]
+    assert {1, 2, 13} <= set(rows)        # originals + the only delta
+    assert 11 not in rows                  # alpha dupe never admitted
+
+
 def test_metrics_interval_gates_report_emission(spark, system, tmp_path):
     # CDC_METRICS_INTERVAL (reference config.py:39-40) drives the
     # streaming monitor cadence: first batch reports, then at most one
