@@ -254,19 +254,20 @@ def substring_duplicate_passages(
     ``n``) that catches boilerplate headers and license blocks doc-level
     dedup misses.
 
-    Shape at 100 TB: explode to DISTINCT (gram, doc) pairs — per-doc
-    dedup happens map-side in the distinct's partial aggregation — then
-    one shuffle on gram builds the posting list. ``max_posting`` caps
+    Shape at 100 TB: per-doc gram dedup happens INSIDE the row
+    (``array_distinct`` before the explode — cross-doc repeats are
+    different rows by construction, so no ``(gram, doc)`` distinct
+    shuffle exists at all); then one shuffle on gram builds the posting
+    list. ``max_posting`` caps
     degenerate grams (the LSH ``max_bucket`` guard applied to postings):
     a gram in everything ("all rights reserved") would otherwise carry
     an unbounded doc array to one reducer; real pipelines drop those as
     stop-passages, same effect. Postings are sorted so output is
     deterministic.
     """
-    gd = (
-        spread(df)
-        .select(F.col(id_col), F.explode(token_ngrams(text_col, n)).alias("passage"))
-        .distinct()
+    gd = spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngrams(text_col, n))).alias("passage"),
     )
     return (
         gd.groupBy("passage")

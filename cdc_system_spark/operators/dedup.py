@@ -303,10 +303,13 @@ def ngram_jaccard_pairs(
     short docs are routine in real corpora. Short docs simply produce
     no grams, matching the SQL oracle's ``range`` semantics.
     """
+    # per-doc gram dedup rides inside the row (array_distinct before the
+    # explode): no (doc, gram) distinct shuffle — cross-doc repeats are
+    # separate rows by construction
     grams = spread(df).select(
         F.col(id_col),
-        F.explode(token_ngrams(F.col(text_col), n)).alias("gram"),
-    ).distinct().localCheckpoint(eager=False)  # feeds sizes + both join sides
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("gram"),
+    ).localCheckpoint(eager=False)  # feeds sizes + both join sides
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = grams.select(F.col(id_col).alias("id1"), "gram")
     b = grams.select(F.col(id_col).alias("id2"), "gram")
