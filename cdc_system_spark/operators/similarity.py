@@ -58,6 +58,47 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def nearest_centroid(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine — the
+    quantization/partitioning primitive (IVF cell assignment, cluster
+    labeling) in an ORACLE-CHECKABLE form: centroids are the vectors at
+    ``centroid_ids`` (deterministic model parameters, the only rows
+    ever collected — same contract as :func:`assign_cells`), folded in
+    as literal arrays, so the whole assignment is one zero-shuffle,
+    zero-join projection: per row, an ``array_max`` over C cosine
+    structs with a (cos desc, centroid-id asc) tiebreak on the rounded
+    value. No BroadcastNestedLoopJoin — the cross-join formulation
+    Catalyst would pick for a literal-keyed join is the audit-forbidden
+    shape; literal folding sidesteps it entirely.
+    """
+    rows = (
+        emb.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    entries = []
+    for cid, cv in cents:
+        c_arr = F.array(*[F.lit(x) for x in cv])
+        entries.append(
+            F.struct(
+                cosine(F.col(vec_col), c_arr).alias("cos_sim"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return emb.select(
+        F.col(id_col),
+        (-best["neg_cid"]).cast("int").alias("centroid_id"),
+        best["cos_sim"].alias("cos_sim"),
+    )
+
+
 def srp_weights(
     n_bands: int, bits_per_band: int, dim: int
 ) -> dict[tuple[int, int], list[int]]:

@@ -267,6 +267,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(catalog(spark, sf_dir).documents, n=3, threshold=0.6)
 
 
+# -- nearest-centroid assignment (oracle-checkable quantization) -------------
+_CENTROID_ASSIGN_SQL = """WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3)),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+                     / (SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE))))
+                        * SQRT(list_sum(list_transform(range(1, len(c.cv) + 1),
+                              i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))),
+                     6) AS cos_sim
+        FROM embeddings e, c),
+    r AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY cos_sim DESC, cid ASC) AS rk
+          FROM scored)
+    SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, cos_sim
+    FROM r WHERE rk = 1"""
+
+
+@register(
+    "q_centroid_assign",
+    _CENTROID_ASSIGN_SQL,
+    doc="nearest-centroid cosine assignment (4 deterministic centroids "
+    "folded as literals): zero-shuffle zero-join projection, per-row "
+    "array_max with rounded-cos + id tiebreak",
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.nearest_centroid(catalog(spark, sf_dir).embeddings)
+
+
 # -- embedding cosine top-k (brute-force exact baseline) ---------------------
 def _dot_sql(a: str, b: str) -> str:
     return (
