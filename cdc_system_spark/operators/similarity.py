@@ -76,12 +76,31 @@ def nearest_centroid(
     Catalyst would pick for a literal-keyed join is the audit-forbidden
     shape; literal folding sidesteps it entirely.
     """
+    cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
+    best = _nearest_centroid_expr(cents, vec_col)
+    return emb.select(
+        F.col(id_col),
+        (-best["neg_cid"]).cast("int").alias("centroid_id"),
+        best["cos_sim"].alias("cos_sim"),
+    )
+
+
+def _collect_centroids(
+    emb: DataFrame, centroid_ids: tuple[int, ...], id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
     rows = (
         emb.filter(F.col(id_col).isin(list(centroid_ids)))
         .select(id_col, vec_col)
         .collect()
     )
-    cents = sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _nearest_centroid_expr(
+    cents: list[tuple[int, list[float]]], vec_col: str
+) -> Column:
+    """Per-row argmax-cosine struct over literal centroids: array_max of
+    (rounded cos, -centroid_id) — deterministic (cos desc, id asc)."""
     entries = []
     for cid, cv in cents:
         c_arr = F.array(*[F.lit(x) for x in cv])
@@ -91,12 +110,55 @@ def nearest_centroid(
                 F.lit(-cid).alias("neg_cid"),
             )
         )
-    best = F.array_max(F.array(*entries))
-    return emb.select(
-        F.col(id_col),
-        (-best["neg_cid"]).cast("int").alias("centroid_id"),
-        best["cos_sim"].alias("cos_sim"),
+    return F.array_max(F.array(*entries))
+
+
+def ivf_topk_exact(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 20,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k in pure DataFrame expressions — the oracle-checkable
+    twin of :func:`ivf_topk` (whose numpy-matmul assignment uses
+    pairwise float32 summation an external SQL engine cannot bit-match;
+    this variant keeps every fold sequential-double, so a SQL oracle
+    reproduces cell assignment, probe choice, and ranking exactly).
+
+    Plan shape is the IVF shape: per-row literal-centroid assignment
+    (zero shuffle — :func:`nearest_centroid`), a map-side filter to the
+    ``nprobe`` cells closest to the query, exact cosine + top-k
+    (TakeOrderedAndProject) over the surviving fraction only.
+    """
+    import math
+
+    cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
+
+    def _seq_cos(a: list[float], b: list[float]) -> float:
+        # sequential double folds, mirroring F.aggregate / list_sum order
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    ranked = sorted(
+        cents, key=lambda c: (-round(_seq_cos(query_vec, c[1]), 6), c[0])
     )
+    probe = [cid for cid, _ in ranked[:nprobe]]
+
+    # assignment is a per-row expression over literal centroids — the
+    # probe filter is map-side, no join anywhere in the plan
+    best = _nearest_centroid_expr(cents, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.filter((-best["neg_cid"]).isin(probe)).select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
 def srp_weights(

@@ -308,6 +308,54 @@ def _dot_sql(a: str, b: str) -> str:
     )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND({_dot_sql(a, b)} / (SQRT({_dot_sql(a, a)}) "
+        f"* SQRT({_dot_sql(b, b)})), 6)"
+    )
+
+
+# -- IVF top-k, oracle-checkable twin (sequential-double folds only) ---------
+_IVF_EXACT_SQL = f"""WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3)),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    assign_scored AS (
+        SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS cos_sim
+        FROM embeddings e, c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid ASC) AS rk
+            FROM assign_scored) WHERE rk = 1),
+    probe_scored AS (
+        SELECT c.cid, {_cos_sql('c.cv', 'q.qv')} AS qc FROM c, q),
+    probe AS (
+        SELECT cid FROM (
+            SELECT cid, ROW_NUMBER() OVER (ORDER BY qc DESC, cid ASC) AS prk
+            FROM probe_scored) WHERE prk <= 2),
+    survivors AS (
+        SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid),
+    scored AS (
+        SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id IN (SELECT vec_id FROM survivors))
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20"""
+
+
+@register(
+    "q_ivf_topk_exact",
+    _IVF_EXACT_SQL,
+    doc="IVF top-k, oracle-checkable twin of q_ivf_topk: literal-centroid "
+    "assignment + map-side nprobe=2 cell filter + exact rescore, every "
+    "fold sequential-double so DuckDB bit-matches the assignment",
+)
+def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.ivf_topk_exact(emb, qv, centroid_ids=(0, 1, 2, 3), k=20, nprobe=2)
+
+
 _TOPK_SQL = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
     scored AS (
         SELECT vec_id,
