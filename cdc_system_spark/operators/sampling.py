@@ -92,3 +92,25 @@ def top_k_per_stratum(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli keep with probability equal to
+    the row's ``weight_col`` (clamped to [0, 1]) — quality-weighted
+    downsampling, the standard soft filter between a hard quality cut
+    and keeping everything (high-quality docs survive at their score's
+    rate, zero-score docs drop out). Same md5-bucket determinism as
+    :func:`stratified_sample`: reproducible across reruns and cluster
+    layouts, seedable via ``salt``. Pure map-side filter, zero shuffle.
+    """
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return (
+        df.withColumn("_bucket", hash_bucket(id_col, salt))
+        .filter(F.col("_bucket") < F.round(w * BUCKETS, 0))
+        .drop("_bucket")
+    )

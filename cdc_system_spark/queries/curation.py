@@ -291,3 +291,36 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = C.incremental_ingest(corpus, batch)
     return out.select("doc_id", "lang", "source")
+
+
+_WSCORE = (
+    "ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)"
+    " * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)))"
+    " * (0.5 + CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to',"
+    " 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE) / len(w)), 6)"
+)
+_WBUCKET = (
+    "CAST(CONCAT('0x', SUBSTR(MD5('s3' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 1000"
+)
+_WEIGHTED_SQL = f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                              FROM documents),
+    q AS (SELECT doc_id, {_WSCORE} AS quality_score FROM t)
+    SELECT doc_id, quality_score FROM q
+    WHERE {_WBUCKET} < ROUND(LEAST(GREATEST(quality_score, 0.0), 1.0) * 1000, 0)"""
+
+
+@register(
+    "q_weighted_sample",
+    _WEIGHTED_SQL,
+    doc="quality-weighted deterministic sampling: keep probability = "
+    "per-doc quality score (md5-bucket Bernoulli, seedable) — the soft "
+    "filter between a hard quality cut and keeping everything",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import weighted_sample
+    from cdc_system_spark.operators.text import text_quality
+
+    docs = catalog(spark, sf_dir).documents
+    scored = text_quality(docs).select("doc_id", "quality_score")
+    return weighted_sample(scored, "quality_score", salt="s3")

@@ -212,6 +212,26 @@ def test_simhash_neardup_identical_docs_hamming_zero(spark):
     assert (1, 3) not in rows and (2, 3) not in rows
 
 
+def test_weighted_sample_rates_follow_weights(spark):
+    from cdc_system_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i < 1000 else (0.3 if i < 2000 else 0.0)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    kept = weighted_sample(df, "wt", id_col="doc_id").collect()
+    by_band = {1.0: 0, 0.3: 0, 0.0: 0}
+    for r in kept:
+        by_band[r["wt"]] += 1
+    assert by_band[1.0] == 1000          # weight 1 keeps everything
+    assert 240 <= by_band[0.3] <= 360    # ~30% within hash tolerance
+    assert by_band[0.0] == 0             # weight 0 drops all
+    # deterministic rerun; weights outside [0,1] clamp instead of erroring
+    again = weighted_sample(df, "wt", id_col="doc_id").count()
+    assert again == len(kept)
+    clamped = spark.createDataFrame([(1, 7.5), (2, -3.0)], "doc_id long, wt double")
+    got = {r["doc_id"] for r in weighted_sample(clamped, "wt").collect()}
+    assert got == {1}
+
+
 def test_star_contraction_matches_label_propagation(spark):
     # large-star/small-star (O(log^2 n) rounds) must produce the same
     # components as min-label propagation (O(diameter) rounds) on a
