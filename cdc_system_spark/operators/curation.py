@@ -262,8 +262,10 @@ def substring_duplicate_passages(
     degenerate grams (the LSH ``max_bucket`` guard applied to postings):
     a gram in everything ("all rights reserved") would otherwise carry
     an unbounded doc array to one reducer; real pipelines drop those as
-    stop-passages, same effect. Postings are sorted so output is
-    deterministic.
+    stop-passages, same effect. Postings are sorted (numerically, before
+    joining) so output is deterministic, and emitted as a comma-joined
+    STRING — flat column types only, so sinks and row canonicalizers
+    never see a nested array.
     """
     gd = spread(df).select(
         F.col(id_col),
@@ -273,7 +275,9 @@ def substring_duplicate_passages(
         gd.groupBy("passage")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.array_join(
+                F.sort_array(F.collect_list(id_col)).cast("array<string>"), ","
+            ).alias("doc_ids"),
         )
         .filter(
             (F.col("n_docs") >= min_docs) & (F.col("n_docs") <= max_posting)

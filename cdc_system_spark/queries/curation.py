@@ -176,8 +176,8 @@ _PACK_SQL = """WITH t AS (
         SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents),
-    c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
-                        AS cum
+    c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                         AS BIGINT) AS cum
           FROM t)
     SELECT doc_id, shard, n_tokens,
            cum - n_tokens AS start_tok,
@@ -207,7 +207,7 @@ _SUBSTRING_SQL = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
                         i -> {_G8})) AS passage
           FROM t WHERE len(w) >= 8),
     p AS (SELECT passage, COUNT(*) AS n_docs,
-                 list_sort(list(doc_id)) AS doc_ids
+                 array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
           FROM g GROUP BY passage)
     SELECT passage, n_docs, doc_ids FROM p
     WHERE n_docs BETWEEN 2 AND 1000"""

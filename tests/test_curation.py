@@ -112,9 +112,9 @@ def test_substring_passages_found_across_docs(spark):
     out = substring_duplicate_passages(docs, n=8, min_docs=2)
     rows = out.collect()
     assert rows, "shared 8-gram passage must be detected"
-    assert all(r["doc_ids"] == [1, 2] for r in rows)
+    assert all(r["doc_ids"] == "1,2" for r in rows)
     # doc 3 shares nothing
-    assert not any(3 in r["doc_ids"] for r in rows)
+    assert not any("3" in r["doc_ids"].split(",") for r in rows)
 
 
 def test_substring_passages_posting_cap(spark):

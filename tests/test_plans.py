@@ -50,6 +50,27 @@ def test_oracle_window_composition():
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
 
 
+def test_oracle_backed_outputs_are_flat(plans):
+    """The driver's row canonicalizer hashes raw values and dies on
+    nested columns (round-3 ``q_substring_dedup``: ``array<bigint>`` →
+    ``unhashable type: 'list'``). No oracle-backed query may emit
+    array/struct/map output — join/format to flat columns instead."""
+    from pyspark.sql import types as T
+
+    bad = {}
+    for name, q in QUERY_REGISTRY.items():
+        if q.sql is None:
+            continue  # rows-only queries never reach the canonicalizer
+        nested = [
+            f.name
+            for f in plans[name].schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"oracle-backed queries emit nested columns: {bad}"
+
+
 def test_no_scale_hazard_nodes_anywhere(plans):
     dirty = {name: f for name, df in plans.items() if (f := audit_plan(df))}
     assert not dirty, f"scale-hazard plan nodes: {dirty}"

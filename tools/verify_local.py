@@ -26,30 +26,85 @@ from cdc_system_spark.session import get_spark  # noqa: E402
 from cdc_system_spark.sources.catalog import TABLES  # noqa: E402
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype kind used for driver-parity mismatch detection."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "str"
+
+
+def _complex_cols(df: pd.DataFrame) -> list[str]:
+    """Columns holding unhashable values (arrays/structs/maps). The
+    driver's canonicalizer sorts raw values and dies on these — mirror
+    that by failing loudly instead of stringifying (the r3 masking bug).
+    """
+    import numpy as np
+
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna().head(50)
+            if any(
+                isinstance(v, (list, tuple, dict, set, np.ndarray)) for v in sample
+            ):
+                bad.append(c)
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif s.dtype == object:
-            df[c] = s.astype(str)
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(9)
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("Int64")
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("boolean")
+        elif s.dtype == object:
+            df[c] = s.astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
+    # Driver parity 1: complex-typed output columns crash the driver's
+    # canonicalizer (r3 q_substring_dedup). Reject them outright.
+    for side, df in (("spark", spark_pdf), ("duck", duck_pdf)):
+        bad = _complex_cols(df)
+        if bad:
+            problems.append(
+                f"{side} emits complex-typed columns {bad} "
+                "(array/struct/map) — driver canonicalizer would error"
+            )
+    if problems:
+        return problems
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
     sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
     if sc != dc:
         problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    # Driver parity 2: the driver hashes raw values, so an int column on
+    # one side paired with a float column on the other (DuckDB HUGEINT ->
+    # float64, the r3 q_sequence_pack failure) hash-mismatches even when
+    # every value is numerically identical. Flag it instead of coercing.
+    for c in sc:
+        ks, kd = _kind(spark_pdf[c]), _kind(duck_pdf[c])
+        if ks != kd and {ks, kd} <= {"int", "float", "bool"}:
+            problems.append(
+                f"dtype kind mismatch on {c!r}: spark={ks} duck={kd} "
+                "(driver value-hash would differ; CAST the oracle)"
+            )
+    if problems:
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if len(a) == len(b):
