@@ -9,21 +9,15 @@ implementation and, where SQL-expressible, a DuckDB oracle SQL twin.
 from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 
 # Importing the modules populates the registry. ORDER MATTERS: the
-# driver's oracle gate checks the first 50 registry entries. Round-3
-# rotation: the windows / analytics / tpch_extra surface (43 queries —
-# driver-green in r1 except the 4 round-2 tpch_extra additions, which
-# have never had a driver CORRECTNESS row) leads, then the 7 brand-new
-# round-3 curation queries — exactly 50 oracle-backed slots. The
-# temporal / conflicts / events / LLM-pipeline / CDC-core / multimodal
-# surface (driver-green in BOTH r1 and r2) trails, and every rows-only
-# query (no oracle) sits after slot 50 so no strong-check slot is
-# wasted. All queries remain locally verified each round via
+# driver's oracle gate checks the first 50 registry entries. Every
+# rows-only query (no oracle) sits after slot 50 so no strong-check
+# slot is wasted. All queries remain locally verified each round via
 # tools/verify_local.py (report committed as VERIFY_LOCAL_r{N}.txt).
-# tests/test_plans.py pins this composition.
+# tests/test_plans.py pins the window composition.
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (10, new in r3; first 7 in-window)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (10)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (4)
@@ -31,5 +25,44 @@ from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (11)
 from cdc_system_spark.queries import llm  # noqa: E402,F401  (28, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (5)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
+
+# Round-4 window rotation: swap 7 double-driver-green queries (r1+r3)
+# out of the 50-slot oracle window for the 7 oracle-backed queries that
+# have NEVER received a driver CORRECTNESS row (green locally every
+# round, but round 3 proved local green != driver green). The two
+# round-3 contract fixes (q_sequence_pack, q_substring_dedup) stay
+# in-window to prove the fixes. Pairwise position swaps keep everything
+# else — including the rows-only tail — exactly where it was.
+_ROTATE_OUT = [
+    "q_window_running",
+    "q_window_lag",
+    "q_window_ntile",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_distinct",
+]
+_ROTATE_IN = [
+    "q_topk_per_stratum",
+    "q_incremental_ingest",
+    "q_weighted_sample",
+    "q_simhash_neardup",
+    "q_centroid_assign",
+    "q_ivf_topk_exact",
+    "q_resize_images",
+]
+
+
+def _rotate_window() -> None:
+    names = list(QUERY_REGISTRY)
+    for out_name, in_name in zip(_ROTATE_OUT, _ROTATE_IN):
+        i, j = names.index(out_name), names.index(in_name)
+        names[i], names[j] = names[j], names[i]
+    rotated = {n: QUERY_REGISTRY[n] for n in names}
+    QUERY_REGISTRY.clear()
+    QUERY_REGISTRY.update(rotated)
+
+
+_rotate_window()
 
 __all__ = ["QUERY_REGISTRY", "Query", "register"]

@@ -21,30 +21,30 @@ def plans(spark, sf_dir):
 
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
-    entries. Pin the round-3 rotation so a future registration can't
+    entries. Pin the round-4 rotation so a future registration can't
     silently evict oracle coverage: every window slot must carry a
-    DuckDB oracle (rows-only queries trail), and the surfaces that have
-    never / only-once been driver-checked (windows, analytics,
-    tpch_extra — incl. the 4 round-2 TPC-H shapes) must sit inside."""
+    DuckDB oracle (rows-only queries trail), the 7 queries that had
+    never received a driver CORRECTNESS row before round 4 must sit
+    inside, and the two round-3 contract fixes stay in-window to prove
+    the fixes."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # never driver-checked before round 3 (added in round 2):
-        "q_volume_shipping",
-        "q_product_profit",
-        "q_customer_distribution",
-        "q_waiting_suppliers",
-        # r1-only coverage, rotated back in for round 3:
-        "q_window_rank",
-        "q_session_window",
-        "q_pricing_summary",
-        "q_cube",
-        "q_grouping_sets",
-        "q_salted_join",
-        "q_scalar_subquery",
-        "q_large_orders",
+        # never driver-checked before round 4, rotated in:
+        "q_topk_per_stratum",
+        "q_incremental_ingest",
+        "q_weighted_sample",
+        "q_simhash_neardup",
+        "q_centroid_assign",
+        "q_ivf_topk_exact",
+        "q_resize_images",
+        # round-3 driver failures, fixed in round 4 — must re-verify:
+        "q_sequence_pack",
+        "q_substring_dedup",
+        # the composed pipeline is the strongest single check — keep it:
+        "q_curation_pipeline",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
