@@ -36,25 +36,52 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the regime where it's trivially cheap (input ≪ one split).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Partition-count probe WITHOUT df.rdd: the RDD conversion physically
-    # plans the whole query into a second lineage (per spread() call, per
-    # plan branch), which doubles planning work on complex inputs. The
-    # file index is metadata: scan-rooted frames (every production call
-    # site) report their leaf files straight from the catalog. Scans of
-    # fewer files than cores are exactly the under-parallel regime spread
-    # exists for; a file can split into several tasks, but then the
-    # repartition is a small-data shuffle by construction (input ≪ one
-    # split's worth of cores), same as before.
-    n_files = len(df.inputFiles())
-    if n_files == 0:
-        # in-memory / fully-derived frame (tests, createDataFrame): the
-        # RDD probe is cheap there and keeps exact legacy behavior
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
-        return df
-    if n_files < target:
+    # Two probes, picked by plan shape:
+    #
+    # - BARE SCAN (scan + project/filter/generate only): the leaf-file
+    #   count IS the partitioning, read straight from the catalog with
+    #   zero planning cost. This is every production call site.
+    # - DERIVED FRAME (any exchange-inducing node — join, aggregate,
+    #   window, repartition, union): the file count describes the leaf
+    #   scans, NOT the frame's live partitioning (a post-shuffle or
+    #   AQE-coalesced frame rooted in a many-file scan would wrongly
+    #   skip the repartition, and a union would sum all scans' files).
+    #   Fall back to the rdd probe, which reflects the actual physical
+    #   partitioning; its extra planning cost only applies to the rare
+    #   derived-frame call sites.
+    if _bare_scan(df):
+        n_files = len(df.inputFiles())
+        if n_files:
+            return df.repartition(target) if n_files < target else df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# Logical-plan nodes that change partitioning between the leaf scan and
+# the frame (exchanges or multi-child combinators). Substring match on
+# the analyzed plan is conservative: a false positive just routes to the
+# exact-but-slower rdd probe.
+_EXCHANGE_NODES = (
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "Sort",
+    "Window",
+    "Deduplicate",
+    "Union",
+    "Intersect",
+    "Except",
+    "Limit",
+)
+
+
+def _bare_scan(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return not any(n in plan for n in _EXCHANGE_NODES)
 
 # Shared accumulator type for dsum/davg: 25 digits, 6 frac — exact for
 # TPC-H-ish money math at any tested SF, and far below Decimal(38) caps

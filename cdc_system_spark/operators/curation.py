@@ -213,17 +213,27 @@ def incremental_ingest(
 ) -> DataFrame:
     """Incrementally admit a new document batch into a curated corpus:
     drop incoming docs whose content hash already exists in the corpus,
-    exact-dedup within the batch (min-id survivor), and union the
-    remainder — the CDC-shaped maintenance path of a training corpus
-    (this engine's change-capture surface delivers ``incoming``; this
-    operator is the merge policy for it).
+    exact-dedup within the batch (min-id survivor), then UPSERT the
+    remainder by ``id_col`` — the CDC-shaped maintenance path of a
+    training corpus (this engine's change-capture surface delivers
+    ``incoming``; this operator is the merge policy for it).
+
+    Upsert, not append: a CDC-delivered UPDATE arrives as an existing
+    ``doc_id`` with changed text. It passes the content-hash anti join
+    (the text is new), so appending would yield two corpus rows with
+    the same id — breaking the id-keyed invariant every downstream
+    operator (clustering, survivor semi joins, id joins) assumes. The
+    admitted batch therefore REPLACES any same-id corpus row; an
+    unchanged re-delivery (same id, same text) is dropped by the hash
+    anti join and the corpus row survives untouched.
 
     Scale shape: the corpus side is reduced to its DISTINCT content
-    hashes before the join, so the anti join moves hash-width rows, not
-    documents; the batch side is tiny by construction (one sync
-    interval's worth). A production deployment keeps the corpus hash
-    set as a maintained table (the reference's audit-table pattern)
-    instead of recomputing — the join shape is identical.
+    hashes before the content join, so that anti join moves hash-width
+    rows, not documents; the id-keyed replacement anti join has the
+    tiny admitted batch (one sync interval's worth) on its build side,
+    so it broadcasts. A production deployment keeps the corpus hash set
+    as a maintained table (the reference's audit-table pattern) instead
+    of recomputing — the join shapes are identical.
     """
     corpus_hashes = corpus.select(
         F.md5(F.col(text_col)).alias("_h")
@@ -235,7 +245,8 @@ def incremental_ingest(
     )
     batch_ids = exact_dedup(fresh, text_col, id_col).select(id_col)
     deduped = fresh.join(batch_ids, id_col, "left_semi")
-    return corpus.unionByName(deduped)
+    kept = corpus.join(deduped.select(id_col), id_col, "left_anti")
+    return kept.unionByName(deduped)
 
 
 def substring_duplicate_passages(

@@ -168,9 +168,12 @@ def minhash_jaccard_estimate(
     between LSH candidate generation and exact rescoring — at 100 TB
     you threshold on this before paying for any exact set overlap.
 
-    Shape: the pair table (bounded by LSH candidate volume ≪ corpus) is
-    broadcast against the signature table twice — the big side is
-    scanned, never shuffled.
+    Shape: the pair table (bounded by LSH candidate volume ≪ corpus)
+    joins the signature table twice with the big side scanned in place.
+    No forced broadcast hint: candidate volume is data-dependent (a
+    degenerate corpus can blow past the broadcast threshold), so the
+    join strategy is left to the optimizer — AQE still picks a runtime
+    broadcast whenever the pair side is actually small.
     """
     ha = sigs.select(
         F.col(id_col).alias("id1"),
@@ -184,8 +187,8 @@ def minhash_jaccard_estimate(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(num_perms)
     )
-    cand = ha.join(F.broadcast(pairs), "id1")  # stays pair-sized
-    return hb.join(F.broadcast(cand), "id2").select(
+    cand = ha.join(pairs, "id1")  # stays pair-sized
+    return hb.join(cand, "id2").select(
         "id1",
         "id2",
         F.round(matches / F.lit(float(num_perms)), 6).alias("est_jaccard"),
@@ -246,6 +249,18 @@ def simhash_neardup_pairs(
     bounded by the band width (2^band_bits buckets spread uniformly for
     hash-like fingerprints).
     """
+    if bits % n_bands != 0:
+        raise ValueError(
+            f"bits ({bits}) must divide evenly into n_bands ({n_bands}) "
+            "disjoint bit bands"
+        )
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must satisfy 0 <= max_hamming < "
+            f"n_bands ({n_bands}); the pigeonhole completeness guarantee "
+            "(every pair within max_hamming agrees on >= 1 band) only "
+            "holds when the bands outnumber the tolerated bit flips"
+        )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sim = simhash(df, text_col, id_col, bits=bits).localCheckpoint(eager=False)

@@ -258,12 +258,16 @@ _INGEST_SQL = """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
         SELECT doc_id + 1000000, text, lang, source FROM newbies
         UNION ALL
         SELECT doc_id + 2000000, text, lang, source FROM corpus
-        WHERE doc_id % 7 = 1),
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id, text || ' v2', lang, source FROM corpus
+        WHERE doc_id % 13 = 2),
     fresh AS (SELECT b.* FROM batch b
               WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)),
     keep AS (SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY md5(text)),
     dedup AS (SELECT f.* FROM fresh f JOIN keep USING (doc_id))
     SELECT doc_id, lang, source FROM corpus
+    WHERE doc_id NOT IN (SELECT doc_id FROM dedup)
     UNION ALL
     SELECT doc_id, lang, source FROM dedup"""
 
@@ -272,9 +276,10 @@ _INGEST_SQL = """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
     "q_incremental_ingest",
     _INGEST_SQL,
     doc="incremental corpus maintenance: a CDC-delivered batch (with "
-    "in-batch dupes and already-present content) admitted via hash anti "
-    "join + batch exact-dedup; corpus reduced to hash-width rows for "
-    "the join",
+    "in-batch dupes, already-present content, and UPDATE-shaped rows "
+    "reusing existing ids) admitted via hash anti join + batch "
+    "exact-dedup, then id-keyed upsert; corpus reduced to hash-width "
+    "rows for the content join",
 )
 def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents.select("doc_id", "text", "lang", "source")
@@ -286,8 +291,17 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + offset).alias("doc_id"), "text", "lang", "source"
         )
 
-    batch = newbies.unionByName(_remap(newbies, 1_000_000)).unionByName(
-        _remap(corpus.filter(F.col("doc_id") % 7 == 1), 2_000_000)
+    # UPDATE-shaped rows: existing ids, changed text -> must replace
+    updates = corpus.filter(F.col("doc_id") % 13 == 2).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        "lang",
+        "source",
+    )
+    batch = (
+        newbies.unionByName(_remap(newbies, 1_000_000))
+        .unionByName(_remap(corpus.filter(F.col("doc_id") % 7 == 1), 2_000_000))
+        .unionByName(updates)
     )
     out = C.incremental_ingest(corpus, batch)
     return out.select("doc_id", "lang", "source")

@@ -163,6 +163,30 @@ def test_incremental_ingest_drops_dupes(spark):
     assert unchanged == [1, 2]
 
 
+def test_incremental_ingest_upserts_existing_id(spark):
+    """A CDC UPDATE arrives as an existing doc_id with changed text: it
+    must REPLACE the corpus row, never duplicate the id (the id-keyed
+    invariant downstream clustering/joins assume)."""
+    from cdc_system_spark.operators.curation import incremental_ingest
+
+    corpus = _docs(spark, [(1, "alpha"), (2, "beta")])
+    batch = _docs(
+        spark,
+        [
+            (1, "alpha revised"),   # UPDATE: same id, new text -> replaces
+            (2, "beta"),            # unchanged re-delivery -> no-op
+            (3, "gamma"),           # plain insert
+        ],
+    )
+    rows = incremental_ingest(corpus, batch).collect()
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [1, 2, 3], f"duplicate or lost ids: {ids}"
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    assert by_id[1] == "alpha revised"  # the update won
+    assert by_id[2] == "beta"           # untouched
+    assert by_id[3] == "gamma"
+
+
 def test_normalize_text_collapses_whitespace(spark):
     from cdc_system_spark.operators.text import normalize_text
 
@@ -210,6 +234,21 @@ def test_simhash_neardup_identical_docs_hamming_zero(spark):
             for r in simhash_neardup_pairs(docs, max_hamming=2).collect()}
     assert rows.get((1, 2)) == 0
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_simhash_neardup_rejects_invalid_band_config(spark):
+    """Pigeonhole completeness (every pair within max_hamming agrees on
+    >= 1 band) requires max_hamming < n_bands and evenly split bits —
+    invalid configs must error, not silently return incomplete pairs."""
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _docs(spark, [(1, "a b c"), (2, "a b d")])
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup_pairs(docs, bits=32, n_bands=4, max_hamming=4)
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_neardup_pairs(docs, bits=30, n_bands=4, max_hamming=2)
 
 
 def test_weighted_sample_rates_follow_weights(spark):
