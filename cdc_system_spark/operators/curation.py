@@ -75,9 +75,14 @@ def curate_corpus(
     5. stratified sampling — deterministic md5-bucket mixture reweighting
     """
     # 1. exact dedup (survivor ids only — exact_dedup returns one row
-    # per content hash with the min id)
+    # per content hash with the min id). c1 feeds THREE downstream plan
+    # branches (minhash signatures, the cluster-survivor semi join, and
+    # through c2 the filter stages); without lineage truncation each
+    # branch re-runs the scan + md5 groupBy + semi join. The checkpoint
+    # materializes the survivor set once — it is corpus-shaped rows, the
+    # same data every branch must read anyway.
     exact_ids = exact_dedup(corpus, text_col, id_col).select(id_col)
-    c1 = corpus.join(exact_ids, id_col, "left_semi")
+    c1 = corpus.join(exact_ids, id_col, "left_semi").localCheckpoint(eager=False)
 
     # 2. near-dup canonical survivors
     sigs = minhash_signatures(c1, text_col, id_col, k=shingle_k, num_perms=num_perms)
@@ -86,7 +91,8 @@ def curate_corpus(
     )
     clusters = duplicate_clusters(c1, pairs, id_col)
     canonical = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
-    c2 = c1.join(canonical, id_col, "left_semi")
+    # c2 feeds the repetition fold AND the length filter — truncate once
+    c2 = c1.join(canonical, id_col, "left_semi").localCheckpoint(eager=False)
 
     # 3. per-row filters: repetition verdict + minimum length.
     # The lineage barrier before the filter matters: filtering directly

@@ -390,6 +390,14 @@ def duplicate_clusters(
         .agg(F.least(F.min("b"), F.col("a")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
+    def _label_sig(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev_sig = _label_sig(labels)
     for _ in range(max_iters):
         neighbor = (
             edges.join(labels, edges.a == labels.node)
@@ -398,15 +406,16 @@ def duplicate_clusters(
         new_labels = (
             labels.union(neighbor).groupBy("node").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
+        # Min-propagation is monotone: a node's label never increases,
+        # so the label multiset changed iff its sum decreased. Checking
+        # (count, sum) on the just-checkpointed frame costs one tiny
+        # agg — the old old-vs-new join + filter + count was a full
+        # extra shuffle per round.
+        cur = _label_sig(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur == prev_sig:
             break
+        prev_sig = cur
     node_labels = labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("_lbl")
     )
