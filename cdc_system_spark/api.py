@@ -51,15 +51,28 @@ class SnapshotTable:
         if not self.exists():
             return self.spark.createDataFrame([], self.schema)
         with open(self._current_file()) as f:
-            version = f.read().strip()
+            version = f.readline().strip()
         return self.spark.read.parquet(os.path.join(self.path, version))
 
-    def write(self, df: DataFrame) -> None:
+    def meta(self) -> dict[str, str]:
+        """Key=value metadata committed atomically with the last flip
+        (empty for tables written without metadata). This is the seam a
+        transactional sink needs: Delta's txnAppId/txnVersion pattern,
+        minimal edition — see StreamingCorpusIngestor."""
+        if not self.exists():
+            return {}
+        with open(self._current_file()) as f:
+            lines = f.read().splitlines()
+        return dict(line.split("=", 1) for line in lines[1:] if "=" in line)
+
+    def write(self, df: DataFrame, meta: dict[str, str] | None = None) -> None:
         version = f"v{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(os.path.join(self.path, version))
         tmp = self._current_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
+            for k, v in (meta or {}).items():
+                f.write(f"\n{k}={v}")
         os.replace(tmp, self._current_file())
 
     def destroy(self) -> None:

@@ -1,0 +1,138 @@
+"""CDC-native corpus maintenance: change stream → curated corpus.
+
+The missing link between the engine's two halves: change capture
+(operators/capture.py writes the audit-schema log the reference's
+triggers produce, cdc_system.py:105-141) and corpus curation
+(operators/curation.py `incremental_ingest`). A training corpus fed by
+a CDC stream is maintained exactly like a replica — except the merge
+policy is content-aware: admitted rows are content-hash-deduped against
+the corpus, not just keyed by id.
+
+Shape: Structured Streaming file source over the parquet change log →
+``foreachBatch`` → net-effect reduce (one final effect per record, so a
+delete-then-reinsert batch lands correctly) → ``incremental_ingest``
+for the upsert side + id anti join for the delete side. Offsets live in
+the checkpoint.
+
+Exactly-once: content-hash admission alone is NOT replay-stable (a
+dupe dropped against the pre-batch corpus can be admitted if the batch
+replays after the corpus mutated), so the ingestor commits the batch id
+atomically with the corpus flip (``SnapshotTable.write(meta=...)`` —
+Delta's txnAppId/txnVersion pattern, minimal edition) and skips any
+batch id at-or-below the last committed one. Crash anywhere: either the
+flip didn't happen (replay applies to the pre-batch corpus, same
+result) or it did (replay is skipped by the marker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_system_spark.api import SnapshotTable
+from cdc_system_spark.operators.curation import incremental_ingest
+from cdc_system_spark.operators.merge import net_effect_reduce
+from cdc_system_spark.streaming.source import read_change_stream
+
+
+class StreamingCorpusIngestor:
+    """Maintain a curated document corpus from a CDC change stream.
+
+    ``doc_schema`` describes the decoded document row (must contain
+    ``id_col`` and ``text_col``); change rows carry it JSON-encoded in
+    ``new_data``, keyed by ``record_id`` — the audit-table contract the
+    capture side writes.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_path: str,
+        corpus: SnapshotTable,
+        doc_schema: T.StructType,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        checkpoint_path: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        if id_col not in doc_schema.names or text_col not in doc_schema.names:
+            raise ValueError(
+                f"doc_schema must contain id_col {id_col!r} and "
+                f"text_col {text_col!r}; has {doc_schema.names}"
+            )
+        self.spark = spark
+        self.log_path = log_path
+        self.corpus = corpus
+        self.doc_schema = doc_schema
+        self.id_col = id_col
+        self.text_col = text_col
+        self.checkpoint_path = checkpoint_path or log_path + "_ingest_checkpoint"
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batches_applied = 0
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """Apply one change micro-batch to the corpus (exactly-once via
+        the corpus's transactional batch marker)."""
+        meta = self.corpus.meta()
+        if meta.get("ingest_app") == self.checkpoint_path:
+            # foreachBatch replays a failed batch under the SAME id
+            # (scoped to one checkpoint — a fresh checkpoint restarts
+            # ids from 0, hence the app guard)
+            if batch_id <= int(meta.get("ingest_batch", -1)):
+                return
+        if batch.isEmpty():
+            return
+        decoded = batch.withColumn("new", F.from_json("new_data", self.doc_schema))
+        # One net effect per record: an INSERT→DELETE batch nets to
+        # DELETE, DELETE→INSERT nets to UPSERT — replaying per-op in
+        # order inside foreachBatch would be driver-side sequencing;
+        # the reduce is one hash aggregation.
+        net = net_effect_reduce(decoded, key="record_id").localCheckpoint(eager=True)
+
+        current = self.corpus.read()
+        delete_ids = net.filter(F.col("effect") == "DELETE").select(
+            F.col("record_id").alias(self.id_col)
+        )
+        upserts = net.filter(
+            (F.col("effect") == "UPSERT") & F.col(f"new.{self.id_col}").isNotNull()
+        ).select("new.*")
+        # UPDATE on a missing key no-ops (the replicator's contract,
+        # reference cdc_system.py:334-350): keep only updates whose id
+        # is already in the corpus.
+        cond_updates = (
+            net.filter(
+                (F.col("effect") == "UPDATE_IF_EXISTS")
+                & F.col(f"new.{self.id_col}").isNotNull()
+            )
+            .select("new.*")
+            .join(current.select(self.id_col), self.id_col, "left_semi")
+        )
+        admitted = upserts.unionByName(cond_updates)
+
+        merged = incremental_ingest(
+            current, admitted, text_col=self.text_col, id_col=self.id_col
+        )
+        final = merged.join(delete_ids, self.id_col, "left_anti")
+        self.corpus.write(
+            final,
+            meta={"ingest_app": self.checkpoint_path, "ingest_batch": str(batch_id)},
+        )
+        self.batches_applied += 1
+
+    def _writer(self):
+        stream = read_change_stream(
+            self.spark, self.log_path, self.max_files_per_trigger
+        )
+        return stream.writeStream.foreachBatch(self.apply_batch).option(
+            "checkpointLocation", self.checkpoint_path
+        )
+
+    def run_available_now(self) -> None:
+        """Drain all pending change files into the corpus, then return."""
+        q = self._writer().trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    def start_continuous(self, interval: str = "5 seconds"):
+        """Continuous micro-batch corpus maintenance; returns the query."""
+        return self._writer().trigger(processingTime=interval).start()

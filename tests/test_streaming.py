@@ -109,6 +109,99 @@ def test_streaming_incremental_ingest_keeps_corpus_deduped(spark, tmp_path):
     assert 11 not in rows                  # alpha dupe never admitted
 
 
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _doc_rows(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_streaming_corpus_ingestor_capture_to_corpus(spark, tmp_path):
+    # The CDC-native ingest path: change capture -> change stream ->
+    # foreachBatch -> incremental corpus maintenance. INSERTs are
+    # content-deduped, UPDATEs replace by id, DELETEs remove, and a
+    # checkpointed restart drains only the new files.
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, [(1, "alpha"), (2, "beta")]))
+
+    cap.capture_insert(_doc_rows(spark, [(10, "gamma"), (11, "alpha")]))
+    cap.capture_update(
+        _doc_rows(spark, [(1, "alpha revised")]), _doc_rows(spark, [(1, "alpha")])
+    )
+    cap.capture_delete(_doc_rows(spark, [(2, "beta")]))
+
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "ickpt"),
+    )
+    ing.run_available_now()
+    rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert rows == {1: "alpha revised", 10: "gamma"}  # 11 = content dupe, 2 deleted
+
+    # checkpointed restart: only the post-drain captures are applied
+    cap.capture_insert(_doc_rows(spark, [(20, "delta"), (21, "gamma")]))
+    ing2 = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "ickpt"),
+    )
+    ing2.run_available_now()
+    rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert rows == {1: "alpha revised", 10: "gamma", 20: "delta"}  # 21 = dupe
+
+
+def test_streaming_corpus_ingestor_replay_is_exactly_once(spark, tmp_path):
+    # foreachBatch re-runs a failed batch under the same id; the corpus
+    # batch marker (committed atomically with the snapshot flip) must
+    # make the replay a no-op. This matters because content-hash
+    # admission alone is NOT replay-stable: the batch below replaces
+    # doc 1's text "alpha" while also carrying a dupe insert of
+    # "alpha" — on a naive replay the dupe would be admitted since
+    # "alpha" is no longer in the corpus.
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, [(1, "alpha")]))
+
+    cap.capture_insert(_doc_rows(spark, [(11, "alpha")]))
+    cap.capture_update(
+        _doc_rows(spark, [(1, "alpha revised")]), _doc_rows(spark, [(1, "alpha")])
+    )
+
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "ickpt"),
+    )
+    batch = cap.read_log()
+    ing.apply_batch(batch, 0)
+    after_first = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert after_first == {1: "alpha revised"}
+    ing.apply_batch(batch, 0)  # crash-replay of the same batch id
+    after_replay = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert after_replay == after_first
+    ing.apply_batch(batch, 1)  # a genuinely new batch still applies
+    assert 11 in {r["doc_id"] for r in corpus.read().collect()}
+
+
 def test_metrics_interval_gates_report_emission(spark, system, tmp_path):
     # CDC_METRICS_INTERVAL (reference config.py:39-40) drives the
     # streaming monitor cadence: first batch reports, then at most one
