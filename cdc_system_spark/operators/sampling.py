@@ -94,6 +94,82 @@ def top_k_per_stratum(
     )
 
 
+def split_assign(
+    df: DataFrame,
+    splits: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row gets a
+    ``split`` label from contiguous hash-bucket ranges (e.g. train
+    [0,980), val [980,990), test [990,1000)) — the standard holdout
+    carving for training data. Keyed on md5(salt||id), so membership is
+    stable across reruns, cluster layouts, and corpus growth (a doc's
+    split never changes when other docs are added — the property that
+    keeps eval sets uncontaminated as the corpus evolves). Map-only,
+    zero shuffle; ``salt`` draws an independent partition.
+
+    ``splits`` maps label → fraction (must sum to ≤ 1; any remainder
+    falls into the LAST label, so the default 0.98/0.01/0.01 is exact).
+    Iteration order of the dict defines the bucket ranges.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits:
+        raise ValueError("splits must contain at least one label")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    expr: Column | None = None
+    edge = 0
+    labels = list(splits)
+    for label, frac in splits.items():
+        edge += int(round(frac * BUCKETS))
+        cond = F.col("_bucket") < F.lit(min(edge, BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(
+            cond, F.lit(label)
+        )
+    assert expr is not None
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return (
+        df.withColumn("_bucket", hash_bucket(id_col, salt))
+        .withColumn("split", expr)
+        .drop("_bucket")
+    )
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    strata_col: str,
+    min_percentile: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep rows at or above the ``min_percentile`` of ``score_col``
+    WITHIN their stratum — "cut the bottom 20% per language", the
+    relative form of a quality filter. An absolute threshold cuts
+    whole low-scoring languages; the percentile cut removes each
+    stratum's own worst tail, which is what mixture-balanced curation
+    wants.
+
+    Exact ``percent_rank`` (not approx quantiles): deterministic,
+    oracle-checkable, and one shuffle on the stratum key — the same
+    window shape as top-k, safe at any stratum size. Ties broken by
+    ``id_col`` so the kept set is unique and layout-independent.
+    """
+    if not 0.0 <= min_percentile <= 1.0:
+        raise ValueError(f"min_percentile must be in [0, 1], got {min_percentile}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") >= min_percentile)
+        .drop("_pr")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

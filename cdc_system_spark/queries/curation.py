@@ -324,6 +324,32 @@ _WEIGHTED_SQL = f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
     WHERE {_WBUCKET} < ROUND(LEAST(GREATEST(quality_score, 0.0), 1.0) * 1000, 0)"""
 
 
+_SPLIT_SQL = """WITH b AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5('s4' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 AS bucket
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b"""
+
+
+@register(
+    "q_split_assign",
+    _SPLIT_SQL,
+    doc="deterministic train/val/test split assignment (98/1/1) from "
+    "contiguous md5-bucket ranges — membership stable under corpus "
+    "growth, so eval sets stay uncontaminated; map-only, zero shuffle",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import split_assign
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id")
+    return split_assign(docs, salt="s4")
+
+
 @register(
     "q_weighted_sample",
     _WEIGHTED_SQL,
@@ -338,3 +364,32 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents
     scored = text_quality(docs).select("doc_id", "quality_score")
     return weighted_sample(scored, "quality_score", salt="s3")
+
+
+_QCUT_SQL = f"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+                             FROM documents),
+    q AS (SELECT doc_id, lang, {_WSCORE} AS quality_score FROM t),
+    r AS (SELECT *, PERCENT_RANK() OVER (
+              PARTITION BY lang ORDER BY quality_score ASC, doc_id ASC) AS pr
+          FROM q)
+    SELECT doc_id, lang, quality_score FROM r WHERE pr >= 0.2"""
+
+
+@register(
+    "q_quality_cut",
+    _QCUT_SQL,
+    doc="per-stratum quality-percentile filter: drop each language's "
+    "bottom 20% by quality score — the relative quality cut that "
+    "doesn't erase whole low-scoring languages; one window shuffle, "
+    "deterministic tiebreak",
+)
+def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import quality_percentile_filter
+    from cdc_system_spark.operators.text import text_quality
+
+    docs = catalog(spark, sf_dir).documents
+    scored = text_quality(docs).select("doc_id", "quality_score")
+    with_lang = docs.select("doc_id", "lang").join(scored, "doc_id")
+    return quality_percentile_filter(
+        with_lang, "quality_score", "lang", min_percentile=0.2
+    )

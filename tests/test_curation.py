@@ -326,3 +326,44 @@ def test_curate_corpus_end_to_end_stages(spark):
     # 2 exact-dup'd, 3 repetitious, 4 short, 5 contaminated (shares a
     # 5-gram with the benchmark) -> only 1 survives at rate 1.0
     assert kept == [1]
+
+
+def test_split_assign_covers_all_rows_deterministically(spark):
+    from cdc_system_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = split_assign(docs).collect()
+    assert len(out) == 2000
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) == {"train", "val", "test"}
+    # ~98/1/1 within hash granularity
+    assert len(by_split["train"]) > 1900
+    assert 0 < len(by_split["val"]) < 100
+    assert 0 < len(by_split["test"]) < 100
+    # stability under corpus growth: a doc's split never changes when
+    # other docs are added
+    subset = split_assign(docs.filter("doc_id < 500")).collect()
+    for r in subset:
+        assert r["doc_id"] in by_split[r["split"]]
+    # invalid config errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_assign(docs, splits={"a": 0.9, "b": 0.2})
+
+
+def test_quality_percentile_filter_cuts_bottom_per_stratum(spark):
+    from cdc_system_spark.operators.sampling import quality_percentile_filter
+
+    rows = [(i, "en", float(i)) for i in range(100)] + [
+        (100 + i, "de", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = quality_percentile_filter(df, "score", "lang", 0.2).collect()
+    en = sorted(r["doc_id"] for r in out if r["lang"] == "en")
+    de = sorted(r["doc_id"] - 100 for r in out if r["lang"] == "de")
+    # percent_rank >= 0.2 keeps ranks where (rank-1)/(n-1) >= 0.2
+    assert en == list(range(20, 100))   # bottom 20 of 100 cut (0..19)
+    assert de == list(range(2, 10))     # bottom 2 of 10 cut
