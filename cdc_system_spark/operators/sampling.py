@@ -170,6 +170,110 @@ def quality_percentile_filter(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum (language /
+    source / domain): sampling probability ∝ n_s^α — the standard
+    multilingual rebalancing (α=1 keeps natural proportions, α→0
+    approaches uniform; mT5/XLM-R train at α≈0.3–0.7). Returns one row
+    per stratum with its doc count, normalized mixture ``weight`` and
+    the integer ``quota`` of documents a same-size resampled corpus
+    would draw from it.
+
+    One map-side-combined groupBy over the corpus; the normalization
+    window runs on the strata-sized aggregate (|strata| rows — single
+    partition by construction, never data-sized). α=0.5 uses ``sqrt``
+    (IEEE correctly-rounded, bit-identical across engines); other α go
+    through ``pow``. The weight sum is decimal-accumulated (see
+    functions.portable.dsum) so the normalization is order-insensitive.
+    """
+    from pyspark.sql import Window
+
+    scaled = (
+        F.sqrt(F.col("n_docs").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("_w", F.round(scaled, 6))
+    )
+    w = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "_wsum", F.sum(F.col("_w").cast("decimal(25,6)")).over(w).cast("double")
+        )
+        .withColumn("_ntot", F.sum("n_docs").over(w))
+        .select(
+            strata_col,
+            "n_docs",
+            F.round(F.col("_w") / F.col("_wsum"), 6).alias("weight"),
+            F.round(F.col("_w") / F.col("_wsum") * F.col("_ntot"), 0)
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training order WITHOUT a global sort: every
+    row gets a dense ``global_pos`` in [1, N] drawn from md5(salt||id)
+    — the example-shuffling pass before sequence packing. Same order on
+    any cluster layout; ``salt`` draws an independent permutation.
+
+    A naive ``ROW_NUMBER() OVER (ORDER BY md5)`` funnels the corpus
+    through ONE partition — the canonical scale-killer. Instead:
+    shard-major two-level numbering (shard = key % S, rank within
+    shard, plus broadcast per-shard offsets), so the only data-sized
+    shuffle is the S-way window partition-by; the offset table is S
+    rows. Equivalent to ``ROW_NUMBER() OVER (ORDER BY key % S, key,
+    id)``. At 100 TB, S scales with the cluster (shards stay ~N/S
+    rows); the offset table stays tiny.
+    """
+    from pyspark.sql import Window
+
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    key = md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("_key", key).withColumn(
+        "_shard", F.col("_key") % num_shards
+    )
+    within = F.row_number().over(
+        Window.partitionBy("_shard").orderBy("_key", id_col)
+    )
+    offsets = (
+        keyed.groupBy("_shard")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.partitionBy()
+                    .orderBy("_shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_offset")
+    )
+    return (
+        keyed.withColumn("_within", within)
+        .join(F.broadcast(offsets), "_shard")
+        .withColumn("global_pos", F.col("_offset") + F.col("_within"))
+        .drop("_key", "_shard", "_within", "_offset")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,

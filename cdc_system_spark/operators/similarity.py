@@ -378,6 +378,61 @@ def pairwise_neardup(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): quantize embeddings to k cells, then prune
+    near-duplicates *within* each cell only — the cell bound is what
+    makes pairwise cosine sub-quadratic at corpus scale (k grows with
+    the corpus, ~sqrt(N), so cells stay bounded; candidates never cross
+    cells).
+
+    Keep rule (deterministic, layout-independent): a vector is dropped
+    iff some same-cell vector with a *smaller id* has rounded cosine
+    ≥ ``threshold``. Survivors are returned with their cell id.
+
+    Plan shape: literal-centroid assignment (zero shuffle, same
+    contract as :func:`nearest_centroid`) → one self-join shuffled on
+    the cell key → left-anti on dropped ids. No cross join, no
+    all-pairs.
+    """
+    cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
+    best = _nearest_centroid_expr(cents, vec_col)
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["neg_cid"]).cast("int").alias("centroid_id"),
+    )
+    a = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col(id_col).alias("keep_id"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col(id_col).alias("dup_id"),
+        F.col(vec_col).alias("v2"),
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .select("dup_id")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["dup_id"], "left_anti"
+        )
+        .select(id_col, "centroid_id")
+    )
+
+
 def assign_cells(
     emb: DataFrame,
     num_centroids: int = 16,

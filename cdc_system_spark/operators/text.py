@@ -321,6 +321,46 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 16,
+) -> DataFrame:
+    """Corpus length profile: fixed-width histogram of per-document
+    token counts — the first thing a data curator plots (truncation
+    budget, packing efficiency, outlier docs). One row per non-empty
+    bucket: doc count, total tokens, and each bucket's share of docs.
+
+    Fixed-width buckets (not quantiles) deliberately: exact, mergeable
+    across corpus shards by plain addition, and oracle-checkable —
+    approx-percentile sketches are none of these. One map-side-combined
+    groupBy; the share window runs over the histogram itself (bounded
+    by max_tokens/width rows, never data-sized). The share is an exact
+    bigint/bigint division in double — engine-identical.
+    """
+    from pyspark.sql import Window
+
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    n_tok = F.size(_tokens(text_col)).cast("long")
+    hist = (
+        df.select(F.floor(n_tok / width).cast("long").alias("bucket"), n_tok.alias("_n"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("_n").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    return hist.withColumn(
+        "share", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+    ).select(
+        "bucket",
+        (F.col("bucket") * width).alias("lo_tokens"),
+        "n_docs",
+        "n_tokens",
+        "share",
+    )
+
+
 def rarity_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

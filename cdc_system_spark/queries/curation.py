@@ -393,3 +393,57 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_percentile_filter(
         with_lang, "quality_score", "lang", min_percentile=0.2
     )
+
+
+_TEMP_MIX_SQL = """WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+    s AS (SELECT *, ROUND(SQRT(CAST(n_docs AS DOUBLE)), 6) AS w FROM c)
+    SELECT lang, n_docs,
+        ROUND(w / CAST(SUM(CAST(w AS DECIMAL(25,6))) OVER () AS DOUBLE), 6)
+            AS weight,
+        CAST(ROUND(w / CAST(SUM(CAST(w AS DECIMAL(25,6))) OVER () AS DOUBLE)
+                   * CAST(SUM(n_docs) OVER () AS BIGINT), 0) AS BIGINT)
+            AS quota
+    FROM s"""
+
+
+@register(
+    "q_temperature_mix",
+    _TEMP_MIX_SQL,
+    doc="temperature-scaled language mixture (alpha=0.5): sampling "
+    "weight proportional to sqrt(n_docs), normalized over a "
+    "strata-sized aggregate with a decimal-accumulated sum; the "
+    "multilingual rebalancing pass (mT5/XLM-R-style) before sampling",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import temperature_mix
+
+    return temperature_mix(catalog(spark, sf_dir).documents, "lang", alpha=0.5)
+
+
+_GLOBAL_SHUFFLE_SQL = """WITH k AS (
+        SELECT doc_id,
+               CAST(CONCAT('0x', SUBSTR(MD5('s5' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS key
+        FROM documents)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY key % 64, key, doc_id) AS BIGINT)
+               AS global_pos
+    FROM k"""
+
+
+@register(
+    "q_global_shuffle",
+    _GLOBAL_SHUFFLE_SQL,
+    doc="deterministic global training order without a global sort: "
+    "shard-major two-level numbering (md5 shard + within-shard rank + "
+    "broadcast offsets) equivalent to ROW_NUMBER over (key%S, key, id) "
+    "but with no single-partition data-sized window",
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import global_shuffle
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id")
+    out = global_shuffle(docs, salt="s5", num_shards=64)
+    return out.select("doc_id", F.col("global_pos").cast("bigint").alias("global_pos"))

@@ -769,3 +769,75 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rarity_score(catalog(spark, sf_dir).documents)
+
+
+# -- SemDeDup: within-cell embedding-cosine dedup ----------------------------
+_SEMANTIC_DEDUP_SQL = """WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3)),
+    scored AS (
+        SELECT e.vec_id, e.embedding AS v, c.cid,
+               ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+                     / (SQRT(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE))))
+                        * SQRT(list_sum(list_transform(range(1, len(c.cv) + 1),
+                              i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))))),
+                     6) AS cos_sim
+        FROM embeddings e, c),
+    assign AS (
+        SELECT vec_id, v, CAST(cid AS INTEGER) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid ASC) AS rk
+            FROM scored) WHERE rk = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE ROUND(list_sum(list_transform(range(1, len(a.v) + 1),
+                    i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                / (SQRT(list_sum(list_transform(range(1, len(a.v) + 1),
+                         i -> CAST(a.v[i] AS DOUBLE) * CAST(a.v[i] AS DOUBLE))))
+                 * SQRT(list_sum(list_transform(range(1, len(b.v) + 1),
+                         i -> CAST(b.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))))),
+                6) >= 0.4)
+    SELECT vec_id, centroid_id FROM assign
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"""
+
+
+@register(
+    "q_semantic_dedup",
+    _SEMANTIC_DEDUP_SQL,
+    doc="SemDeDup (arXiv:2303.09540): literal-centroid quantization, "
+    "within-cell cosine pruning (drop iff a smaller-id cell-mate has "
+    "cos >= 0.4), survivors with cell id — the cell bound keeps "
+    "pairwise cosine sub-quadratic at corpus scale",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semantic_dedup(catalog(spark, sf_dir).embeddings, threshold=0.4)
+
+
+# -- corpus length profile ---------------------------------------------------
+_TOKEN_HIST_SQL = """WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+    h AS (
+        SELECT CAST(FLOOR(n / 16) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens
+        FROM t GROUP BY 1)
+    SELECT bucket, bucket * 16 AS lo_tokens, n_docs, n_tokens,
+           ROUND(n_docs / CAST(SUM(n_docs) OVER () AS BIGINT), 6) AS share
+    FROM h"""
+
+
+@register(
+    "q_token_histogram",
+    _TOKEN_HIST_SQL,
+    doc="fixed-width token-count histogram (width 16): exact, "
+    "shard-mergeable corpus length profile; one map-side-combined "
+    "groupBy, share window over the bounded histogram only",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_histogram(catalog(spark, sf_dir).documents, width=16)

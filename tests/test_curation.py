@@ -367,3 +367,52 @@ def test_quality_percentile_filter_cuts_bottom_per_stratum(spark):
     # percent_rank >= 0.2 keeps ranks where (rank-1)/(n-1) >= 0.2
     assert en == list(range(20, 100))   # bottom 20 of 100 cut (0..19)
     assert de == list(range(2, 10))     # bottom 2 of 10 cut
+
+
+def test_temperature_mix_weights_and_quota(spark):
+    from cdc_system_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en" if i < 900 else ("de" if i < 990 else "sw")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r for r in temperature_mix(df, "lang", alpha=0.5).collect()}
+    assert out["en"]["n_docs"] == 900 and out["sw"]["n_docs"] == 10
+    # weights normalize and quotas redistribute ~N (rounding slack)
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r["quota"] for r in out.values()) - 1000) <= len(out)
+    # alpha=0.5 flattens: the rare language gains share, the head loses
+    assert out["sw"]["quota"] > 10 and out["en"]["quota"] < 900
+    # alpha=1.0 keeps natural proportions exactly
+    nat = {r["lang"]: r for r in temperature_mix(df, "lang", alpha=1.0).collect()}
+    assert all(nat[lg]["quota"] == nat[lg]["n_docs"] for lg in nat)
+
+
+def test_global_shuffle_is_a_dense_permutation(spark):
+    from cdc_system_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = global_shuffle(df, salt="t", num_shards=8).collect()
+    assert sorted(r["global_pos"] for r in out) == list(range(1, 501))
+    # layout-independent: same permutation after an arbitrary repartition
+    pos = {r["doc_id"]: r["global_pos"] for r in out}
+    again = global_shuffle(df.repartition(7), salt="t", num_shards=8).collect()
+    assert {r["doc_id"]: r["global_pos"] for r in again} == pos
+    # a different salt draws a different permutation
+    other = global_shuffle(df, salt="u", num_shards=8).collect()
+    assert {r["doc_id"]: r["global_pos"] for r in other} != pos
+    with pytest.raises(ValueError, match="num_shards"):
+        global_shuffle(df, num_shards=0)
+
+
+def test_token_histogram_partitions_the_corpus(spark):
+    from cdc_system_spark.operators.text import token_histogram
+
+    docs = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c d e"), (3, " ".join(["t"] * 40)), (4, "x")],
+    )
+    out = {r["bucket"]: r for r in token_histogram(docs, width=16).collect()}
+    assert out[0]["n_docs"] == 3 and out[0]["n_tokens"] == 3 + 5 + 1
+    assert out[2]["n_docs"] == 1 and out[2]["lo_tokens"] == 32
+    assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
+    with pytest.raises(ValueError, match="width"):
+        token_histogram(docs, width=0)

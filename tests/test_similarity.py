@@ -116,3 +116,38 @@ def test_srp_lsh_pairs_subset_of_bruteforce_with_recall(emb):
     # theory: bit-agreement p = 1 - acos(0.4)/pi ≈ 0.63, band = p^4,
     # 8 bands → recall ≈ 0.75; assert a loose floor
     assert len(got) >= 0.5 * len(truth)
+
+
+def test_semantic_dedup_drop_rule(spark):
+    """Survivors + dropped partition the corpus; a vector is dropped
+    iff some smaller-id vector in the SAME cell has cosine >= tau —
+    near-dups across cells must both survive (the SemDeDup contract)."""
+    from cdc_system_spark.operators.similarity import (
+        nearest_centroid,
+        semantic_dedup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid B
+        (2, [0.99, 0.14, 0.0, 0.0]), # cell A, near-dup of 0 -> dropped
+        (3, [0.14, 0.99, 0.0, 0.0]), # cell B, near-dup of 1 -> dropped
+        (4, [0.7, 0.7, 0.1, 0.0]),   # one cell, moderate sim -> kept
+        (5, [0.0, 0.0, 1.0, 0.0]),   # orthogonal -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, centroid_ids=(0, 1), threshold=0.95)
+    kept = {r["vec_id"] for r in out.collect()}
+    assert kept == {0, 1, 4, 5}
+    # survivors carry their cell id, matching nearest_centroid
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in nearest_centroid(emb, centroid_ids=(0, 1)).collect()
+    }
+    for r in out.collect():
+        assert r["centroid_id"] == cells[r["vec_id"]]
+    # rerun is deterministic under a different layout
+    again = semantic_dedup(
+        emb.repartition(5), centroid_ids=(0, 1), threshold=0.95
+    )
+    assert {r["vec_id"] for r in again.collect()} == kept
