@@ -574,3 +574,47 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, id_col, "left_anti")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document benchmark-overlap diagnostic — the report a curator
+    reads before choosing the :func:`decontaminate` policy (drop-all is
+    right for exact eval leakage; a ratio threshold is right when
+    benchmarks quote common boilerplate). One row per corpus doc that
+    shares ≥1 token ``n``-gram with the benchmark: how many of its
+    distinct grams are contaminated and the contaminated fraction.
+
+    Same 100 TB shape as :func:`decontaminate`: benchmark grams are
+    tiny → broadcast inner join probes them map-side; grams are
+    deduped *inside the row* (``array_distinct`` before explode) so the
+    per-doc aggregation shuffles only hit grams, never the corpus.
+    """
+    grams = F.array_distinct(token_ngrams(text_col, n))
+    per_doc = spread(corpus).select(
+        F.col(id_col),
+        F.size(grams).alias("n_grams"),
+        F.explode(grams).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(F.explode(token_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        per_doc.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_contaminated"))
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contaminated_ratio"
+            ),
+        )
+    )

@@ -328,3 +328,65 @@ def resize_images(
     return spread(imgs).select("media_id", "kind", "content").mapInPandas(
         batches, schema=RESIZED_SCHEMA
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("peak_amp", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, window: int = 32) -> DataFrame:
+    """Audio feature extraction: windowed loudness profile per clip —
+    the framing/energy pass VAD, silence trimming, and loudness
+    normalization all start from. Payload bytes are treated as 8-bit
+    PCM samples (the FakeCodec contract: deterministic, numpy-exact,
+    oracle-checkable); a real pipeline would swap in torchaudio frames
+    here without touching the plumbing. One row per fixed-size window:
+    mean and peak amplitude, vectorized numpy per Arrow batch.
+
+    Same 1→N fan-out contract as :func:`frame_sample`; audio-kind rows
+    only, filter pushed to the scan. Mean is round-half-up to 1e-6 so
+    an external SQL engine reproduces it exactly (exact int sum / int
+    width, one double division).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, ns, means, peaks = [], [], [], [], []
+            for m, c in zip(pdf["media_id"], pdf["content"]):
+                buf = np.frombuffer(bytes(c) if c is not None else b"", dtype=np.uint8)
+                n_win = max(math.ceil(len(buf) / window), 1)
+                for i in range(n_win):
+                    w = buf[i * window : (i + 1) * window]
+                    total = int(w.sum())
+                    n = max(len(w), 1)
+                    ids.append(int(m))
+                    idxs.append(i)
+                    ns.append(len(w))
+                    means.append(math.floor(total / n * 1e6 + 0.5) / 1e6)
+                    peaks.append(int(w.max()) if len(w) else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "mean_amp": pd.Series(means, dtype="float64"),
+                    "peak_amp": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    clips = media.filter(F.col("kind") == "audio")
+    return spread(clips).select("media_id", "content").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )

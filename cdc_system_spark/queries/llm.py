@@ -841,3 +841,41 @@ _TOKEN_HIST_SQL = """WITH t AS (
 )
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_histogram(catalog(spark, sf_dir).documents, width=16)
+
+
+# -- contamination diagnostic report -----------------------------------------
+# token-3-grams (not the scrub's 5) so the diagnostic surfaces the long
+# overlap tail a curator actually inspects (171 docs vs 1 at sf0.01)
+_GRAM3 = (
+    "list_transform(range(1, greatest(len(w) - 2, 0) + 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+)
+_CONTAM_REPORT_SQL = f"""WITH corpus AS (
+        SELECT * FROM documents WHERE doc_id % 97 <> 0),
+    bw AS (SELECT string_split(text, ' ') AS w FROM documents
+           WHERE doc_id % 97 = 0),
+    bg AS (SELECT DISTINCT unnest({_GRAM3}) AS gram FROM bw WHERE len(w) >= 3),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    cg AS (SELECT doc_id,
+                  CAST(len(list_distinct({_GRAM3})) AS BIGINT) AS n_grams,
+                  unnest(list_distinct({_GRAM3})) AS gram
+           FROM cw WHERE len(w) >= 3)
+    SELECT doc_id, n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+           ROUND(COUNT(*) / CAST(n_grams AS DOUBLE), 6) AS contaminated_ratio
+    FROM cg JOIN bg USING (gram)
+    GROUP BY doc_id, n_grams"""
+
+
+@register(
+    "q_contamination_report",
+    _CONTAM_REPORT_SQL,
+    doc="per-doc benchmark-overlap diagnostic: distinct-gram hit count "
+    "and contaminated fraction for every doc sharing >= 1 token-3-gram "
+    "with the eval stand-in; broadcast gram probe, row-local gram dedup",
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return D.contamination_report(corpus, bench, n=3)

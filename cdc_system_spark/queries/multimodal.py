@@ -127,3 +127,33 @@ _RESIZE_SQL = f"""SELECT doc_id AS media_id,
 def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(catalog(spark, sf_dir).documents)
     return M.resize_images(media, width=64, height=48)
+
+
+_AUDIO_SQL = """WITH m AS (
+        SELECT doc_id AS media_id, text, LENGTH(text) AS n,
+               CAST(ceil(LENGTH(text) * 1.0 / 32) AS BIGINT) AS n_win
+        FROM documents WHERE doc_id % 3 = 1),
+    w AS (
+        SELECT media_id, CAST(i AS INTEGER) AS window_idx,
+               list_transform(string_split(
+                   substr(text, CAST(i * 32 + 1 AS INTEGER), 32), ''),
+                   c -> ascii(c)) AS s
+        FROM m, unnest(range(0, GREATEST(n_win, 1))) AS t(i))
+    SELECT media_id, window_idx,
+           CAST(len(s) AS INTEGER) AS n_samples,
+           FLOOR(CAST(list_sum(s) AS DOUBLE)
+                 / GREATEST(len(s), 1) * 1e6 + 0.5) / 1e6 AS mean_amp,
+           CAST(COALESCE(list_max(s), 0) AS INTEGER) AS peak_amp
+    FROM w"""
+
+
+@register(
+    "q_audio_features",
+    _AUDIO_SQL,
+    doc="audio feature extraction: windowed mean/peak amplitude over "
+    "bytes-as-8-bit-PCM (FakeCodec contract), numpy per Arrow batch, "
+    "1->N window fan-out inside mapInPandas",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    return M.audio_features(media, window=32)

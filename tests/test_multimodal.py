@@ -96,3 +96,26 @@ def test_resize_fake_codec_crops_deterministically(media):
 def test_real_codec_is_an_explicit_stub():
     with pytest.raises(M.RealCodecUnavailable):
         M.RealImageCodec()
+
+
+def test_audio_features_windows_bytes_as_pcm(spark):
+    rows = [
+        (1, "audio", bytes([10, 20, 30, 40, 50])),  # 2 windows of 4: [10..40],[50]
+        (2, "audio", b""),                           # empty clip -> one zero window
+        (3, "image", bytes([255] * 8)),              # wrong kind -> excluded
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    out = {
+        (r["media_id"], r["window_idx"]): r
+        for r in M.audio_features(media, window=4).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)]["n_samples"] == 4
+    assert out[(1, 0)]["mean_amp"] == 25.0
+    assert out[(1, 0)]["peak_amp"] == 40
+    assert out[(1, 1)]["n_samples"] == 1 and out[(1, 1)]["peak_amp"] == 50
+    assert out[(2, 0)]["n_samples"] == 0 and out[(2, 0)]["mean_amp"] == 0.0
+    with pytest.raises(ValueError, match="window"):
+        M.audio_features(media, window=0)

@@ -108,6 +108,27 @@ def test_decontaminate_drops_overlapping_doc(spark):
     assert kept == {1, 3}
 
 
+def test_contamination_report_ratios(spark):
+    from cdc_system_spark.operators.dedup import contamination_report
+
+    bench = _docs(spark, [(100, "secret eval answer key alpha beta")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "totally clean document with no overlap at all here"),
+            # 4 distinct 5-grams; "secret eval answer key alpha" and
+            # "eval answer key alpha beta" hit the benchmark -> 2/4
+            (2, "pre secret eval answer key alpha beta post"),
+            (3, "short doc"),  # < 5 tokens: zero grams, never reported
+        ],
+    )
+    out = {r["doc_id"]: r for r in contamination_report(corpus, bench, n=5).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_grams"] == 4
+    assert out[2]["n_contaminated"] == 2
+    assert out[2]["contaminated_ratio"] == 0.5
+
+
 def test_stratified_sample_deterministic_and_stratified(spark):
     docs = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
