@@ -53,9 +53,39 @@ _ROTATE_IN = [
 ]
 
 
+# Second round-4 rotation: the 8 operators ADDED this round (semantic
+# dedup, temperature mix, global shuffle, token histogram, audio
+# features, contamination report, split assignment, quality cut) have
+# never received a driver CORRECTNESS row. Swap them in for 8
+# double-driver-green queries (green r1 AND r3) so every new operator
+# gets the strong check on its first eligible round.
+_ROTATE_OUT_NEW = [
+    "q_cube",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_count_distinct",
+    "q_percentiles",
+    "q_scalar_subquery",
+    "q_promo_revenue",
+    "q_top_supplier",
+]
+_ROTATE_IN_NEW = [
+    "q_semantic_dedup",
+    "q_temperature_mix",
+    "q_global_shuffle",
+    "q_token_histogram",
+    "q_audio_features",
+    "q_contamination_report",
+    "q_split_assign",
+    "q_quality_cut",
+]
+
+
 def _rotate_window() -> None:
     names = list(QUERY_REGISTRY)
-    for out_name, in_name in zip(_ROTATE_OUT, _ROTATE_IN):
+    for out_name, in_name in zip(
+        _ROTATE_OUT + _ROTATE_OUT_NEW, _ROTATE_IN + _ROTATE_IN_NEW
+    ):
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]
     rotated = {n: QUERY_REGISTRY[n] for n in names}

@@ -45,6 +45,15 @@ def test_oracle_window_composition():
         "q_substring_dedup",
         # the composed pipeline is the strongest single check — keep it:
         "q_curation_pipeline",
+        # round-4 new operators, never driver-checked — rotated in:
+        "q_semantic_dedup",
+        "q_temperature_mix",
+        "q_global_shuffle",
+        "q_token_histogram",
+        "q_audio_features",
+        "q_contamination_report",
+        "q_split_assign",
+        "q_quality_cut",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
