@@ -128,3 +128,30 @@ def clicks_before_purchase(
             f"c_user = user_id AND c_ts >= p_ts - INTERVAL {window} AND c_ts < p_ts"
         ),
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to
+    every streamed row (user → account tier, record → table metadata —
+    the lookup every CDC consumer does before routing).
+
+    Spark re-plans the static side per micro-batch, so a small dim is
+    broadcast every trigger — zero state, zero watermark, and the dim
+    may be swapped under the stream (the next batch sees the new
+    version; classic slowly-changing-dimension behavior). This is the
+    right tool when the dim fits in memory; for dim CHANGES that must
+    join against in-flight events, use a stream-stream join with
+    watermarks instead.
+
+    Left join by default: a missing dim row must not drop the event
+    (inner would silently discard unroutable changes — quarantine them
+    downstream instead).
+    """
+    from pyspark.sql import functions as _F
+
+    return stream.join(_F.broadcast(dim), on=key, how=how)

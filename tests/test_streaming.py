@@ -400,3 +400,41 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
         ).collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    from cdc_system_spark.sources.catalog import load_table
+    from cdc_system_spark.streaming.aggregations import enrich_with_dim
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.write.parquet(str(tmp_path / "ev"))
+    # user dim covering only even user_ids: odd ids must survive with nulls
+    dim = (
+        events.select("user_id").distinct()
+        .filter(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "ev"))
+    out = enrich_with_dim(stream, dim, "user_id").select("event_id", "user_id", "tier")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    expected = {
+        r["event_id"]: r["tier"]
+        for r in events.join(dim, "user_id", "left")
+        .select("event_id", "tier")
+        .collect()
+    }
+    assert got == expected
+    assert any(v is None for v in got.values())      # unmatched kept
+    assert any(v == "gold" for v in got.values())
