@@ -879,3 +879,75 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return D.contamination_report(corpus, bench, n=3)
+
+
+# -- dedup diagnostics: cluster-size profile ---------------------------------
+_CLUSTER_SIZES_SQL = f"""WITH RECURSIVE {cluster_ctes("documents")},
+    labels AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labels GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size"""
+
+
+@register(
+    "q_cluster_sizes",
+    _CLUSTER_SIZES_SQL,
+    doc="duplicate-cluster size profile over the MinHash-LSH components: "
+    "clusters and docs per cluster size — the dedup diagnostic that "
+    "shows how much a fuzzy-dedup pass will shrink the corpus; two "
+    "bounded aggregations over the label frame",
+)
+def q_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    labels = D.duplicate_clusters(docs, pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+# -- Z-order layout key (oracle twin of the clustering compaction) -----------
+def _z_sql(a: str, b: str, bits: int) -> str:
+    ca = f"LEAST(GREATEST({a}, 0), {(1 << bits) - 1})"
+    cb = f"LEAST(GREATEST({b}, 0), {(1 << bits) - 1})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({ca} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({cb} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""SELECT doc_id,
+           CAST({_z_sql('n_chars', "len(string_split(text, ' '))", 10)}
+                AS BIGINT) AS zvalue
+    FROM documents"""
+
+
+@register(
+    "q_zorder_value",
+    _ZORDER_SQL,
+    doc="Morton Z-order interleave of (n_chars, n_tokens) at 10 bits — "
+    "the multi-dimension clustering key compact_zordered sorts by "
+    "(Delta OPTIMIZE ZORDER analogue); pure shifts/masks in codegen",
+)
+def q_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.maintenance import zorder_value
+
+    docs = catalog(spark, sf_dir).documents
+    return docs.select(
+        "doc_id",
+        zorder_value(
+            F.col("n_chars"), F.size(F.split(F.col("text"), " ")), bits=10
+        ).alias("zvalue"),
+    )

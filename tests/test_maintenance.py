@@ -3,6 +3,8 @@ time-range scans prune partitions (PartitionFilters in the plan)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_system_spark.operators.maintenance import compact_log, read_log_range
@@ -48,3 +50,65 @@ def test_range_read_filters_rows(spark, sf_dir, tmp_path):
     cutoff = str(all_days[1])
     early = read_log_range(spark, compacted, end_date=cutoff)
     assert early.select("change_date").distinct().count() == 1
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from cdc_system_spark.operators.maintenance import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (65535, 65535), (70000, -5)],
+        "a long, b long",
+    )
+    got = [
+        r["z"]
+        for r in df.select(zorder_value("a", "b").alias("z"))
+        .orderBy("a", "b")
+        .collect()
+    ]
+    # (0,0)->0; (0,1)->1; (1,0)->2; (3,3)->15; saturation at 16 bits;
+    # negatives clamp to 0
+    by_input = dict(
+        zip(sorted([(0, 0), (1, 0), (0, 1), (3, 3), (65535, 65535), (70000, -5)]), got)
+    )
+    assert by_input[(0, 0)] == 0
+    assert by_input[(0, 1)] == 1
+    assert by_input[(1, 0)] == 2
+    assert by_input[(3, 3)] == 15
+    assert by_input[(65535, 65535)] == (1 << 32) - 1
+    assert by_input[(70000, -5)] == by_input.get((70000, -5))  # defined
+    # clamp: a saturates to 65535, b to 0 -> same as (65535, 0)
+    z_a_sat = df.sparkSession.createDataFrame(
+        [(65535, 0)], "a long, b long"
+    ).select(zorder_value("a", "b").alias("z")).head()["z"]
+    assert by_input[(70000, -5)] == z_a_sat
+
+
+def test_compact_zordered_tightens_per_file_stats(spark, tmp_path):
+    import glob
+
+    from cdc_system_spark.operators.maintenance import compact_zordered
+
+    # uniform 2-D grid: both dims independently spread
+    rows = [(i, (i * 7919) % 1000, (i * 104729) % 1000) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = str(tmp_path / "z")
+    compact_zordered(df.repartition(16), out, "x", "y", num_files=16, bits=10)
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(out + "/*.parquet"):
+        pdf = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).head()
+        spans_x.append(pdf[1] - pdf[0])
+        spans_y.append(pdf[3] - pdf[2])
+    # each file covers a compact square: typical per-file span on BOTH
+    # dimensions is far below the global span (999). A single-column
+    # sort would give tight x but global-width y.
+    import statistics
+
+    assert statistics.median(spans_x) <= 999 / 2
+    assert statistics.median(spans_y) <= 999 / 2
+    # content preserved
+    assert spark.read.parquet(out).count() == 20000
+    with pytest.raises(ValueError, match="num_files"):
+        compact_zordered(df, out, "x", "y", num_files=0)
