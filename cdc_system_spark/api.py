@@ -52,7 +52,27 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         with open(self._current_file()) as f:
             version = f.readline().strip()
-        return self.spark.read.parquet(os.path.join(self.path, version))
+        df = self.spark.read.parquet(os.path.join(self.path, version))
+        # Schema reconciliation: snapshots written before an additive
+        # evolution lack the new columns — pad them with typed nulls so
+        # every reader sees the declared schema (Delta/Iceberg read-time
+        # schema projection, minimal edition). evolve() forbids drops,
+        # so declared ⊇ stored always holds.
+        missing = [f for f in self.schema.fields if f.name not in df.columns]
+        if missing:
+            df = df.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in missing
+                ],
+            )
+        return df.select(*[f.name for f in self.schema.fields])
+
+    def evolve(self, new_schema: T.StructType) -> None:
+        """Adopt an additively-evolved schema; existing snapshots are
+        untouched and reconcile at read time (see :meth:`read`)."""
+        self.schema = new_schema
 
     def meta(self) -> dict[str, str]:
         """Key=value metadata committed atomically with the last flip
@@ -108,6 +128,19 @@ class CDCSystem:
             self.spark, self.root, self.table_name, key=self.registry.key(self.table_name)
         )
         return self.capture
+
+    def evolve_schema(self, new_schema: T.StructType) -> None:
+        """Additive schema evolution for the tracked table (≅ what the
+        reference would need on ALTER TABLE ADD COLUMN — it has no
+        path for this; its triggers would silently drop the column).
+
+        Validation + registry swap only: the change log's JSON row
+        images decode under the evolved schema with nulls for the new
+        columns, so history needs no rewrite, and captures after the
+        evolution carry the new columns transparently. Pair with
+        ``SnapshotTable.evolve`` on the target side.
+        """
+        self.registry.evolve(self.table_name, new_schema)
 
     def read_log(self) -> DataFrame:
         assert self.capture is not None, "setup_cdc first"

@@ -69,6 +69,37 @@ class SchemaRegistry:
     def schema(self, table: str) -> T.StructType:
         return self._schemas[table]
 
+    def evolve(self, table: str, new_schema: T.StructType) -> None:
+        """Additive-only schema evolution (the lake-format contract:
+        Delta/Iceberg ``mergeSchema`` allows new nullable columns,
+        never drops or type changes — those need a rewrite).
+
+        Old change-log entries carry JSON row images, so they decode
+        under the evolved schema with nulls for the new columns; no log
+        rewrite, no backfill. Raises on drops or type changes, which
+        would silently corrupt history.
+        """
+        old = self._schemas[table]
+        new_fields = {f.name: f for f in new_schema.fields}
+        for f in old.fields:
+            nf = new_fields.get(f.name)
+            if nf is None:
+                raise ValueError(
+                    f"schema evolution cannot drop column {f.name!r}"
+                )
+            if nf.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change {f.name!r}: "
+                    f"{f.dataType.simpleString()} -> {nf.dataType.simpleString()}"
+                )
+        for name in set(new_fields) - {f.name for f in old.fields}:
+            if not new_fields[name].nullable:
+                raise ValueError(
+                    f"new column {name!r} must be nullable (existing rows "
+                    "have no value for it)"
+                )
+        self._schemas[table] = new_schema
+
     def key(self, table: str) -> str:
         return self._keys[table]
 

@@ -193,3 +193,63 @@ def test_replicate_retries_transient_write_failure(spark, tmp_path):
         rep2.replicate_changes()
     assert target2.attempts == cfg.max_retries + 1
     assert system.get_pending_changes().count() == 1  # nothing lost
+
+
+EVOLVED_SCHEMA = T.StructType(
+    TEST_SCHEMA.fields + [T.StructField("email", T.StringType(), True)]
+)
+
+
+def test_schema_evolution_end_to_end(spark, system, tmp_path):
+    """Additive evolution mid-stream: pre-evolution rows replicate, the
+    schema gains a nullable column, post-evolution captures carry it,
+    and one target serves both generations (old rows read as null)."""
+    target = SnapshotTable(spark, str(tmp_path / "replica"), TEST_SCHEMA)
+    repl = CDCReplicator(system, target, key="id")
+
+    system.capture.capture_insert(_rows(spark, [(1, "old", 100), (2, "old2", 200)]))
+    assert repl.replicate_changes() == 2
+
+    # ALTER TABLE ADD COLUMN email
+    system.evolve_schema(EVOLVED_SCHEMA)
+    target.evolve(EVOLVED_SCHEMA)
+
+    new_rows = spark.createDataFrame([(3, "new", 300, "a@b.c")], EVOLVED_SCHEMA)
+    system.capture.capture_insert(new_rows)
+    # an UPDATE backfills the new column on a pre-evolution row
+    upd = spark.createDataFrame([(1, "old", 100, "x@y.z")], EVOLVED_SCHEMA)
+    system.capture.capture_update(upd, target.read().filter("id = 1"))
+    assert repl.replicate_changes() == 2
+
+    got = {r["id"]: (r["name"], r["value"], r["email"]) for r in target.read().collect()}
+    assert got == {
+        1: ("old", 100, "x@y.z"),    # backfilled by the update
+        2: ("old2", 200, None),      # pre-evolution row: padded null
+        3: ("new", 300, "a@b.c"),    # post-evolution insert
+    }
+    # old log entries decode under the evolved schema (null email)
+    decoded = {
+        r["record_id"]: r["new"]["email"]
+        for r in system.get_pending_changes(limit=1000).collect()
+    }
+    assert decoded == {}  # everything synced
+
+
+def test_schema_evolution_rejects_unsafe_changes(spark, system):
+    with pytest.raises(ValueError, match="drop"):
+        system.evolve_schema(T.StructType(TEST_SCHEMA.fields[:2]))
+    with pytest.raises(ValueError, match="change"):
+        changed = T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.LongType(), True),   # type change
+                T.StructField("value", T.LongType(), True),
+            ]
+        )
+        system.evolve_schema(changed)
+    with pytest.raises(ValueError, match="nullable"):
+        system.evolve_schema(
+            T.StructType(
+                TEST_SCHEMA.fields + [T.StructField("req", T.StringType(), False)]
+            )
+        )
