@@ -406,3 +406,41 @@ def rarity_score(
             "mean_rarity"
         ),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    algorithm): hash every char ``k``-shingle, then keep the minimum
+    hash of each sliding ``window`` of consecutive shingle hashes,
+    deduplicated. Guarantees: any shared substring of length
+    ``k + window - 1`` produces at least one shared fingerprint, and
+    the selected set is position-robust (insertions far away don't
+    change local fingerprints) — the property raw min-token-hash
+    (:func:`fingerprint`) lacks. Output is one row per (doc,
+    fingerprint): the posting shape an overlap index consumes.
+
+    Density is ~2/(window+1) of shingle count, so the explode is
+    bounded; everything before it is a zero-shuffle per-row pipeline of
+    builtins (shingle → md5-int64 → windowed array_min → distinct),
+    engine-portable for the oracle.
+    """
+    from cdc_system_spark.functions.portable import md5_i64, shingles
+
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k}, window={window}")
+    hs = F.transform(shingles(F.col(text_col), k), md5_i64)
+    n = F.size(hs)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, window)),
+    )
+    return spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(mins)).alias("fp"),
+    )

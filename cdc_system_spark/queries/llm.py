@@ -951,3 +951,37 @@ def q_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars"), F.size(F.split(F.col("text"), " ")), bits=10
         ).alias("zvalue"),
     )
+
+
+# -- winnowing fingerprints (MOSS) -------------------------------------------
+_WINNOW_SQL = """WITH sh AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                   i -> substr(text, i, 7)) AS shs
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_transform(shs, s ->
+                   CAST(CONCAT('0x', SUBSTR(MD5(s), 1, 15)) AS BIGINT)) AS hs
+        FROM sh),
+    w AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   i -> list_min(hs[i:i+3]))) AS fps
+        FROM h)
+    SELECT doc_id, unnest(fps) AS fp FROM w"""
+
+
+@register(
+    "q_winnow_fingerprints",
+    _WINNOW_SQL,
+    doc="winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): min hash "
+    "per sliding window of char-7-shingle hashes, deduped — any shared "
+    "substring of length k+w-1 yields a shared fingerprint; "
+    "zero-shuffle builtins up to the bounded posting explode",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.winnow_fingerprints(
+        catalog(spark, sf_dir).documents, k=7, window=4
+    )

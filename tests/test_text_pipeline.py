@@ -4,6 +4,8 @@ TF-IDF, repetition signals, decontamination, stratified sampling.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cdc_system_spark.operators.dedup import decontaminate, token_ngrams
@@ -192,3 +194,31 @@ def test_rarity_score_orders_rare_above_common(spark):
     assert got[2] > got[1]
     assert got[1] == 0.25  # every token has corpus freq 4
     assert got[2] == round((0.25 + 1.0) / 2, 6)
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing contract: docs sharing a substring of length
+    k + window - 1 share at least one fingerprint; disjoint docs with
+    disjoint alphabets share none; fingerprints are deduped."""
+    from cdc_system_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps"
+    docs = _docs(
+        spark,
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "CCCC " + shared + " DDDD"),
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzzz"),
+        ],
+    )
+    out = winnow_fingerprints(docs, k=7, window=4)
+    fps = {}
+    rows = out.collect()
+    for r in rows:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2]            # shared substring -> shared fp
+    assert not (fps[1] & fps[3])      # disjoint alphabet -> no overlap
+    # deduped: row count equals sum of set sizes
+    assert len(rows) == sum(len(s) for s in fps.values())
+    with pytest.raises(ValueError, match="k and window"):
+        winnow_fingerprints(docs, k=0)
