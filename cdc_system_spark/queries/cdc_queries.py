@@ -247,3 +247,36 @@ def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_project_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog(spark, sf_dir).orders.select("o_orderkey").orderBy("o_orderkey").limit(50)
+
+
+# -- SCD Type 2 history + point-in-time lookup -------------------------------
+_SCD2_SQL = f"""WITH cdc AS ({CDC_SQL}),
+    closed AS (
+        SELECT *,
+               LEAD(changed_at) OVER (
+                   PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+        FROM cdc),
+    versions AS (
+        SELECT record_id, new_data AS payload, changed_at AS valid_from,
+               valid_to, cdc_id
+        FROM closed WHERE operation IN ('INSERT', 'UPDATE'))
+    SELECT CAST(record_id AS BIGINT) AS record_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY record_id ORDER BY cdc_id) AS INTEGER) AS version,
+           payload, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versions"""
+
+
+@register(
+    "q_scd2_history",
+    _SCD2_SQL,
+    doc="SCD Type 2 history from the change log: one row per record "
+    "VERSION with its validity interval (closed by the next change of "
+    "any kind; DELETE tombstones terminate without a new version) — "
+    "one window shuffle on the key, no joins, no state",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.scd import scd2_from_log
+
+    return scd2_from_log(cdc_log(spark, sf_dir))

@@ -1,0 +1,74 @@
+"""SCD Type 2 semantics: version chains, delete tombstones, and the
+point-in-time lookup the history table exists for."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators.scd import asof_lookup, scd2_from_log
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def _log(spark):
+    rows = [
+        # key 1: insert -> update -> update (live, 3 versions)
+        (1, "INSERT", 1, '{"v": "a"}', _ts(1)),
+        (3, "UPDATE", 1, '{"v": "b"}', _ts(3)),
+        (5, "UPDATE", 1, '{"v": "c"}', _ts(5)),
+        # key 2: insert -> delete (tombstoned, 1 closed version)
+        (2, "INSERT", 2, '{"v": "x"}', _ts(2)),
+        (4, "DELETE", 2, None, _ts(4)),
+        # key 3: single insert (live, open-ended)
+        (6, "INSERT", 3, '{"v": "z"}', _ts(6)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cdc_id long, operation string, record_id long, "
+        "new_data string, changed_at timestamp",
+    )
+
+
+def test_scd2_versions_and_tombstones(spark):
+    hist = {
+        (r["record_id"], r["version"]): r
+        for r in scd2_from_log(_log(spark)).collect()
+    }
+    assert len(hist) == 5  # 3 + 1 + 1 (DELETE emits no version)
+    # key 1 chain: each version closed by the next, last one current
+    assert hist[(1, 1)]["valid_to"] == _ts(3) and not hist[(1, 1)]["is_current"]
+    assert hist[(1, 2)]["valid_to"] == _ts(5) and not hist[(1, 2)]["is_current"]
+    assert hist[(1, 3)]["valid_to"] is None and hist[(1, 3)]["is_current"]
+    # key 2: the DELETE closed the version — nothing is current
+    assert hist[(2, 1)]["valid_to"] == _ts(4) and not hist[(2, 1)]["is_current"]
+    # key 3: open-ended from the start
+    assert hist[(3, 1)]["valid_to"] is None and hist[(3, 1)]["is_current"]
+
+
+def test_asof_lookup_returns_version_valid_at_ts(spark):
+    hist = scd2_from_log(_log(spark))
+    probes = spark.createDataFrame(
+        [
+            (1, _ts(2)),   # between v1 and v2 -> v1
+            (1, _ts(3)),   # exactly at v2's start -> v2 (valid_from <= ts)
+            (1, _ts(23)),  # after last change -> open-ended v3
+            (2, _ts(3)),   # before the delete -> v1
+            (2, _ts(10)),  # after the delete -> no match
+            (9, _ts(1)),   # unknown key -> no match
+        ],
+        "record_id long, ts timestamp",
+    )
+    got = {
+        (r["record_id"], str(r["ts"])): r["version"]
+        for r in asof_lookup(hist, probes).collect()
+    }
+    assert got[(1, str(_ts(2)))] == 1
+    assert got[(1, str(_ts(3)))] == 2
+    assert got[(1, str(_ts(23)))] == 3
+    assert got[(2, str(_ts(3)))] == 1
+    assert got[(2, str(_ts(10)))] is None
+    assert got[(9, str(_ts(1)))] is None
