@@ -120,6 +120,9 @@ def test_python_only_where_intended(plans):
         # applyInPandas — the bucket-local all-pairs dot products are the
         # one place Arrow batching beats exploded JVM array math.
         "q_srp_lsh_pairs",
+        # audio feature extraction is the multimodal decode path: bytes
+        # -> windowed PCM features via numpy per Arrow batch
+        "q_audio_features",
     }
     for name, df in plans.items():
         f = plan_features(df)
