@@ -76,10 +76,7 @@ def asof_lookup(
     """
     h = history.select(
         F.col(key_col).alias("_k"),
-        "version",
-        "payload",
-        "valid_from",
-        "valid_to",
+        *[c for c in history.columns if c != key_col],
     )
     cond = (
         (keys_ts[key_col] == h["_k"])

@@ -81,10 +81,30 @@ _ROTATE_IN_NEW = [
 ]
 
 
+# Third round-4 rotation: late-round additions (SCD2 history, as-of
+# lookup, winnowing fingerprints, cluster-size profile, z-order key),
+# also never driver-checked, in for 5 more r1+r3-green queries.
+_ROTATE_OUT_LATE = [
+    "q_sliding_window",
+    "q_semi_join",
+    "q_anti_join",
+    "q_salted_join",
+    "q_order_priority",
+]
+_ROTATE_IN_LATE = [
+    "q_scd2_history",
+    "q_asof_lookup",
+    "q_winnow_fingerprints",
+    "q_cluster_sizes",
+    "q_zorder_value",
+]
+
+
 def _rotate_window() -> None:
     names = list(QUERY_REGISTRY)
     for out_name, in_name in zip(
-        _ROTATE_OUT + _ROTATE_OUT_NEW, _ROTATE_IN + _ROTATE_IN_NEW
+        _ROTATE_OUT + _ROTATE_OUT_NEW + _ROTATE_OUT_LATE,
+        _ROTATE_IN + _ROTATE_IN_NEW + _ROTATE_IN_LATE,
     ):
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]

@@ -280,3 +280,51 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators.scd import scd2_from_log
 
     return scd2_from_log(cdc_log(spark, sf_dir))
+
+
+_ASOF_LOOKUP_SQL = f"""WITH cdc AS ({CDC_SQL}),
+    closed AS (
+        SELECT *,
+               LEAD(changed_at) OVER (
+                   PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+        FROM cdc),
+    hist AS (
+        SELECT CAST(record_id AS BIGINT) AS record_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY record_id ORDER BY cdc_id) AS INTEGER) AS version,
+               changed_at AS valid_from, valid_to
+        FROM closed WHERE operation IN ('INSERT', 'UPDATE')),
+    probes AS (
+        SELECT CAST(user_id AS BIGINT) AS record_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_id
+        FROM events WHERE event_id % 11 = 0)
+    SELECT p.event_id, p.record_id, p.ts, h.version, h.valid_from
+    FROM probes p LEFT JOIN hist h
+      ON p.record_id = h.record_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR h.valid_to > p.ts)"""
+
+
+@register(
+    "q_asof_lookup",
+    _ASOF_LOOKUP_SQL,
+    doc="point-in-time lookup against the SCD2 history: for each probe "
+    "(key, ts) return the version valid AT ts — the feature-backfill / "
+    "audit join; range predicate rides the key-equi join, no cross "
+    "product",
+)
+def q_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.scd import asof_lookup, scd2_from_log
+
+    log = cdc_log(spark, sf_dir)
+    hist = scd2_from_log(log).drop("payload", "is_current")
+    ev = catalog(spark, sf_dir).events
+    probes = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("user_id").cast("long").alias("record_id"),
+        F.col("ts"),
+        "event_id",
+    )
+    joined = asof_lookup(hist, probes, key_col="record_id", ts_col="ts")
+    return joined.select(
+        "event_id", "record_id", "ts", "version", "valid_from"
+    )

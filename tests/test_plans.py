@@ -54,6 +54,12 @@ def test_oracle_window_composition():
         "q_contamination_report",
         "q_split_assign",
         "q_quality_cut",
+        # late round-4 additions, also never driver-checked:
+        "q_scd2_history",
+        "q_asof_lookup",
+        "q_winnow_fingerprints",
+        "q_cluster_sizes",
+        "q_zorder_value",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
