@@ -56,6 +56,12 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_substring_dedup",
     "q_chunk_documents",
+    # round-4 additions: semantic dedup, training order, fingerprints,
+    # SCD2 history (cross-round comparisons use the shared subset)
+    "q_semantic_dedup",
+    "q_global_shuffle",
+    "q_winnow_fingerprints",
+    "q_scd2_history",
 ]
 
 
