@@ -33,6 +33,7 @@ class SourceFormat(str, Enum):
     """≅ reference DatabaseType (cdc_system.py:32-36), Spark-native axis."""
 
     PARQUET = "parquet"
+    ORC = "orc"
     CSV = "csv"
     JSON = "json"
     JDBC = "jdbc"
@@ -61,7 +62,9 @@ def read_source(spark: SparkSession, cfg: SourceConfig) -> DataFrame:
     if cfg.format == SourceFormat.JDBC:
         return _jdbc_reader(spark, cfg)
     reader = spark.read.format(cfg.format.value).options(**cfg.options)
-    if cfg.format == SourceFormat.PARQUET:
+    if cfg.format in (SourceFormat.PARQUET, SourceFormat.ORC):
+        # both are self-describing columnar formats with predicate
+        # pushdown + column pruning; schema optional (enforced if given)
         if cfg.schema is not None:
             reader = reader.schema(cfg.schema)
         return reader.load(cfg.location)

@@ -22,7 +22,10 @@ def nation(spark, sf_dir):
     return load_table(spark, sf_dir, "nation")
 
 
-@pytest.mark.parametrize("fmt", [SourceFormat.PARQUET, SourceFormat.CSV, SourceFormat.JSON])
+@pytest.mark.parametrize(
+    "fmt",
+    [SourceFormat.PARQUET, SourceFormat.ORC, SourceFormat.CSV, SourceFormat.JSON],
+)
 def test_file_roundtrip(spark, nation, tmp_path, fmt):
     loc = str(tmp_path / fmt.value)
     write_sink(nation, SourceConfig(format=fmt, location=loc), mode="overwrite")
