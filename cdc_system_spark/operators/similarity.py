@@ -433,6 +433,54 @@ def semantic_dedup(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Block-bounded kNN graph: each vector's top-``k`` most-similar
+    neighbors within its block (label / LSH bucket / IVF cell) — the
+    edge list graph-based clustering, SemDeDup refinement, and
+    diversity sampling all start from.
+
+    The candidate set is the blocked self-join (never all-pairs: the
+    block key bounds it, same contract as :func:`pairwise_neardup`),
+    made symmetric so every vector ranks ALL its block neighbors; the
+    per-source top-k is a WindowGroupLimit window (rounded-cos desc,
+    neighbor-id asc tiebreak — deterministic), which prunes below-k
+    rows before the shuffle.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("v1"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("v2"),
+    )
+    scored = (
+        a.join(b, on="blk")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src", "dst", cosine(F.col("v1"), F.col("v2")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
 def assign_cells(
     emb: DataFrame,
     num_centroids: int = 16,

@@ -985,3 +985,28 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.winnow_fingerprints(
         catalog(spark, sf_dir).documents, k=7, window=4
     )
+
+
+# -- kNN graph over label blocks ---------------------------------------------
+_KNN_SQL = f"""WITH p AS (
+        SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+               {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT src, dst, cos_sim,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY src
+                     ORDER BY cos_sim DESC, dst ASC) AS INTEGER) AS rank
+          FROM p)
+    SELECT src, dst, cos_sim, rank FROM r WHERE rank <= 3"""
+
+
+@register(
+    "q_knn_graph",
+    _KNN_SQL,
+    doc="block-bounded kNN graph: top-3 cosine neighbors per vector "
+    "within its label block — symmetric blocked self-join (never "
+    "all-pairs) + WindowGroupLimit top-k with deterministic tiebreak",
+)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)

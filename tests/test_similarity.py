@@ -151,3 +151,25 @@ def test_semantic_dedup_drop_rule(spark):
         emb.repartition(5), centroid_ids=(0, 1), threshold=0.95
     )
     assert {r["vec_id"] for r in again.collect()} == kept
+
+
+def test_knn_graph_blocked_topk(spark):
+    from cdc_system_spark.operators.similarity import knn_graph
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.9, 0.1]),
+        (2, 0, [0.0, 1.0]),
+        (3, 1, [1.0, 0.0]),   # identical direction to 0 but other block
+        (4, 1, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = knn_graph(emb, k=1)
+    best = {r["src"]: (r["dst"], r["rank"]) for r in out.collect()}
+    # edges never cross blocks: 0's best is 1, not the identical 3
+    assert best[0] == (1, 1)
+    assert best[3] == (4, 1)
+    # every vector with >= 1 block-mate has exactly k=1 edge
+    assert set(best) == {0, 1, 2, 3, 4}
+    with pytest.raises(ValueError, match="k must"):
+        knn_graph(emb, k=0)
