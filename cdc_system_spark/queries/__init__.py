@@ -90,6 +90,7 @@ _ROTATE_OUT_LATE = [
     "q_anti_join",
     "q_salted_join",
     "q_order_priority",
+    "q_agg_groupby",
 ]
 _ROTATE_IN_LATE = [
     "q_scd2_history",
@@ -97,6 +98,7 @@ _ROTATE_IN_LATE = [
     "q_winnow_fingerprints",
     "q_cluster_sizes",
     "q_zorder_value",
+    "q_knn_graph",
 ]
 
 

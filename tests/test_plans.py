@@ -60,6 +60,7 @@ def test_oracle_window_composition():
         "q_winnow_fingerprints",
         "q_cluster_sizes",
         "q_zorder_value",
+        "q_knn_graph",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

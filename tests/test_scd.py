@@ -72,3 +72,65 @@ def test_asof_lookup_returns_version_valid_at_ts(spark):
     assert got[(2, str(_ts(3)))] == 1
     assert got[(2, str(_ts(10)))] is None
     assert got[(9, str(_ts(1)))] is None
+
+
+# -- property: SCD2 invariants on random change logs -------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def change_log_case(draw):
+    n = draw(st.integers(1, 40))
+    ops = draw(
+        st.lists(
+            st.sampled_from(["INSERT", "UPDATE", "DELETE"]), min_size=n, max_size=n
+        )
+    )
+    keys = draw(
+        st.lists(st.integers(min_value=1, max_value=5), min_size=n, max_size=n)
+    )
+    return [
+        (i + 1, ops[i], keys[i], None if ops[i] == "DELETE" else f'{{"v": {i}}}',
+         _ts(0) + dt.timedelta(minutes=i))
+        for i in range(n)
+    ]
+
+
+@given(change_log_case())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_invariants_hold_on_random_logs(spark, rows):
+    log = spark.createDataFrame(
+        rows,
+        "cdc_id long, operation string, record_id long, "
+        "new_data string, changed_at timestamp",
+    )
+    hist = scd2_from_log(log).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["record_id"], []).append(r)
+    ops_by_key = {}
+    for cdc_id, op, k, _, ts in rows:
+        ops_by_key.setdefault(k, []).append((cdc_id, op, ts))
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r["version"])
+        k_ops = sorted(ops_by_key[k])
+        # one version per INSERT/UPDATE, numbered densely from 1
+        n_iu = sum(1 for _, op, _ in k_ops if op != "DELETE")
+        assert [r["version"] for r in versions] == list(range(1, n_iu + 1))
+        # intervals chain: each closes exactly at the next CHANGE (any op)
+        # and never overlap; at most the last is current
+        currents = [r for r in versions if r["is_current"]]
+        assert len(currents) <= 1
+        if currents:
+            assert currents[0]["version"] == n_iu
+            assert k_ops[-1][1] != "DELETE"
+        for r in versions:
+            if r["valid_to"] is not None:
+                assert r["valid_from"] < r["valid_to"]
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
