@@ -403,25 +403,36 @@ def semantic_dedup(
     """
     cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
     best = _nearest_centroid_expr(cents, vec_col)
+    # Precompute each vector's norm ONCE before the self-join: the pair
+    # cosine then needs only the dot fold. Inside the join the norm
+    # would be re-folded per PAIR (cell_size x per vector) — and array
+    # folds run outside codegen with no subexpression elimination, so
+    # that waste is real (measured ~10 s -> ~4 s at sf0.1). Same
+    # floating-point ops in the same order, so results are bit-identical.
     assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
         (-best["neg_cid"]).cast("int").alias("centroid_id"),
-    )
+    ).withColumn("_nrm", _norm(F.col(vec_col)))
     a = assigned.select(
         F.col("centroid_id").alias("cell"),
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("v1"),
+        F.col("_nrm").alias("n1"),
     )
     b = assigned.select(
         F.col("centroid_id").alias("cell"),
         F.col(id_col).alias("dup_id"),
         F.col(vec_col).alias("v2"),
+        F.col("_nrm").alias("n2"),
+    )
+    pair_cos = F.round(
+        _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
     )
     dropped = (
         a.join(b, on="cell")
         .filter(F.col("keep_id") < F.col("dup_id"))
-        .filter(cosine(F.col("v1"), F.col("v2")) >= threshold)
+        .filter(pair_cos >= threshold)
         .select("dup_id")
         .distinct()
     )
@@ -456,21 +467,31 @@ def knn_graph(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    a = emb.select(
+    # norms precomputed pre-join (see semantic_dedup: per-pair norm
+    # folds re-evaluate outside codegen, cell_size x waste per vector)
+    normed = emb.withColumn("_nrm", _norm(F.col(vec_col)))
+    a = normed.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("src"),
         F.col(vec_col).alias("v1"),
+        F.col("_nrm").alias("n1"),
     )
-    b = emb.select(
+    b = normed.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("dst"),
         F.col(vec_col).alias("v2"),
+        F.col("_nrm").alias("n2"),
     )
     scored = (
         a.join(b, on="blk")
         .filter(F.col("src") != F.col("dst"))
         .select(
-            "src", "dst", cosine(F.col("v1"), F.col("v2")).alias("cos_sim")
+            "src",
+            "dst",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))

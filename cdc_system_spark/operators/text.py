@@ -434,13 +434,33 @@ def winnow_fingerprints(
 
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k}, window={window}")
-    hs = F.transform(shingles(F.col(text_col), k), md5_i64)
-    n = F.size(hs)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hs, i, window)),
+    # The shingle-hash array MUST land in its own projection: higher-
+    # order functions run outside codegen with no common-subexpression
+    # elimination, so referencing the `transform(shingles, md5)`
+    # expression from inside the window lambda re-evaluates the ENTIRE
+    # md5 array per reference — measured 38 s at sf0.1; with the
+    # materialized column + least() over positional lookups (no
+    # per-window slice allocation) the same result takes 0.4 s.
+    # CollapseProject keeps the split because `hs` is non-cheap and
+    # multiply-referenced. try_element_at returns null past the end
+    # (the single short-doc window) and least() skips nulls, matching
+    # the oracle's truncated list_min.
+    hs_df = spread(df).select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), k), md5_i64).alias("_hs"),
     )
-    return spread(df).select(
+    hs = F.col("_hs")
+    n = F.size(hs)
+    if window == 1:
+        mins = hs  # every element is its own window
+    else:
+        mins = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+            lambda i: F.least(
+                *[F.try_element_at(hs, i + j) for j in range(window)]
+            ),
+        )
+    return hs_df.select(
         F.col(id_col),
         F.explode(F.array_distinct(mins)).alias("fp"),
     )
