@@ -219,6 +219,39 @@ def temperature_mix(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Execute the :func:`temperature_mix` rebalancing: deterministically
+    select each stratum's ``quota`` documents (md5-rank order, seedable
+    via ``salt``), producing a same-size corpus whose mixture follows
+    n^α. Head strata downsample to their quota; tail strata keep
+    everything (a quota above the stratum size selects all rows —
+    upsampling/repetition is a separate epoch-level decision).
+
+    Plan: the strata-sized quota table broadcasts onto a per-stratum
+    md5-rank window — one window shuffle on the stratum key, the same
+    shape as :func:`top_k_per_stratum` but with a data-driven k.
+    """
+    from pyspark.sql import Window
+
+    quotas = temperature_mix(df, strata_col, alpha).select(strata_col, "quota")
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string"))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.join(F.broadcast(quotas), strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("quota"))
+        .drop("_rk", "quota")
+    )
+
+
 def global_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

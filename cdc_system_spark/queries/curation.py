@@ -447,3 +447,39 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents.select("doc_id")
     out = global_shuffle(docs, salt="s5", num_shards=64)
     return out.select("doc_id", F.col("global_pos").cast("bigint").alias("global_pos"))
+
+
+_TEMP_SAMPLE_SQL = """WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+    s AS (SELECT *, ROUND(SQRT(CAST(n_docs AS DOUBLE)), 6) AS w FROM c),
+    q AS (
+        SELECT lang,
+            CAST(ROUND(w / CAST(SUM(CAST(w AS DECIMAL(25,6))) OVER () AS DOUBLE)
+                       * CAST(SUM(n_docs) OVER () AS BIGINT), 0) AS BIGINT)
+                AS quota
+        FROM s),
+    r AS (
+        SELECT d.doc_id, d.lang, q.quota,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY CAST(CONCAT('0x',
+                       SUBSTR(MD5('s6' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) ASC, d.doc_id ASC) AS rk
+        FROM documents d JOIN q ON d.lang = q.lang)
+    SELECT doc_id, lang FROM r WHERE rk <= quota"""
+
+
+@register(
+    "q_temperature_sample",
+    _TEMP_SAMPLE_SQL,
+    doc="execute the temperature mixture: per-stratum md5-rank selection "
+    "of exactly quota docs (head languages downsample, tail keeps all) "
+    "— broadcast quota table onto one window shuffle, top-k with a "
+    "data-driven k",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import temperature_sample
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return temperature_sample(docs, "lang", alpha=0.5, salt="s6")

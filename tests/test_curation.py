@@ -416,3 +416,22 @@ def test_token_histogram_partitions_the_corpus(spark):
     assert abs(sum(r["share"] for r in out.values()) - 1.0) < 1e-5
     with pytest.raises(ValueError, match="width"):
         token_histogram(docs, width=0)
+
+
+def test_temperature_sample_hits_quotas(spark):
+    from cdc_system_spark.operators.sampling import temperature_mix, temperature_sample
+
+    rows = [(i, "en" if i < 900 else ("de" if i < 990 else "sw")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    quotas = {r["lang"]: r["quota"] for r in temperature_mix(df, "lang", 0.5).collect()}
+    got = temperature_sample(df, "lang", 0.5, salt="t").groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    # head downsamples to quota; tail keeps min(quota, size)
+    assert counts["en"] == quotas["en"] < 900
+    assert counts["de"] == min(quotas["de"], 90)
+    assert counts["sw"] == min(quotas["sw"], 10) == 10
+    # deterministic under relayout, different under another salt
+    again = temperature_sample(df.repartition(7), "lang", 0.5, salt="t")
+    assert {r["doc_id"] for r in again.collect()} == {
+        r["doc_id"] for r in temperature_sample(df, "lang", 0.5, salt="t").collect()
+    }
