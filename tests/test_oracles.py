@@ -1,0 +1,43 @@
+"""Every oracle SQL must parse and plan in DuckDB — a seconds-fast
+guard that catches SQL typos/renames without spinning up Spark (the
+full value comparison runs in tools/verify_local.py and the driver)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cdc_system_spark.queries import QUERY_REGISTRY
+from cdc_system_spark.sources.catalog import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def test_every_oracle_sql_plans(con):
+    bad = {}
+    for name, q in QUERY_REGISTRY.items():
+        if q.sql is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {q.sql}")
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, f"oracle SQL fails to plan: {bad}"
+
+
+def test_oracle_count_matches_registry():
+    oracle_backed = [n for n, q in QUERY_REGISTRY.items() if q.sql is not None]
+    rows_only = [n for n, q in QUERY_REGISTRY.items() if q.sql is None]
+    # rows-only queries are a deliberate, enumerated exception
+    assert rows_only == ["q_ivf_topk", "q_group_normalize", "q_ivf_kmeans_topk"]
+    assert len(oracle_backed) + len(rows_only) == len(QUERY_REGISTRY)
