@@ -94,6 +94,52 @@ class SnapshotTable:
             for k, v in (meta or {}).items():
                 f.write(f"\n{k}={v}")
         os.replace(tmp, self._current_file())
+        # commit-ordered version log — what makes time travel and the
+        # change feed (changes_between) possible on plain parquet
+        with open(os.path.join(self.path, "_VERSIONS"), "a") as f:
+            f.write(version + "\n")
+
+    def list_versions(self) -> list[str]:
+        """Version names in commit order (oldest first)."""
+        vfile = os.path.join(self.path, "_VERSIONS")
+        if not os.path.exists(vfile):
+            return []
+        with open(vfile) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific committed version (same
+        read-time schema reconciliation as :meth:`read`)."""
+        if version not in self.list_versions():
+            raise ValueError(f"unknown version {version!r} for {self.path}")
+        df = self.spark.read.parquet(os.path.join(self.path, version))
+        missing = [f for f in self.schema.fields if f.name not in df.columns]
+        if missing:
+            df = df.select(
+                "*",
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+            )
+        return df.select(*[f.name for f in self.schema.fields])
+
+    def changes_between(
+        self, from_version: str, to_version: str, key: str
+    ) -> DataFrame:
+        """Change data feed on plain parquet (Delta CDF analogue): the
+        audit-schema change set that transforms ``from_version`` into
+        ``to_version`` — what an incremental downstream consumer reads
+        instead of re-diffing full snapshots itself. One full-outer
+        key join (operators/snapshot_diff.py), no stored deltas.
+        """
+        from cdc_system_spark.operators.snapshot_diff import snapshot_diff
+
+        versions = self.list_versions()
+        if versions.index(from_version) > versions.index(to_version):
+            raise ValueError(
+                f"from_version {from_version!r} is newer than {to_version!r}"
+            )
+        return snapshot_diff(
+            self.read_version(from_version), self.read_version(to_version), key=key
+        )
 
     def destroy(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

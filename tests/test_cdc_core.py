@@ -253,3 +253,35 @@ def test_schema_evolution_rejects_unsafe_changes(spark, system):
                 TEST_SCHEMA.fields + [T.StructField("req", T.StringType(), False)]
             )
         )
+
+
+def test_time_travel_and_change_feed(spark, system, tmp_path):
+    """SnapshotTable versions are committed in order; read_version time
+    travels, and changes_between yields the audit change set that
+    transforms one version into the next (Delta CDF analogue)."""
+    target = SnapshotTable(spark, str(tmp_path / "replica"), TEST_SCHEMA)
+    repl = CDCReplicator(system, target, key="id")
+
+    system.capture.capture_insert(_rows(spark, [(1, "a", 10), (2, "b", 20)]))
+    repl.replicate_changes()
+    system.capture.capture_update(
+        _rows(spark, [(1, "a2", 11)]), target.read().filter("id = 1")
+    )
+    system.capture.capture_delete(_rows(spark, [(2, "b", 20)]))
+    system.capture.capture_insert(_rows(spark, [(3, "c", 30)]))
+    repl.replicate_changes()
+
+    v1, v2 = target.list_versions()
+    assert {r["id"] for r in target.read_version(v1).collect()} == {1, 2}
+    assert {r["id"] for r in target.read_version(v2).collect()} == {1, 3}
+
+    feed = {
+        r["record_id"]: r["operation"]
+        for r in target.changes_between(v1, v2, key="id").collect()
+    }
+    assert feed == {1: "UPDATE", 2: "DELETE", 3: "INSERT"}
+
+    with pytest.raises(ValueError, match="unknown version"):
+        target.read_version("v_nope")
+    with pytest.raises(ValueError, match="newer"):
+        target.changes_between(v2, v1, key="id")
