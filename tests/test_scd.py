@@ -134,3 +134,47 @@ def test_scd2_invariants_hold_on_random_logs(spark, rows):
                 assert r["valid_from"] < r["valid_to"]
         for a, b in zip(versions, versions[1:]):
             assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
+
+
+@st.composite
+def split_log_case(draw):
+    rows = draw(change_log_case())
+    cut = draw(st.integers(0, len(rows)))
+    return rows[:cut], rows[cut:]
+
+
+@given(split_log_case())
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_apply_equals_full_recompute(spark, case):
+    """Replay equivalence: merging the tail batch into the head's
+    history must equal recomputing from the full log."""
+    from cdc_system_spark.operators.scd import scd2_apply
+
+    head, tail = case
+    schema = (
+        "cdc_id long, operation string, record_id long, "
+        "new_data string, changed_at timestamp"
+    )
+    full = scd2_from_log(spark.createDataFrame(head + tail, schema))
+    hist = scd2_from_log(spark.createDataFrame(head, schema)) if head else (
+        spark.createDataFrame(
+            [],
+            "record_id long, version int, payload string, "
+            "valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+    )
+    merged = (
+        scd2_apply(hist, spark.createDataFrame(tail, schema))
+        if tail
+        else hist
+    )
+    key = lambda r: (r["record_id"], r["version"])
+    a = {key(r): (r["payload"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in full.collect()}
+    b = {key(r): (r["payload"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in merged.collect()}
+    assert a == b
