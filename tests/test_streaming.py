@@ -438,3 +438,75 @@ def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
     assert got == expected
     assert any(v is None for v in got.values())      # unmatched kept
     assert any(v == "gold" for v in got.values())
+
+
+def test_streaming_scd2_history_matches_batch(spark, tmp_path):
+    """Streaming x SCD2: change batches arrive as a file stream and a
+    foreachBatch maintainer merges each into a SnapshotTable-backed
+    history via scd2_apply; the final history must equal the batch
+    scd2_from_log over the full log (replay equivalence, streamed)."""
+    import datetime as dt
+
+    from cdc_system_spark.operators.scd import scd2_apply, scd2_from_log
+
+    log_schema = T.StructType(
+        [
+            T.StructField("cdc_id", T.LongType(), False),
+            T.StructField("operation", T.StringType(), True),
+            T.StructField("record_id", T.LongType(), True),
+            T.StructField("new_data", T.StringType(), True),
+            T.StructField("changed_at", T.TimestampType(), True),
+        ]
+    )
+    hist_schema = T.StructType(
+        [
+            T.StructField("record_id", T.LongType(), True),
+            T.StructField("version", T.IntegerType(), True),
+            T.StructField("payload", T.StringType(), True),
+            T.StructField("valid_from", T.TimestampType(), True),
+            T.StructField("valid_to", T.TimestampType(), True),
+            T.StructField("is_current", T.BooleanType(), True),
+        ]
+    )
+    ts = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    b1 = [(1, "INSERT", 1, '{"v":1}', ts(1)), (2, "INSERT", 2, '{"v":2}', ts(2))]
+    b2 = [(3, "UPDATE", 1, '{"v":3}', ts(3)), (4, "DELETE", 2, None, ts(4))]
+    b3 = [(5, "INSERT", 2, '{"v":5}', ts(5)), (6, "UPDATE", 2, '{"v":6}', ts(6))]
+
+    in_dir = tmp_path / "changes"
+    in_dir.mkdir()
+    hist_tbl = SnapshotTable(spark, str(tmp_path / "hist"), hist_schema)
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        hist_tbl.write(scd2_apply(hist_tbl.read(), batch))
+
+    # one FILE per logical batch: scd2_apply's contract is that each
+    # batch is newer than the history, so batch boundaries must follow
+    # cdc order (a multi-file write would split one batch across
+    # arbitrarily-ordered micro-batches)
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, log_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    stream = (
+        spark.readStream.schema(log_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = scd2_from_log(spark.createDataFrame(b1 + b2 + b3, log_schema))
+    key = lambda df: {
+        (r["record_id"], r["version"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    }
+    assert key(hist_tbl.read()) == key(expected)
