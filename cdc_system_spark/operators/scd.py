@@ -114,14 +114,33 @@ def scd2_apply(
     # within-batch closing (lead BEFORE the op filter, as in scd2_from_log)
     batch = changes.withColumn("_vt", F.lead(ts_col).over(w))
     firsts = changes.groupBy(key_col).agg(F.min(ts_col).alias("_first_ts"))
+    # Contract guard: a batch change OLDER than a key's open version
+    # would silently interleave history backwards (seen when a logical
+    # batch is split across arbitrarily-ordered micro-batches). Fail
+    # loudly instead — evaluated only on affected keys' open versions.
+    stale = (
+        F.col("is_current")
+        & F.col("_first_ts").isNotNull()
+        & (F.col("_first_ts") < F.col("valid_from"))
+    )
     closed = (
         history.join(F.broadcast(firsts), key_col, "left")
         .withColumn(
             "valid_to",
             F.when(
+                stale,
+                F.raise_error(
+                    F.lit(
+                        "scd2_apply: batch contains a change older than an "
+                        "open version — feed batches in cdc order"
+                    )
+                ).cast("timestamp"),
+            )
+            .when(
                 F.col("is_current") & F.col("_first_ts").isNotNull(),
                 F.col("_first_ts"),
-            ).otherwise(F.col("valid_to")),
+            )
+            .otherwise(F.col("valid_to")),
         )
         .withColumn(
             "is_current", F.col("is_current") & F.col("_first_ts").isNull()

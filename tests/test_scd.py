@@ -178,3 +178,21 @@ def test_scd2_apply_equals_full_recompute(spark, case):
     b = {key(r): (r["payload"], r["valid_from"], r["valid_to"], r["is_current"])
          for r in merged.collect()}
     assert a == b
+
+
+def test_scd2_apply_rejects_out_of_order_batch(spark):
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from cdc_system_spark.operators.scd import scd2_apply
+
+    schema = (
+        "cdc_id long, operation string, record_id long, "
+        "new_data string, changed_at timestamp"
+    )
+    head = spark.createDataFrame([(5, "INSERT", 1, '{"v":5}', _ts(5))], schema)
+    stale = spark.createDataFrame([(6, "UPDATE", 1, '{"v":6}', _ts(3))], schema)
+    hist = scd2_from_log(head)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="older than an.*open version|USER_RAISED"):
+        scd2_apply(hist, stale).collect()
