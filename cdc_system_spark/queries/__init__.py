@@ -91,6 +91,7 @@ _ROTATE_OUT_LATE = [
     "q_salted_join",
     "q_order_priority",
     "q_agg_groupby",
+    "q_string_funcs",
 ]
 _ROTATE_IN_LATE = [
     "q_scd2_history",
@@ -99,6 +100,7 @@ _ROTATE_IN_LATE = [
     "q_cluster_sizes",
     "q_zorder_value",
     "q_knn_graph",
+    "q_temperature_sample",
 ]
 
 

@@ -61,6 +61,7 @@ def test_oracle_window_composition():
         "q_cluster_sizes",
         "q_zorder_value",
         "q_knn_graph",
+        "q_temperature_sample",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
