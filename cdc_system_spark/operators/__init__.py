@@ -12,7 +12,14 @@ from cdc_system_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from cdc_system_spark.operators.maintenance import compact_log, read_log_range
+from cdc_system_spark.operators.bucketing import bucketed_join, write_bucketed
+from cdc_system_spark.operators.maintenance import (
+    compact_log,
+    compact_zordered,
+    read_log_range,
+    zorder_value,
+)
+from cdc_system_spark.operators.scd import asof_lookup, scd2_apply, scd2_from_log
 from cdc_system_spark.operators.merge import apply_changes, lww_reduce, net_effect_reduce
 from cdc_system_spark.operators.multimodal import (
     byte_histogram,
@@ -26,7 +33,9 @@ from cdc_system_spark.operators.similarity import (
     group_normalize,
     ivf_topk,
     kmeans_refine,
+    knn_graph,
     pairwise_neardup,
+    semantic_dedup,
 )
 from cdc_system_spark.operators.snapshot_diff import snapshot_diff
 from cdc_system_spark.operators.temporal import asof_join, bucketed_range_join
@@ -36,17 +45,22 @@ from cdc_system_spark.operators.text import (
     term_frequency,
     text_quality,
     token_count,
+    token_histogram,
+    winnow_fingerprints,
 )
 
 __all__ = [
     "apply_changes",
     "asof_join",
+    "asof_lookup",
     "assign_cells",
+    "bucketed_join",
     "bucketed_range_join",
     "byte_histogram",
     "change_statistics",
     "change_statistics_rollup",
     "compact_log",
+    "compact_zordered",
     "cosine_topk",
     "decode_media",
     "exact_dedup",
@@ -56,6 +70,7 @@ __all__ = [
     "group_normalize",
     "ivf_topk",
     "kmeans_refine",
+    "knn_graph",
     "lang_id",
     "lsh_candidate_pairs",
     "lww_reduce",
@@ -67,6 +82,9 @@ __all__ = [
     "pending_changes",
     "read_log_range",
     "resolve",
+    "scd2_apply",
+    "scd2_from_log",
+    "semantic_dedup",
     "simhash",
     "snapshot_diff",
     "split_manual",
@@ -74,4 +92,8 @@ __all__ = [
     "term_frequency",
     "text_quality",
     "token_count",
+    "token_histogram",
+    "winnow_fingerprints",
+    "write_bucketed",
+    "zorder_value",
 ]
