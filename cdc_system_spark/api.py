@@ -263,6 +263,61 @@ class CDCReplicator:
         return n
 
 
+#: output schema of operators/scd.scd2_from_log / scd2_apply
+SCD2_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.LongType(), True),
+        T.StructField("version", T.IntegerType(), True),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("valid_from", T.TimestampType(), True),
+        T.StructField("valid_to", T.TimestampType(), True),
+        T.StructField("is_current", T.BooleanType(), True),
+    ]
+)
+
+
+class SCD2Replicator:
+    """History-table replication: pending changes maintain an SCD Type 2
+    history instead of a current-state replica — the other canonical
+    CDC sink (audit trails, point-in-time joins, feature backfills).
+    Same durability order as :class:`CDCReplicator`: history version
+    lands first, the log is flagged after, so a crash re-delivers into
+    :func:`~cdc_system_spark.operators.scd.scd2_apply`, whose
+    stale-batch guard makes out-of-order redelivery loud, not corrupt.
+
+    Requires ``changed_at`` to be monotone with ``cdc_id`` per key
+    (true for capture-time stamps); violations raise at apply time.
+    """
+
+    def __init__(self, source: CDCSystem, history: SnapshotTable):
+        self.source = source
+        self.history = history
+
+    def replicate_changes(self, batch_size: int | None = None) -> int:
+        from cdc_system_spark.operators.scd import scd2_apply
+
+        batch_size = batch_size or self.source.config.batch_size
+        log = self.source.read_log()
+        batch = (
+            log.filter(~F.col("synced")).orderBy("cdc_id").limit(batch_size)
+        ).cache()
+        n = batch.count()
+        if n == 0:
+            return 0
+        merged = scd2_apply(self.history.read(), batch)
+        self.history.write(merged)
+
+        updated = mark_synced(log, batch.select("cdc_id"))
+        cap = self.source.capture
+        assert cap is not None
+        tmp = cap.path + ".next"
+        updated.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(cap.path, ignore_errors=True)
+        os.replace(tmp, cap.path)
+        batch.unpersist()
+        return n
+
+
 class CDCMonitor:
     """≅ cdc_system.py:353-393."""
 

@@ -285,3 +285,35 @@ def test_time_travel_and_change_feed(spark, system, tmp_path):
         target.read_version("v_nope")
     with pytest.raises(ValueError, match="newer"):
         target.changes_between(v2, v1, key="id")
+
+
+def test_scd2_replicator_maintains_history(spark, system, tmp_path):
+    """The history-sink replicator: two replicate rounds over captured
+    changes produce the same SCD2 history as one batch recompute from
+    the full log; re-replication with nothing pending is a no-op."""
+    from cdc_system_spark.api import SCD2_SCHEMA, SCD2Replicator
+    from cdc_system_spark.operators.scd import scd2_from_log
+
+    hist = SnapshotTable(spark, str(tmp_path / "hist"), SCD2_SCHEMA)
+    repl = SCD2Replicator(system, hist)
+
+    system.capture.capture_insert(_rows(spark, [(1, "a", 10), (2, "b", 20)]))
+    assert repl.replicate_changes() == 2
+    system.capture.capture_update(
+        _rows(spark, [(1, "a2", 11)]), _rows(spark, [(1, "a", 10)])
+    )
+    system.capture.capture_delete(_rows(spark, [(2, "b", 20)]))
+    assert repl.replicate_changes() == 2
+    assert repl.replicate_changes() == 0  # nothing pending
+
+    expected = scd2_from_log(system.read_log())
+    key = lambda df: {
+        (r["record_id"], r["version"]): (r["valid_to"] is None, r["is_current"])
+        for r in df.collect()
+    }
+    got = key(hist.read())
+    assert got == key(expected)
+    # key 1: v1 closed, v2 current; key 2: v1 closed by the delete
+    assert got[(1, 1)] == (False, False)
+    assert got[(1, 2)] == (True, True)
+    assert got[(2, 1)] == (False, False)
