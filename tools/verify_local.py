@@ -118,7 +118,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="verify_local", master="local[8]", shuffle_partitions=8)
+    # SPARK_GRAFT_VERIFY_CORES / _SHUFFLE override the layout — run the
+    # suite under a weird layout (e.g. 3 cores / 7 partitions) to prove
+    # every oracle result is partitioning-independent
+    cores = os.environ.get("SPARK_GRAFT_VERIFY_CORES", "8")
+    shuf = int(os.environ.get("SPARK_GRAFT_VERIFY_SHUFFLE", "8"))
+    spark = get_spark(
+        app_name="verify_local", master=f"local[{cores}]", shuffle_partitions=shuf
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
