@@ -1010,3 +1010,46 @@ _KNN_SQL = f"""WITH p AS (
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
+
+
+# -- corpus data card --------------------------------------------------------
+_DATACARD_SQL = """WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(text) AS h
+        FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS exact_dup_docs
+    FROM t"""
+
+
+@register(
+    "q_corpus_datacard",
+    _DATACARD_SQL,
+    doc="single-row corpus data card: doc/lang/source counts, token and "
+    "char totals, length extremes, exact-duplicate count — the "
+    "dataset-documentation summary, one pass + tiny distinct aggs",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        n_tok.alias("n_tok"), F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_tok").cast("long").alias("min_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("exact_dup_docs"),
+    )
