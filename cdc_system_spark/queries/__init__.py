@@ -17,13 +17,13 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (10)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (15)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (4)
-from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (11)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (28, all oracle-backed)
-from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (5)
+from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (36, all oracle-backed)
+from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (6)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
 # Round-4 window rotation: swap 7 double-driver-green queries (r1+r3)
