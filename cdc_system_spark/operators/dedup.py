@@ -618,3 +618,34 @@ def contamination_report(
             ),
         )
     )
+
+
+def quality_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware duplicate-survivor selection: keep each cluster's
+    HIGHEST-scoring document (rounded-score desc, id asc tiebreak) —
+    what production dedup does instead of the min-id convention
+    (near-duplicates differ in truncation/boilerplate; keeping the
+    best-quality copy is free corpus quality). ``clusters`` is the
+    (id, cluster_id) labeling from :func:`duplicate_clusters` /
+    :func:`star_contraction_clusters`; ``scores`` maps id → score.
+
+    One window shuffle on the cluster key; singleton clusters pass
+    through (every doc appears in ``clusters``, labeled by itself when
+    unpaired).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clusters.join(scores.select(id_col, score_col), id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "cluster_id", score_col)
+    )

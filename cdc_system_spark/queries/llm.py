@@ -1053,3 +1053,35 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tok").cast("long").alias("max_tokens"),
         (F.count("*") - F.countDistinct("h")).cast("long").alias("exact_dup_docs"),
     )
+
+
+# -- quality-aware dedup survivors -------------------------------------------
+_QSURV_SQL = f"""WITH RECURSIVE {cluster_ctes("documents")},
+    labels AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src),
+    t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    q AS (SELECT doc_id, {_QSCORE} AS quality_score FROM t),
+    r AS (
+        SELECT l.doc_id, l.cluster_id, q.quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.cluster_id
+                   ORDER BY q.quality_score DESC, l.doc_id ASC) AS rk
+        FROM labels l JOIN q ON l.doc_id = q.doc_id)
+    SELECT doc_id, cluster_id, quality_score FROM r WHERE rk = 1"""
+
+
+@register(
+    "q_quality_survivors",
+    _QSURV_SQL,
+    doc="quality-aware dedup survivors: each LSH duplicate cluster keeps "
+    "its highest-quality doc (score desc, id asc tiebreak) instead of "
+    "min-id — free corpus quality; one window shuffle on the cluster key",
+)
+def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    labels = D.duplicate_clusters(docs, pairs)
+    scores = X.text_quality(docs).select("doc_id", "quality_score")
+    return D.quality_survivors(labels, scores)

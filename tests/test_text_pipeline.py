@@ -222,3 +222,22 @@ def test_winnow_fingerprints_guarantee(spark):
     assert len(rows) == sum(len(s) for s in fps.values())
     with pytest.raises(ValueError, match="k and window"):
         winnow_fingerprints(docs, k=0)
+
+
+def test_quality_survivors_keeps_best_per_cluster(spark):
+    from cdc_system_spark.operators.dedup import quality_survivors
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],  # cluster {1,2,3} + singletons
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5)],
+        "doc_id long, quality_score double",
+    )
+    got = {
+        r["cluster_id"]: r["doc_id"]
+        for r in quality_survivors(clusters, scores).collect()
+    }
+    # best score wins; score tie broken by smaller id; singletons survive
+    assert got == {1: 2, 4: 4, 5: 5}
