@@ -59,6 +59,7 @@ def curate_corpus(
     num_perms: int = 16,
     rows_per_band: int = 4,
     decontam_n: int = 5,
+    survivor: str = "min_id",
 ) -> DataFrame:
     """Run the full curation sequence; returns the curated corpus rows.
 
@@ -90,7 +91,23 @@ def curate_corpus(
         sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
     )
     clusters = duplicate_clusters(c1, pairs, id_col)
-    canonical = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    if survivor == "quality":
+        # keep each cluster's highest-quality doc instead of the min-id
+        # canonical (near-dups differ in truncation/boilerplate — the
+        # best copy is free corpus quality); one extra window shuffle
+        from cdc_system_spark.operators.dedup import quality_survivors
+        from cdc_system_spark.operators.text import text_quality
+
+        scores = text_quality(c1, text_col, id_col).select(
+            id_col, "quality_score"
+        )
+        canonical = quality_survivors(clusters, scores, id_col).select(id_col)
+    elif survivor == "min_id":
+        canonical = clusters.filter(
+            F.col(id_col) == F.col("cluster_id")
+        ).select(id_col)
+    else:
+        raise ValueError(f"survivor must be 'min_id' or 'quality', got {survivor!r}")
     # c2 feeds the repetition fold AND the length filter — truncate once
     c2 = c1.join(canonical, id_col, "left_semi").localCheckpoint(eager=False)
 

@@ -435,3 +435,32 @@ def test_temperature_sample_hits_quotas(spark):
     assert {r["doc_id"] for r in again.collect()} == {
         r["doc_id"] for r in temperature_sample(df, "lang", 0.5, salt="t").collect()
     }
+
+
+def test_curate_corpus_quality_survivor_mode(spark):
+    from cdc_system_spark.operators.curation import curate_corpus
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair: 2 is longer (higher length-saturation score)
+            (1, base, "en"),
+            (2, base + " extra trailing tokens here", "en"),
+            (3, " ".join(f"zz{i}" for i in range(30)), "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    bench = spark.createDataFrame([(99, "zz xx cc vv bb nn")], "doc_id long, text string")
+    kw = dict(rates={"en": 1.0}, min_tokens=2)
+    min_id = {r["doc_id"] for r in curate_corpus(docs, bench, **kw).collect()}
+    qual = {r["doc_id"] for r in curate_corpus(docs, bench, survivor="quality", **kw).collect()}
+    # both keep one of the near-dup pair plus doc 3; quality mode keeps
+    # the higher-scoring copy (2), min-id keeps 1
+    assert 3 in min_id and 3 in qual
+    if 1 in min_id or 2 in min_id:   # pair actually clustered by LSH
+        assert 1 in min_id and 2 not in min_id
+        assert 2 in qual and 1 not in qual
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="survivor"):
+        curate_corpus(docs, bench, survivor="nope", **kw)
