@@ -327,3 +327,36 @@ def weighted_sample(
         .filter(F.col("_bucket") < F.round(w * BUCKETS, 0))
         .drop("_bucket")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_path: str,
+    num_files: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "",
+    shuffle_shards: int = 64,
+) -> None:
+    """Materialize the corpus as training shards: rows land in
+    ``num_files`` contiguous-range files following the deterministic
+    :func:`global_shuffle` order, sorted within each file, so a trainer
+    streaming shard files in position order reads exactly the shuffled
+    order. The standard last step before tokenization/packing;
+    re-running with the same salt reproduces the identical layout on
+    any cluster.
+
+    ``num_files`` (output layout) is independent of ``shuffle_shards``
+    (the permutation's internal two-level numbering — changing it
+    changes the permutation, so it is pinned by default).
+    ``repartitionByRange`` on the position samples range bounds — no
+    single-task sort, no driver collection.
+    """
+    ordered = global_shuffle(
+        df, id_col=id_col, salt=salt, num_shards=shuffle_shards
+    )
+    (
+        ordered.repartitionByRange(num_files, "global_pos")
+        .sortWithinPartitions("global_pos")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -464,3 +464,39 @@ def test_curate_corpus_quality_survivor_mode(spark):
 
     with _pytest.raises(ValueError, match="survivor"):
         curate_corpus(docs, bench, survivor="nope", **kw)
+
+
+def test_write_training_shards_materializes_shuffle_order(spark, tmp_path):
+    import glob
+
+    from cdc_system_spark.operators.sampling import (
+        global_shuffle,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, num_files=8, salt="t")
+
+    # file ranges partition [1, N] contiguously and rows sort within
+    ranges = []
+    for f in sorted(glob.glob(out + "/*.parquet")):
+        rows = spark.read.parquet(f).orderBy("global_pos").collect()
+        pos = [r["global_pos"] for r in rows]
+        assert pos == sorted(pos)
+        if pos:
+            ranges.append((pos[0], pos[-1], len(pos)))
+    ranges.sort()
+    covered = sum(n for _, _, n in ranges)
+    assert covered == 1000
+    for (a_lo, a_hi, _), (b_lo, b_hi, _) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo            # contiguous, non-overlapping
+    # the materialized order IS the global_shuffle permutation
+    expect = {
+        r["doc_id"]: r["global_pos"]
+        for r in global_shuffle(df, salt="t").collect()
+    }
+    got = {
+        r["doc_id"]: r["global_pos"] for r in spark.read.parquet(out).collect()
+    }
+    assert got == expect
