@@ -92,6 +92,8 @@ _ROTATE_OUT_LATE = [
     "q_order_priority",
     "q_agg_groupby",
     "q_string_funcs",
+    "q_date_funcs",
+    "q_case_when",
 ]
 _ROTATE_IN_LATE = [
     "q_scd2_history",
@@ -101,6 +103,8 @@ _ROTATE_IN_LATE = [
     "q_zorder_value",
     "q_knn_graph",
     "q_temperature_sample",
+    "q_corpus_datacard",
+    "q_quality_survivors",
 ]
 
 

@@ -62,6 +62,8 @@ def test_oracle_window_composition():
         "q_zorder_value",
         "q_knn_graph",
         "q_temperature_sample",
+        "q_corpus_datacard",
+        "q_quality_survivors",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
