@@ -464,3 +464,43 @@ def winnow_fingerprints(
         F.col(id_col),
         F.explode(F.array_distinct(mins)).alias("fp"),
     )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    prefix_chars: int = 30,
+    min_share: float = 0.1,
+) -> DataFrame:
+    """Boilerplate detection: fixed-length text prefixes that repeat
+    across a meaningful share of one source's documents — the signature
+    of injected headers/navigation/license banners (the C4/RefinedWeb
+    boilerplate-stripping pass starts from exactly this table; the
+    cleaner then strips or drops flagged docs).
+
+    One map-side-combined groupBy on (source, prefix); the per-source
+    share denominator is a strata-sized aggregate broadcast back. At
+    100 TB the group count is bounded by distinct (source, prefix)
+    pairs — boilerplate concentrates, long-tail prefixes die in the
+    partial aggregation.
+    """
+    if prefix_chars < 1:
+        raise ValueError(f"prefix_chars must be >= 1, got {prefix_chars}")
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    pref = F.substring(F.col(text_col), 1, prefix_chars)
+    counts = (
+        df.select(F.col(source_col).alias("source"), pref.alias("prefix"))
+        .groupBy("source", "prefix")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn("share", F.round(F.col("n_docs") / F.col("_total"), 6))
+        .filter(F.col("share") >= min_share)
+        .select("source", "prefix", "n_docs", "share")
+    )

@@ -1085,3 +1085,49 @@ def q_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = D.duplicate_clusters(docs, pairs)
     scores = X.text_quality(docs).select("doc_id", "quality_score")
     return D.quality_survivors(labels, scores)
+
+
+# -- boilerplate-prefix detection --------------------------------------------
+# the driver corpus has no boilerplate, so inject a deterministic
+# per-source header on doc_id % 3 = 0 — the detector must find exactly
+# those and ignore the organic (all-distinct) prefixes
+_BOILER_SQL = """WITH aug AS (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'COMMON HEADER ' || source || ' :: ' || text
+                    ELSE text END AS text
+        FROM documents),
+    c AS (
+        SELECT source, substr(text, 1, 30) AS prefix,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM aug GROUP BY source, substr(text, 1, 30)),
+    t AS (SELECT source, COUNT(*) AS total FROM aug GROUP BY source)
+    SELECT c.source, c.prefix, c.n_docs,
+           ROUND(c.n_docs / CAST(t.total AS DOUBLE), 6) AS share
+    FROM c JOIN t ON c.source = t.source
+    WHERE c.n_docs / CAST(t.total AS DOUBLE) >= 0.1"""
+
+
+@register(
+    "q_boilerplate",
+    _BOILER_SQL,
+    doc="boilerplate-prefix detection (C4/RefinedWeb-style): repeated "
+    "fixed-length prefixes per source above a share threshold; "
+    "map-side-combined groupBy + broadcast per-source totals; seeded "
+    "synthetic headers prove the detector",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("COMMON HEADER "), F.col("source"), F.lit(" :: "), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.boilerplate_prefixes(aug, min_share=0.1)

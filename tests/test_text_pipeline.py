@@ -241,3 +241,36 @@ def test_quality_survivors_keeps_best_per_cluster(spark):
     }
     # best score wins; score tie broken by smaller id; singletons survive
     assert got == {1: 2, 4: 4, 5: 5}
+
+
+def test_boilerplate_prefixes_finds_injected_headers(spark):
+    from cdc_system_spark.operators.text import boilerplate_prefixes
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(100):
+        body = " ".join(f"w{rng.randint(0, 10**9)}" for _ in range(10))
+        header = "SITE NAV | HOME | ABOUT | CONTACT | "   # > prefix_chars
+        text = (header + body) if i % 4 == 0 else body
+        rows.append((i, "web", text))
+    rows.append((1000, "tiny", "only doc of its source"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = boilerplate_prefixes(docs, min_share=0.2).collect()
+    found = {(r["source"], r["prefix"]): r for r in out}
+    # the injected header is the only repeated prefix in 'web'
+    web_hits = [k for k in found if k[0] == "web"]
+    assert web_hits and web_hits[0][1] == "SITE NAV | HOME | ABOUT | CONT"
+    assert len(web_hits) == 1
+    assert found[web_hits[0]]["n_docs"] == 25
+    assert abs(found[web_hits[0]]["share"] - 0.25) < 1e-9
+    # the single-doc source trivially "repeats" at share 1.0 — callers
+    # gate by source size; the operator reports honestly
+    assert found[("tiny", "only doc of its source"[:30])]["share"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_share"):
+        boilerplate_prefixes(docs, min_share=0.0)
+    with _pytest.raises(ValueError, match="prefix_chars"):
+        boilerplate_prefixes(docs, prefix_chars=0)
