@@ -108,11 +108,17 @@ _ROTATE_IN_LATE = [
 ]
 
 
+# Fourth round-4 rotation: boilerplate-prefix detection (the last
+# operator added this round), in for one more r1+r3-double-green.
+_ROTATE_OUT_FINAL = ["q_forecast_revenue"]
+_ROTATE_IN_FINAL = ["q_boilerplate"]
+
+
 def _rotate_window() -> None:
     names = list(QUERY_REGISTRY)
     for out_name, in_name in zip(
-        _ROTATE_OUT + _ROTATE_OUT_NEW + _ROTATE_OUT_LATE,
-        _ROTATE_IN + _ROTATE_IN_NEW + _ROTATE_IN_LATE,
+        _ROTATE_OUT + _ROTATE_OUT_NEW + _ROTATE_OUT_LATE + _ROTATE_OUT_FINAL,
+        _ROTATE_IN + _ROTATE_IN_NEW + _ROTATE_IN_LATE + _ROTATE_IN_FINAL,
     ):
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]

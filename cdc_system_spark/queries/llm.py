@@ -1098,14 +1098,14 @@ _BOILER_SQL = """WITH aug AS (
                     ELSE text END AS text
         FROM documents),
     c AS (
-        SELECT source, substr(text, 1, 30) AS prefix,
+        SELECT source, substr(text, 1, 18) AS prefix,
                CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM aug GROUP BY source, substr(text, 1, 30)),
+        FROM aug GROUP BY source, substr(text, 1, 18)),
     t AS (SELECT source, COUNT(*) AS total FROM aug GROUP BY source)
     SELECT c.source, c.prefix, c.n_docs,
            ROUND(c.n_docs / CAST(t.total AS DOUBLE), 6) AS share
     FROM c JOIN t ON c.source = t.source
-    WHERE c.n_docs / CAST(t.total AS DOUBLE) >= 0.1"""
+    WHERE ROUND(c.n_docs / CAST(t.total AS DOUBLE), 6) >= 0.1"""
 
 
 @register(
@@ -1130,4 +1130,7 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return X.boilerplate_prefixes(aug, min_share=0.1)
+    # prefix window must sit inside the constant header region
+    # ("COMMON HEADER " + 4-char source = 18 chars) or organic text
+    # bleeds into the prefix and nothing repeats
+    return X.boilerplate_prefixes(aug, prefix_chars=18, min_share=0.1)

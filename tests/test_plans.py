@@ -64,6 +64,7 @@ def test_oracle_window_composition():
         "q_temperature_sample",
         "q_corpus_datacard",
         "q_quality_survivors",
+        "q_boilerplate",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
