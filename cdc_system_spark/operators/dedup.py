@@ -649,3 +649,94 @@ def quality_survivors(
         .filter(F.col("_rk") == 1)
         .select(id_col, "cluster_id", score_col)
     )
+
+
+def lsh_recall_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    k: int = 7,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH-configuration recall diagnostic: what fraction of the TRUE
+    near-duplicate pairs (exact token-``n``-gram Jaccard ≥ ``threshold``,
+    via :func:`ngram_jaccard_pairs`' inverted-index join — no all-pairs)
+    does the MinHash-LSH banding (``num_perms``/``rows_per_band``)
+    actually surface? One row: n_true, n_caught, recall (null when no
+    true pairs exist). This is how you tune band geometry before
+    trusting a dedup run.
+
+    100 TB shape: the exact-truth pass is the expensive half (its
+    gram join grows with shared-gram volume) — run the report on a
+    hash-sampled subset (``docs.filter(md5-bucket)``) at full scale;
+    recall is a ratio, so a uniform sample estimates it unbiased.
+    """
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold).select(
+        "id1", "id2"
+    )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, k=k, num_perms=num_perms
+    )
+    cand = lsh_candidate_pairs(
+        sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
+    ).withColumn("_hit", F.lit(1))
+    return (
+        truth.join(cand, ["id1", "id2"], "left")
+        .agg(
+            F.count("*").alias("n_true"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_caught"),
+        )
+        .select(
+            "n_true",
+            "n_caught",
+            F.round(
+                F.col("n_caught") / F.expr("nullif(n_true, 0)"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for each unordered source pair,
+    how many near-duplicate doc pairs straddle it — the governance
+    diagnostic that surfaces mirrored/scraped-twice sources (a large
+    off-diagonal cell means two "different" sources are the same crawl)
+    and inflated-diagonal sources (internal boilerplate/templating).
+
+    ``pairs`` is any candidate pair table (``id1``/``id2``, e.g. from
+    :func:`lsh_candidate_pairs` or :func:`simhash_neardup_pairs`); the
+    source pair is canonicalized least/greatest so the matrix is
+    unordered.
+
+    Scale shape: two key joins against the narrow (id, source)
+    projection — the corpus side prunes to two columns at the scan, and
+    the joins carry only the pair table (LSH-capped, orders of
+    magnitude smaller than the corpus). No broadcast hint on the pair
+    side: candidate volume is data-dependent (see
+    minhash_jaccard_estimate's gating) — AQE picks when it fits.
+    """
+    src = docs.select(F.col(id_col), F.col(source_col))
+    s1 = src.select(
+        F.col(id_col).alias("id1"), F.col(source_col).alias("_s1")
+    )
+    s2 = src.select(
+        F.col(id_col).alias("id2"), F.col(source_col).alias("_s2")
+    )
+    return (
+        pairs.select("id1", "id2")
+        .join(s1, "id1")
+        .join(s2, "id2")
+        .groupBy(
+            F.least("_s1", "_s2").alias("src_a"),
+            F.greatest("_s1", "_s2").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )

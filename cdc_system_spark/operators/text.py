@@ -504,3 +504,55 @@ def boilerplate_prefixes(
         .filter(F.col("share") >= min_share)
         .select("source", "prefix", "n_docs", "share")
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    flagged: DataFrame | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    prefix_chars: int = 30,
+    min_share: float = 0.1,
+) -> DataFrame:
+    """Apply half of the C4-style boilerplate pass: remove flagged
+    repeated prefixes from each document (detection is
+    :func:`boilerplate_prefixes`; pass its output as ``flagged`` to
+    reuse it, else it is computed here with the same parameters).
+
+    A doc is stripped iff its (source, first-``prefix_chars``) pair is
+    flagged: the prefix is cut and the remainder left-trimmed; a
+    ``stripped`` boolean records which docs changed. All other columns
+    pass through unchanged.
+
+    100 TB shape: the flagged table is bounded by construction — at
+    most ``1/min_share`` prefixes per source survive the share filter —
+    so the application join is always a broadcast hash join and the
+    pass stays map-side; no extra shuffle beyond detection's own agg.
+    """
+    if flagged is None:
+        flagged = boilerplate_prefixes(
+            df, source_col, text_col, prefix_chars, min_share
+        )
+    flags = flagged.select(
+        F.col("source").alias("_bp_source"), F.col("prefix").alias("_bp_prefix")
+    ).distinct()
+    marked = df.withColumn(
+        "_pref", F.substring(F.col(text_col), 1, prefix_chars)
+    )
+    joined = marked.join(
+        F.broadcast(flags),
+        (marked[source_col] == flags["_bp_source"])
+        & (marked["_pref"] == flags["_bp_prefix"]),
+        "left",
+    )
+    hit = F.col("_bp_prefix").isNotNull()
+    rest = F.col(text_col).substr(
+        F.lit(prefix_chars + 1), F.length(F.col(text_col))
+    )
+    out_cols = [
+        F.when(hit, F.ltrim(rest)).otherwise(F.col(c)).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(*out_cols, hit.alias("stripped"))

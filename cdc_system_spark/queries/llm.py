@@ -1134,3 +1134,119 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ("COMMON HEADER " + 4-char source = 18 chars) or organic text
     # bleeds into the prefix and nothing repeats
     return X.boilerplate_prefixes(aug, prefix_chars=18, min_share=0.1)
+
+
+# -- boilerplate stripping ----------------------------------------------------
+_STRIP_SQL = """WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 3 = 0
+                    THEN 'COMMON HEADER ' || source || ' :: ' || text
+                    ELSE text END AS text
+        FROM documents),
+    c AS (
+        SELECT source, substr(text, 1, 18) AS prefix, COUNT(*) AS n
+        FROM aug GROUP BY source, substr(text, 1, 18)),
+    t AS (SELECT source, COUNT(*) AS total FROM aug GROUP BY source),
+    f AS (
+        SELECT c.source, c.prefix
+        FROM c JOIN t ON c.source = t.source
+        WHERE ROUND(c.n / CAST(t.total AS DOUBLE), 6) >= 0.1)
+    SELECT aug.doc_id, aug.source,
+           CASE WHEN f.prefix IS NOT NULL
+                THEN ltrim(substr(aug.text, 19)) ELSE aug.text END AS text,
+           f.prefix IS NOT NULL AS stripped
+    FROM aug LEFT JOIN f
+      ON aug.source = f.source AND substr(aug.text, 1, 18) = f.prefix"""
+
+
+@register(
+    "q_strip_boilerplate",
+    _STRIP_SQL,
+    doc="boilerplate stripping: cut flagged repeated prefixes and "
+    "left-trim the remainder, stripped flag per doc; broadcast "
+    "application join (flag table bounded by 1/min_share per source), "
+    "map-side pass",
+)
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("COMMON HEADER "), F.col("source"), F.lit(" :: "), F.col("text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.strip_boilerplate(aug, prefix_chars=18, min_share=0.1)
+
+
+# -- cross-source duplication matrix ------------------------------------------
+_DUP_MATRIX_SQL = f"""WITH {lsh_ctes("documents")}
+    SELECT least(d1.source, d2.source) AS src_a,
+           greatest(d1.source, d2.source) AS src_b,
+           COUNT(*) AS n_pairs
+    FROM lsh_pairs p
+    JOIN documents d1 ON p.id1 = d1.doc_id
+    JOIN documents d2 ON p.id2 = d2.doc_id
+    GROUP BY least(d1.source, d2.source), greatest(d1.source, d2.source)"""
+
+
+@register(
+    "q_dup_source_matrix",
+    _DUP_MATRIX_SQL,
+    doc="cross-source duplication matrix over MinHash-LSH pairs: "
+    "near-dup pair counts per unordered source pair (mirror/scraped-"
+    "twice detection); narrow (id, source) joins, no data-dependent "
+    "broadcast hints",
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    return D.cross_source_dup_matrix(docs, pairs)
+
+
+# -- LSH recall diagnostic ----------------------------------------------------
+# exact token-3-gram truth (same CTEs as q_ngram_jaccard) left-joined
+# against the LSH candidate set; SUM is CAST to BIGINT (DuckDB HUGEINT
+# otherwise hashes 3 vs 3.0 differently — the r2/r3 pitfall)
+_LSH_RECALL_SQL = f"""WITH {lsh_ctes("documents")},
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    truth AS (
+        SELECT id1, id2 FROM shared
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE shared * 1.0 / (s1.sz + s2.sz - shared) >= 0.6)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COALESCE(SUM(CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_caught,
+           ROUND(COALESCE(SUM(CASE WHEN l.id1 IS NOT NULL THEN 1 ELSE 0 END), 0)
+                 / CAST(NULLIF(COUNT(*), 0) AS DOUBLE), 6) AS recall
+    FROM truth t
+    LEFT JOIN lsh_pairs l ON t.id1 = l.id1 AND t.id2 = l.id2"""
+
+
+@register(
+    "q_lsh_recall",
+    _LSH_RECALL_SQL,
+    doc="LSH band-geometry recall diagnostic: fraction of exact "
+    "token-3-gram Jaccard ≥ 0.6 pairs the 16-perm/4-band MinHash-LSH "
+    "candidate set catches; inverted-index truth join, no all-pairs",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_recall_report(catalog(spark, sf_dir).documents)

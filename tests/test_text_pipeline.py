@@ -274,3 +274,87 @@ def test_boilerplate_prefixes_finds_injected_headers(spark):
         boilerplate_prefixes(docs, min_share=0.0)
     with _pytest.raises(ValueError, match="prefix_chars"):
         boilerplate_prefixes(docs, prefix_chars=0)
+
+
+def test_strip_boilerplate_removes_flagged_prefixes_only(spark):
+    from cdc_system_spark.operators.text import (
+        boilerplate_prefixes,
+        strip_boilerplate,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    bodies = {}
+    for i in range(40):
+        body = " ".join(f"w{rng.randint(0, 10**9)}" for _ in range(8))
+        bodies[i] = body
+        header = "LEGAL NOTICE *** ALL RIGHTS *** "  # 32 chars > prefix 30
+        text = (header + body) if i % 2 == 0 else body
+        rows.append((i, "web", text))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_share=0.2).collect()}
+    assert len(out) == 40  # row-preserving
+    assert set(out[0].asDict()) == {"doc_id", "source", "text", "stripped"}
+    for i in range(40):
+        if i % 2 == 0:
+            assert out[i]["stripped"], i
+            # first 30 header chars cut, remainder left-trimmed:
+            # "LEGAL NOTICE *** ALL RIGHTS **" | "* " + body
+            assert out[i]["text"] == "* " + bodies[i], i
+        else:
+            assert not out[i]["stripped"], i
+            assert out[i]["text"] == bodies[i], i
+    # precomputed flag table is honored (detect once, apply many)
+    flags = boilerplate_prefixes(docs, min_share=0.2)
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate(docs, flagged=flags, min_share=0.2).collect()
+    }
+    assert out2 == {i: out[i]["text"] for i in out}
+    # an empty flag table strips nothing
+    none = strip_boilerplate(docs, flagged=flags.filter("n_docs < 0")).collect()
+    assert all(not r["stripped"] for r in none)
+
+
+def test_cross_source_dup_matrix_canonicalizes_and_counts(spark):
+    from cdc_system_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c"), (5, "b")],
+        "doc_id long, source string",
+    )
+    # pairs deliberately emitted in both source orders: (a,b) via 1-2
+    # and (b,a) via 5-3 must land in the SAME unordered cell
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 5), (1, 3), (2, 4)], "id1 long, id2 long"
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["n_pairs"]
+        for r in cross_source_dup_matrix(docs, pairs).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "a"): 1, ("b", "c"): 1}
+
+
+def test_lsh_recall_report_counts_and_null_on_no_truth(spark):
+    from cdc_system_spark.operators.dedup import lsh_recall_report
+
+    import random
+
+    rng = random.Random(3)
+    words = lambda n: " ".join(f"w{rng.randint(0, 10**9)}" for _ in range(n))  # noqa: E731
+    twin = words(40)
+    rows = [(1, twin), (2, twin)] + [(i, words(40)) for i in range(3, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    row = lsh_recall_report(docs).collect()[0]
+    # the identical twins are the only true pair; identical signatures
+    # always share every band, so LSH must catch them
+    assert row["n_true"] == 1
+    assert row["n_caught"] == 1
+    assert row["recall"] == 1.0
+    # all-distinct corpus: no truth, recall is null (not a fake 1.0)
+    empty = lsh_recall_report(docs.filter("doc_id > 2")).collect()[0]
+    assert empty["n_true"] == 0
+    assert empty["n_caught"] == 0
+    assert empty["recall"] is None
