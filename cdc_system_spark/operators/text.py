@@ -506,6 +506,68 @@ def boilerplate_prefixes(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_share: float = 0.1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-wise deduplication (the RefinedWeb/C4 cleaning pass):
+    drop every line that appears in at least ``min_share`` of a
+    source's documents — repeated lines at that frequency are
+    navigation, cookie banners, footers, not content. Documents are
+    reassembled from their surviving lines in original order; a
+    ``changed`` flag records which docs lost lines.
+
+    Scale shape: one explode → (source, line) count-distinct agg →
+    anti join → per-doc ordered reassembly (sort_array over
+    (pos, line) structs — no window, no global sort). The flagged-line
+    table is data-dependent (unlike prefix detection a doc has many
+    lines), so no broadcast hint — AQE decides. Reassembly state is
+    bounded per doc, never per source.
+    """
+    if not 0.0 < min_share <= 1.0:
+        raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    lines = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy(source_col, "line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+    totals = df.groupBy(source_col).agg(F.count("*").alias("_total"))
+    flagged = (
+        freq.join(totals, source_col)
+        .filter(F.round(F.col("n_docs") / F.col("_total"), 6) >= min_share)
+        .select(source_col, "line")
+    )
+    kept = lines.join(flagged, [source_col, "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_new_text")
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+            (
+                F.coalesce(F.col("_new_text"), F.lit("")) != F.col(text_col)
+            ).alias("changed"),
+        )
+    )
+
+
 def strip_boilerplate(
     df: DataFrame,
     flagged: DataFrame | None = None,

@@ -1250,3 +1250,63 @@ _LSH_RECALL_SQL = f"""WITH {lsh_ctes("documents")},
 )
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_recall_report(catalog(spark, sf_dir).documents)
+
+
+# -- line-wise dedup ----------------------------------------------------------
+# the driver corpus is single-line, so seed a repeated footer line on
+# doc_id % 4 = 0 — the pass must drop exactly those lines and rebuild
+# every doc byte-identically otherwise
+_LINE_DEDUP_SQL = """WITH aug AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN text || chr(10) || 'PROMO FOOTER ' || source
+                    ELSE text END AS text
+        FROM documents),
+    ln AS (SELECT doc_id, source, string_split(text, chr(10)) AS l FROM aug),
+    lines AS (
+        SELECT doc_id, source,
+               unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS line
+        FROM ln),
+    freq AS (
+        SELECT source, line, COUNT(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY source, line),
+    tot AS (SELECT source, COUNT(*) AS total FROM aug GROUP BY source),
+    flagged AS (
+        SELECT f.source, f.line FROM freq f JOIN tot t ON f.source = t.source
+        WHERE ROUND(f.n_docs / CAST(t.total AS DOUBLE), 6) >= 0.1),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l LEFT JOIN flagged g
+          ON l.source = g.source AND l.line = g.line
+        WHERE g.line IS NULL),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS new_text
+        FROM kept GROUP BY doc_id)
+    SELECT a.doc_id, a.source,
+           COALESCE(r.new_text, '') AS text,
+           COALESCE(r.new_text, '') <> a.text AS changed
+    FROM aug a LEFT JOIN reb r ON a.doc_id = r.doc_id"""
+
+
+@register(
+    "q_line_dedup",
+    _LINE_DEDUP_SQL,
+    doc="line-wise dedup (RefinedWeb/C4 cleaning): drop lines repeated "
+    "across >= 10% of a source's docs, rebuild docs in original line "
+    "order; seeded footer lines prove the pass",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit("\nPROMO FOOTER "), F.col("source")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.line_dedup(aug, min_share=0.1)

@@ -318,6 +318,36 @@ def test_strip_boilerplate_removes_flagged_prefixes_only(spark):
     assert all(not r["stripped"] for r in none)
 
 
+def test_line_dedup_drops_repeated_lines_and_preserves_order(spark):
+    from cdc_system_spark.operators.text import line_dedup
+
+    footer = "COOKIES | PRIVACY | TERMS"
+    docs = spark.createDataFrame(
+        [
+            (1, "web", f"alpha one\n{footer}\nbeta two"),
+            (2, "web", f"{footer}\ngamma three"),
+            (3, "web", "delta four\nepsilon five"),
+            (4, "web", footer),  # nothing but boilerplate
+            (5, "other", f"{footer}"),  # sole doc of its source: kept? no —
+            # share 1.0 >= threshold, dropped; callers gate tiny sources
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_share=0.5).collect()}
+    # footer appears in 3/4 'web' docs (share 0.75 >= 0.5) — dropped;
+    # every other line is unique (share 0.25) — kept, in order
+    assert out[1]["text"] == "alpha one\nbeta two" and out[1]["changed"]
+    assert out[2]["text"] == "gamma three" and out[2]["changed"]
+    assert out[3]["text"] == "delta four\nepsilon five"
+    assert not out[3]["changed"]
+    assert out[4]["text"] == "" and out[4]["changed"]
+    assert out[5]["text"] == "" and out[5]["changed"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_share"):
+        line_dedup(docs, min_share=0.0)
+
+
 def test_cross_source_dup_matrix_canonicalizes_and_counts(spark):
     from cdc_system_spark.operators.dedup import cross_source_dup_matrix
 
