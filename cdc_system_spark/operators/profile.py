@@ -1,0 +1,67 @@
+"""Table profiling: per-column statistics in one aggregate pass.
+
+The data-card / data-quality building block every warehouse exposes
+(ANALYZE TABLE, dbt source freshness, Deequ profiles): null counts,
+distinct cardinality, min/max per column, computed as ONE wide
+aggregate over the table and unpivoted driver-free with ``stack``.
+The reference has no analogue (SQLite exposes nothing beyond
+``COUNT(*)``); at 100 TB this is how you decide whether a column is
+joinable (cardinality), filterable (range) or broken (null rate).
+
+Scale notes: a single ``df.agg`` pass — map-side partial aggregation,
+one reduce to a single row, then a constant-size ``stack`` projection;
+no per-column scans. Exact ``count_distinct`` over many columns makes
+Catalyst plan an Expand (input replicated once per distinct column) —
+fine for profiling runs; pass ``exact=False`` to switch to
+``approx_count_distinct`` (one HLL sketch per column, no Expand) for
+routine wide-table profiling. Approximate results are rows-only
+checkable (engine-specific sketches), which is why the oracle-backed
+query path uses ``exact=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df``.
+
+    Returns one row per column: ``column_name``, ``n_rows``,
+    ``n_non_null``, ``n_distinct`` (exact, or HLL-approximate with
+    ``exact=False``), ``min_value``/``max_value`` cast to string (cast
+    profiled columns to decimal first if you need engine-portable
+    float rendering).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_table needs at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    nd: Column = F.count_distinct if exact else F.approx_count_distinct  # type: ignore[assignment]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            nd(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stacked = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stacked}) as "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+        "__n as n_rows",
+    ).select(
+        "column_name", "n_rows", "n_non_null", "n_distinct",
+        "min_value", "max_value",
+    )

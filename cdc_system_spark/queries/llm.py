@@ -1310,3 +1310,50 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return X.line_dedup(aug, min_share=0.1)
+
+
+# -- table profiling ----------------------------------------------------------
+# engine-portable value rendering: double → DECIMAL(18,2), timestamp →
+# DATE before profiling, so min/max strings match across engines
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_PROFILE_SQL = "\n    UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+                 CAST(o_orderdate AS DATE) AS o_orderdate,
+                 o_orderpriority FROM orders)"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "q_profile_orders",
+    _PROFILE_SQL,
+    doc="table profiling (ANALYZE/Deequ-style data card): per-column "
+    "null count, exact distinct cardinality, min/max — one wide agg "
+    "pass + stack unpivot, no per-column scans",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.profile import profile_table
+
+    orders = catalog(spark, sf_dir).orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return profile_table(orders)
