@@ -60,3 +60,38 @@ def salted_join(
         )
         .drop("_salt", "_dsalt", "_dk")
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/groupBy key: the
+    ``top_n`` most frequent key values with row counts and share of
+    total — the measurement the module docstring tells you to take
+    before reaching for :func:`salted_join` (a key with share ≥
+    1/parallelism is a straggler; salt it or let AQE split it).
+
+    Plan shape: one map-side-combined groupBy on the key, then a
+    TakeOrderedAndProject top-N — no global sort. The share
+    denominator is reduced distributedly and collected as ONE scalar
+    (the IVF-centroid boundary): attaching it via a constant-key join
+    folds into a BroadcastNestedLoopJoin (audit-forbidden), and a
+    global window would single-partition every distinct key. Ranking
+    is deterministic under count ties (key-ascending tiebreak), so
+    boundary keys are stable across layouts and engines.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("bigint")).collect()[0][0]
+    denom = F.lit(total).cast("bigint") if total else F.lit(None).cast("bigint")
+    return (
+        counts.withColumn("share", F.round(F.col("n_rows") / denom, 6))
+        .select("key", "n_rows", "share")
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(top_n)
+    )

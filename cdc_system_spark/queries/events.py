@@ -152,3 +152,24 @@ def q_event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+# -- q_skew_profile: heavy hitters of a join key ------------------------------
+@register(
+    "q_skew_profile",
+    """WITH counts AS (
+        SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM counts)
+    SELECT key, n_rows,
+           ROUND(n_rows / CAST(t.total AS DOUBLE), 6) AS share
+    FROM counts c JOIN tot t ON 1 = 1
+    ORDER BY n_rows DESC, key ASC LIMIT 10""",
+    doc="join-key skew profile: top-10 heavy hitters of events.user_id "
+    "with share of total — the salting/AQE decision input; one grouped "
+    "pass + 1-row total broadcast + TakeOrderedAndProject",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.skew import skew_profile
+
+    return skew_profile(catalog(spark, sf_dir).events, "user_id", top_n=10)

@@ -40,3 +40,21 @@ def test_rejects_unsupported_how(skewed):
     fact, dim = skewed
     with pytest.raises(ValueError):
         salted_join(fact, dim, "k", "dk", salt_source="fid", how="full")
+
+
+def test_skew_profile_ranks_hot_keys_with_shares(spark):
+    from cdc_system_spark.operators.skew import skew_profile
+
+    # key 7 dominates: 6 of 10 rows; keys 1 and 2 tie at 2 rows each
+    rows = [(7,)] * 6 + [(1,)] * 2 + [(2,)] * 2
+    df = spark.createDataFrame(rows, "k long")
+    got = skew_profile(df, "k", top_n=2).collect()
+    assert [(r["key"], r["n_rows"], r["share"]) for r in got] == [
+        (7, 6, 0.6),
+        (1, 2, 0.2),  # tie with key 2 broken by ascending key
+    ]
+    plan = skew_profile(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # total is a collected scalar, never a join
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="top_n"):
+        skew_profile(df, "k", top_n=0)
