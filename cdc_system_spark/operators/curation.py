@@ -317,3 +317,67 @@ def substring_duplicate_passages(
             (F.col("n_docs") >= min_docs) & (F.col("n_docs") <= max_posting)
         )
     )
+
+
+def neardup_ingest(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+    shingle_k: int = 7,
+) -> DataFrame:
+    """Admit only incoming docs that are NOT near-duplicates of the
+    existing corpus: MinHash both sides, LSH-probe the corpus's band
+    table with the batch's bands (batch×corpus candidates only — never
+    corpus×corpus), reject candidates whose signature-agreement Jaccard
+    estimate reaches ``threshold``. The fuzzy companion to
+    :func:`incremental_ingest` (which only stops EXACT re-deliveries):
+    a CDC-fed training corpus otherwise accretes lightly-edited copies
+    of pages it already has.
+
+    Scale shape: at 100 TB the corpus signatures and band table are
+    maintained artifacts (built once, stored bucketed on the band key,
+    updated as batches are admitted) — each sync interval computes
+    signatures for one batch only and probes. Here both sides are
+    computed inline; the join shapes are identical. The Jaccard
+    estimate reads signatures only (no text re-shuffle); ``max_bucket``
+    caps degenerate corpus band buckets exactly as in
+    :func:`~cdc_system_spark.operators.dedup.lsh_candidate_pairs`.
+
+    Returns the admitted incoming rows (input schema, unchanged).
+    """
+    from cdc_system_spark.operators.dedup import (
+        lsh_cross_pairs,
+        minhash_jaccard_estimate,
+    )
+
+    sig_in = minhash_signatures(
+        incoming, text_col, id_col, k=shingle_k, num_perms=num_perms
+    )
+    sig_corpus = minhash_signatures(
+        corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
+    )
+    cand = lsh_cross_pairs(
+        sig_in,
+        sig_corpus,
+        id_col=id_col,
+        num_perms=num_perms,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    )
+    # id1 is always the batch doc, id2 the corpus doc (lsh_cross_pairs
+    # order); distinct frames per side so a shared id value (CDC UPDATE
+    # re-using its doc_id) can't cross-match
+    est = minhash_jaccard_estimate(
+        sig_in, cand, id_col=id_col, num_perms=num_perms, sigs2=sig_corpus
+    )
+    rejected = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id1").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(rejected, id_col, "left_anti")

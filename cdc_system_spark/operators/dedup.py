@@ -89,6 +89,87 @@ def minhash_signatures(
     )
 
 
+def _band_key_cols(rows_per_band: int) -> list[str]:
+    return ["band_idx"] + [f"k{j}" for j in range((rows_per_band + 1) // 2)]
+
+
+def _band_table(
+    sigs: DataFrame,
+    id_col: str,
+    num_perms: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """Exploded LSH band-key table (id, band_idx, k0, k1, …).
+
+    Band keys are NUMERIC: each pair of consecutive signature columns
+    packs losslessly into one int64 (``h·2³¹ + h'`` — exact because
+    every minhash is < P < 2³¹, and the product stays under 2⁶²), so a
+    ``rows_per_band=4`` band is two int64 key columns. Int64 keys hash,
+    compare, and shuffle several× cheaper than the equivalent
+    ``concat_ws`` strings (measured ~20% off the end-to-end query) and
+    stay collision-free, unlike a mod-P fold.
+    """
+    n_bands = num_perms // rows_per_band
+    pack = F.lit(2**31).cast("long")
+
+    def band_keys(b: int) -> list[Column]:
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        keys = []
+        for j in range(0, rows_per_band, 2):
+            k = cols[j] * pack + cols[j + 1] if j + 1 < rows_per_band else cols[j]
+            keys.append(k.alias(f"k{j // 2}"))
+        return keys
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), *band_keys(b))
+            for b in range(n_bands)
+        ]
+    )
+    key_cols = _band_key_cols(rows_per_band)
+    return sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, *[f"b.{c}" for c in key_cols]
+    )
+
+
+def lsh_cross_pairs(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Cross-frame LSH candidates: (id1 ∈ A, id2 ∈ B) pairs sharing ≥1
+    band — near-dup detection of a NEW batch against an EXISTING corpus
+    without recomputing (or comparing within) either side. The
+    incremental form of :func:`lsh_candidate_pairs`: at 100 TB the
+    corpus band table is a maintained artifact (computed once, stored
+    bucketed on the band key), and each sync interval only builds the
+    batch's bands and probes — batch×corpus candidates only, never
+    corpus×corpus.
+
+    ``max_bucket`` caps the CORPUS side per band key (degenerate
+    boilerplate buckets would otherwise match every batch doc against
+    an unbounded posting list). Output: distinct (id1, id2), id1 from
+    ``sigs_a`` (the batch), id2 from ``sigs_b`` (the corpus).
+    """
+    key_cols = _band_key_cols(rows_per_band)
+    a = _band_table(sigs_a, id_col, num_perms, rows_per_band).select(
+        *key_cols, F.col(id_col).alias("id1")
+    )
+    b = _band_table(sigs_b, id_col, num_perms, rows_per_band).localCheckpoint(
+        eager=False
+    )
+    bucket_sizes = b.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    bounded = b.join(
+        bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
+        on=key_cols,
+        how="left_semi",
+    ).select(*key_cols, F.col(id_col).alias("id2"))
+    return a.join(bounded, on=key_cols).select("id1", "id2").distinct()
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -112,28 +193,9 @@ def lsh_candidate_pairs(
     quadratic pair blowup; real pipelines handle them with
     stopword-shingle filtering, same effect.
     """
-    n_bands = num_perms // rows_per_band
-    n_keys = (rows_per_band + 1) // 2
-    pack = F.lit(2**31).cast("long")
-
-    def band_keys(b: int) -> list[Column]:
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        keys = []
-        for j in range(0, rows_per_band, 2):
-            k = cols[j] * pack + cols[j + 1] if j + 1 < rows_per_band else cols[j]
-            keys.append(k.alias(f"k{j // 2}"))
-        return keys
-
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_idx"), *band_keys(b))
-            for b in range(n_bands)
-        ]
-    )
-    key_cols = ["band_idx"] + [f"k{j}" for j in range(n_keys)]
+    key_cols = _band_key_cols(rows_per_band)
     exploded = (
-        sigs.select(F.col(id_col), F.explode(bands).alias("b"))
-        .select(id_col, *[f"b.{c}" for c in key_cols])
+        _band_table(sigs, id_col, num_perms, rows_per_band)
         # signature computation is the expensive subtree and feeds three
         # plan branches (bucket sizes, both join sides) — truncate the
         # lineage so it runs once, not per branch
@@ -161,6 +223,7 @@ def minhash_jaccard_estimate(
     pairs: DataFrame,
     id_col: str = "doc_id",
     num_perms: int = 16,
+    sigs2: DataFrame | None = None,
 ) -> DataFrame:
     """Per-pair Jaccard estimate from signature agreement: the fraction
     of MinHash permutations on which the two docs collide (an unbiased
@@ -174,12 +237,17 @@ def minhash_jaccard_estimate(
     degenerate corpus can blow past the broadcast threshold), so the
     join strategy is left to the optimizer — AQE still picks a runtime
     broadcast whenever the pair side is actually small.
+
+    ``sigs2`` (optional) supplies the ``id2`` side from a DIFFERENT
+    signature frame — the cross-frame form used by batch-vs-corpus
+    ingest, where the two sides may legitimately share id values (a CDC
+    UPDATE re-uses its doc_id) and a unioned frame would cross-match.
     """
     ha = sigs.select(
         F.col(id_col).alias("id1"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perms)],
     )
-    hb = sigs.select(
+    hb = (sigs2 if sigs2 is not None else sigs).select(
         F.col(id_col).alias("id2"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perms)],
     )

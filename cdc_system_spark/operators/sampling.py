@@ -360,3 +360,50 @@ def write_training_shards(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test split that can never leak a duplicate across the
+    boundary: the split bucket is keyed on the row's duplicate-GROUP id,
+    not its own id, so every copy (and near-copy) of a document lands in
+    the same split. Per-doc hashing (:func:`split_assign`) silently puts
+    two copies of the same page on both sides of the train/test line —
+    the classic eval-contamination bug duplicate-aware splitting exists
+    to prevent (cf. the dedup motivation in Lee et al. 2022).
+
+    ``clusters`` is an optional (id, ``cluster_col``) frame from the
+    near-dup pipeline (``duplicate_clusters`` /
+    ``star_contraction_clusters``); rows absent from it are singletons
+    and key off their own id. With ``clusters=None`` the group is the
+    exact-content group (min id per ``md5(text)``) — the zero-config
+    form.
+
+    Scale shape: the exact-content form is one window shuffle on the
+    content hash (same shape as exact dedup); the clusters form is a
+    left join against a pair-graph-sized frame (≪ corpus, AQE
+    broadcasts it when small). The split assignment itself stays
+    map-only.
+    """
+    from pyspark.sql import Window
+
+    if clusters is None:
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        grouped = df.withColumn("group_id", F.min(id_col).over(w))
+    else:
+        c = clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("_grp")
+        )
+        grouped = (
+            df.join(c, id_col, "left")
+            .withColumn("group_id", F.coalesce(F.col("_grp"), F.col(id_col)))
+            .drop("_grp")
+        )
+    return split_assign(grouped, splits, id_col="group_id", salt=salt)

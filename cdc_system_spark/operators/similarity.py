@@ -770,3 +770,100 @@ def assign_with_centroids(
     (e.g. the output of :func:`kmeans_refine`)."""
     cents = [(int(r["cell_id"]), [float(x) for x in r["cvec"]]) for r in centroids.collect()]
     return _assign_vectorized(emb, cents, id_col, vec_col)
+
+
+# -- scalar-quantized ANN ----------------------------------------------------
+#: div-by-zero guard for all-zero vectors (quantizes them to all-zero)
+_Q_EPS = 1e-30
+
+
+def quantize_list(v: list[float]) -> list[int]:
+    """Driver-side twin of :func:`quantize_embeddings` for a query
+    vector: symmetric int8-range scalar quantization, engine-portable
+    (``floor(x·scale + 0.5)`` — identical IEEE-double steps in Python,
+    Spark, and any SQL oracle; ``round()`` half-even vs half-up rules
+    differ across engines, ``floor`` does not)."""
+    import math
+
+    mx = max(max(abs(float(x)) for x in v), _Q_EPS)
+    s = 127.0 / mx
+    return [int(math.floor(float(x) * s + 0.5)) for x in v]
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization to int8 range: scale =
+    127 / max|xᵢ|, qᵢ = floor(xᵢ·scale + 0.5) — the standard 4×
+    memory/bandwidth compression for ANN search (a float32 embedding
+    column dominates scan cost at 100 TB; int8 quantization is how
+    production vector stores shrink it). Adds ``qvec array<long>`` and
+    ``qscale double`` (for dequantization / asymmetric scoring).
+
+    Map-only, zero shuffle. The scale is materialized as its own
+    projection BEFORE the transform lambda references it: higher-order
+    functions run interpreted with no common-subexpression
+    elimination, so an inline ``array_max`` inside the lambda would
+    re-reduce the whole vector per element (O(d²) — the measured
+    blowup documented in BENCH_NOTES_r04).
+    """
+    mx = F.greatest(
+        F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))),
+        F.lit(_Q_EPS),
+    )
+    scaled = emb.withColumn("qscale", F.lit(127.0) / mx)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.col("qscale") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return scaled.withColumn("qvec", q)
+
+
+def quantized_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    rescore_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: rank by exact INTEGER dot product of quantized
+    vectors (cheap — int64 multiply-adds, no float loads), keep the top
+    ``k·rescore_factor`` candidates, then exact-cosine rescore the
+    survivors and return the top ``k``. The standard
+    quantize-then-rescore pattern (IVF-SQ/ScaNN-style): the quantized
+    pass touches every row but reads 4× less data; the exact pass
+    touches only ``k·rescore_factor`` rows.
+
+    Both stages are TakeOrderedAndProject (per-partition k-heaps, no
+    shuffle, no collect). Integer candidate ranking is fully
+    deterministic (no float-comparison hazard); the final ordering uses
+    rounded cosine + id tiebreak.
+    """
+    qq = quantize_list(query_vec)
+    lit_q = F.array(*[F.lit(int(x)).cast("long") for x in qq])
+    qdot = F.aggregate(
+        F.zip_with(F.col("qvec"), lit_q, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        quantize_embeddings(emb, vec_col, id_col)
+        .select(F.col(id_col), F.col(vec_col), qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), id_col)
+        .limit(k * rescore_factor)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("qdot"),
+            cosine(F.col(vec_col), qv).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -483,3 +483,84 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = catalog(spark, sf_dir).documents.select("doc_id", "lang")
     return temperature_sample(docs, "lang", alpha=0.5, salt="s6")
+
+
+# -- leakage-safe split ------------------------------------------------------
+_LSPLIT_SQL = """WITH docs_aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        WHERE doc_id % 25 = 0),
+    g AS (SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY md5(text)) AS group_id
+          FROM docs_aug),
+    b AS (SELECT doc_id, group_id,
+               CAST(CONCAT('0x',
+                   SUBSTR(MD5('s7' || CAST(group_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 AS bucket
+          FROM g)
+    SELECT doc_id, group_id,
+           CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b"""
+
+
+@register(
+    "q_leakage_split",
+    _LSPLIT_SQL,
+    doc="leakage-safe train/val/test split: bucket keyed on the "
+    "duplicate-GROUP id (min id per content hash), so every copy of a "
+    "document lands in the same split — per-doc hashing puts copies on "
+    "both sides of the train/test line; synthetic dupes injected "
+    "deterministically to exercise the grouping",
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import leakage_safe_split
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    out = leakage_safe_split(docs.unionByName(dupes), salt="s7")
+    return out.select("doc_id", "group_id", "split")
+
+
+# -- near-dup-aware incremental ingest (batch vs corpus LSH) -----------------
+from cdc_system_spark.queries.fragments import sig_band_ctes as _sig_band_ctes
+
+_NEARDUP_INGEST_SQL = f"""WITH
+    corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    {_sig_band_ctes("batch", "_a")},
+    {_sig_band_ctes("corpus", "_b")},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM bands_a x JOIN bands_b y
+          ON x.band_idx = y.band_idx AND x.k0 = y.k0 AND x.k1 = y.k1),
+    est AS (
+        SELECT c.id1, ROUND(({_EST_TERMS}) / 16.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig_a a ON a.doc_id = c.id1
+        JOIN sig_b b ON b.doc_id = c.id2),
+    rejected AS (SELECT DISTINCT id1 FROM est WHERE est_jaccard >= 0.5)
+    SELECT doc_id, lang, source FROM batch
+    WHERE doc_id NOT IN (SELECT id1 FROM rejected)"""
+
+
+@register(
+    "q_neardup_ingest",
+    _NEARDUP_INGEST_SQL,
+    doc="near-dup-aware incremental ingest: MinHash-LSH probe of the "
+    "corpus band table with the batch's bands (batch x corpus "
+    "candidates only, never corpus x corpus), reject batch docs whose "
+    "signature-agreement Jaccard estimate >= 0.5 — the fuzzy companion "
+    "to exact incremental_ingest; at scale the corpus bands are a "
+    "maintained bucketed artifact and each sync interval only probes",
+)
+def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    admitted = C.neardup_ingest(corpus, batch, threshold=0.5)
+    return admitted.select("doc_id", "lang", "source")

@@ -27,14 +27,32 @@ def perm_sql(i: int) -> str:
 
 PERMS16 = ", ".join(perm_sql(i) for i in range(16))
 
-#: numeric band keys: pairs of minhashes packed into int64 (h < 2^31, so
-#: h*2^31 + h' is exact and collision-free) — mirrors lsh_candidate_pairs
-BANDS7 = "\n        UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"h{4*b} * 2147483648 + h{4*b+1} AS k0, "
-    f"h{4*b+2} * 2147483648 + h{4*b+3} AS k1 FROM sig"
-    for b in range(4)
-)
+def bands_sql(sig: str = "sig") -> str:
+    """Band-key SELECT over a signature CTE: pairs of minhashes packed
+    into int64 (h < 2^31, so h*2^31 + h' is exact and collision-free) —
+    mirrors lsh_candidate_pairs."""
+    return "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"h{4*b} * 2147483648 + h{4*b+1} AS k0, "
+        f"h{4*b+2} * 2147483648 + h{4*b+3} AS k1 FROM {sig}"
+        for b in range(4)
+    )
+
+
+BANDS7 = bands_sql()
+
+
+def sig_band_ctes(source: str, sfx: str) -> str:
+    """Per-source signature + band CTE chain with suffixed names
+    (``sh_a → hm_a → sig_a → bands_a``) — the two-source form used by
+    the batch-vs-corpus ingest oracles."""
+    return f"""sh{sfx} AS (SELECT doc_id, {SH7} AS s FROM {source}),
+    hm{sfx} AS (SELECT doc_id, {HS} AS hmod FROM sh{sfx}),
+    sig{sfx} AS (
+        SELECT doc_id, {PERMS16}
+        FROM hm{sfx} GROUP BY doc_id),
+    bands{sfx} AS (
+        {bands_sql(f"sig{sfx}")})"""
 
 
 def lsh_ctes(source: str = "documents") -> str:

@@ -500,3 +500,49 @@ def test_write_training_shards_materializes_shuffle_order(spark, tmp_path):
         r["doc_id"]: r["global_pos"] for r in spark.read.parquet(out).collect()
     }
     assert got == expect
+
+
+# -- near-dup-aware incremental ingest ---------------------------------------
+
+
+def test_neardup_ingest_rejects_edited_copy_admits_fresh(spark):
+    from cdc_system_spark.operators.curation import neardup_ingest
+
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    corpus = _docs(spark, [(1, base), (2, "a completely different document about rivers and mountains " * 3)])
+    batch = _docs(
+        spark,
+        [
+            # near-copy of corpus doc 1 (one word changed) -> rejected
+            (10, base.replace("token7", "CHANGED")),
+            # unrelated fresh doc -> admitted
+            (11, "entirely novel content with no overlap whatsoever " * 4),
+        ],
+    )
+    admitted = neardup_ingest(corpus, batch, threshold=0.5)
+    assert {r["doc_id"] for r in admitted.collect()} == {11}
+
+
+def test_neardup_ingest_never_compares_corpus_to_itself(spark):
+    # two corpus docs that are near-dups of EACH OTHER must not affect
+    # admission of an unrelated batch
+    from cdc_system_spark.operators.curation import neardup_ingest
+
+    base = " ".join(f"alpha{i} beta{i}" for i in range(40))
+    corpus = _docs(spark, [(1, base), (2, base.replace("alpha3", "XX"))])
+    batch = _docs(spark, [(10, "fresh and unrelated material here " * 5)])
+    admitted = neardup_ingest(corpus, batch, threshold=0.5)
+    assert {r["doc_id"] for r in admitted.collect()} == {10}
+
+
+def test_neardup_ingest_shared_id_does_not_cross_match(spark):
+    # a CDC UPDATE re-uses its doc_id: the batch doc shares id=1 with a
+    # corpus doc but has unrelated text — it must be admitted (the
+    # estimate must pair batch signatures with CORPUS signatures, never
+    # batch-with-batch or id-collided rows)
+    from cdc_system_spark.operators.curation import neardup_ingest
+
+    corpus = _docs(spark, [(1, " ".join(f"legacy{i} text{i}" for i in range(40)))])
+    batch = _docs(spark, [(1, "totally rewritten page content after the update " * 4)])
+    admitted = neardup_ingest(corpus, batch, threshold=0.3)
+    assert {r["doc_id"] for r in admitted.collect()} == {1}

@@ -65,6 +65,10 @@ def test_oracle_window_composition():
         "q_corpus_datacard",
         "q_quality_survivors",
         "q_boilerplate",
+        # session-final round-4 additions, never driver-checked:
+        "q_leakage_split",
+        "q_neardup_ingest",
+        "q_quantized_ann",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

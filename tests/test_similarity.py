@@ -173,3 +173,36 @@ def test_knn_graph_blocked_topk(spark):
     assert set(best) == {0, 1, 2, 3, 4}
     with pytest.raises(ValueError, match="k must"):
         knn_graph(emb, k=0)
+
+
+# -- scalar-quantized ANN ----------------------------------------------------
+
+
+def test_quantize_embeddings_matches_driver_twin(emb):
+    rows = (
+        S.quantize_embeddings(emb)
+        .select("vec_id", "embedding", "qvec")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["qvec"] == S.quantize_list(list(r["embedding"]))
+        assert max(abs(q) for q in r["qvec"]) <= 127
+
+
+def test_quantized_topk_matches_exact_topk_on_head(emb):
+    # quantized candidates + exact rescore should agree with exact
+    # brute-force on the easy head of the ranking (self-match first)
+    qv = list(emb.filter("vec_id = 0").head()["embedding"])
+    approx = S.quantized_topk(emb, qv, k=10, rescore_factor=4).collect()
+    exact = S.cosine_topk(emb, qv, k=10).collect()
+    assert approx[0]["vec_id"] == 0 and approx[0]["cos_sim"] == 1.0
+    approx_ids = [r["vec_id"] for r in approx]
+    exact_ids = [r["vec_id"] for r in exact]
+    # int8 quantization is lossy; demand high head agreement, not equality
+    assert len(set(approx_ids) & set(exact_ids)) >= 8
+
+
+def test_quantize_zero_vector_is_safe():
+    assert S.quantize_list([0.0, 0.0]) == [0, 0]

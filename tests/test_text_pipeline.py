@@ -388,3 +388,33 @@ def test_lsh_recall_report_counts_and_null_on_no_truth(spark):
     assert empty["n_true"] == 0
     assert empty["n_caught"] == 0
     assert empty["recall"] is None
+
+
+# -- leakage-safe split ------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark):
+    from cdc_system_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"unique document number {i}") for i in range(200)]
+    rows += [(1000 + i, f"unique document number {i}") for i in range(0, 200, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    for i in range(0, 200, 5):
+        assert by_id[1000 + i]["group_id"] == by_id[i]["group_id"] == i
+        assert by_id[1000 + i]["split"] == by_id[i]["split"]
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_with_explicit_clusters(spark):
+    from cdc_system_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame([(2, 1)], "doc_id long, cluster_id long")
+    out = {r["doc_id"]: r for r in leakage_safe_split(docs, clusters).collect()}
+    assert out[2]["group_id"] == 1  # clustered with doc 1
+    assert out[2]["split"] == out[1]["split"]
+    assert out[3]["group_id"] == 3  # singleton keys off its own id
