@@ -329,6 +329,7 @@ def neardup_ingest(
     rows_per_band: int = 4,
     max_bucket: int = 1000,
     shingle_k: int = 7,
+    allow_same_id: bool = False,
 ) -> DataFrame:
     """Admit only incoming docs that are NOT near-duplicates of the
     existing corpus: MinHash both sides, LSH-probe the corpus's band
@@ -347,6 +348,12 @@ def neardup_ingest(
     estimate reads signatures only (no text re-shuffle); ``max_bucket``
     caps degenerate corpus band buckets exactly as in
     :func:`~cdc_system_spark.operators.dedup.lsh_candidate_pairs`.
+
+    ``allow_same_id=True`` ignores candidate pairs whose two sides
+    carry the SAME id: a CDC UPDATE is usually a light edit of its own
+    corpus row — near-dup by construction — and must still replace it.
+    The streaming ingest path sets this; batch admission of fresh-id
+    batches leaves it off.
 
     Returns the admitted incoming rows (input schema, unchanged).
     """
@@ -369,6 +376,8 @@ def neardup_ingest(
         rows_per_band=rows_per_band,
         max_bucket=max_bucket,
     )
+    if allow_same_id:
+        cand = cand.filter(F.col("id1") != F.col("id2"))
     # id1 is always the batch doc, id2 the corpus doc (lsh_cross_pairs
     # order); distinct frames per side so a shared id value (CDC UPDATE
     # re-using its doc_id) can't cross-match

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cdc_system_spark.api import SnapshotTable
-from cdc_system_spark.operators.curation import incremental_ingest
+from cdc_system_spark.operators.curation import incremental_ingest, neardup_ingest
 from cdc_system_spark.operators.merge import net_effect_reduce
 from cdc_system_spark.streaming.source import read_change_stream
 
@@ -55,6 +55,7 @@ class StreamingCorpusIngestor:
         text_col: str = "text",
         checkpoint_path: str | None = None,
         max_files_per_trigger: int | None = None,
+        neardup_threshold: float | None = None,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -69,6 +70,10 @@ class StreamingCorpusIngestor:
         self.text_col = text_col
         self.checkpoint_path = checkpoint_path or log_path + "_ingest_checkpoint"
         self.max_files_per_trigger = max_files_per_trigger
+        #: optional fuzzy admission: reject admitted rows whose MinHash
+        #: Jaccard estimate vs a DIFFERENT-id corpus doc reaches this
+        #: (None = exact content-hash dedup only)
+        self.neardup_threshold = neardup_threshold
         self.batches_applied = 0
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -109,6 +114,19 @@ class StreamingCorpusIngestor:
             .join(current.select(self.id_col), self.id_col, "left_semi")
         )
         admitted = upserts.unionByName(cond_updates)
+        if self.neardup_threshold is not None:
+            # fuzzy gate BEFORE the exact merge: drop admitted rows
+            # near-duplicating a different-id corpus doc (same-id pairs
+            # pass — a CDC UPDATE is a light edit of its own row and
+            # must still replace it)
+            admitted = neardup_ingest(
+                current,
+                admitted,
+                text_col=self.text_col,
+                id_col=self.id_col,
+                threshold=self.neardup_threshold,
+                allow_same_id=True,
+            )
 
         merged = incremental_ingest(
             current, admitted, text_col=self.text_col, id_col=self.id_col

@@ -510,3 +510,37 @@ def test_streaming_scd2_history_matches_batch(spark, tmp_path):
         for r in df.collect()
     }
     assert key(hist_tbl.read()) == key(expected)
+
+
+def test_streaming_corpus_ingestor_fuzzy_admission(spark, tmp_path):
+    # neardup_threshold: an INSERT that lightly edits an existing
+    # corpus doc (different id) is rejected; a genuine UPDATE to its
+    # OWN id still replaces (same-id near-dup pairs must pass); a
+    # fresh unrelated doc is admitted.
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    fresh = "entirely novel content with no overlap whatsoever " * 4
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, [(1, base)]))
+
+    edited_copy = base.replace("token7", "CHANGED")
+    own_update = base.replace("token3", "REVISED")
+    cap.capture_insert(_doc_rows(spark, [(10, edited_copy), (11, fresh)]))
+    cap.capture_update(
+        _doc_rows(spark, [(1, own_update)]), _doc_rows(spark, [(1, base)])
+    )
+
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "ickpt"),
+        neardup_threshold=0.5,
+    )
+    ing.run_available_now()
+    rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert rows == {1: own_update, 11: fresh}  # 10 rejected as near-dup
