@@ -390,3 +390,63 @@ def neardup_ingest(
         .distinct()
     )
     return incoming.join(rejected, id_col, "left_anti")
+
+
+def neardup_ingest_report(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = 16,
+    rows_per_band: int = 4,
+    max_bucket: int = 1000,
+    shingle_k: int = 7,
+) -> DataFrame:
+    """Observability twin of :func:`neardup_ingest`: instead of
+    filtering, report each batch doc's BEST corpus match — (batch id,
+    matched corpus id, Jaccard estimate) for every batch doc that hit
+    any LSH candidate. This is what you look at BEFORE choosing the
+    admission threshold (the est distribution tells you where the
+    near-dup cliff sits for your corpus), and what an audit log keeps
+    per rejected doc.
+
+    Same plan as the filter form up to the estimate; the argmax is one
+    window over the candidate-pair-sized frame (≪ corpus), best match
+    tie-broken by corpus id.
+    """
+    from pyspark.sql import Window
+
+    from cdc_system_spark.operators.dedup import (
+        lsh_cross_pairs,
+        minhash_jaccard_estimate,
+    )
+
+    sig_in = minhash_signatures(
+        incoming, text_col, id_col, k=shingle_k, num_perms=num_perms
+    )
+    sig_corpus = minhash_signatures(
+        corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
+    )
+    cand = lsh_cross_pairs(
+        sig_in,
+        sig_corpus,
+        id_col=id_col,
+        num_perms=num_perms,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    )
+    est = minhash_jaccard_estimate(
+        sig_in, cand, id_col=id_col, num_perms=num_perms, sigs2=sig_corpus
+    )
+    w = Window.partitionBy("id1").orderBy(
+        F.desc("est_jaccard"), F.asc("id2")
+    )
+    return (
+        est.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("id1").alias(id_col),
+            F.col("id2").alias("best_match"),
+            "est_jaccard",
+        )
+    )

@@ -867,3 +867,58 @@ def quantized_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroid_ids: tuple[int, ...] = (1, 2, 3, 4),
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop corpus vectors
+    whose cosine to ANY benchmark vector reaches ``threshold`` — the
+    semantic companion to n-gram ``decontaminate`` (a paraphrased eval
+    question shares no 5-gram but sits next to the benchmark in
+    embedding space; cf. the SemDeDup observation that eval leakage
+    survives lexical dedup, arXiv:2303.09540 §5).
+
+    Same cell-blocking as :func:`semantic_dedup`: corpus AND benchmark
+    are assigned to literal-centroid cells (centroids drawn from the
+    corpus by id), and only same-cell (corpus, bench) pairs are scored
+    — sub-quadratic, no cross join. The benchmark side is tiny by
+    construction, so the per-cell join broadcasts. A bench vector in a
+    different cell than a τ-close corpus vector is the blocked-ANN
+    recall trade, shared with semantic_dedup; raise the cell count with
+    corpus size (~sqrt N) to bound it.
+
+    Returns surviving corpus rows as (id, cell id).
+    """
+    cents = _collect_centroids(corpus, centroid_ids, id_col, vec_col)
+    best = _nearest_centroid_expr(cents, vec_col)
+    # norms precomputed pre-join (HOF folds have no subexpression
+    # elimination inside the join — the semantic_dedup lesson)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["neg_cid"]).cast("int").alias("centroid_id"),
+    ).withColumn("_nrm", _norm(F.col(vec_col)))
+    b = (
+        bench.select(
+            F.col(id_col).alias("_bid"),
+            F.col(vec_col).alias("_bv"),
+            (-best["neg_cid"]).cast("int").alias("centroid_id"),
+        )
+        .withColumn("_bnrm", _norm(F.col("_bv")))
+    )
+    pair_cos = F.round(
+        _dot(F.col(vec_col), F.col("_bv")) / (F.col("_nrm") * F.col("_bnrm")), 6
+    )
+    contaminated = (
+        c.join(F.broadcast(b), on="centroid_id")
+        .filter(pair_cos >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return c.join(contaminated, id_col, "left_anti").select(id_col, "centroid_id")

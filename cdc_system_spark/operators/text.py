@@ -618,3 +618,48 @@ def strip_boilerplate(
         for c in df.columns
     ]
     return joined.select(*out_cols, hit.alias("stripped"))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Tokenizer-design diagnostic: the corpus's ``top_n`` most frequent
+    tokens with each token's corpus share and the CUMULATIVE coverage —
+    "how much of the corpus do the top-k vocabulary entries cover",
+    the curve every vocab-size decision (BPE merges, embedding table
+    size, OOV budget) is read off of.
+
+    Scale shape: one map-side-combined token groupBy (vocab-sized, ≪
+    corpus); the global total is reduced distributedly and collected as
+    ONE scalar (a data-sized global window would single-partition the
+    vocab — the skew_profile rule); top-N selection is
+    TakeOrderedAndProject; the cumulative window runs over the BOUNDED
+    top-N frame only. Ties broken by token text, so the ranking is
+    unique and layout-independent.
+    """
+    from pyspark.sql import Window
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = df.select(F.explode(_tokens(text_col)).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").cast("bigint")).collect()[0][0] or 0
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_n)
+    w = Window.partitionBy().orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "token",
+        "n_occurrences",
+        F.round(F.col("n_occurrences") / F.lit(float(total)), 6).alias("share"),
+        F.round(
+            F.sum("n_occurrences").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.lit(float(total)),
+            6,
+        ).alias("cum_share"),
+    )

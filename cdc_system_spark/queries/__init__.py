@@ -17,12 +17,12 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (17)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (18)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (5)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (44, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (46, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (6)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -114,11 +114,26 @@ _ROTATE_OUT_FINAL = ["q_forecast_revenue"]
 _ROTATE_IN_FINAL = ["q_boilerplate"]
 
 
-# Fifth round-4 rotation: the session's last three operators (leakage-
-# safe cluster split, near-dup-aware incremental ingest, quantized
-# ANN), in for three more r1+r3-double-green window queries.
-_ROTATE_OUT_R4E = ["q_window_rank", "q_tumbling_window", "q_session_window"]
-_ROTATE_IN_R4E = ["q_leakage_split", "q_neardup_ingest", "q_quantized_ann"]
+# Fifth round-4 rotation: six more session operators (leakage-safe
+# cluster split, near-dup-aware incremental ingest + its report twin,
+# quantized ANN, vocabulary coverage, embedding-space decontamination),
+# in for six more r1+r3-double-green window queries.
+_ROTATE_OUT_R4E = [
+    "q_window_rank",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_local_volume",
+    "q_top_customers",
+    "q_returned_items",
+]
+_ROTATE_IN_R4E = [
+    "q_leakage_split",
+    "q_neardup_ingest",
+    "q_quantized_ann",
+    "q_ingest_dup_report",
+    "q_vocab_coverage",
+    "q_semantic_decontaminate",
+]
 
 
 def _rotate_window() -> None:

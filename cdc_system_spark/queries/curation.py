@@ -564,3 +564,42 @@ def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     admitted = C.neardup_ingest(corpus, batch, threshold=0.5)
     return admitted.select("doc_id", "lang", "source")
+
+
+# -- ingest near-dup report (threshold-tuning observability) ------------------
+_INGEST_REPORT_SQL = f"""WITH
+    corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    {_sig_band_ctes("batch", "_a")},
+    {_sig_band_ctes("corpus", "_b")},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM bands_a x JOIN bands_b y
+          ON x.band_idx = y.band_idx AND x.k0 = y.k0 AND x.k1 = y.k1),
+    est AS (
+        SELECT c.id1, c.id2, ROUND(({_EST_TERMS}) / 16.0, 6) AS est_jaccard
+        FROM cand c
+        JOIN sig_a a ON a.doc_id = c.id1
+        JOIN sig_b b ON b.doc_id = c.id2),
+    best AS (
+        SELECT id1 AS doc_id, id2 AS best_match, est_jaccard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id1
+                   ORDER BY est_jaccard DESC, id2 ASC) AS rk
+        FROM est)
+    SELECT doc_id, best_match, est_jaccard FROM best WHERE rk = 1"""
+
+
+@register(
+    "q_ingest_dup_report",
+    _INGEST_REPORT_SQL,
+    doc="observability twin of near-dup ingest: each batch doc's best "
+    "corpus match with its Jaccard estimate — the distribution a "
+    "curator reads BEFORE choosing the admission threshold; argmax is "
+    "one window over the candidate-pair-sized frame",
+)
+def q_ingest_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return C.neardup_ingest_report(corpus, batch)

@@ -1402,3 +1402,81 @@ def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.quantized_topk(emb, list(qv), k=20, rescore_factor=3)
+
+
+# -- vocabulary coverage curve ------------------------------------------------
+_VOCAB_SQL = """WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+          FROM w WHERE token <> '' GROUP BY token),
+    t AS (SELECT CAST(SUM(n_occurrences) AS DOUBLE) AS total FROM c),
+    r AS (SELECT token, n_occurrences,
+                 CAST(ROW_NUMBER() OVER (
+                     ORDER BY n_occurrences DESC, token ASC) AS BIGINT) AS rank
+          FROM c)
+    SELECT rank, token, n_occurrences,
+           ROUND(n_occurrences / total, 6) AS share,
+           ROUND(CAST(SUM(n_occurrences) OVER (
+                     ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS DOUBLE) / total, 6) AS cum_share
+    FROM r, t WHERE rank <= 100"""
+
+
+@register(
+    "q_vocab_coverage",
+    _VOCAB_SQL,
+    doc="top-100 vocabulary with cumulative corpus coverage — the curve "
+    "vocab-size/OOV-budget decisions read off of; vocab-sized groupBy, "
+    "ONE collected total scalar (no data-sized global window), "
+    "TakeOrderedAndProject top-N, cumulative window over the bounded "
+    "top-N frame only",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.vocab_coverage(catalog(spark, sf_dir).documents, top_n=100)
+
+
+# -- embedding-space benchmark decontamination --------------------------------
+def _assign_ctes(source: str, sfx: str) -> str:
+    """Nearest-centroid assignment CTE chain for ``source`` (centroids
+    fixed to corpus ids 1-4), mirroring _nearest_centroid_expr's
+    rounded-cosine + id tiebreak."""
+    return f"""scored{sfx} AS (
+        SELECT e.vec_id, e.embedding AS v, c.cid,
+               {_cos_sql('e.embedding', 'c.cv')} AS cos_sim
+        FROM {source} e, cents c),
+    assign{sfx} AS (
+        SELECT vec_id, v, CAST(cid AS INTEGER) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid ASC) AS rk
+            FROM scored{sfx}) WHERE rk = 1)"""
+
+
+_SEMANTIC_DECONTAM_SQL = f"""WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+    bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+    cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              WHERE vec_id IN (1, 2, 3, 4)),
+    {_assign_ctes('corpus', '_c')},
+    {_assign_ctes('bench', '_b')},
+    contaminated AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign_c a JOIN assign_b b ON a.centroid_id = b.centroid_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.4)
+    SELECT vec_id, centroid_id FROM assign_c
+    WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)"""
+
+
+@register(
+    "q_semantic_decontaminate",
+    _SEMANTIC_DECONTAM_SQL,
+    doc="embedding-space benchmark decontamination: drop corpus vectors "
+    "with cosine >= 0.4 to ANY benchmark vector, cell-blocked like "
+    "SemDeDup (paraphrased eval questions share no n-gram but sit next "
+    "to the benchmark in embedding space); bench side broadcast, no "
+    "cross join",
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    bench = emb.filter(F.col("vec_id") % 5 == 0)
+    return S.semantic_decontaminate(corpus, bench, threshold=0.4)

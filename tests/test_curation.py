@@ -546,3 +546,16 @@ def test_neardup_ingest_shared_id_does_not_cross_match(spark):
     batch = _docs(spark, [(1, "totally rewritten page content after the update " * 4)])
     admitted = neardup_ingest(corpus, batch, threshold=0.3)
     assert {r["doc_id"] for r in admitted.collect()} == {1}
+
+
+def test_neardup_ingest_report_best_match(spark):
+    from cdc_system_spark.operators.curation import neardup_ingest_report
+
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    corpus = _docs(spark, [(1, base), (2, base.replace("token5", "ALT"))])
+    batch = _docs(spark, [(10, base.replace("token7", "CHANGED"))])
+    rows = neardup_ingest_report(corpus, batch).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc_id"] == 10 and r["best_match"] in (1, 2)
+    assert r["est_jaccard"] >= 0.5

@@ -69,6 +69,9 @@ def test_oracle_window_composition():
         "q_leakage_split",
         "q_neardup_ingest",
         "q_quantized_ann",
+        "q_ingest_dup_report",
+        "q_vocab_coverage",
+        "q_semantic_decontaminate",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

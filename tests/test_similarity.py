@@ -206,3 +206,51 @@ def test_quantized_topk_matches_exact_topk_on_head(emb):
 
 def test_quantize_zero_vector_is_safe():
     assert S.quantize_list([0.0, 0.0]) == [0, 0]
+
+
+# -- embedding-space decontamination ------------------------------------------
+
+
+def test_semantic_decontaminate_drops_only_bench_neighbors(spark):
+    # corpus vec 10 ~ bench vec 100 (same direction, same cell) -> dropped;
+    # corpus vec 11 orthogonal to every bench vec -> kept
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # centroid seeds
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+            (10, [0.9, 0.1, 0.0, 0.0]),
+            (11, [0.0, 0.0, 0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = S.semantic_decontaminate(corpus, bench, threshold=0.9)
+    survivors = {r["vec_id"] for r in out.collect()}
+    assert 10 not in survivors and 1 not in survivors  # both ~ the bench vec
+    assert {2, 3, 4, 11} <= survivors
+
+
+def test_semantic_decontaminate_scores_same_cell_only(spark):
+    # a tau-close bench vec in a DIFFERENT cell does not contaminate —
+    # the documented blocked-ANN recall trade
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (10, [0.8, 0.6]),  # assigned to cell 1 (cos .8 vs .6)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        # closest centroid is 2 (cos .6 vs .8 reversed) -> other cell
+        [(100, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.semantic_decontaminate(
+        corpus, bench, centroid_ids=(1, 2), threshold=0.9
+    )
+    assert 10 in {r["vec_id"] for r in out.collect()}  # cos(10,100)=.96 but cross-cell

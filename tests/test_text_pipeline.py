@@ -418,3 +418,31 @@ def test_leakage_safe_split_with_explicit_clusters(spark):
     assert out[2]["group_id"] == 1  # clustered with doc 1
     assert out[2]["split"] == out[1]["split"]
     assert out[3]["group_id"] == 3  # singleton keys off its own id
+
+
+# -- vocabulary coverage -----------------------------------------------------
+
+
+def test_vocab_coverage_ranks_and_cumulates(spark):
+    from cdc_system_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b  c")],  # double space -> empty token dropped
+        "doc_id long, text string",
+    )
+    rows = vocab_coverage(docs, top_n=2).collect()
+    assert [(r["rank"], r["token"], r["n_occurrences"]) for r in rows] == [
+        (1, "a", 4),
+        (2, "b", 3),
+    ]
+    # shares are over the FULL corpus (9 tokens incl. the 2 c's)
+    assert rows[0]["share"] == round(4 / 9, 6)
+    assert rows[1]["cum_share"] == round(7 / 9, 6)
+
+
+def test_vocab_coverage_tie_breaks_by_token(spark):
+    from cdc_system_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame([(1, "z y z y")], "doc_id long, text string")
+    rows = vocab_coverage(docs, top_n=2).collect()
+    assert [r["token"] for r in rows] == ["y", "z"]  # equal counts -> lexical
