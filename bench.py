@@ -62,6 +62,12 @@ HEADLINE = [
     "q_global_shuffle",
     "q_winnow_fingerprints",
     "q_scd2_history",
+    # round-4 session additions: batch-vs-corpus LSH admission,
+    # quantized ANN, embedding decontamination, vocab coverage
+    "q_neardup_ingest",
+    "q_quantized_ann",
+    "q_semantic_decontaminate",
+    "q_vocab_coverage",
 ]
 
 

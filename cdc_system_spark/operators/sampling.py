@@ -407,3 +407,43 @@ def leakage_safe_split(
             .drop("_grp")
         )
     return split_assign(grouped, splits, id_col="group_id", salt=salt)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Select documents per stratum until a TOKEN budget is filled:
+    walk each stratum in deterministic md5 order and keep the greedy
+    prefix whose cumulative token count stays within ``budget_tokens``.
+    Training runs are budgeted in tokens, not documents — a doc-count
+    quota (:func:`temperature_sample`) over-draws strata with long
+    documents; this is the token-exact form. (The doc that would cross
+    the budget is excluded — under-fill by at most one document.)
+
+    One window shuffle on the stratum key, the same shape as
+    :func:`top_k_per_stratum`; the cumulative sum stays inside each
+    stratum partition. Deterministic and layout-independent: md5 order
+    with id tiebreak, integer token counts (exact cumsum, no float
+    accumulation), seedable via ``salt``.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    key = md5_i64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

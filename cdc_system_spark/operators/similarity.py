@@ -922,3 +922,41 @@ def semantic_decontaminate(
         .distinct()
     )
     return c.join(contaminated, id_col, "left_anti").select(id_col, "centroid_id")
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings (Cormack et al.
+    SIGIR'09): score = Σ 1/(k+rankᵢ) over the rankings that contain the
+    doc — the standard hybrid-retrieval combiner (BM25 list ⊕ embedding
+    list) that needs no score calibration because it reads only RANKS.
+
+    Inputs are ranked frames carrying ``id_col`` and ``rank`` (1-based).
+    Retrieval lists are top-k bounded by construction, so the full
+    outer join is list-sized — never corpus-sized; at 100 TB this runs
+    on two k-row frames regardless of corpus size. Output: id, both
+    ranks (null when absent from a list), fused score (rounded, exact
+    two-term sum), fused rank with id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    lex = lexical.select(F.col(id_col), F.col("rank").alias("lex_rank"))
+    sem = semantic.select(F.col(id_col), F.col("rank").alias("sem_rank"))
+    fused = lex.join(sem, id_col, "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy().orderBy(F.desc("rrf_score"), F.col(id_col).asc())
+    out = fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+    # filter on the computed rank, NOT limit(): limit takes an arbitrary
+    # subset of an unordered frame
+    return out.filter(F.col("fused_rank") <= top_k) if top_k else out

@@ -663,3 +663,73 @@ def vocab_coverage(
             6,
         ).alias("cum_share"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents for a bag-of-words
+    query (Robertson/Spärck Jones; the scoring function behind every
+    production keyword index). Per matched term:
+
+        idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+
+    with the RATIONAL idf ``(N+1)/(df+1)`` (this package's
+    tfidf_top_terms convention: monotone like the log form for fixed
+    tf, but free of transcendentals, so Spark and any SQL oracle agree
+    to the last bit; swap in ``F.ln`` for production ranking).
+
+    Scale shape: tokens are filtered to the query's terms BEFORE any
+    aggregation (the isin predicate rides the scan — the posting-list
+    pruning an inverted index does physically); per-(doc, term) counts
+    and per-term doc frequencies aggregate with map-side combine;
+    ``avgdl`` folds as a literal from one exact integer reduce (never a
+    1-row join — that plans BroadcastNestedLoopJoin). Per-doc summation
+    is decimal-accumulated (order-insensitive); final ranking is
+    TakeOrderedAndProject with an id tiebreak.
+    """
+    from cdc_system_spark.functions.portable import dsum
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    dl = df.select(
+        F.col(id_col), F.size(_tokens(text_col)).cast("long").alias("_dl")
+    )
+    # exact integer reduce -> one scalar division in double (AVG() would
+    # sum doubles in partition order — not reproducible)
+    tot = dl.agg(
+        F.sum("_dl").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    if tot["n"] == 0:
+        raise ValueError("bm25_topk over an empty corpus")
+    avgdl = float(tot["s"]) / float(tot["n"])
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(
+        eager=False
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tot["n"]
+    idf = F.lit(float(n_docs + 1)) / (F.col("df") + 1)
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    term_score = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .select(F.col(id_col), term_score.alias("_s"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(dsum("_s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )

@@ -17,12 +17,12 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (18)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (19)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (5)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (46, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (48, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (6)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -125,6 +125,9 @@ _ROTATE_OUT_R4E = [
     "q_local_volume",
     "q_top_customers",
     "q_returned_items",
+    "q_market_share",
+    "q_supplier_part_count",
+    "q_small_quantity_revenue",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -133,6 +136,9 @@ _ROTATE_IN_R4E = [
     "q_ingest_dup_report",
     "q_vocab_coverage",
     "q_semantic_decontaminate",
+    "q_bm25",
+    "q_rrf_fuse",
+    "q_token_budget",
 ]
 
 

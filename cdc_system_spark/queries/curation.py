@@ -603,3 +603,37 @@ def q_ingest_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return C.neardup_ingest_report(corpus, batch)
+
+
+# -- token-budget sampling -----------------------------------------------------
+_TOKEN_BUDGET_SQL = """WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CONCAT('0x',
+                       SUBSTR(MD5('s8' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+          FROM t)
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 2000"""
+
+
+@register(
+    "q_token_budget",
+    _TOKEN_BUDGET_SQL,
+    doc="token-budget sampling: greedy md5-order prefix per language "
+    "until 2000 tokens — training runs budget TOKENS, not documents "
+    "(a doc quota over-draws strata with long docs); one window "
+    "shuffle, exact integer cumsum, layout-independent",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import token_budget_sample
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "lang", "text")
+    out = token_budget_sample(docs, budget_tokens=2000, salt="s8")
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")

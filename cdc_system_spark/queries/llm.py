@@ -1480,3 +1480,99 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     bench = emb.filter(F.col("vec_id") % 5 == 0)
     return S.semantic_decontaminate(corpus, bench, threshold=0.4)
+
+
+# -- BM25 lexical retrieval ----------------------------------------------------
+_BM25_TERMS = ("window", "scan", "column")
+_BM25_CTES = f"""dl AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents),
+    tot AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM dl),
+    tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    sc AS (SELECT tf.doc_id,
+                  ROUND((n + 1.0) / (df + 1) * tf * 2.2
+                        / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS s
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+    agg AS (SELECT doc_id,
+                   ROUND(CAST(SUM(CAST(s AS DECIMAL(25,6))) AS DOUBLE), 6)
+                       AS bm25
+            FROM sc GROUP BY doc_id)"""
+_BM25_SQL = f"""WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
+
+@register(
+    "q_bm25",
+    _BM25_SQL,
+    doc="BM25 top-10 for a 3-term query (rational idf, the package's "
+    "transcendental-free oracle convention): term filter rides the "
+    "scan (the posting-list pruning an inverted index does "
+    "physically), avgdl folded from one exact integer reduce, "
+    "decimal-accumulated per-doc sum, TakeOrderedAndProject",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_topk(
+        catalog(spark, sf_dir).documents, list(_BM25_TERMS), k=10
+    )
+
+
+# -- hybrid retrieval: reciprocal-rank fusion ---------------------------------
+_RRF_SQL = f"""WITH {_BM25_CTES},
+    lsel AS (SELECT doc_id, bm25 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 50),
+    lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+            FROM lsel),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    escored AS (SELECT vec_id AS doc_id,
+                       {_cos_sql('embedding', 'qv')} AS cos_sim
+                FROM embeddings, q),
+    ssel AS (SELECT doc_id, cos_sim FROM escored
+             ORDER BY cos_sim DESC, doc_id LIMIT 50),
+    sem AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS sem_rank
+            FROM ssel),
+    fused AS (
+        SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+               lex_rank, sem_rank,
+               ROUND(COALESCE(1.0 / (60 + lex_rank), 0.0)
+                     + COALESCE(1.0 / (60 + sem_rank), 0.0), 6) AS rrf_score
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS fused_rank
+    FROM fused ORDER BY fused_rank LIMIT 20"""
+
+
+@register(
+    "q_rrf_fuse",
+    _RRF_SQL,
+    doc="hybrid retrieval: reciprocal-rank fusion (Cormack SIGIR'09) of "
+    "a BM25 top-50 and an embedding-cosine top-50 (doc_id = vec_id row "
+    "correspondence) — rank-only combination, no score calibration; "
+    "the fusion join is list-sized (top-k bounded), never corpus-sized",
+)
+def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = catalog(spark, sf_dir)
+    lex = X.bm25_topk(cat.documents, list(_BM25_TERMS), k=50)
+    wl = Window.partitionBy().orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank")
+    )
+    emb = cat.embeddings
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    sem = S.cosine_topk(emb, list(qv), k=50).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    ws = Window.partitionBy().orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    sem = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("rank")
+    )
+    return S.rrf_fuse(lex, sem, id_col="doc_id", k=60, top_k=20)

@@ -559,3 +559,34 @@ def test_neardup_ingest_report_best_match(spark):
     r = rows[0]
     assert r["doc_id"] == 10 and r["best_match"] in (1, 2)
     assert r["est_jaccard"] >= 0.5
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    from cdc_system_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en", "w " * 9 + "w") for i in range(10)]  # 10 tokens each
+        + [(100, "de", "x y z")],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_sample(docs, budget_tokens=35, strata_col="lang")
+    rows = out.collect()
+    en = [r for r in rows if r["lang"] == "en"]
+    assert len(en) == 3                       # 3 docs x 10 tokens <= 35 < 4 docs
+    assert max(r["cum_tokens"] for r in en) == 30
+    de = [r for r in rows if r["lang"] == "de"]
+    assert len(de) == 1 and de[0]["n_tokens"] == 3   # whole tiny stratum kept
+
+
+def test_token_budget_sample_is_salt_deterministic(spark):
+    from cdc_system_spark.operators.sampling import token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en", "tok " * 4 + "tok") for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    a = {r["doc_id"] for r in token_budget_sample(docs, 25, salt="s").collect()}
+    b = {r["doc_id"] for r in token_budget_sample(docs, 25, salt="s").collect()}
+    c = {r["doc_id"] for r in token_budget_sample(docs, 25, salt="other").collect()}
+    assert a == b and len(a) == 5
+    assert c != a  # different salt draws a different prefix (20C5 ≫ collisions)

@@ -72,6 +72,9 @@ def test_oracle_window_composition():
         "q_ingest_dup_report",
         "q_vocab_coverage",
         "q_semantic_decontaminate",
+        "q_bm25",
+        "q_rrf_fuse",
+        "q_token_budget",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

@@ -254,3 +254,25 @@ def test_semantic_decontaminate_scores_same_cell_only(spark):
         corpus, bench, centroid_ids=(1, 2), threshold=0.9
     )
     assert 10 in {r["vec_id"] for r in out.collect()}  # cos(10,100)=.96 but cross-cell
+
+
+# -- reciprocal-rank fusion ----------------------------------------------------
+
+
+def test_rrf_fuse_combines_ranks(spark):
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(3, 1), (1, 2), (9, 3)], "doc_id long, rank long")
+    out = {r["doc_id"]: r for r in S.rrf_fuse(lex, sem).collect()}
+    # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2 lex-only; doc 9 sem-only
+    assert out[1]["rrf_score"] == round(1 / 61 + 1 / 62, 6)
+    assert out[9]["lex_rank"] is None and out[9]["sem_rank"] == 3
+    ranks = {d: r["fused_rank"] for d, r in out.items()}
+    assert ranks[1] == 1 and ranks[3] == 2          # both-list docs lead
+    assert ranks[2] == 3 and ranks[9] == 4          # single-list: lex rank 2 > sem rank 3
+
+
+def test_rrf_fuse_top_k_filters_on_fused_rank(spark):
+    lex = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rank long")
+    sem = spark.createDataFrame([(i, 9 - i) for i in range(1, 8)], "doc_id long, rank long")
+    out = S.rrf_fuse(lex, sem, top_k=3).collect()
+    assert sorted(r["fused_rank"] for r in out) == [1, 2, 3]

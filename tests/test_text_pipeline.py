@@ -446,3 +446,48 @@ def test_vocab_coverage_tie_breaks_by_token(spark):
     docs = spark.createDataFrame([(1, "z y z y")], "doc_id long, text string")
     rows = vocab_coverage(docs, top_n=2).collect()
     assert [r["token"] for r in rows] == ["y", "z"]  # equal counts -> lexical
+
+
+# -- BM25 ---------------------------------------------------------------------
+
+
+def test_bm25_ranks_by_relevance_and_length(spark):
+    from cdc_system_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),            # high tf, short
+            (2, "spark engine " + "pad " * 50),  # 1 hit, long -> penalized
+            (3, "spark spark other words here"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, ["spark"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids                     # no match -> absent
+    assert ids[0] == 1                      # highest tf, shortest
+    assert ids.index(3) < ids.index(2)      # length normalization works
+    assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"] for i in range(len(rows) - 1))
+
+
+def test_bm25_multi_term_sums_per_term_scores(spark):
+    from cdc_system_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha"), (3, "beta gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, ["alpha", "beta"], k=10).collect()}
+    assert rows[1] > rows[2]  # two distinct rare-ish terms beat repeating one
+    assert set(rows) == {1, 2, 3}
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(docs, [])
