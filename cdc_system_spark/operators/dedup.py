@@ -317,6 +317,27 @@ def simhash_neardup_pairs(
     bounded by the band width (2^band_bits buckets spread uniformly for
     hash-like fingerprints).
     """
+    sim = simhash(df, text_col, id_col, bits=bits)
+    return hamming_band_pairs(
+        sim, "simhash", id_col, bits=bits, n_bands=n_bands, max_hamming=max_hamming
+    )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Pigeonhole-banded Hamming near-dup pairs over ANY integer
+    fingerprint column (SimHash, image dHash, audio fingerprints): two
+    fingerprints within ``max_hamming`` bits must agree exactly on at
+    least one of ``n_bands`` disjoint bit bands when ``max_hamming <
+    n_bands`` — the Manku WWW'07 split applied to whatever produced the
+    bits. Exact ``bit_count(xor)`` rescore of candidates only.
+    """
     if bits % n_bands != 0:
         raise ValueError(
             f"bits ({bits}) must divide evenly into n_bands ({n_bands}) "
@@ -331,12 +352,12 @@ def simhash_neardup_pairs(
         )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sim = simhash(df, text_col, id_col, bits=bits).localCheckpoint(eager=False)
+    sim = sig.localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.shiftright("simhash", band_bits * b)
+                F.shiftright(sig_col, band_bits * b)
                 .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
@@ -344,13 +365,13 @@ def simhash_neardup_pairs(
         ]
     )
     exploded = sim.select(
-        F.col(id_col), F.col("simhash"), F.explode(bands).alias("b")
-    ).select(id_col, "simhash", "b.band_idx", "b.val")
+        F.col(id_col), F.col(sig_col).alias("_sig"), F.explode(bands).alias("b")
+    ).select(id_col, "_sig", "b.band_idx", "b.val")
     a = exploded.select(
-        "band_idx", "val", F.col(id_col).alias("id1"), F.col("simhash").alias("s1")
+        "band_idx", "val", F.col(id_col).alias("id1"), F.col("_sig").alias("s1")
     )
     b = exploded.select(
-        "band_idx", "val", F.col(id_col).alias("id2"), F.col("simhash").alias("s2")
+        "band_idx", "val", F.col(id_col).alias("id2"), F.col("_sig").alias("s2")
     )
     cand = (
         a.join(b, on=["band_idx", "val"])

@@ -94,6 +94,30 @@ class FakeCodec:
             out["n_frames"] = 1
         return out
 
+    #: dHash width: 48 gradient bits keeps the hash positive in int64
+    #: everywhere (bit 63 would flip sign in Spark/DuckDB BIGINT)
+    DHASH_BITS = 48
+
+    def dhash(self, kind: str, content: bytes) -> int:
+        """Difference-hash stand-in: 48 gradient bits over evenly-spaced
+        payload bytes — bit i is set iff byte[(i·n)//49] > byte
+        [((i+1)·n)//49]. A real image dHash decodes pixels, resamples to
+        9×8 grayscale and takes horizontal gradients; this is the same
+        gradient construction over the raw bytes, a pure bytes function
+        an external SQL oracle reproduces with ``ascii(substr(...))``.
+        Small payload edits flip few bits — the property banded Hamming
+        search needs."""
+        n = len(content)
+        if n == 0:
+            return 0
+        h = 0
+        for i in range(self.DHASH_BITS):
+            a = content[(i * n) // (self.DHASH_BITS + 1)]
+            b = content[((i + 1) * n) // (self.DHASH_BITS + 1)]
+            if a > b:
+                h |= 1 << i
+        return h
+
     def resize(self, kind: str, content: bytes, width: int, height: int) -> bytes:
         """Deterministic "resize" stand-in: crop the payload to a length
         proportional to the target pixel count (``width·height/256``
@@ -389,4 +413,67 @@ def audio_features(media: DataFrame, window: int = 32) -> DataFrame:
     clips = media.filter(F.col("kind") == "audio")
     return spread(clips).select("media_id", "content").mapInPandas(
         batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame, codec: FakeCodec | None = None) -> DataFrame:
+    """Per-image perceptual fingerprint via the injected codec's
+    ``dhash`` (Arrow-batched, same plumbing as :func:`decode_media`).
+    With a real codec this is decode → 9×8 grayscale → gradient bits;
+    the FakeCodec computes the documented byte-gradient stand-in.
+    """
+    codec = codec or FakeCodec()
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": [int(m) for m in pdf["media_id"]],
+                    "dhash": [
+                        codec.dhash(
+                            str(k), bytes(c) if c is not None else b""
+                        )
+                        for k, c in zip(pdf["kind"], pdf["content"])
+                    ],
+                }
+            )
+
+    return spread(media).select("media_id", "kind", "content").mapInPandas(
+        batches, schema=DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    codec: FakeCodec | None = None,
+    n_bands: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs: dHash fingerprints + pigeonhole-banded
+    Hamming search — the visual twin of SimHash text dedup (re-encoded /
+    lightly-cropped copies of the same image hash within a few bits; a
+    multimodal corpus dedups them exactly like near-dup text). Candidates
+    come from 6-bit band buckets, never an all-pairs scan; exact
+    ``bit_count(xor)`` rescore of candidates only.
+    """
+    from cdc_system_spark.operators.dedup import hamming_band_pairs
+
+    sigs = image_dhash(media.filter(F.col("kind") == "image"), codec)
+    return hamming_band_pairs(
+        sigs,
+        "dhash",
+        id_col="media_id",
+        bits=FakeCodec.DHASH_BITS,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
     )

@@ -23,7 +23,7 @@ from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (5)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
 from cdc_system_spark.queries import llm  # noqa: E402,F401  (48, all oracle-backed)
-from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (6)
+from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
 # Round-4 window rotation: swap 7 double-driver-green queries (r1+r3)
@@ -128,6 +128,7 @@ _ROTATE_OUT_R4E = [
     "q_market_share",
     "q_supplier_part_count",
     "q_small_quantity_revenue",
+    "q_disjunctive_revenue",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -139,6 +140,7 @@ _ROTATE_IN_R4E = [
     "q_bm25",
     "q_rrf_fuse",
     "q_token_budget",
+    "q_image_neardup",
 ]
 
 

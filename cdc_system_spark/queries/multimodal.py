@@ -157,3 +157,69 @@ _AUDIO_SQL = """WITH m AS (
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synthesize_media(catalog(spark, sf_dir).documents)
     return M.audio_features(media, window=32)
+
+
+# -- image near-duplicate pairs (dHash + banded Hamming) ----------------------
+_DHASH_SQL = """WITH docs_aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, 'Z' || substr(text, 2)
+        FROM documents WHERE doc_id % 25 = 0),
+    d AS (
+        SELECT doc_id AS media_id, text, LENGTH(text) AS n
+        FROM docs_aug WHERE LENGTH(text) >= 1),
+    h AS (SELECT media_id,
+               CAST(list_sum(list_transform(range(0, 48),
+                   i -> CASE WHEN ascii(substr(text, CAST(1 + (i * n) // 49 AS INTEGER), 1))
+                               > ascii(substr(text, CAST(1 + ((i + 1) * n) // 49 AS INTEGER), 1))
+                        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS dh
+          FROM d),
+    bands AS (SELECT media_id, dh, b AS band_idx, (dh >> CAST(6 * b AS INTEGER)) & 63 AS val
+              FROM h, unnest(range(0, 8)) AS t(b)),
+    cand AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2,
+                    a.dh AS s1, b.dh AS s2
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.val = b.val
+                  AND a.media_id < b.media_id)
+    SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 4"""
+
+
+@register(
+    "q_image_neardup",
+    _DHASH_SQL,
+    doc="image near-duplicate pairs: 48-bit dHash fingerprints via the "
+    "injected codec (Arrow-batched; a real codec would decode pixels "
+    "and take 9x8 gradients) + pigeonhole-banded Hamming search "
+    "(8 six-bit bands, max_hamming 4) with exact bit_count(xor) "
+    "rescore of candidates only — the visual twin of SimHash dedup; "
+    "deterministic re-encoded copies injected to exercise the match",
+)
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inject deterministic re-encodes: exact byte copies (+1e6 ids) and
+    # length-preserving single-byte edits (+2e6 ids) — the corpus's
+    # seeded TEXT near-dups change payload length, which legitimately
+    # shifts the sampled byte grid, so the guaranteed visual dupes are
+    # seeded here (and any organic ones are caught too)
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0)
+    aug = (
+        docs.unionByName(
+            copies.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionByName(
+            copies.select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("Z"), F.expr("substr(text, 2)")).alias("text"),
+            )
+        )
+        .filter(F.octet_length(F.col("text")) >= 1)
+    )
+    media = aug.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return M.image_neardup_pairs(media)

@@ -119,3 +119,53 @@ def test_audio_features_windows_bytes_as_pcm(spark):
     assert out[(2, 0)]["n_samples"] == 0 and out[(2, 0)]["mean_amp"] == 0.0
     with pytest.raises(ValueError, match="window"):
         M.audio_features(media, window=0)
+
+
+# -- image dHash near-dup ------------------------------------------------------
+
+
+def test_image_dhash_matches_codec(spark):
+    from cdc_system_spark.operators.multimodal import FakeCodec, image_dhash
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abcdefgh" * 20)), (2, "image", bytearray(b""))],
+        "media_id long, kind string, content binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    codec = FakeCodec()
+    assert got[1] == codec.dhash("image", b"abcdefgh" * 20)
+    assert got[2] == 0  # empty payload -> zero hash
+    assert 0 <= got[1] < (1 << FakeCodec.DHASH_BITS)
+
+
+def test_image_neardup_finds_copies_and_light_edits(spark):
+    from cdc_system_spark.operators.multimodal import image_neardup_pairs
+
+    base = b"the quick brown fox jumps over the lazy dog " * 8
+    edited = b"Z" + base[1:]  # length-preserving single-byte edit
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(base)),
+            (2, "image", bytearray(base)),        # exact copy
+            (3, "image", bytearray(edited)),      # near copy
+            (4, "image", bytearray(b"completely different payload content! " * 9)),
+            (5, "audio", bytearray(base)),        # wrong kind -> excluded
+        ],
+        "media_id long, kind string, content binary",
+    )
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in image_neardup_pairs(media).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 4
+    assert all(4 not in p and 5 not in p for p in pairs)
+
+
+def test_hamming_band_pairs_validates_geometry(spark):
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.dedup import hamming_band_pairs
+
+    sig = spark.createDataFrame([(1, 5)], "doc_id long, s long")
+    with _pytest.raises(ValueError):
+        hamming_band_pairs(sig, "s", bits=48, n_bands=7)  # 48 % 7 != 0
+    with _pytest.raises(ValueError):
+        hamming_band_pairs(sig, "s", bits=48, n_bands=8, max_hamming=8)

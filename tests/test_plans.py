@@ -75,6 +75,7 @@ def test_oracle_window_composition():
         "q_bm25",
         "q_rrf_fuse",
         "q_token_budget",
+        "q_image_neardup",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
