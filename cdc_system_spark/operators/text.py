@@ -733,3 +733,88 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), id_col)
         .limit(k)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table
+    (e.g. the top-N from :func:`vocab_coverage`): the fraction of a
+    doc's tokens a fixed-vocab tokenizer would map to UNK — the
+    document-level readout of the vocab-size decision, and a quality
+    signal in its own right (high OOV ⇒ junk, code, or the wrong
+    language for this tokenizer).
+
+    Scale shape: the vocabulary is model-artifact-sized (≤ a few 100k
+    rows), so membership is one BROADCAST left-semi-shaped join on the
+    exploded tokens — no corpus-sized shuffle; counts re-aggregate on
+    the doc id with map-side combine. Empty-token positions (split
+    artifacts) are excluded from both numerator and denominator; docs
+    with no tokens report rate 0 over n_tokens 0.
+    """
+    toks = spread(df).select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    v = vocab.select(F.col("token")).distinct()
+    flagged = toks.join(
+        F.broadcast(v.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def charset_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_nonprintable: float = 0.0,
+    max_digit: float = 0.3,
+) -> DataFrame:
+    """Character-class quality signals: per-doc ratios of non-printable
+    bytes, digits, uppercase, and symbols — the C4/Gopher-style "is
+    this even text" gate that catches binary spill, minified code,
+    number tables, and SHOUTING boilerplate before any token-level
+    scoring runs. ``keep`` is the conjunctive verdict under the two
+    thresholds that matter most (any non-printable content, digit
+    share).
+
+    One zero-shuffle projection; each ratio is ``length(text with the
+    class removed)`` arithmetic over simple character-class regexes
+    that behave identically in Java regex and RE2 (no lookaround, no
+    unicode classes), so the whole row is oracle-reproducible.
+    """
+    n = F.length(F.col(text_col))
+    d = F.greatest(n, F.lit(1)).cast("double")
+
+    def survivors(pattern: str):
+        """Ratio of chars REMAINING after the class is removed."""
+        return F.round(
+            F.length(F.regexp_replace(F.col(text_col), pattern, "")) / d, 6
+        )
+
+    nonprint = survivors("[ -~]")          # remove printable ASCII
+    digit = survivors("[^0-9]")            # remove everything but digits
+    upper = survivors("[^A-Z]")
+    symbol = survivors("[A-Za-z0-9 ]")     # remove alnum+space
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        nonprint.alias("nonprintable_ratio"),
+        digit.alias("digit_ratio"),
+        upper.alias("upper_ratio"),
+        symbol.alias("symbol_ratio"),
+        (
+            (nonprint <= F.lit(max_nonprintable))
+            & (digit <= F.lit(max_digit))
+        ).alias("keep"),
+    )

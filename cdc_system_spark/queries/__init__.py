@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (5)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (48, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (50, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -129,6 +129,8 @@ _ROTATE_OUT_R4E = [
     "q_supplier_part_count",
     "q_small_quantity_revenue",
     "q_disjunctive_revenue",
+    "q_dormant_customers",
+    "q_volume_shipping",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -141,6 +143,8 @@ _ROTATE_IN_R4E = [
     "q_rrf_fuse",
     "q_token_budget",
     "q_image_neardup",
+    "q_oov_rate",
+    "q_charset_quality",
 ]
 
 

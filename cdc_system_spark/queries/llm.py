@@ -1576,3 +1576,67 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(ws).cast("long").alias("rank")
     )
     return S.rrf_fuse(lex, sem, id_col="doc_id", k=60, top_k=20)
+
+
+# -- per-doc OOV rate against the top-100 vocabulary ---------------------------
+_OOV_SQL = """WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+    wt AS (SELECT doc_id, token FROM w WHERE token <> ''),
+    c AS (SELECT token, COUNT(*) AS n FROM wt GROUP BY token),
+    v AS (SELECT token FROM c ORDER BY n DESC, token ASC LIMIT 10),
+    f AS (SELECT wt.doc_id,
+                 CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+          FROM wt LEFT JOIN v ON wt.token = v.token)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM f GROUP BY doc_id"""
+
+
+@register(
+    "q_oov_rate",
+    _OOV_SQL,
+    doc="per-document out-of-vocabulary rate vs the corpus top-10 "
+    "vocabulary — what a fixed-vocab tokenizer maps to UNK; vocabulary "
+    "is model-artifact-sized so membership is one broadcast join on "
+    "exploded tokens, never a corpus-sized shuffle",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    # top-10 (not 100): the synthetic corpus has a ~31-token
+    # vocabulary, so a larger cut would make every rate trivially zero
+    vocab = X.vocab_coverage(docs, top_n=10).select("token")
+    return X.oov_rate(docs, vocab)
+
+
+# -- character-class quality gate ----------------------------------------------
+_CHARSET_SQL = """WITH t AS (
+        SELECT doc_id, text, LENGTH(text) AS n,
+               CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS d
+        FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           ROUND(LENGTH(regexp_replace(text, '[ -~]', '', 'g')) / d, 6)
+               AS nonprintable_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / d, 6)
+               AS digit_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[^A-Z]', '', 'g')) / d, 6)
+               AS upper_ratio,
+           ROUND(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / d, 6)
+               AS symbol_ratio,
+           (ROUND(LENGTH(regexp_replace(text, '[ -~]', '', 'g')) / d, 6) <= 0.0
+            AND ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / d, 6)
+                <= 0.3) AS keep
+    FROM t"""
+
+
+@register(
+    "q_charset_quality",
+    _CHARSET_SQL,
+    doc="character-class quality gate (C4/Gopher 'is this even text'): "
+    "non-printable/digit/upper/symbol ratios + keep verdict, one "
+    "zero-shuffle projection over engine-identical character-class "
+    "regexes",
+)
+def q_charset_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.charset_quality(catalog(spark, sf_dir).documents)

@@ -76,6 +76,8 @@ def test_oracle_window_composition():
         "q_rrf_fuse",
         "q_token_budget",
         "q_image_neardup",
+        "q_oov_rate",
+        "q_charset_quality",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

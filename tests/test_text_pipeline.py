@@ -491,3 +491,38 @@ def test_bm25_rejects_empty_query(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+# -- OOV rate + charset quality -------------------------------------------------
+
+
+def test_oov_rate_counts_unknown_tokens(spark):
+    from cdc_system_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a b zz"), (2, "a  a")], "doc_id long, text string"
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    got = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["n_oov"] == 1
+    assert got[1]["oov_rate"] == round(1 / 3, 6)
+    assert got[2]["n_tokens"] == 2 and got[2]["n_oov"] == 0  # empty token dropped
+
+
+def test_charset_quality_ratios_and_verdict(spark):
+    from cdc_system_spark.operators.text import charset_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World 42"),          # clean
+            (2, "1234567890"),              # all digits -> digit gate trips
+            (3, "bin\x01\x02ary"),          # non-printable -> rejected
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in charset_quality(docs).collect()}
+    assert got[1]["keep"] and got[1]["nonprintable_ratio"] == 0.0
+    assert got[1]["digit_ratio"] == round(2 / 14, 6)
+    assert got[1]["upper_ratio"] == round(2 / 14, 6)
+    assert not got[2]["keep"] and got[2]["digit_ratio"] == 1.0
+    assert not got[3]["keep"] and got[3]["nonprintable_ratio"] == 0.25  # 2/8
