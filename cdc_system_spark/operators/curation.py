@@ -45,7 +45,7 @@ from cdc_system_spark.operators.text import repetition_signals
 from cdc_system_spark.functions.portable import spread
 
 
-def curate_corpus(
+def curation_stages(
     corpus: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
@@ -60,8 +60,13 @@ def curate_corpus(
     rows_per_band: int = 4,
     decontam_n: int = 5,
     survivor: str = "min_id",
-) -> DataFrame:
-    """Run the full curation sequence; returns the curated corpus rows.
+) -> dict[str, DataFrame]:
+    """Run the full curation sequence; returns every stage's survivor
+    frame keyed by stage name (``input`` → ``exact_dedup`` →
+    ``neardup_clusters`` → ``quality_filters`` → ``decontaminated`` →
+    ``sampled``). :func:`curate_corpus` returns just the final frame;
+    :func:`curation_funnel` counts each stage — the retention readout a
+    curation run reports.
 
     Stages (each a ``doc_id`` semi join against the previous survivor
     set, so the input schema passes through unchanged):
@@ -136,7 +141,7 @@ def curate_corpus(
     c4 = decontaminate(c3, benchmark, text_col, id_col, n=decontam_n)
 
     # 5. deterministic mixture reweighting
-    return stratified_sample(
+    c5 = stratified_sample(
         c4,
         strata_col,
         rates if rates is not None else {"en": 0.5, "de": 0.2},
@@ -144,6 +149,58 @@ def curate_corpus(
         id_col=id_col,
         salt=salt,
     )
+    return {
+        "input": corpus,
+        "exact_dedup": c1,
+        "neardup_clusters": c2,
+        "quality_filters": c3,
+        "decontaminated": c4,
+        "sampled": c5,
+    }
+
+
+#: funnel stage order (dict order above is authoritative; this pins it)
+CURATION_STAGES = (
+    "input",
+    "exact_dedup",
+    "neardup_clusters",
+    "quality_filters",
+    "decontaminated",
+    "sampled",
+)
+
+
+def curate_corpus(corpus: DataFrame, benchmark: DataFrame, **kwargs) -> DataFrame:
+    """Run the full curation sequence; returns the curated corpus rows
+    (the ``sampled`` stage of :func:`curation_stages` — see there for
+    the stage list and the scale rationale of the fixed order)."""
+    return curation_stages(corpus, benchmark, **kwargs)["sampled"]
+
+
+def curation_funnel(
+    corpus: DataFrame, benchmark: DataFrame, **kwargs
+) -> DataFrame:
+    """Per-stage survivor counts of the curation pipeline — the
+    retention funnel every curation run reports (how much each stage
+    removed is the first sanity check on thresholds: a stage dropping
+    90% or 0% is usually misconfigured).
+
+    Each stage is one count aggregate over a frame the pipeline already
+    materializes (the handoff checkpoints), so the funnel costs one
+    extra reduce per stage, not a recompute; output is 6 rows.
+    """
+    stages = curation_stages(corpus, benchmark, **kwargs)
+    counts = None
+    for idx, name in enumerate(CURATION_STAGES, start=1):
+        # global agg (not groupBy on literals): an emptied-out stage
+        # must still report its 0 row
+        row = stages[name].agg(F.count("*").alias("n_docs")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
 
 
 def chunk_documents(

@@ -17,7 +17,7 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (19)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (20)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (5)
@@ -131,6 +131,7 @@ _ROTATE_OUT_R4E = [
     "q_disjunctive_revenue",
     "q_dormant_customers",
     "q_volume_shipping",
+    "q_product_profit",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -145,6 +146,7 @@ _ROTATE_IN_R4E = [
     "q_image_neardup",
     "q_oov_rate",
     "q_charset_quality",
+    "q_curation_funnel",
 ]
 
 

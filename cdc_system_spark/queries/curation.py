@@ -31,8 +31,7 @@ _BUCKET = (
     "AS BIGINT) % 1000"
 )
 
-_CURATION_SQL = f"""WITH RECURSIVE
-    corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+_CURATION_CTES = f"""corpus0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
     bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
     exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)),
     c1 AS (SELECT c.* FROM corpus0 c JOIN exact_keep k USING (doc_id)),
@@ -56,10 +55,16 @@ _CURATION_SQL = f"""WITH RECURSIVE
     c3w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c3),
     cg AS (SELECT doc_id, unnest({_GRAM5}) AS gram FROM c3w WHERE len(w) >= 5),
     contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)),
-    c4 AS (SELECT * FROM c3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+    c4 AS (SELECT * FROM c3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+
+_SAMPLE_PRED = (
+    f"{_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 100 END"
+)
+_CURATION_SQL = f"""WITH RECURSIVE
+    {_CURATION_CTES}
     SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
     FROM c4
-    WHERE {_BUCKET} < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 200 ELSE 100 END"""
+    WHERE {_SAMPLE_PRED}"""
 
 
 @register(
@@ -637,3 +642,33 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents.select("doc_id", "lang", "text")
     out = token_budget_sample(docs, budget_tokens=2000, salt="s8")
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+# -- curation funnel (per-stage retention) -------------------------------------
+_FUNNEL_SQL = f"""WITH RECURSIVE
+    {_CURATION_CTES},
+    c5 AS (SELECT * FROM c4 WHERE {_SAMPLE_PRED})
+    SELECT * FROM (
+        SELECT 1 AS stage_idx, 'input' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs FROM corpus0
+        UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM c1
+        UNION ALL SELECT 3, 'neardup_clusters', CAST(COUNT(*) AS BIGINT) FROM c2
+        UNION ALL SELECT 4, 'quality_filters', CAST(COUNT(*) AS BIGINT) FROM c3
+        UNION ALL SELECT 5, 'decontaminated', CAST(COUNT(*) AS BIGINT) FROM c4
+        UNION ALL SELECT 6, 'sampled', CAST(COUNT(*) AS BIGINT) FROM c5)"""
+
+
+@register(
+    "q_curation_funnel",
+    _FUNNEL_SQL,
+    doc="curation retention funnel: survivor count after every pipeline "
+    "stage (input -> exact dedup -> near-dup clusters -> quality "
+    "filters -> decontamination -> sample) — the first sanity check on "
+    "stage thresholds; one extra count reduce per already-materialized "
+    "handoff, output is 6 rows",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return C.curation_funnel(corpus, bench)

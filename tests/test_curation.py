@@ -590,3 +590,24 @@ def test_token_budget_sample_is_salt_deterministic(spark):
     c = {r["doc_id"] for r in token_budget_sample(docs, 25, salt="other").collect()}
     assert a == b and len(a) == 5
     assert c != a  # different salt draws a different prefix (20C5 ≫ collisions)
+
+
+def test_curation_funnel_is_monotone_and_matches_pipeline(spark):
+    from cdc_system_spark.operators.curation import curate_corpus, curation_funnel
+
+    rows = [
+        (i, "en", " ".join(f"w{i}t{j} common words here" for j in range(8)))
+        for i in range(40)
+    ]
+    rows += [(100 + i, "en", rows[i][2]) for i in range(10)]  # exact dupes
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    corpus = docs.filter("doc_id % 7 <> 0")
+    bench = docs.filter("doc_id % 7 = 0")
+    funnel = {r["stage"]: r["n_docs"] for r in curation_funnel(corpus, bench).collect()}
+    order = ["input", "exact_dedup", "neardup_clusters", "quality_filters",
+             "decontaminated", "sampled"]
+    assert list(funnel) == order or set(funnel) == set(order)
+    vals = [funnel[s] for s in order]
+    assert vals[0] == corpus.count()
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # monotone shrink
+    assert funnel["sampled"] == curate_corpus(corpus, bench).count()

@@ -78,6 +78,7 @@ def test_oracle_window_composition():
         "q_image_neardup",
         "q_oov_rate",
         "q_charset_quality",
+        "q_curation_funnel",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
