@@ -507,3 +507,41 @@ def neardup_ingest_report(
             "est_jaccard",
         )
     )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx_tokens: int = 256,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-shard efficiency readout of :func:`sequence_pack`: how full
+    the packed context windows are (``fill_ratio``), how many docs
+    straddle a sequence boundary (``n_spanning`` — each straddle is a
+    truncation or a cross-doc attention leak depending on the loader),
+    and the sequence count. THE number a packing config is judged by:
+    low fill wastes compute, high spanning wastes documents.
+
+    One aggregate over the pack bookkeeping (shard-keyed, map-side
+    combined); output is ``n_shards`` rows.
+    """
+    packed = sequence_pack(df, text_col, id_col, ctx_tokens, n_shards)
+    agg = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.max("seq_last") + 1).alias("n_seqs"),
+        F.sum(
+            F.when(F.col("seq_last") > F.col("seq_first"), 1).otherwise(0)
+        ).alias("n_spanning"),
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_seqs",
+        F.round(
+            F.col("n_tokens") / (F.col("n_seqs") * F.lit(ctx_tokens)), 6
+        ).alias("fill_ratio"),
+        "n_spanning",
+    )

@@ -17,10 +17,10 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (20)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
-from cdc_system_spark.queries import events  # noqa: E402,F401  (5)
+from cdc_system_spark.queries import events  # noqa: E402,F401  (6)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
 from cdc_system_spark.queries import llm  # noqa: E402,F401  (50, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
@@ -132,6 +132,8 @@ _ROTATE_OUT_R4E = [
     "q_dormant_customers",
     "q_volume_shipping",
     "q_product_profit",
+    "q_customer_distribution",
+    "q_waiting_suppliers",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -147,6 +149,8 @@ _ROTATE_IN_R4E = [
     "q_oov_rate",
     "q_charset_quality",
     "q_curation_funnel",
+    "q_packing_efficiency",
+    "q_event_drift",
 ]
 
 

@@ -672,3 +672,43 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return C.curation_funnel(corpus, bench)
+
+
+# -- packing efficiency ---------------------------------------------------------
+_PACK_EFF_SQL = """WITH t AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (SELECT doc_id, shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM t),
+    p AS (SELECT shard, n_tokens,
+               (cum - n_tokens) // 256 AS seq_first,
+               (cum - 1) // 256 AS seq_last
+          FROM c),
+    a AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MAX(seq_last) + 1 AS BIGINT) AS n_seqs,
+               CAST(SUM(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_spanning
+          FROM p GROUP BY shard)
+    SELECT shard, n_docs, n_tokens, n_seqs,
+           ROUND(CAST(n_tokens AS DOUBLE) / (n_seqs * 256), 6) AS fill_ratio,
+           n_spanning
+    FROM a"""
+
+
+@register(
+    "q_packing_efficiency",
+    _PACK_EFF_SQL,
+    doc="sequence-packing efficiency per shard: context-window fill "
+    "ratio + boundary-straddling doc count — the numbers a packing "
+    "config (ctx length, shard count) is judged by; one shard-keyed "
+    "aggregate over the pack bookkeeping",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    return C.packing_efficiency(docs, ctx_tokens=256, n_shards=8)

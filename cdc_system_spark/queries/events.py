@@ -173,3 +173,44 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators.skew import skew_profile
 
     return skew_profile(catalog(spark, sf_dir).events, "user_id", top_n=10)
+
+
+# -- day-over-day volume drift ---------------------------------------------------
+_DRIFT_SQL = """WITH d AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    l AS (SELECT *, LAG(n_events) OVER (
+              PARTITION BY event_type ORDER BY day) AS prev
+          FROM d)
+    SELECT event_type, day, n_events, prev AS prev_events,
+           ROUND((n_events - prev) / CAST(prev AS DOUBLE), 6) AS pct_change
+    FROM l"""
+
+
+@register(
+    "q_event_drift",
+    _DRIFT_SQL,
+    doc="day-over-day event-volume drift per type (count + lag + pct "
+    "change) — the monitoring readout that catches a stalled producer "
+    "or a duplicate-replay storm; grouped day counts then a lag window "
+    "over the bounded per-type day series",
+)
+def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events
+    d = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "n_events",
+        prev.alias("prev_events"),
+        F.round((F.col("n_events") - prev) / prev.cast("double"), 6).alias(
+            "pct_change"
+        ),
+    )

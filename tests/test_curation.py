@@ -611,3 +611,21 @@ def test_curation_funnel_is_monotone_and_matches_pipeline(spark):
     assert vals[0] == corpus.count()
     assert all(a >= b for a, b in zip(vals, vals[1:]))  # monotone shrink
     assert funnel["sampled"] == curate_corpus(corpus, bench).count()
+
+
+def test_packing_efficiency_math(spark):
+    from cdc_system_spark.operators.curation import packing_efficiency
+
+    # one shard (ids all % 8 == 1): docs of 10 tokens, ctx 16
+    docs = spark.createDataFrame(
+        [(1, "t " * 9 + "t"), (9, "t " * 9 + "t"), (17, "t " * 9 + "t")],
+        "doc_id long, text string",
+    )
+    rows = packing_efficiency(docs, ctx_tokens=16, n_shards=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 30 tokens over ceil(30/16)=2 sequences -> fill 30/32
+    assert r["n_docs"] == 3 and r["n_tokens"] == 30 and r["n_seqs"] == 2
+    assert r["fill_ratio"] == round(30 / 32, 6)
+    # doc1 [0,10) seq0; doc9 [10,20) spans 0->1; doc17 [20,30) seq1
+    assert r["n_spanning"] == 1

@@ -79,6 +79,8 @@ def test_oracle_window_composition():
         "q_oov_rate",
         "q_charset_quality",
         "q_curation_funnel",
+        "q_packing_efficiency",
+        "q_event_drift",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
