@@ -68,6 +68,8 @@ HEADLINE = [
     "q_quantized_ann",
     "q_semantic_decontaminate",
     "q_vocab_coverage",
+    "q_image_neardup",
+    "q_bm25",
 ]
 
 

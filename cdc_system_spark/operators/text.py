@@ -709,11 +709,19 @@ def bm25_topk(
     if tot["n"] == 0:
         raise ValueError("bm25_topk over an empty corpus")
     avgdl = float(tot["s"]) / float(tot["n"])
+    # carry the doc length through the explode (one narrow extra column)
+    # instead of joining a separate length frame back later — one scan
+    # branch and one join fewer; every exploded row of a doc carries the
+    # same _dl, so min() in the aggregate reproduces it exactly
     toks = df.select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("term")
+        F.col(id_col),
+        F.size(_tokens(text_col)).cast("long").alias("_dl"),
+        F.explode(_tokens(text_col)).alias("term"),
     ).filter(F.col("term").isin(list(query_terms)))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")).localCheckpoint(
-        eager=False
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"), F.min("_dl").alias("_dl"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = tot["n"]
@@ -722,10 +730,8 @@ def bm25_topk(
         F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
     )
     term_score = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6)
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
-        .select(F.col(id_col), term_score.alias("_s"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        F.col(id_col), term_score.alias("_s")
     )
     return (
         scored.groupBy(id_col)

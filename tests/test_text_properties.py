@@ -68,3 +68,48 @@ def test_token_ngrams_match_python(spark, docs, n):
             else []
         )
         assert got[i] == want, (text, n)
+
+
+# -- quantization properties (driver-side twin: pure Python, no Spark) --------
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_quantize_list_error_bound_and_range(vec):
+    # symmetric scalar quantization: every q in [-127, 127] (floor(x*s+.5)
+    # hits -127..127 for |x| <= max), and dequantization error is bounded
+    # by half a quantization step: |q/s - x| <= 0.5/s
+    from cdc_system_spark.operators.similarity import quantize_list
+
+    q = quantize_list(vec)
+    mx = max(max(abs(x) for x in vec), 1e-30)
+    s = 127.0 / mx
+    assert all(-127 <= v <= 127 for v in q)
+    for qi, xi in zip(q, vec):
+        assert abs(qi / s - xi) <= 0.5 / s + 1e-12
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, allow_infinity=False),
+        min_size=2,
+        max_size=32,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_quantize_preserves_sign_of_large_components(vec):
+    from cdc_system_spark.operators.similarity import quantize_list
+
+    q = quantize_list(vec)
+    mx = max(max(abs(x) for x in vec), 1e-30)
+    for qi, xi in zip(q, vec):
+        if abs(xi) > mx / 100:  # components above one quantization step
+            assert (qi > 0) == (xi > 0) or qi == 0
