@@ -960,3 +960,38 @@ def rrf_fuse(
     # filter on the computed rank, NOT limit(): limit takes an arbitrary
     # subset of an unordered frame
     return out.filter(F.col("fused_rank") <= top_k) if top_k else out
+
+
+def norm_outlier_filter(
+    emb: DataFrame,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    strata_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding sanity gate: keep vectors whose L2 norm sits inside the
+    [``lo``, ``hi``] percentile band of their stratum — near-zero norms
+    are failed/padded encodes, extreme norms are outliers that dominate
+    dot-product rankings; both poison ANN indexes and cosine thresholds,
+    so production vector pipelines gate on norm before indexing.
+
+    One window shuffle on the stratum key (exact ``percent_rank``, not
+    an approx sketch: deterministic and oracle-checkable; rounded norm
+    + id tiebreak makes the rank unique on any layout). Returns
+    surviving (id, stratum, norm) rows.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError(f"need 0 <= lo <= hi <= 1, got ({lo}, {hi})")
+    nrm = F.round(_norm(F.col(vec_col)), 6)
+    w = Window.partitionBy(strata_col).orderBy(
+        nrm.asc(), F.col(id_col).asc()
+    )
+    return (
+        emb.withColumn("norm", nrm)
+        .withColumn("_pr", F.percent_rank().over(w))
+        .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
+        .select(id_col, strata_col, "norm")
+    )

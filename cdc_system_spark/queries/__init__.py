@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (6)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (50, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (51, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -134,6 +134,7 @@ _ROTATE_OUT_R4E = [
     "q_product_profit",
     "q_customer_distribution",
     "q_waiting_suppliers",
+    "q_large_orders",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -151,6 +152,7 @@ _ROTATE_IN_R4E = [
     "q_curation_funnel",
     "q_packing_efficiency",
     "q_event_drift",
+    "q_norm_gate",
 ]
 
 

@@ -1640,3 +1640,28 @@ _CHARSET_SQL = """WITH t AS (
 )
 def q_charset_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.charset_quality(catalog(spark, sf_dir).documents)
+
+
+# -- embedding norm outlier gate -------------------------------------------------
+_NORM_GATE_SQL = f"""WITH n AS (
+        SELECT vec_id, label,
+               ROUND(SQRT({_dot_sql('embedding', 'embedding')}), 6) AS norm
+        FROM embeddings),
+    r AS (SELECT *, PERCENT_RANK() OVER (
+              PARTITION BY label ORDER BY norm ASC, vec_id ASC) AS pr
+          FROM n)
+    SELECT vec_id, label, norm FROM r WHERE pr >= 0.05 AND pr <= 0.95"""
+
+
+@register(
+    "q_norm_gate",
+    _NORM_GATE_SQL,
+    doc="embedding norm outlier gate: keep vectors inside the per-label "
+    "[5%, 95%] L2-norm percentile band — failed/padded encodes and "
+    "norm outliers poison ANN indexes; exact percent_rank, one window "
+    "shuffle on the stratum key, deterministic tiebreak",
+)
+def q_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.norm_outlier_filter(
+        catalog(spark, sf_dir).embeddings, lo=0.05, hi=0.95
+    )

@@ -81,6 +81,7 @@ def test_oracle_window_composition():
         "q_curation_funnel",
         "q_packing_efficiency",
         "q_event_drift",
+        "q_norm_gate",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

@@ -276,3 +276,14 @@ def test_rrf_fuse_top_k_filters_on_fused_rank(spark):
     sem = spark.createDataFrame([(i, 9 - i) for i in range(1, 8)], "doc_id long, rank long")
     out = S.rrf_fuse(lex, sem, top_k=3).collect()
     assert sorted(r["fused_rank"] for r in out) == [1, 2, 3]
+
+
+def test_norm_outlier_filter_drops_extremes(spark):
+    rows = [(i, 0, [float(i + 1), 0.0]) for i in range(20)]  # norms 1..20
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    kept = {r["vec_id"] for r in S.norm_outlier_filter(emb, lo=0.1, hi=0.9).collect()}
+    assert 0 not in kept and 19 not in kept     # extreme percentiles cut
+    assert {5, 10, 15} <= kept                  # middle of the band survives
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        S.norm_outlier_filter(emb, lo=0.9, hi=0.1)
