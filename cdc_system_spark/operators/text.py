@@ -824,3 +824,67 @@ def charset_quality(
             & (digit <= F.lit(max_digit))
         ).alias("keep"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Per-document language-model quality proxy from corpus bigram
+    statistics: mean over the doc's bigrams of ``count(w1) /
+    count(w1 w2)`` — how "surprising" each continuation is under the
+    corpus's own bigram model (the rational, transcendental-free stand-
+    in for CCNet's KenLM perplexity filter: ``-log P(w2|w1)`` is
+    monotone in this ratio, and avoiding ``ln`` keeps Spark and any SQL
+    oracle bit-identical). Low score ⇒ the doc reads like the corpus;
+    high score ⇒ rare continuations (novel text, OR junk/shuffled
+    words — exactly what perplexity filtering flags for review).
+
+    Scale shape: bigram and unigram corpus counts are two salted
+    two-phase aggregations (Zipf skew split across ``salt_buckets``
+    deterministic salts — the :func:`term_frequency` pattern); the
+    count lookups shuffle on the gram/word key; the per-doc mean is
+    decimal-accumulated (order-insensitive) with map-side combine.
+    Docs with fewer than 2 tokens are absent from the output.
+    """
+    from cdc_system_spark.functions.portable import dsum
+
+    # materialize the token array BEFORE the lambda references it: a
+    # split() inline in the transform would re-split the text per
+    # element (HOFs have no common-subexpression elimination — the
+    # measured blowup documented in minhash_signatures)
+    doc_toks = (
+        spread(df)
+        .select(F.col(id_col), _tokens(text_col).alias("_w"))
+        .filter(F.size("_w") >= 2)
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(_w) - 1), "
+        "i -> struct(_w[i-1] as w1, concat_ws(' ', _w[i-1], _w[i]) as g))"
+    )
+    doc_grams = doc_toks.select(
+        F.col(id_col), F.explode(grams).alias("b")
+    ).select(id_col, "b.w1", "b.g")
+    salt = (F.col(id_col) % salt_buckets).alias("_salt")
+    g_part = doc_grams.select("g", salt).groupBy("g", "_salt").agg(
+        F.count("*").alias("_n")
+    )
+    g_counts = g_part.groupBy("g").agg(F.sum("_n").alias("c2"))
+    w_part = doc_grams.select("w1", salt).groupBy("w1", "_salt").agg(
+        F.count("*").alias("_n")
+    )
+    w_counts = w_part.groupBy("w1").agg(F.sum("_n").alias("c1"))
+    scored = (
+        doc_grams.join(g_counts, "g")
+        .join(w_counts, "w1")
+        .select(
+            F.col(id_col),
+            F.round(F.col("c1") / F.col("c2").cast("double"), 6).alias("_r"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(dsum("_r") / F.count("*"), 6).alias("surprisal"),
+    )

@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (6)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (51, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (52, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -135,6 +135,7 @@ _ROTATE_OUT_R4E = [
     "q_customer_distribution",
     "q_waiting_suppliers",
     "q_large_orders",
+    "q_pricing_summary",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -153,6 +154,7 @@ _ROTATE_IN_R4E = [
     "q_packing_efficiency",
     "q_event_drift",
     "q_norm_gate",
+    "q_bigram_surprisal",
 ]
 
 

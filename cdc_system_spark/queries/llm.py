@@ -1665,3 +1665,34 @@ def q_norm_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.norm_outlier_filter(
         catalog(spark, sf_dir).embeddings, lo=0.05, hi=0.95
     )
+
+
+# -- bigram surprisal (perplexity-proxy quality filter) --------------------------
+_SURPRISAL_SQL = """WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+               i -> {'w1': w[i], 'g': w[i] || ' ' || w[i+1]})) AS b
+           FROM t),
+    dg AS (SELECT doc_id, b.w1 AS w1, b.g AS g FROM bg),
+    c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM dg GROUP BY g),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM dg GROUP BY w1),
+    s AS (SELECT dg.doc_id,
+                 ROUND(c1.c1 / CAST(c2.c2 AS DOUBLE), 6) AS r
+          FROM dg JOIN c2 USING (g) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
+               AS surprisal
+    FROM s GROUP BY doc_id"""
+
+
+@register(
+    "q_bigram_surprisal",
+    _SURPRISAL_SQL,
+    doc="per-doc bigram surprisal (CCNet-style perplexity-filter proxy, "
+    "transcendental-free: mean count(w1)/count(w1 w2) under the "
+    "corpus's own bigram model — monotone in -log P(w2|w1)); salted "
+    "two-phase corpus counts, decimal-accumulated per-doc mean",
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_surprisal(catalog(spark, sf_dir).documents)

@@ -82,6 +82,7 @@ def test_oracle_window_composition():
         "q_packing_efficiency",
         "q_event_drift",
         "q_norm_gate",
+        "q_bigram_surprisal",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

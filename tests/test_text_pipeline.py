@@ -526,3 +526,29 @@ def test_charset_quality_ratios_and_verdict(spark):
     assert got[1]["upper_ratio"] == round(2 / 14, 6)
     assert not got[2]["keep"] and got[2]["digit_ratio"] == 1.0
     assert not got[3]["keep"] and got[3]["nonprintable_ratio"] == 0.25  # 2/8
+
+
+def test_bigram_surprisal_separates_common_from_rare(spark):
+    from cdc_system_spark.operators.text import bigram_surprisal
+
+    # docs 1-3 repeat the same phrasing; doc 4 uses each word in novel
+    # combinations -> every bigram unique -> higher mean ratio
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_surprisal(docs).collect()}
+    assert got[1]["surprisal"] == got[2]["surprisal"] == got[3]["surprisal"]
+    assert got[4]["surprisal"] > got[1]["surprisal"]
+    assert got[1]["n_bigrams"] == 5
+
+
+def test_bigram_surprisal_skips_short_docs(spark):
+    from cdc_system_spark.operators.text import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "two words")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"] for r in bigram_surprisal(docs).collect()}
+    assert rows == {2}
