@@ -995,3 +995,99 @@ def norm_outlier_filter(
         .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
         .select(id_col, strata_col, "norm")
     )
+
+
+def knn_label_noise(
+    emb: DataFrame,
+    k: int = 5,
+    centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise detection by kNN neighbor vote (the confident-
+    learning / cleanlab screening step a labeled training set gets
+    before fine-tuning): each vector's k nearest neighbors — by cosine,
+    within its nearest-centroid cell so the candidate set is cell-
+    bounded, never all-pairs — vote with their labels; a vector whose
+    own label loses the majority vote is flagged ``suspect``. Output:
+    (id, label, pred_label, agree_frac, suspect); vectors alone in
+    their cell have no neighbors and are absent, same contract as
+    :func:`knn_graph`.
+
+    Blocking on :func:`nearest_centroid` (not on ``label_col`` like
+    ``knn_graph``) is the point: noise detection needs neighbors found
+    independently of the label under test. All ranks order on the
+    ROUNDED cosine with id tiebreaks, so results are layout-stable and
+    oracle-checkable. Scale shape: cell-bounded self-join, top-k pruned
+    by a per-src window before the vote, then two map-side-combinable
+    aggregations — the same plan family as the audited ``knn_graph``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cells = nearest_centroid(emb, centroid_ids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    pts = emb.join(cells, id_col).withColumn("_nrm", _norm(F.col(vec_col)))
+    a = pts.select(
+        F.col("centroid_id").alias("blk"),
+        F.col(id_col).alias("src"),
+        F.col(label_col).alias("own_label"),
+        F.col(vec_col).alias("v1"),
+        F.col("_nrm").alias("n1"),
+    )
+    b = pts.select(
+        F.col("centroid_id").alias("blk"),
+        F.col(id_col).alias("dst"),
+        F.col(label_col).alias("nbr_label"),
+        F.col(vec_col).alias("v2"),
+        F.col("_nrm").alias("n2"),
+    )
+    edges = (
+        a.join(b, on="blk")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "own_label",
+            "dst",
+            "nbr_label",
+            F.round(
+                _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    top = (
+        edges.withColumn("_rk", F.row_number().over(w_top))
+        .filter(F.col("_rk") <= k)
+    )
+    votes = top.groupBy("src", "own_label", "nbr_label").agg(
+        F.count("*").alias("_n")
+    )
+    w_vote = Window.partitionBy("src").orderBy(
+        F.desc("_n"), F.asc("nbr_label")
+    )
+    pred = (
+        votes.withColumn("_vrk", F.row_number().over(w_vote))
+        .filter(F.col("_vrk") == 1)
+        .select("src", F.col("nbr_label").alias("pred_label"))
+    )
+    totals = votes.groupBy("src", "own_label").agg(
+        F.sum("_n").alias("_k"),
+        F.sum(
+            F.when(F.col("nbr_label") == F.col("own_label"), F.col("_n"))
+            .otherwise(F.lit(0))
+        ).alias("_agree"),
+    )
+    return totals.join(pred, "src").select(
+        F.col("src").alias(id_col),
+        F.col("own_label").alias(label_col),
+        "pred_label",
+        F.round(F.col("_agree") / F.col("_k").cast("double"), 6).alias(
+            "agree_frac"
+        ),
+        (F.col("pred_label") != F.col("own_label")).alias("suspect"),
+    )

@@ -136,6 +136,7 @@ _ROTATE_OUT_R4E = [
     "q_waiting_suppliers",
     "q_large_orders",
     "q_pricing_summary",
+    "q_shipping_priority",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -155,6 +156,7 @@ _ROTATE_IN_R4E = [
     "q_event_drift",
     "q_norm_gate",
     "q_bigram_surprisal",
+    "q_knn_label_noise",
 ]
 
 

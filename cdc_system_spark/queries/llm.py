@@ -1696,3 +1696,61 @@ _SURPRISAL_SQL = """WITH t AS (
 )
 def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bigram_surprisal(catalog(spark, sf_dir).documents)
+
+
+# -- kNN label-noise screening ------------------------------------------------
+_LABEL_NOISE_SQL = f"""WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3)),
+    assign_scored AS (
+        SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS cs
+        FROM embeddings e, c),
+    cell AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+            FROM assign_scored) WHERE rk = 1),
+    p AS (
+        SELECT a.vec_id AS src, ea.label AS own_label,
+               b.vec_id AS dst, eb.label AS nbr_label,
+               {_cos_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+        FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id),
+    top AS (
+        SELECT src, own_label, nbr_label FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY cos_sim DESC, dst ASC) AS rk
+            FROM p) WHERE rk <= 5),
+    votes AS (
+        SELECT src, own_label, nbr_label, COUNT(*) AS n
+        FROM top GROUP BY src, own_label, nbr_label),
+    pred AS (
+        SELECT src, nbr_label AS pred_label FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY src ORDER BY n DESC, nbr_label ASC) AS vrk
+            FROM votes) WHERE vrk = 1),
+    tot AS (
+        SELECT src, own_label,
+               CAST(SUM(n) AS BIGINT) AS kk,
+               CAST(SUM(CASE WHEN nbr_label = own_label THEN n ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM votes GROUP BY src, own_label)
+    SELECT t.src AS vec_id, CAST(t.own_label AS INTEGER) AS label,
+           CAST(p.pred_label AS INTEGER) AS pred_label,
+           ROUND(agree / CAST(kk AS DOUBLE), 6) AS agree_frac,
+           (p.pred_label <> t.own_label) AS suspect
+    FROM tot t JOIN pred p USING (src)"""
+
+
+@register(
+    "q_knn_label_noise",
+    _LABEL_NOISE_SQL,
+    doc="kNN label-noise screening (confident-learning / cleanlab "
+    "style): 5 nearest cosine neighbors within the vector's nearest-"
+    "centroid cell vote with their labels; own-label majority loss "
+    "flags the row suspect — cell-bounded self-join, top-k window "
+    "prune, deterministic rounded-cos + id tiebreaks throughout",
+)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_label_noise(catalog(spark, sf_dir).embeddings, k=5)

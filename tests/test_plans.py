@@ -83,6 +83,7 @@ def test_oracle_window_composition():
         "q_event_drift",
         "q_norm_gate",
         "q_bigram_surprisal",
+        "q_knn_label_noise",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

@@ -287,3 +287,37 @@ def test_norm_outlier_filter_drops_extremes(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         S.norm_outlier_filter(emb, lo=0.9, hi=0.1)
+
+
+# -- kNN label-noise screening -------------------------------------------------
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    # two tight clusters along orthogonal axes; centroids = vectors 0
+    # and 1 (one per cluster). vec 12 sits in the x-cluster but carries
+    # the y-cluster's label -> its 3 neighbors all vote label 0.
+    rows = (
+        [(0, 0, [1.0, 0.0]), (10, 0, [0.99, 0.01]), (11, 0, [0.98, 0.02]),
+         (12, 1, [0.97, 0.03])]
+        + [(1, 1, [0.0, 1.0]), (20, 1, [0.01, 0.99]), (21, 1, [0.02, 0.98]),
+           (22, 1, [0.03, 0.97])]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           S.knn_label_noise(emb, k=3, centroid_ids=(0, 1)).collect()}
+    assert out[12]["suspect"] and out[12]["pred_label"] == 0
+    assert out[12]["agree_frac"] == 0.0
+    assert not out[10]["suspect"] and out[10]["pred_label"] == 0
+    # clean y-cluster members keep their label with full agreement
+    assert not out[20]["suspect"] and out[20]["agree_frac"] == 1.0
+
+
+def test_knn_label_noise_k_caps_votes_and_validates(spark):
+    import pytest as _pytest
+
+    rows = [(i, 0, [1.0, float(i) / 100]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = S.knn_label_noise(emb, k=2, centroid_ids=(0,)).collect()
+    assert len(out) == 6 and all(not r["suspect"] for r in out)
+    with _pytest.raises(ValueError):
+        S.knn_label_noise(emb, k=0)
