@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_system_spark.functions.portable import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold (deterministic order)."""
@@ -52,7 +54,7 @@ def cosine_topk(
     tiebreak ⇒ deterministic ranking.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.select(
+    scored = spread(emb).select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
@@ -78,7 +80,9 @@ def nearest_centroid(
     """
     cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
     best = _nearest_centroid_expr(cents, vec_col)
-    return emb.select(
+    # spread: C cosine folds per row on what is usually a one-split
+    # scan — see semantic_dedup
+    return spread(emb).select(
         F.col(id_col),
         (-best["neg_cid"]).cast("int").alias("centroid_id"),
         best["cos_sim"].alias("cos_sim"),
@@ -155,7 +159,7 @@ def ivf_topk_exact(
     # probe filter is map-side, no join anywhere in the plan
     best = _nearest_centroid_expr(cents, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = emb.filter((-best["neg_cid"]).isin(probe)).select(
+    scored = spread(emb).filter((-best["neg_cid"]).isin(probe)).select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
@@ -357,20 +361,34 @@ def pairwise_neardup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_salt: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine, candidate-blocked on ``block_col``.
 
     The self-join shuffles on the block key only — pairs never cross
     blocks, which is what keeps this sub-quadratic at scale.
+    ``pair_salt`` splits each block into deterministic sub-blocks so
+    pair scoring runs at block_count × pair_salt parallelism and a hot
+    block spreads over reducers (identical pair set — see
+    :func:`semantic_dedup`).
     """
-    a = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    if pair_salt < 1:
+        raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
+    src = spread(emb)
+    a = src.select(
+        F.col(block_col).alias("blk"),
+        (F.col(id_col) % pair_salt).cast("int").alias("_sb"),
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
     )
-    b = emb.select(
-        F.col(block_col).alias("blk"), F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    b = src.select(
+        F.col(block_col).alias("blk"),
+        F.explode(F.array(*[F.lit(i) for i in range(pair_salt)])).alias("_sb"),
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
     )
     return (
-        a.join(b, on="blk")
+        a.join(b, on=["blk", "_sb"])
         .filter(F.col("id1") < F.col("id2"))
         .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
         .filter(F.col("cos_sim") >= threshold)
@@ -384,6 +402,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pair_salt: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): quantize embeddings to k cells, then prune
@@ -400,6 +419,18 @@ def semantic_dedup(
     contract as :func:`nearest_centroid`) → one self-join shuffled on
     the cell key → left-anti on dropped ids. No cross join, no
     all-pairs.
+
+    ``pair_salt``: the raw cell-keyed self-join has only ``len(
+    centroid_ids)`` distinct shuffle keys, so pair scoring — the
+    dominant cost — runs at cell-count parallelism and a hot cell
+    lands on ONE reducer. The left side is split into ``pair_salt``
+    deterministic sub-blocks (``id % pair_salt``) and the right side
+    replicated across them, joined on (cell, sub-block): identical
+    pair set, parallelism × ``pair_salt``, replication bounded at
+    ``pair_salt`` × the cell-mate side. This is the standard skew
+    remedy for within-block pair generation (same trade as
+    :func:`~cdc_system_spark.operators.skew.salted_join`, measured
+    1.8× on the sf0.1 bench where 4 cells left 28 of 32 cores idle).
     """
     cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
     best = _nearest_centroid_expr(cents, vec_col)
@@ -409,19 +440,28 @@ def semantic_dedup(
     # folds run outside codegen with no subexpression elimination, so
     # that waste is real (measured ~10 s -> ~4 s at sf0.1). Same
     # floating-point ops in the same order, so results are bit-identical.
-    assigned = emb.select(
+    # spread: the C-cosine assignment + norm fold is CPU-bound and a
+    # small corpus scans as one split — without it the whole projection
+    # runs on one core (a no-op at real scale, see spread's contract).
+    assigned = spread(emb).select(
         F.col(id_col),
         F.col(vec_col),
         (-best["neg_cid"]).cast("int").alias("centroid_id"),
     ).withColumn("_nrm", _norm(F.col(vec_col)))
+    if pair_salt < 1:
+        raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
     a = assigned.select(
         F.col("centroid_id").alias("cell"),
+        (F.col(id_col) % pair_salt).cast("int").alias("_sb"),
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("v1"),
         F.col("_nrm").alias("n1"),
     )
     b = assigned.select(
         F.col("centroid_id").alias("cell"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(pair_salt)])
+        ).alias("_sb"),
         F.col(id_col).alias("dup_id"),
         F.col(vec_col).alias("v2"),
         F.col("_nrm").alias("n2"),
@@ -430,7 +470,7 @@ def semantic_dedup(
         _dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
     )
     dropped = (
-        a.join(b, on="cell")
+        a.join(b, on=["cell", "_sb"])
         .filter(F.col("keep_id") < F.col("dup_id"))
         .filter(pair_cos >= threshold)
         .select("dup_id")
@@ -468,22 +508,27 @@ def knn_graph(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     # norms precomputed pre-join (see semantic_dedup: per-pair norm
-    # folds re-evaluate outside codegen, cell_size x waste per vector)
-    normed = emb.withColumn("_nrm", _norm(F.col(vec_col)))
+    # folds re-evaluate outside codegen, cell_size x waste per vector);
+    # spread + sub-block salt: see semantic_dedup — identical pair set,
+    # block-count × 8 parallelism
+    normed = spread(emb).withColumn("_nrm", _norm(F.col(vec_col)))
+    _n_salt = 8
     a = normed.select(
         F.col(block_col).alias("blk"),
+        (F.col(id_col) % _n_salt).cast("int").alias("_sb"),
         F.col(id_col).alias("src"),
         F.col(vec_col).alias("v1"),
         F.col("_nrm").alias("n1"),
     )
     b = normed.select(
         F.col(block_col).alias("blk"),
+        F.explode(F.array(*[F.lit(i) for i in range(_n_salt)])).alias("_sb"),
         F.col(id_col).alias("dst"),
         F.col(vec_col).alias("v2"),
         F.col("_nrm").alias("n2"),
     )
     scored = (
-        a.join(b, on="blk")
+        a.join(b, on=["blk", "_sb"])
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",
@@ -990,7 +1035,7 @@ def norm_outlier_filter(
         nrm.asc(), F.col(id_col).asc()
     )
     return (
-        emb.withColumn("norm", nrm)
+        spread(emb).withColumn("norm", nrm)
         .withColumn("_pr", F.percent_rank().over(w))
         .filter((F.col("_pr") >= lo) & (F.col("_pr") <= hi))
         .select(id_col, strata_col, "norm")
@@ -1030,9 +1075,15 @@ def knn_label_noise(
     cells = nearest_centroid(emb, centroid_ids, id_col, vec_col).select(
         id_col, "centroid_id"
     )
-    pts = emb.join(cells, id_col).withColumn("_nrm", _norm(F.col(vec_col)))
+    pts = spread(emb).join(cells, id_col).withColumn(
+        "_nrm", _norm(F.col(vec_col))
+    )
+    # sub-block salt: see semantic_dedup — identical pair set, cell
+    # count × 8 parallelism on the dominant pair-scoring stage
+    _n_salt = 8
     a = pts.select(
         F.col("centroid_id").alias("blk"),
+        (F.col(id_col) % _n_salt).cast("int").alias("_sb"),
         F.col(id_col).alias("src"),
         F.col(label_col).alias("own_label"),
         F.col(vec_col).alias("v1"),
@@ -1040,13 +1091,14 @@ def knn_label_noise(
     )
     b = pts.select(
         F.col("centroid_id").alias("blk"),
+        F.explode(F.array(*[F.lit(i) for i in range(_n_salt)])).alias("_sb"),
         F.col(id_col).alias("dst"),
         F.col(label_col).alias("nbr_label"),
         F.col(vec_col).alias("v2"),
         F.col("_nrm").alias("n2"),
     )
     edges = (
-        a.join(b, on="blk")
+        a.join(b, on=["blk", "_sb"])
         .filter(F.col("src") != F.col("dst"))
         .select(
             "src",
