@@ -943,8 +943,10 @@ def semantic_decontaminate(
     cents = _collect_centroids(corpus, centroid_ids, id_col, vec_col)
     best = _nearest_centroid_expr(cents, vec_col)
     # norms precomputed pre-join (HOF folds have no subexpression
-    # elimination inside the join — the semantic_dedup lesson)
-    c = corpus.select(
+    # elimination inside the join — the semantic_dedup lesson); spread:
+    # the broadcast join is map-side, so corpus-side parallelism is the
+    # scan split count — one core on a small file without it
+    c = spread(corpus).select(
         F.col(id_col),
         F.col(vec_col),
         (-best["neg_cid"]).cast("int").alias("centroid_id"),
