@@ -16,7 +16,7 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 # tests/test_plans.py pins the window composition.
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
-from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (15)
+from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (16)
 from cdc_system_spark.queries import curation  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
@@ -137,6 +137,7 @@ _ROTATE_OUT_R4E = [
     "q_large_orders",
     "q_pricing_summary",
     "q_shipping_priority",
+    "q_normalize_text",
 ]
 _ROTATE_IN_R4E = [
     "q_leakage_split",
@@ -157,7 +158,18 @@ _ROTATE_IN_R4E = [
     "q_norm_gate",
     "q_bigram_surprisal",
     "q_knn_label_noise",
+    "q_shipmode_priority",
 ]
+
+
+# Sixth round-4 rotation, position fix-up: q_shipmode_priority
+# registers inside tpch_extra (early import), so its insertion shifted
+# the pre-rotation window by one and pushed the slot-49 occupant out.
+# The R4E swap left q_normalize_text (the intended displacement, driver-
+# green r1+r3) at the inherited in-window slot and q_substring_dedup
+# (round-3 contract fix — MUST stay in-window) at 50. Swap them back.
+_ROTATE_OUT_FIXUP = ["q_normalize_text"]
+_ROTATE_IN_FIXUP = ["q_substring_dedup"]
 
 
 def _rotate_window() -> None:
@@ -167,12 +179,14 @@ def _rotate_window() -> None:
         + _ROTATE_OUT_NEW
         + _ROTATE_OUT_LATE
         + _ROTATE_OUT_FINAL
-        + _ROTATE_OUT_R4E,
+        + _ROTATE_OUT_R4E
+        + _ROTATE_OUT_FIXUP,
         _ROTATE_IN
         + _ROTATE_IN_NEW
         + _ROTATE_IN_LATE
         + _ROTATE_IN_FINAL
-        + _ROTATE_IN_R4E,
+        + _ROTATE_IN_R4E
+        + _ROTATE_IN_FIXUP,
     ):
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]

@@ -651,3 +651,41 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# -- q_shipmode_priority: TPC-H Q12 shape (fact-fact join + CASE counts) -----
+@register(
+    "q_shipmode_priority",
+    """SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus""",
+    doc="Q12 shape (l_linestatus stands in for the absent l_shipmode): "
+    "the one fact-fact join in TPC-H — year filter pushed to the "
+    "lineitem scan, shuffle join on orderkey, CASE-bucketed priority "
+    "counts grouped on the line status",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    # both sides are fact-sized at scale: this is TPC-H's one genuine
+    # fact-fact shuffle join — no broadcast hint on purpose (AQE may
+    # still pick one at small SF, which is exactly right there)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.orders.select("o_orderkey", "o_orderpriority")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

@@ -84,6 +84,7 @@ def test_oracle_window_composition():
         "q_norm_gate",
         "q_bigram_surprisal",
         "q_knn_label_noise",
+        "q_shipmode_priority",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
