@@ -888,3 +888,56 @@ def bigram_surprisal(
         F.count("*").alias("n_bigrams"),
         F.round(dsum("_r") / F.count("*"), 6).alias("surprisal"),
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content blocklist gate (the C4 "bad words" filter, Raffel et al.
+    2020 §2.2: drop any page containing a term from a fixed list).
+    Output: one row per input doc with the count of DISTINCT blocked
+    terms present, the sorted comma-joined terms themselves (string,
+    not array — the driver-canonicalizer contract), and the keep
+    verdict (no hits).
+
+    Scale shape: the blocklist is model-artifact-sized → broadcast
+    inner join against the doc's DISTINCT tokens (``array_distinct``
+    before the explode, the substring-dedup lesson: dedup inside the
+    row before the 1→N fan-out); the only shuffle is the doc-keyed hit
+    aggregation, and the hit table re-joined to the corpus is hit-doc-
+    sized, never corpus × blocklist.
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_tokens(text_col))).alias("_t"),
+    )
+    bl = df.sparkSession.createDataFrame(
+        [(w,) for w in sorted(set(blocklist))], "_t string"
+    )
+    hits = (
+        toks.join(F.broadcast(bl), "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.array_join(F.sort_array(F.collect_list("_t")), ",").alias(
+                "hit_terms"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_terms"), F.lit(0).cast("long")).alias(
+                "n_hit_terms"
+            ),
+            F.coalesce(F.col("hit_terms"), F.lit("")).alias("hit_terms"),
+            F.col("n_hit_terms").isNull().alias("keep"),
+        )
+    )

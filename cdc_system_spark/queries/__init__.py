@@ -20,9 +20,9 @@ from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (16)
 from cdc_system_spark.queries import curation  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
-from cdc_system_spark.queries import events  # noqa: E402,F401  (6)
+from cdc_system_spark.queries import events  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (52, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (53, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -172,6 +172,13 @@ _ROTATE_OUT_FIXUP = ["q_normalize_text"]
 _ROTATE_IN_FIXUP = ["q_substring_dedup"]
 
 
+# Seventh round-4 rotation: the last session additions (daily-volume
+# OLS trend, C4 blocklist gate), never driver-checked, in for two
+# r3-driver-green dedup diagnostics.
+_ROTATE_OUT_LAST = ["q_minhash_jaccard_est", "q_dup_clusters_star"]
+_ROTATE_IN_LAST = ["q_event_trend", "q_blocklist"]
+
+
 def _rotate_window() -> None:
     names = list(QUERY_REGISTRY)
     for out_name, in_name in zip(
@@ -180,13 +187,15 @@ def _rotate_window() -> None:
         + _ROTATE_OUT_LATE
         + _ROTATE_OUT_FINAL
         + _ROTATE_OUT_R4E
-        + _ROTATE_OUT_FIXUP,
+        + _ROTATE_OUT_FIXUP
+        + _ROTATE_OUT_LAST,
         _ROTATE_IN
         + _ROTATE_IN_NEW
         + _ROTATE_IN_LATE
         + _ROTATE_IN_FINAL
         + _ROTATE_IN_R4E
-        + _ROTATE_IN_FIXUP,
+        + _ROTATE_IN_FIXUP
+        + _ROTATE_IN_LAST,
     ):
         i, j = names.index(out_name), names.index(in_name)
         names[i], names[j] = names[j], names[i]

@@ -214,3 +214,63 @@ def q_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_change"
         ),
     )
+
+
+# -- q_event_trend: per-type daily-volume OLS slope --------------------------
+_TREND_SQL = """WITH d AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                   AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+        FROM d GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+    FROM s WHERE n * sxx - sx * sx <> 0"""
+
+
+@register(
+    "q_event_trend",
+    _TREND_SQL,
+    doc="per-type daily-volume trend: closed-form OLS slope of events/"
+    "day over the day index — the 'is this producer growing or "
+    "decaying' monitoring readout next to q_event_drift's day-over-day "
+    "view. All five sufficient statistics are exact integer sums "
+    "(DECIMAL(38,0) accumulation, one double division at the end), so "
+    "the result is partitioning-independent and engine-exact; two "
+    "grouped passes, the second over a day-count-sized frame",
+)
+def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog(spark, sf_dir).events
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))), F.lit("2024-01-01")
+        )
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.count("*").alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = d.groupBy("event_type").agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.filter(den != 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+    )

@@ -1754,3 +1754,34 @@ _LABEL_NOISE_SQL = f"""WITH c AS (
 )
 def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_label_noise(catalog(spark, sf_dir).embeddings, k=5)
+
+
+# -- content blocklist gate ---------------------------------------------------
+_BLOCKLIST_SQL = """WITH bl AS (
+        SELECT unnest(['big', 'merge', 'slow']) AS t),
+    dt AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        FROM documents),
+    h AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+               array_to_string(list_sort(list(t)), ',') AS hit_terms
+        FROM dt JOIN bl USING (t) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_hit_terms, 0) AS n_hit_terms,
+           COALESCE(h.hit_terms, '') AS hit_terms,
+           h.doc_id IS NULL AS keep
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
+
+@register(
+    "q_blocklist",
+    _BLOCKLIST_SQL,
+    doc="content blocklist gate (C4 'bad words' filter): per-doc count "
+    "of distinct blocked terms + sorted joined terms + keep verdict; "
+    "broadcast blocklist join over row-deduped tokens, one doc-keyed "
+    "shuffle",
+)
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.blocklist_filter(
+        catalog(spark, sf_dir).documents, ["big", "merge", "slow"]
+    )

@@ -85,6 +85,8 @@ def test_oracle_window_composition():
         "q_bigram_surprisal",
         "q_knn_label_noise",
         "q_shipmode_priority",
+        "q_event_trend",
+        "q_blocklist",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

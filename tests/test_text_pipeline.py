@@ -552,3 +552,23 @@ def test_bigram_surprisal_skips_short_docs(spark):
     )
     rows = {r["doc_id"] for r in bigram_surprisal(docs).collect()}
     assert rows == {2}
+
+
+def test_blocklist_filter_verdicts_and_terms(spark):
+    from cdc_system_spark.operators.text import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "good clean text"), (2, "some bad stuff here bad"),
+         (3, "bad and worse"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           blocklist_filter(docs, ["bad", "worse"]).collect()}
+    assert len(got) == 4                        # every input doc present
+    assert got[1]["keep"] and got[1]["n_hit_terms"] == 0
+    assert not got[2]["keep"] and got[2]["n_hit_terms"] == 1  # distinct, not 2
+    assert got[3]["hit_terms"] == "bad,worse"   # sorted joined string
+    assert got[4]["keep"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blocklist_filter(docs, [])
