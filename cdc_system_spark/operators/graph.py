@@ -1,0 +1,106 @@
+"""Graph algorithms over edge-list DataFrames.
+
+Companion to the connected-components operators in
+:mod:`cdc_system_spark.operators.dedup` (min-label propagation and
+Kiveris star contraction): the same bounded-round driver-loop pattern,
+applied to weighted influence instead of reachability. Reference scope
+note: the reference system (cdc_system.py) has no graph surface; this
+exists for the similarity-graph curation path (rank documents by
+centrality in the near-dup/kNN graph to pick representative survivors,
+the PageRank-survivor variant of SemDeDup's keep-first rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_system_spark.functions.portable import dsum
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.8,
+    src: str = "src",
+    dst: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Fixed-round power-iteration PageRank over a directed edge list.
+    Returns (node, rank) for every node appearing as source or target.
+
+    Engine-exact by construction, so a SQL oracle can reproduce it
+    bit-for-bit: every per-iteration quantity is rounded to
+    ``decimals`` (contributions before the sum, ranks after), and the
+    in-neighbor sum is decimal-accumulated (:func:`dsum`) — order-
+    insensitive, partitioning-independent. Fixed ``iters`` (not
+    convergence-tested) keeps the oracle expressible as chained CTEs;
+    rank ordering stabilizes in a handful of rounds on the near-clique
+    similarity graphs this is for.
+
+    The default ``damping=0.8`` is a cross-engine determinism choice,
+    not a tuning choice: per-round ranks are exact multiples of
+    ``10^-decimals``, and ``0.85 · k·10⁻⁶`` lands EXACTLY on the
+    6-decimal half-way boundary for every ``k ≡ 10 (mod 20)`` (~5% of
+    nodes), where Spark's exact-binary HALF_UP and a SQL engine's
+    multiply-then-round double path tip on representation noise
+    (measured: 3/500 nodes flip at the 6th decimal with 0.85). With
+    0.8, ``8k mod 10`` is always even — no per-node product can reach
+    the boundary, so the comparison is exact by construction. (The
+    contribution term ``r/deg`` is boundary-free for odd ``deg`` and
+    for the kNN graph's uniform ``deg = k``; even out-degrees can
+    graze it — pick ``decimals`` odd/even-aware there if it matters.)
+
+    Scale shape: per round, ONE shuffle keyed on the target node (the
+    contribution aggregation) plus a rank-table join keyed on the
+    source — both move node/edge-sized frames (k·N edges for a kNN
+    graph), never the corpus. The only driver-side values are the node
+    count (one scalar) and the loop counter; ``localCheckpoint`` per
+    round keeps plans flat, exactly like ``duplicate_clusters``.
+    Dangling nodes (no out-edges) contribute nothing — their mass
+    leaks, the standard simplification for ranking-only use.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    outdeg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    n = nodes.count()  # one scalar — the only data-sized collect-free probe
+    base = (1.0 - damping) / n
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), decimals).alias("r"))
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(outdeg.withColumnRenamed("node", "_on"), F.col("s") == F.col("_on"))
+            .select(
+                F.col("d").alias("node"),
+                F.round(F.col("r") / F.col("deg"), decimals).alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(dsum("c", "sc"))
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("sc"), F.lit(0.0)),
+                    decimals,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (53, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (54, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -175,8 +175,8 @@ _ROTATE_IN_FIXUP = ["q_substring_dedup"]
 # Seventh round-4 rotation: the last session additions (daily-volume
 # OLS trend, C4 blocklist gate), never driver-checked, in for two
 # r3-driver-green dedup diagnostics.
-_ROTATE_OUT_LAST = ["q_minhash_jaccard_est", "q_dup_clusters_star"]
-_ROTATE_IN_LAST = ["q_event_trend", "q_blocklist"]
+_ROTATE_OUT_LAST = ["q_minhash_jaccard_est", "q_dup_clusters_star", "q_chunk_documents"]
+_ROTATE_IN_LAST = ["q_event_trend", "q_blocklist", "q_pagerank"]
 
 
 def _rotate_window() -> None:

@@ -1785,3 +1785,61 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.blocklist_filter(
         catalog(spark, sf_dir).documents, ["big", "merge", "slow"]
     )
+
+
+# -- PageRank over the kNN similarity graph ----------------------------------
+_PAGERANK_SQL = f"""WITH knn AS ({_KNN_SQL}),
+    e AS (SELECT DISTINCT src AS s, dst AS d FROM knn),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM e GROUP BY s),
+    r0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 6) AS r
+           FROM nodes, nn),
+    c1 AS (SELECT e.d AS node,
+                  CAST(SUM(CAST(ROUND(r0.r / od.deg, 6) AS DECIMAL(25,6)))
+                       AS DOUBLE) AS sc
+           FROM e JOIN r0 ON e.s = r0.node JOIN od ON od.node = e.s
+           GROUP BY e.d),
+    r1 AS (SELECT nodes.node,
+                  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) / nn.n
+                        + CAST(0.8 AS DOUBLE) * COALESCE(c1.sc,
+                              CAST(0.0 AS DOUBLE)), 6) AS r
+           FROM nodes LEFT JOIN c1 USING (node) CROSS JOIN nn),
+    c2 AS (SELECT e.d AS node,
+                  CAST(SUM(CAST(ROUND(r1.r / od.deg, 6) AS DECIMAL(25,6)))
+                       AS DOUBLE) AS sc
+           FROM e JOIN r1 ON e.s = r1.node JOIN od ON od.node = e.s
+           GROUP BY e.d),
+    r2 AS (SELECT nodes.node,
+                  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) / nn.n
+                        + CAST(0.8 AS DOUBLE) * COALESCE(c2.sc,
+                              CAST(0.0 AS DOUBLE)), 6) AS r
+           FROM nodes LEFT JOIN c2 USING (node) CROSS JOIN nn),
+    c3 AS (SELECT e.d AS node,
+                  CAST(SUM(CAST(ROUND(r2.r / od.deg, 6) AS DECIMAL(25,6)))
+                       AS DOUBLE) AS sc
+           FROM e JOIN r2 ON e.s = r2.node JOIN od ON od.node = e.s
+           GROUP BY e.d),
+    r3 AS (SELECT nodes.node,
+                  ROUND((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) / nn.n
+                        + CAST(0.8 AS DOUBLE) * COALESCE(c3.sc,
+                              CAST(0.0 AS DOUBLE)), 6) AS r
+           FROM nodes LEFT JOIN c3 USING (node) CROSS JOIN nn)
+    SELECT node, r AS rank FROM r3"""
+
+
+@register(
+    "q_pagerank",
+    _PAGERANK_SQL,
+    doc="3-round power-iteration PageRank over the top-3 kNN cosine "
+    "graph (centrality-based representative selection for dup "
+    "clusters); engine-exact: per-round rounding + decimal-accumulated "
+    "in-neighbor sums, fixed rounds so the oracle is chained CTEs; one "
+    "target-keyed shuffle per round over edge-sized frames only",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.graph import pagerank
+
+    edges = S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
+    return pagerank(edges, iters=3)

@@ -1,0 +1,39 @@
+"""PageRank over edge-list DataFrames (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_system_spark.operators.graph import pagerank
+
+
+def test_pagerank_ranks_hub_highest(spark):
+    # star: everyone points at node 1; node 1 points at node 2
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 1), (1, 2)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] == max(got.values())          # the hub wins
+    assert got[2] > got[3]                      # fed by the hub > leaf
+    assert got[3] == got[4] == got[5]           # symmetric leaves tie
+    assert sum(got.values()) == pytest.approx(1.0, abs=0.3)  # mass ~conserved
+
+
+def test_pagerank_is_layout_independent(spark):
+    rows = [(i, (i * 7) % 23) for i in range(60) if i != (i * 7) % 23]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    a = {r["node"]: r["rank"] for r in pagerank(edges, iters=2).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(7), iters=2).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_validates_params(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(edges, iters=0)
+    with pytest.raises(ValueError):
+        pagerank(edges, damping=1.0)

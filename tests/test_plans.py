@@ -87,6 +87,7 @@ def test_oracle_window_composition():
         "q_shipmode_priority",
         "q_event_trend",
         "q_blocklist",
+        "q_pagerank",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
