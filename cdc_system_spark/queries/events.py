@@ -274,3 +274,53 @@ def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_days"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
     )
+
+
+# -- q_event_transitions: per-user event-type transition matrix --------------
+_TRANSITIONS_SQL = """WITH s AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    t AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type),
+    tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+        FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n,
+           ROUND(t.n / CAST(tot.n_from AS DOUBLE), 6) AS p
+    FROM t JOIN tot USING (prev_type)"""
+
+
+@register(
+    "q_event_transitions",
+    _TRANSITIONS_SQL,
+    doc="per-user event-type transition matrix (first-order Markov "
+    "path mining): lag over each user's time-ordered stream "
+    "(event_id tiebreak so the order is total), transition counts + "
+    "row-normalized probabilities; one user-keyed window shuffle over "
+    "the fact, then type-pair-sized aggregations",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
+    )

@@ -56,6 +56,7 @@ class StreamingCorpusIngestor:
         checkpoint_path: str | None = None,
         max_files_per_trigger: int | None = None,
         neardup_threshold: float | None = None,
+        admission_filter=None,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -74,6 +75,14 @@ class StreamingCorpusIngestor:
         #: Jaccard estimate vs a DIFFERENT-id corpus doc reaches this
         #: (None = exact content-hash dedup only)
         self.neardup_threshold = neardup_threshold
+        #: optional content gate: ``(DataFrame) -> DataFrame`` applied
+        #: to the admitted batch BEFORE the near-dup/exact merge,
+        #: returning only surviving rows with the schema unchanged —
+        #: compose quality gates here (e.g. ``lambda df:
+        #: df.join(blocklist_filter(df, terms).filter("keep")
+        #: .select(id_col), id_col, "left_semi")``). Runs on the tiny
+        #: batch side only, never against the corpus.
+        self.admission_filter = admission_filter
         self.batches_applied = 0
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -114,6 +123,11 @@ class StreamingCorpusIngestor:
             .join(current.select(self.id_col), self.id_col, "left_semi")
         )
         admitted = upserts.unionByName(cond_updates)
+        if self.admission_filter is not None:
+            # content gate first: cheapest reject, and a gated-out row
+            # must not reach the near-dup probe or the corpus flip.
+            # DELETEs are unaffected — gates govern admission only.
+            admitted = self.admission_filter(admitted)
         if self.neardup_threshold is not None:
             # fuzzy gate BEFORE the exact merge: drop admitted rows
             # near-duplicating a different-id corpus doc (same-id pairs

@@ -544,3 +544,43 @@ def test_streaming_corpus_ingestor_fuzzy_admission(spark, tmp_path):
     ing.run_available_now()
     rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
     assert rows == {1: own_update, 11: fresh}  # 10 rejected as near-dup
+
+
+def test_streaming_corpus_ingestor_admission_gate(spark, tmp_path):
+    # admission_filter: a blocklist content gate composed at admission.
+    # A blocked INSERT never reaches the corpus; a blocked UPDATE does
+    # not replace its clean corpus row; clean docs admit normally.
+    # DELETEs are ungated.
+    from cdc_system_spark.operators.text import blocklist_filter
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    def gate(df):
+        keep = blocklist_filter(df, ["forbidden"]).filter("keep").select("doc_id")
+        return df.join(keep, "doc_id", "left_semi")
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, [(1, "clean original"), (2, "doomed row")]))
+
+    cap.capture_insert(
+        _doc_rows(spark, [(10, "totally forbidden content"), (11, "fine text")])
+    )
+    cap.capture_update(
+        _doc_rows(spark, [(1, "now forbidden edit")]),
+        _doc_rows(spark, [(1, "clean original")]),
+    )
+    cap.capture_delete(_doc_rows(spark, [(2, "doomed row")]))
+
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "gkpt"),
+        admission_filter=gate,
+    )
+    ing.run_available_now()
+    rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    # 10 gated out, 11 admitted, 1 keeps its PRE-update text, 2 deleted
+    assert rows == {1: "clean original", 11: "fine text"}
