@@ -70,6 +70,13 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_image_neardup",
     "q_bm25",
+    # late round-4 additions: perplexity-proxy quality, label noise,
+    # blocklist gate, similarity-graph PageRank, Q12 fact-fact join
+    "q_bigram_surprisal",
+    "q_knn_label_noise",
+    "q_blocklist",
+    "q_pagerank",
+    "q_shipmode_priority",
 ]
 
 
