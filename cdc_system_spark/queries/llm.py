@@ -1843,3 +1843,44 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
     return pagerank(edges, iters=3)
+
+
+# -- portable HyperLogLog distinct sketch ------------------------------------
+_HLL_SQL = """WITH v AS (
+        SELECT CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    pb AS (
+        SELECT h % 64 AS b,
+               MAX(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS m
+        FROM v GROUP BY h % 64),
+    full_b AS (
+        SELECT r.b, COALESCE(pb.m, 0) AS m
+        FROM (SELECT unnest(range(64)) AS b) r LEFT JOIN pb USING (b)),
+    agg AS (
+        SELECT CAST(SUM(CAST(ROUND(POWER(2.0, -m), 18) AS DECIMAL(25,18)))
+                    AS DOUBLE) AS s,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_empty_buckets
+        FROM full_b)
+    SELECT ROUND(CAST(0.709 * 64 * 64 AS DOUBLE) / s, 4) AS n_est,
+           n_empty_buckets
+    FROM agg"""
+
+
+@register(
+    "q_hll_distinct",
+    _HLL_SQL,
+    doc="engine-portable HyperLogLog: distinct-user estimate from a "
+    "64-bucket md5-hash sketch (rank via binary-string length, no "
+    "ln/log2; exact 2^-rank terms decimal-accumulated) — the shuffle "
+    "moves <=64 rows per partition regardless of input size",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import hll_distinct
+
+    ev = catalog(spark, sf_dir).events.select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    return hll_distinct(ev, "user_id")
