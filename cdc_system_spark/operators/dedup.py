@@ -829,3 +829,90 @@ def cross_source_dup_matrix(
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    num_perms: int = 16,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Asymmetric near-dup detection: per LSH candidate pair, the
+    estimated CONTAINMENT of the smaller shingle set in the larger —
+    ``|A∩B| / min(|A|,|B|)`` — alongside the symmetric Jaccard
+    estimate. Jaccard misses exactly the pairs curation most wants
+    caught at scale: a document quoted inside a much longer one has
+    tiny Jaccard (union is huge) but containment ≈ 1 (Broder's
+    resemblance-vs-containment distinction, SEQUENCES '97).
+
+    Engine-exact by integer construction: the signature match count
+    ``m`` (0..num_perms) and the per-doc distinct-shingle counts are
+    integers, so both outputs are single double divisions of identical
+    integers — ``est_jaccard = m/num_perms`` and, substituting the
+    Jaccard-to-intersection identity ``|A∩B| = J(|A|+|B|)/(1+J)``
+    with ``J = m/P``: ``est_containment =
+    m·(n1+n2) / ((P+m)·min(n1,n2))``. No intermediate float ever
+    rounds.
+
+    ``rows_per_band`` defaults to 1 (16 single-permutation bands),
+    NOT the symmetric-dedup default of 4: a contained pair's Jaccard
+    is small by construction (the union is the big document), so
+    multi-row bands — collision probability J^rows — would filter out
+    exactly the pairs this operator exists to find. Single-row bands
+    recall P(candidate) = 1-(1-J)^16 ≈ 98% at J = 0.25. The trade is
+    larger buckets; ``lsh_candidate_pairs``' ``max_bucket`` cap is the
+    guard, as everywhere.
+
+    Scale shape: shingle counts are a zero-shuffle projection riding
+    the scan; candidates come from the bucketed LSH banding (never
+    all-pairs); the estimate joins move pair-sized frames against
+    in-place signature/count tables, same contract as
+    :func:`minhash_jaccard_estimate`.
+    """
+    from cdc_system_spark.functions.portable import shingles
+
+    sigs = minhash_signatures(
+        docs, text_col, id_col, k=k, num_perms=num_perms
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
+    )
+    counts = spread(docs).select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(text_col, k)))
+        .cast("long")
+        .alias("n_sh"),
+    )
+    ha = sigs.select(
+        F.col(id_col).alias("id1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perms)],
+    )
+    hb = sigs.select(
+        F.col(id_col).alias("id2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perms)],
+    )
+    m = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_perms)
+    )
+    scored = (
+        hb.join(ha.join(pairs, "id1"), "id2")
+        .select("id1", "id2", m.cast("long").alias("_m"))
+        .join(counts.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n_sh1")), "id1")
+        .join(counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n_sh2")), "id2")
+    )
+    p = F.lit(num_perms)
+    return scored.select(
+        "id1",
+        "id2",
+        "n_sh1",
+        "n_sh2",
+        F.round(F.col("_m") / p.cast("double"), 6).alias("est_jaccard"),
+        F.round(
+            (F.col("_m") * (F.col("n_sh1") + F.col("n_sh2")))
+            / ((p + F.col("_m")) * F.least("n_sh1", "n_sh2")).cast("double"),
+            6,
+        ).alias("est_containment"),
+    )

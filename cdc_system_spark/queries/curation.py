@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from cdc_system_spark.operators import curation as C
 from cdc_system_spark.operators import dedup as D
 from cdc_system_spark.queries.base import catalog, register
-from cdc_system_spark.queries.fragments import cluster_ctes, lsh_ctes
+from cdc_system_spark.queries.fragments import HS as _HS
+from cdc_system_spark.queries.fragments import PERMS16, SH7, cluster_ctes, lsh_ctes
 
 _GRAM5 = (
     "list_transform(range(1, greatest(len(w) - 4, 0) + 1), "
@@ -712,3 +713,71 @@ _PACK_EFF_SQL = """WITH t AS (
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents
     return C.packing_efficiency(docs, ctx_tokens=256, n_shards=8)
+
+
+# single-row bands (16 bands of 1 permutation): containment pairs have
+# low Jaccard by construction, so the 4-row banding would filter them
+# out — see containment_pairs' recall note
+_CONTAIN_BANDS = """SELECT doc_id, 0 AS band_idx, h0 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 1 AS band_idx, h1 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 2 AS band_idx, h2 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 3 AS band_idx, h3 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 4 AS band_idx, h4 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 5 AS band_idx, h5 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 6 AS band_idx, h6 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 7 AS band_idx, h7 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 8 AS band_idx, h8 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 9 AS band_idx, h9 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 10 AS band_idx, h10 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 11 AS band_idx, h11 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 12 AS band_idx, h12 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 13 AS band_idx, h13 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 14 AS band_idx, h14 AS k0 FROM sig
+        UNION ALL SELECT doc_id, 15 AS band_idx, h15 AS k0 FROM sig"""
+
+_CONTAIN_SQL = f"""WITH sh AS (SELECT doc_id, {SH7} AS s FROM documents),
+    hm AS (SELECT doc_id, {_HS} AS hmod FROM sh),
+    sig AS (
+        SELECT doc_id, {PERMS16}
+        FROM hm GROUP BY doc_id),
+    bands AS (
+        {_CONTAIN_BANDS}),
+    lsh_pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.k0 = b.k0
+             AND a.doc_id < b.doc_id),
+    cnt AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(list_transform(
+                   range(1, greatest(length(text) - 6, 1) + 1),
+                   i -> substr(text, i, 7)))) AS BIGINT) AS n_sh
+        FROM documents),
+    sc AS (
+        SELECT p.id1, p.id2, CAST(({_EST_TERMS}) AS BIGINT) AS m
+        FROM lsh_pairs p
+        JOIN sig a ON a.doc_id = p.id1
+        JOIN sig b ON b.doc_id = p.id2)
+    SELECT sc.id1, sc.id2, c1.n_sh AS n_sh1, c2.n_sh AS n_sh2,
+           ROUND(sc.m / CAST(16 AS DOUBLE), 6) AS est_jaccard,
+           ROUND((sc.m * (c1.n_sh + c2.n_sh))
+                 / CAST((16 + sc.m) * least(c1.n_sh, c2.n_sh) AS DOUBLE), 6)
+               AS est_containment
+    FROM sc
+    JOIN cnt c1 ON c1.doc_id = sc.id1
+    JOIN cnt c2 ON c2.doc_id = sc.id2"""
+
+
+@register(
+    "q_containment_pairs",
+    _CONTAIN_SQL,
+    doc="asymmetric containment estimate per LSH candidate pair "
+    "(Broder resemblance-vs-containment): |A∩B|/min(|A|,|B|) from the "
+    "integer signature match count and distinct-shingle counts — "
+    "catches quoted/subset documents symmetric Jaccard misses; all "
+    "inputs integer, one double division per output",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(
+        catalog(spark, sf_dir).documents, k=7, rows_per_band=1
+    )

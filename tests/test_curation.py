@@ -629,3 +629,22 @@ def test_packing_efficiency_math(spark):
     assert r["fill_ratio"] == round(30 / 32, 6)
     # doc1 [0,10) seq0; doc9 [10,20) spans 0->1; doc17 [20,30) seq1
     assert r["n_spanning"] == 1
+
+
+def test_containment_catches_quoted_subset(spark):
+    # doc 2 is doc 1 quoted inside a much longer page: Jaccard is low
+    # (big union) but containment of the smaller set is ~1
+    from cdc_system_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog " * 3
+    page = quote + " ".join(f"filler{i} unrelated{i} padding{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id long, text string"
+    )
+    rows = containment_pairs(docs, k=7).collect()  # single-row bands (default)
+    assert rows, "LSH must band the shared prefix together"
+    r = rows[0]
+    assert (r["id1"], r["id2"]) == (1, 2)
+    assert r["est_containment"] > 0.8
+    assert r["est_containment"] > r["est_jaccard"]  # the asymmetric gap
+    assert r["n_sh1"] < r["n_sh2"]
