@@ -324,3 +324,63 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("n_from").cast("double"), 6).alias("p"),
     )
+
+
+# -- q_event_anomalies: exact z-score volume anomalies -----------------------
+_ANOMALY_SQL = """WITH d AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(n_events) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(n_events * n_events) AS DECIMAL(38,0)) AS qy
+        FROM d GROUP BY 1)
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.n_events,
+           ROUND(CAST((s.n * d.n_events - s.sy) * (s.n * d.n_events - s.sy)
+                      AS DOUBLE)
+                 / CAST(s.n * s.qy - s.sy * s.sy AS DOUBLE), 6) AS z2,
+           (s.n * d.n_events - s.sy) * (s.n * d.n_events - s.sy)
+               > 4 * (s.n * s.qy - s.sy * s.sy) AS is_anomaly
+    FROM d JOIN s USING (event_type)
+    WHERE s.n * s.qy - s.sy * s.sy <> 0"""
+
+
+@register(
+    "q_event_anomalies",
+    _ANOMALY_SQL,
+    doc="per-type daily-volume anomaly flags: |y - mean| > 2 sigma "
+    "decided ENTIRELY in exact integer arithmetic — (n*y - S)^2 > "
+    "4*(n*Q - S^2) over DECIMAL(38,0) sums, no float ever enters the "
+    "verdict (z2 is reported as one rounded double division for "
+    "triage); two grouped passes, the flag join on the tiny per-type "
+    "stats",
+)
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog(spark, sf_dir).events
+    d = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("_day"),
+    ).agg(F.count("*").alias("n_events"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = d.groupBy("event_type").agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("n_events")).alias("sy"),
+        dec(F.sum(F.col("n_events") * F.col("n_events"))).alias("qy"),
+    )
+    dev = F.col("n") * F.col("n_events") - F.col("sy")
+    var_term = F.col("n") * F.col("qy") - F.col("sy") * F.col("sy")
+    return (
+        d.join(s, "event_type")
+        .filter(var_term != 0)
+        .select(
+            "event_type",
+            F.col("_day").cast("string").alias("day"),
+            "n_events",
+            F.round(
+                (dev * dev).cast("double") / var_term.cast("double"), 6
+            ).alias("z2"),
+            (dev * dev > 4 * var_term).alias("is_anomaly"),
+        )
+    )
