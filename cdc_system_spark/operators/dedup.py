@@ -916,3 +916,35 @@ def containment_pairs(
             6,
         ).alias("est_containment"),
     )
+
+
+def drop_contained(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    num_perms: int = 16,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """The curation action on :func:`containment_pairs`: remove each
+    document whose shingle set is (estimated) contained in a larger
+    document at ≥ ``threshold`` — keeps the superset copy, which is
+    what subset dedup wants (the quote's context survives; pure exact
+    dup ties, equal sizes, keep the smaller id). Returns surviving
+    rows with the input schema unchanged.
+
+    One pair-sized reduction to the drop-id set, then a corpus anti
+    join — the same shape every survivor operator here uses.
+    """
+    pairs = containment_pairs(
+        docs, text_col, id_col, k, num_perms, rows_per_band
+    )
+    hits = pairs.filter(F.col("est_containment") >= threshold)
+    drop = hits.select(
+        F.when(F.col("n_sh1") < F.col("n_sh2"), F.col("id1"))
+        .when(F.col("n_sh2") < F.col("n_sh1"), F.col("id2"))
+        .otherwise(F.greatest("id1", "id2"))
+        .alias(id_col)
+    ).distinct()
+    return docs.join(drop, id_col, "left_anti")

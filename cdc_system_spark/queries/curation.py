@@ -781,3 +781,26 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         catalog(spark, sf_dir).documents, k=7, rows_per_band=1
     )
+
+
+_DROP_CONTAINED_SQL = f"""WITH pairs AS ({_CONTAIN_SQL}),
+    drop_ids AS (
+        SELECT DISTINCT CASE WHEN n_sh1 < n_sh2 THEN id1
+                             WHEN n_sh2 < n_sh1 THEN id2
+                             ELSE greatest(id1, id2) END AS doc_id
+        FROM pairs WHERE est_containment >= 0.9)
+    SELECT d.* FROM documents d
+    LEFT JOIN drop_ids USING (doc_id) WHERE drop_ids.doc_id IS NULL"""
+
+
+@register(
+    "q_drop_contained",
+    _DROP_CONTAINED_SQL,
+    doc="subset dedup action: drop each doc whose shingle set is "
+    "contained (est >= 0.9) in a larger doc, keeping the superset "
+    "copy; pair-sized drop-set reduction + corpus anti join",
+)
+def q_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.drop_contained(
+        catalog(spark, sf_dir).documents, threshold=0.9, k=7
+    )

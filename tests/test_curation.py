@@ -648,3 +648,16 @@ def test_containment_catches_quoted_subset(spark):
     assert r["est_containment"] > 0.8
     assert r["est_containment"] > r["est_jaccard"]  # the asymmetric gap
     assert r["n_sh1"] < r["n_sh2"]
+
+
+def test_drop_contained_keeps_superset(spark):
+    from cdc_system_spark.operators.dedup import drop_contained
+
+    quote = "the quick brown fox jumps over the lazy dog " * 3
+    page = quote + " ".join(f"filler{i} unrelated{i}" for i in range(15))
+    other = "completely different standalone document body " * 4
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, other)], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in drop_contained(docs, threshold=0.8).collect()}
+    assert kept == {2, 3}     # the quote (contained) drops, superset stays
