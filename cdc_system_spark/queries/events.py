@@ -384,3 +384,40 @@ def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev > 4 * var_term).alias("is_anomaly"),
         )
     )
+
+
+# -- q_equidepth_histogram: 10-bucket equi-depth profile of `value` ----------
+_EQUIDEPTH_SQL = """WITH b AS (
+        SELECT value,
+               NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM b GROUP BY bucket"""
+
+
+@register(
+    "q_equidepth_histogram",
+    _EQUIDEPTH_SQL,
+    doc="equi-depth (equal-count) histogram of the event value column "
+    "— the profile that survives skew where equal-width bins collapse "
+    "(one ntile window with a total-order tiebreak, then bucket-sized "
+    "aggregation); at scale swap the exact ntile for the same query "
+    "over a per-partition pre-aggregated (value, count) sketch",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = catalog(spark, sf_dir).events
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
