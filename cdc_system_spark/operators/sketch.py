@@ -91,3 +91,100 @@ def hll_distinct(
         ),
         "n_empty_buckets",
     )
+
+
+#: Count-Min geometry: 4 independent md5-derived hash rows × 1024
+#: buckets. Collision over-estimate per row ~ N/1024; min over 4 rows.
+_CM_ROWS = 4
+_CM_WIDTH = 1024
+
+
+def _cm_bucket(row: int, term) -> "F.Column":
+    """Bucket index of ``term`` in sketch row ``row`` — md5-derived,
+    reproducible in any engine (same contract as md5_i64)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cm{row}:"), term)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % _CM_WIDTH).cast("int")
+
+
+def countmin_estimates(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min frequency estimates (Cormode & Muthukrishnan, J.Alg
+    2005) for ``terms`` over the whitespace tokens of ``text_col`` —
+    one row per queried term: ``(term, est_count, exact_count)``. The
+    sketch guarantee holds exactly here because everything is integer:
+    ``est_count >= exact_count`` always, with equality unless the term
+    collides in all four rows.
+
+    The point at 100 TB is the sketch's state bound: token counting
+    normally shuffles a corpus-sized (token, 1) stream into a
+    vocabulary-sized table; the Count-Min pass aggregates into a FIXED
+    4×1024 table — map-side combine reduces every partition to ≤4096
+    rows before the one shuffle, independent of corpus or vocabulary
+    size (the same bounded-state shape as :func:`hll_distinct`). The
+    queried-term lookup is a broadcast join against that tiny table.
+    Deterministic md5 bucket hashes make the sketch — not just the
+    query — reproducible bit-for-bit in the DuckDB oracle.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).filter(F.col("_t") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("_r"),
+                        _cm_bucket(r, F.col("_t")).alias("_b"),
+                    )
+                    for r in range(_CM_ROWS)
+                ]
+            )
+        ).alias("c")
+    ).select("c._r", "c._b")
+    sketch = cells.groupBy("_r", "_b").agg(F.count("*").alias("_n"))
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(t,) for t in sorted(set(terms))], "term string"
+    )
+    lookups = qterms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("_r"),
+                        _cm_bucket(r, F.col("term")).alias("_b"),
+                    )
+                    for r in range(_CM_ROWS)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "c._r", "c._b")
+    est = (
+        lookups.join(sketch, ["_r", "_b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("_n"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        toks.join(
+            F.broadcast(qterms.withColumnRenamed("term", "_t")), "_t"
+        )
+        .groupBy(F.col("_t").alias("term"))
+        .agg(F.count("*").alias("_x"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        "est_count",
+        F.coalesce(F.col("_x"), F.lit(0).cast("long")).alias("exact_count"),
+    )

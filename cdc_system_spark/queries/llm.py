@@ -1884,3 +1884,58 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("user_id")
     )
     return hll_distinct(ev, "user_id")
+
+
+# -- portable Count-Min frequency sketch -------------------------------------
+def _cm_bucket_sql(row: int, term: str) -> str:
+    return (
+        f"CAST(CAST(CONCAT('0x', SUBSTR(MD5('cm{row}:' || {term}), 1, 15)) "
+        f"AS BIGINT) % 1024 AS INTEGER)"
+    )
+
+
+_CM_TERMS = "['join', 'hash', 'scan', 'nosuchtoken']"
+_CM_CELLS = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_cm_bucket_sql(r, 't')} AS b FROM tok"
+    for r in range(4)
+)
+_CM_LOOKUPS = " UNION ALL ".join(
+    f"SELECT term, {r} AS r, {_cm_bucket_sql(r, 'term')} AS b FROM qt"
+    for r in range(4)
+)
+_COUNTMIN_SQL = f"""WITH tok AS (
+        SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents) WHERE t <> ''),
+    cells AS ({_CM_CELLS}),
+    sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n
+               FROM cells GROUP BY r, b),
+    qt AS (SELECT unnest({_CM_TERMS}) AS term),
+    lk AS ({_CM_LOOKUPS}),
+    est AS (
+        SELECT lk.term,
+               MIN(COALESCE(sketch.n, 0)) AS est_count
+        FROM lk LEFT JOIN sketch USING (r, b) GROUP BY lk.term),
+    exact AS (
+        SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS x
+        FROM tok JOIN qt ON tok.t = qt.term GROUP BY t)
+    SELECT est.term, est.est_count,
+           COALESCE(exact.x, 0) AS exact_count
+    FROM est LEFT JOIN exact USING (term)"""
+
+
+@register(
+    "q_countmin",
+    _COUNTMIN_SQL,
+    doc="portable Count-Min frequency sketch: term-count estimates "
+    "from a fixed 4x1024 md5-bucketed table (map-side combine bounds "
+    "the shuffle at 4096 rows per partition regardless of corpus or "
+    "vocabulary size), queried terms plus exact twins to exhibit the "
+    "est >= exact guarantee",
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import countmin_estimates
+
+    return countmin_estimates(
+        catalog(spark, sf_dir).documents,
+        ["join", "hash", "scan", "nosuchtoken"],
+    )

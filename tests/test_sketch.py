@@ -33,3 +33,36 @@ def test_hll_flags_small_range_and_ignores_nulls(spark):
     only_null = spark.createDataFrame([(None,)], "v string")
     r2 = hll_distinct(only_null, "v").head()
     assert r2["n_empty_buckets"] == 64
+
+
+def test_countmin_upper_bounds_and_hits_exact(spark):
+    from cdc_system_spark.operators.sketch import countmin_estimates
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "b c d"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["term"]: r for r in
+           countmin_estimates(docs, ["a", "b", "zzz"]).collect()}
+    assert got["a"]["exact_count"] == 3 and got["b"]["exact_count"] == 2
+    for r in got.values():                       # the CM guarantee
+        assert r["est_count"] >= r["exact_count"]
+    # 8 distinct tokens into 4x1024 buckets: collisions essentially
+    # impossible -> estimates are exact here
+    assert got["a"]["est_count"] == 3
+    assert got["zzz"]["est_count"] == 0 and got["zzz"]["exact_count"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        countmin_estimates(docs, [])
+
+
+def test_countmin_is_layout_independent(spark):
+    from cdc_system_spark.operators.sketch import countmin_estimates
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} shared w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, countmin_estimates(docs, ["shared", "w1"]).collect()))
+    b = sorted(map(tuple, countmin_estimates(docs.repartition(11), ["shared", "w1"]).collect()))
+    assert a == b
