@@ -168,3 +168,37 @@ class StreamingCorpusIngestor:
     def start_continuous(self, interval: str = "5 seconds"):
         """Continuous micro-batch corpus maintenance; returns the query."""
         return self._writer().trigger(processingTime=interval).start()
+
+
+def blocklist_gate(terms: list[str], id_col: str = "doc_id", text_col: str = "text"):
+    """Admission-filter preset: drop batch rows containing any
+    blocklisted term (C4 "bad words" gate at the CDC admission
+    boundary). Pass the result as ``admission_filter=``."""
+    from cdc_system_spark.operators.text import blocklist_filter
+
+    def gate(df: DataFrame) -> DataFrame:
+        keep = (
+            blocklist_filter(df, terms, text_col=text_col, id_col=id_col)
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return gate
+
+
+def charset_gate(id_col: str = "doc_id", text_col: str = "text", **thresholds):
+    """Admission-filter preset: drop batch rows failing the charset
+    quality gate (non-printable/digit/upper/symbol ratio bounds —
+    ``charset_quality``'s keyword thresholds pass through)."""
+    from cdc_system_spark.operators.text import charset_quality
+
+    def gate(df: DataFrame) -> DataFrame:
+        keep = (
+            charset_quality(df, text_col=text_col, id_col=id_col, **thresholds)
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return gate

@@ -661,3 +661,30 @@ def test_drop_contained_keeps_superset(spark):
     )
     kept = {r["doc_id"] for r in drop_contained(docs, threshold=0.8).collect()}
     assert kept == {2, 3}     # the quote (contained) drops, superset stays
+
+
+def test_containment_clusters_feed_leakage_safe_split(spark):
+    # the composition the subset-dedup surface exists for: containment
+    # pairs -> duplicate_clusters -> leakage_safe_split, so a quote and
+    # the page containing it can never straddle the train/test line
+    from cdc_system_spark.operators.dedup import (
+        containment_pairs,
+        duplicate_clusters,
+    )
+    from cdc_system_spark.operators.sampling import leakage_safe_split
+
+    quote = "the quick brown fox jumps over the lazy dog " * 3
+    page = quote + " ".join(f"filler{i} unrelated{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page)]
+        + [(i, f"standalone doc {i} " * 10) for i in range(10, 40)],
+        "doc_id long, text string",
+    )
+    pairs = containment_pairs(docs, k=7).filter("est_containment >= 0.8")
+    clusters = duplicate_clusters(docs, pairs.select("id1", "id2"))
+    split = leakage_safe_split(
+        docs, clusters=clusters, splits={"train": 0.5, "test": 0.5}
+    )
+    got = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert got[1] == got[2]          # contained pair shares a split
+    assert len(got) == 32            # nothing dropped

@@ -584,3 +584,34 @@ def test_streaming_corpus_ingestor_admission_gate(spark, tmp_path):
     rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
     # 10 gated out, 11 admitted, 1 keeps its PRE-update text, 2 deleted
     assert rows == {1: "clean original", 11: "fine text"}
+
+
+def test_gate_presets_compose(spark, tmp_path):
+    from cdc_system_spark.streaming.ingest import blocklist_gate, charset_gate
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, []))
+
+    bl = blocklist_gate(["spam"])
+    cs = charset_gate(max_digit=0.3)
+    cap.capture_insert(
+        _doc_rows(
+            spark,
+            [(1, "clean words here"), (2, "spam laden text"),
+             (3, "1 2 3 4 5 6 7 8 9 0")],
+        )
+    )
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "pkpt"),
+        admission_filter=lambda df: cs(bl(df)),   # presets compose
+    )
+    ing.run_available_now()
+    assert {r["doc_id"] for r in corpus.read().collect()} == {1}
