@@ -25,6 +25,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     decimals: int = 6,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Fixed-round power-iteration PageRank over a directed edge list.
     Returns (node, rank) for every node appearing as source or target.
@@ -59,6 +60,14 @@ def pagerank(
     round keeps plans flat, exactly like ``duplicate_clusters``.
     Dangling nodes (no out-edges) contribute nothing — their mass
     leaks, the standard simplification for ranking-only use.
+
+    ``seeds`` switches to PERSONALIZED PageRank (random-walk-with-
+    restart): initial mass and the teleport term concentrate on the
+    seed set instead of spreading uniformly — "what's similar to THESE
+    documents, transitively" (seed-expansion retrieval, cluster
+    growing around known-good exemplars). Seeds are model parameters
+    (a literal id list, like the centroid ids elsewhere), so the same
+    chained-CTE oracle form still applies.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -78,9 +87,20 @@ def pagerank(
     outdeg = e.groupBy(F.col("s").alias("node")).agg(
         F.count("*").alias("deg")
     )
-    n = nodes.count()  # one scalar — the only data-sized collect-free probe
-    base = (1.0 - damping) / n
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n), decimals).alias("r"))
+    if seeds is None:
+        n = nodes.count()  # one scalar — the only driver-side probe
+        base_col = F.lit((1.0 - damping) / n)
+        init = F.lit(1.0 / n)
+    else:
+        if not seeds:
+            raise ValueError("seeds must be non-empty when given")
+        k = len(set(seeds))
+        is_seed = F.col("node").isin([int(x) for x in set(seeds)])
+        base_col = F.when(is_seed, F.lit((1.0 - damping) / k)).otherwise(
+            F.lit(0.0)
+        )
+        init = F.when(is_seed, F.lit(1.0 / k)).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", F.round(init, decimals).alias("r"))
     for _ in range(iters):
         contribs = (
             e.join(ranks, e["s"] == ranks["node"])
@@ -96,7 +116,7 @@ def pagerank(
             .select(
                 "node",
                 F.round(
-                    F.lit(base)
+                    base_col
                     + F.lit(damping) * F.coalesce(F.col("sc"), F.lit(0.0)),
                     decimals,
                 ).alias("r"),

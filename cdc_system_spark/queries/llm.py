@@ -1939,3 +1939,57 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog(spark, sf_dir).documents,
         ["join", "hash", "scan", "nosuchtoken"],
     )
+
+
+# -- personalized PageRank (random-walk-with-restart) ------------------------
+_PPR_BASE = (
+    "CASE WHEN nodes.node IN (0, 1) THEN "
+    "(CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) / 2 "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+def _ppr_iter(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""c{i} AS (SELECT e.d AS node,
+                  CAST(SUM(CAST(ROUND({prev}.r / od.deg, 6) AS DECIMAL(25,6)))
+                       AS DOUBLE) AS sc
+           FROM e JOIN {prev} ON e.s = {prev}.node JOIN od ON od.node = e.s
+           GROUP BY e.d),
+    r{i} AS (SELECT nodes.node,
+                  ROUND({_PPR_BASE}
+                        + CAST(0.8 AS DOUBLE) * COALESCE(c{i}.sc,
+                              CAST(0.0 AS DOUBLE)), 6) AS r
+           FROM nodes LEFT JOIN c{i} USING (node))"""
+
+
+_PPR_SQL = f"""WITH knn AS ({_KNN_SQL}),
+    e AS (SELECT DISTINCT src AS s, dst AS d FROM knn),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           FROM e GROUP BY s),
+    r0 AS (SELECT node,
+                  CASE WHEN node IN (0, 1)
+                       THEN ROUND(CAST(1.0 AS DOUBLE) / 2, 6)
+                       ELSE CAST(0.0 AS DOUBLE) END AS r
+           FROM nodes),
+    {_ppr_iter(1)},
+    {_ppr_iter(2)},
+    {_ppr_iter(3)}
+    SELECT node, r AS rank FROM r3"""
+
+
+@register(
+    "q_pagerank_seeded",
+    _PPR_SQL,
+    doc="personalized PageRank (random-walk-with-restart) from seeds "
+    "{0, 1} over the top-3 kNN cosine graph — seed-expansion "
+    "retrieval: transitive similarity mass concentrated on the seed "
+    "neighborhood, zero outside its reachable set; same engine-exact "
+    "construction as q_pagerank",
+)
+def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.graph import pagerank
+
+    edges = S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
+    return pagerank(edges, iters=3, seeds=[0, 1])

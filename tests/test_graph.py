@@ -37,3 +37,18 @@ def test_pagerank_validates_params(spark):
         pagerank(edges, iters=0)
     with pytest.raises(ValueError):
         pagerank(edges, damping=1.0)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    # two disjoint 3-cycles; seeding in one leaves the other at zero
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=3, seeds=[1]).collect()}
+    assert got[10] == got[11] == got[12] == 0.0   # unreachable from seed
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0
+    assert got[1] == max(got.values())            # restart mass at the seed
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=[])
