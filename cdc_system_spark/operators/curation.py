@@ -387,6 +387,7 @@ def neardup_ingest(
     max_bucket: int = 1000,
     shingle_k: int = 7,
     allow_same_id: bool = False,
+    within_batch: bool = True,
 ) -> DataFrame:
     """Admit only incoming docs that are NOT near-duplicates of the
     existing corpus: MinHash both sides, LSH-probe the corpus's band
@@ -396,6 +397,18 @@ def neardup_ingest(
     :func:`incremental_ingest` (which only stops EXACT re-deliveries):
     a CDC-fed training corpus otherwise accretes lightly-edited copies
     of pages it already has.
+
+    ``within_batch=True`` (default) additionally dedups the admitted
+    batch AGAINST ITSELF: two near-duplicate fresh docs arriving in the
+    same micro-batch both pass the corpus probe (neither is in the
+    corpus yet), so without this pass the near-dup pair accretes — only
+    the later EXACT-dup catch in :func:`incremental_ingest` would stop
+    identical twins. The rule is :func:`~cdc_system_spark.operators
+    .similarity.semantic_dedup`'s: a batch doc is dropped iff a
+    SMALLER-id batch survivor estimates Jaccard ≥ ``threshold`` with it
+    — deterministic, one survivor per near-dup group under greedy
+    pair-drop. Cost is batch-sized only (``lsh_candidate_pairs`` over
+    the batch signatures already computed for the corpus probe).
 
     Scale shape: at 100 TB the corpus signatures and band table are
     maintained artifacts (built once, stored bucketed on the band key,
@@ -446,7 +459,35 @@ def neardup_ingest(
         .select(F.col("id1").alias(id_col))
         .distinct()
     )
-    return incoming.join(rejected, id_col, "left_anti")
+    admitted = incoming.join(rejected, id_col, "left_anti")
+    if not within_batch:
+        return admitted
+    # within-batch pass: near-dup pairs AMONG corpus-survivors (both
+    # sides fresh, so the corpus probe saw neither). Signatures are
+    # reused; candidate pairs are batch×batch only, id1 < id2 by
+    # lsh_candidate_pairs construction — drop the larger id of each
+    # estimating pair (smaller-id survivor rule, as in semantic_dedup).
+    from cdc_system_spark.operators.dedup import lsh_candidate_pairs
+
+    sig_adm = sig_in.join(
+        admitted.select(id_col).distinct(), id_col, "left_semi"
+    )
+    cand_in = lsh_candidate_pairs(
+        sig_adm,
+        id_col=id_col,
+        num_perms=num_perms,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    )
+    est_in = minhash_jaccard_estimate(
+        sig_adm, cand_in, id_col=id_col, num_perms=num_perms
+    )
+    dropped_in = (
+        est_in.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+    )
+    return admitted.join(dropped_in, id_col, "left_anti")
 
 
 def neardup_ingest_report(

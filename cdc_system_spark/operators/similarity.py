@@ -377,7 +377,7 @@ def pairwise_neardup(
     src = spread(emb)
     a = src.select(
         F.col(block_col).alias("blk"),
-        (F.col(id_col) % pair_salt).cast("int").alias("_sb"),
+        F.pmod(F.col(id_col), F.lit(pair_salt)).cast("int").alias("_sb"),
         F.col(id_col).alias("id1"),
         F.col(vec_col).alias("v1"),
     )
@@ -424,7 +424,9 @@ def semantic_dedup(
     centroid_ids)`` distinct shuffle keys, so pair scoring — the
     dominant cost — runs at cell-count parallelism and a hot cell
     lands on ONE reducer. The left side is split into ``pair_salt``
-    deterministic sub-blocks (``id % pair_salt``) and the right side
+    deterministic sub-blocks (``pmod(id, pair_salt)`` — pmod, not ``%``,
+    so negative ids land in 0..pair_salt-1 like the replicated right
+    side rather than in unreachable negative sub-blocks) and the right side
     replicated across them, joined on (cell, sub-block): identical
     pair set, parallelism × ``pair_salt``, replication bounded at
     ``pair_salt`` × the cell-mate side. This is the standard skew
@@ -452,7 +454,7 @@ def semantic_dedup(
         raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
     a = assigned.select(
         F.col("centroid_id").alias("cell"),
-        (F.col(id_col) % pair_salt).cast("int").alias("_sb"),
+        F.pmod(F.col(id_col), F.lit(pair_salt)).cast("int").alias("_sb"),
         F.col(id_col).alias("keep_id"),
         F.col(vec_col).alias("v1"),
         F.col("_nrm").alias("n1"),
@@ -515,7 +517,7 @@ def knn_graph(
     _n_salt = 8
     a = normed.select(
         F.col(block_col).alias("blk"),
-        (F.col(id_col) % _n_salt).cast("int").alias("_sb"),
+        F.pmod(F.col(id_col), F.lit(_n_salt)).cast("int").alias("_sb"),
         F.col(id_col).alias("src"),
         F.col(vec_col).alias("v1"),
         F.col("_nrm").alias("n1"),
@@ -1006,7 +1008,10 @@ def rrf_fuse(
     out = fused.withColumn("fused_rank", F.row_number().over(w).cast("long"))
     # filter on the computed rank, NOT limit(): limit takes an arbitrary
     # subset of an unordered frame
-    return out.filter(F.col("fused_rank") <= top_k) if top_k else out
+    # `is not None`, not truthiness: an explicit top_k=0 means 0 rows
+    return (
+        out.filter(F.col("fused_rank") <= top_k) if top_k is not None else out
+    )
 
 
 def norm_outlier_filter(
@@ -1085,7 +1090,7 @@ def knn_label_noise(
     _n_salt = 8
     a = pts.select(
         F.col("centroid_id").alias("blk"),
-        (F.col(id_col) % _n_salt).cast("int").alias("_sb"),
+        F.pmod(F.col(id_col), F.lit(_n_salt)).cast("int").alias("_sb"),
         F.col(id_col).alias("src"),
         F.col(label_col).alias("own_label"),
         F.col(vec_col).alias("v1"),

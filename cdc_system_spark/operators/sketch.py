@@ -57,7 +57,11 @@ def hll_distinct(
     correction needs ``ln`` and is deliberately dropped — the raw
     estimator biases high below ~2.5·m (≈160) distinct values, where
     exact counting is the right tool anyway (``n_empty_buckets`` > 0
-    flags the regime).
+    flags the regime). One exception is exact and free: an EMPTY input
+    (all 64 buckets empty) short-circuits to ``n_est = 0`` instead of
+    the raw estimator's ≈45.38, so a caller who ignores
+    ``n_empty_buckets`` never mistakes zero distinct values for a real
+    estimate.
     """
     h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
         "long"
@@ -86,9 +90,11 @@ def hll_distinct(
         .alias("n_empty_buckets"),
     )
     return agg.select(
-        F.round(F.lit(_ALPHA_M * _M * _M) / F.col("_s"), decimals).alias(
-            "n_est"
-        ),
+        F.when(F.col("n_empty_buckets") == _M, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(_ALPHA_M * _M * _M) / F.col("_s"), decimals)
+        )
+        .alias("n_est"),
         "n_empty_buckets",
     )
 
@@ -187,4 +193,254 @@ def countmin_estimates(
         "term",
         "est_count",
         F.coalesce(F.col("_x"), F.lit(0).cast("long")).alias("exact_count"),
+    )
+
+
+#: default fixed-bin histogram width for the quantile sketch. 256 bins
+#: bound the quantile bracket at range/256 while the sketch state stays
+#: trivially mergeable (map-side combine reduces every partition to
+#: <= 256 rows before the one shuffle, like the HLL/CMS tables above).
+_QS_BINS = 256
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    percents: list[int] | tuple[int, ...] = (1, 5, 25, 50, 75, 95, 99),
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin mergeable histogram — the
+    bounded-state companion to :func:`hll_distinct` / Count-Min and the
+    scale path this package documents for exact-``ntile`` profiles. One
+    row per requested percent: ``(pct, target_rank, bin, lo_est,
+    hi_est)`` with the GUARANTEE that the exact ``pct``-th percentile
+    (rank ``ceil(pct·n/100)`` in ascending order) lies in
+    ``[lo_est, hi_est]`` — the bracket is a bin of the equal-width
+    histogram, so its width is ``(max-min)/num_bins``.
+
+    Everything after the raw scan is integer, hence engine-exact (the
+    DuckDB oracle reproduces every row bit-for-bit):
+
+    - values are scaled to integers first (``round(value·scale)`` —
+      exact for money-like columns where ``scale`` matches the decimal
+      grid, e.g. cents at the default 100);
+    - bin index is ``((v-lo)·B) div (hi-lo+1)`` — pure int64 (callers
+      need ``(hi-lo+1)·B < 2^63``, comfortable for any scaled domain);
+    - target ranks are ``ceil`` via ``(pct·n + 99) div 100``;
+    - bin edges map back exactly: bin ``b`` covers scaled values
+      ``[lo + ceil(b·R/B), lo + ceil((b+1)·R/B) - 1]``, divided by
+      ``scale`` only for display.
+
+    Scale shape at 100 TB: a min/max/count agg (bounded state), one
+    map-side-combined histogram agg into <= ``num_bins`` rows, a
+    window cumsum over that tiny table, and a percent-table join —
+    nothing data-sized ever sorts or gathers. The histogram itself is
+    MERGEABLE (bins are position-identical across splits), so shards
+    can sketch independently and union before the cumsum. NULLs are
+    ignored; an empty input yields an empty result.
+    """
+    if num_bins < 1:
+        raise ValueError(f"num_bins must be >= 1, got {num_bins}")
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    if any(p < 1 or p > 100 for p in percents):
+        raise ValueError(f"percents must be in [1, 100], got {percents}")
+    spark = df.sparkSession
+    iv = df.select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    stats = iv.agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count("*").alias("_n"),
+    )
+    binned = iv.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"((_v - _lo) * {num_bins}) div (_hi - _lo + 1)")
+        .cast("int")
+        .alias("_bin")
+    )
+    hist = binned.groupBy("_bin").agg(F.count("*").alias("_cnt"))
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy().orderBy("_bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    pcts = spark.createDataFrame(
+        [(int(p),) for p in sorted(set(percents))], "pct int"
+    )
+    targets = pcts.crossJoin(F.broadcast(stats)).select(
+        "pct",
+        F.greatest(
+            F.expr("(pct * _n + 99) div 100"), F.lit(1).cast("long")
+        ).alias("target_rank"),
+        "_lo",
+        "_hi",
+    )
+    hit = (
+        targets.join(cum, F.col("_cum") >= F.col("target_rank"))
+        .groupBy("pct", "target_rank", "_lo", "_hi")
+        .agg(F.min("_bin").alias("bin"))
+    )
+    r = "(_hi - _lo + 1)"
+    b = num_bins
+    return hit.select(
+        "pct",
+        "target_rank",
+        "bin",
+        (
+            F.expr(f"_lo + (bin * {r} + {b - 1}) div {b}").cast("double")
+            / scale
+        ).alias("lo_est"),
+        (
+            F.expr(f"_lo + ((bin + 1) * {r} + {b - 1}) div {b} - 1").cast(
+                "double"
+            )
+            / scale
+        ).alias("hi_est"),
+    )
+
+
+def equidepth_from_counts(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    scale: int = 100,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram computed from the
+    pre-aggregated ``(value, count)`` representation — the scale path
+    the exact-``ntile`` profile (``q_equidepth_histogram``) documents.
+    Output matches the exact window query bit-for-bit: one row per
+    bucket ``(bucket, n, lo, hi)`` where bucket sizes follow NTILE's
+    rule (the first ``n mod k`` buckets get ``ceil(n/k)`` rows) and
+    ``lo``/``hi`` are the bucket's min/max value. Per-bucket extrema
+    are tiebreak-independent — rows tied on value that NTILE splits
+    across a boundary contribute that value to both buckets — so the
+    compressed computation reproduces the row-level one exactly.
+
+    Why it scales where ``ntile`` doesn't: the window form total-orders
+    every ROW through one partition; this form aggregates to DISTINCT
+    VALUES first (grid-bounded for money-like columns), then builds the
+    value-order cumsum with shard-major two-level numbering (shard =
+    equal-width bin of the scaled value, rank within shard, broadcast
+    per-shard offsets — :func:`~cdc_system_spark.operators.sampling
+    .global_shuffle`'s trick, keyed by VALUE ORDER instead of hash
+    order), so the only data-sized shuffle is the ``num_shards``-way
+    partition-by. Each distinct value then knows its global rank range
+    ``[cum_lo, cum_hi]`` and emits one row per overlapped bucket
+    (``<= k`` by construction, via an exact integer rank→bucket map) —
+    a k-row broadcast equi-join, never a range join.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vc = (
+        df.select(F.col(value_col).alias("_val"))
+        .filter(F.col("_val").isNotNull())
+        .groupBy("_val")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("_v", F.round(F.col("_val") * scale, 0).cast("long"))
+    )
+    stats = vc.agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.sum("_cnt").alias("_n"),
+    )
+    sharded = vc.crossJoin(F.broadcast(stats)).withColumn(
+        "_shard",
+        F.expr(f"((_v - _lo) * {num_shards}) div (_hi - _lo + 1)").cast(
+            "int"
+        ),
+    )
+    within = F.sum("_cnt").over(
+        Window.partitionBy("_shard").orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    offsets = (
+        sharded.groupBy("_shard")
+        .agg(F.sum("_cnt").alias("_scnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_scnt").over(
+                    Window.partitionBy()
+                    .orderBy("_shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_shard", "_offset")
+    )
+    ranked = (
+        sharded.withColumn("_wcum", within)
+        .join(F.broadcast(offsets), "_shard")
+        .select(
+            "_val",
+            "_cnt",
+            "_n",
+            (F.col("_offset") + F.col("_wcum")).alias("_cum_hi"),
+            (F.col("_offset") + F.col("_wcum") - F.col("_cnt") + 1).alias(
+                "_cum_lo"
+            ),
+        )
+    )
+    # exact integer rank -> NTILE bucket: with fl = n div k, r0 = n mod
+    # k, ranks 1..r0*(fl+1) live in the (fl+1)-sized buckets, the rest
+    # in fl-sized ones. (fl = 0 degenerates correctly: bucket = rank.)
+    def _bucket_of(rank: str) -> str:
+        return (
+            f"CASE WHEN ({rank}) <= _r0 * (_fl + 1) "
+            f"THEN (({rank}) - 1) div (_fl + 1) + 1 "
+            f"ELSE _r0 + (({rank}) - _r0 * (_fl + 1) - 1) div _fl + 1 END"
+        )
+
+    spanned = (
+        ranked.withColumn("_fl", F.expr(f"_n div {k}"))
+        .withColumn("_r0", F.expr(f"_n % {k}"))
+        .withColumn("_b1", F.expr(_bucket_of("_cum_lo")).cast("int"))
+        .withColumn("_b2", F.expr(_bucket_of("_cum_hi")).cast("int"))
+        .select(
+            "_val",
+            "_cum_lo",
+            "_cum_hi",
+            F.explode(F.sequence("_b1", "_b2")).alias("bucket"),
+        )
+    )
+    buckets = (
+        spark.range(1, k + 1)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            F.expr(
+                f"(bucket - 1) * (_n div {k}) "
+                f"+ least(bucket - 1, _n % {k}) + 1"
+            ).alias("_start"),
+            F.expr(
+                f"bucket * (_n div {k}) + least(bucket, _n % {k})"
+            ).alias("_end"),
+        )
+    )
+    return (
+        spanned.join(F.broadcast(buckets), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.least("_cum_hi", "_end")
+                - F.greatest("_cum_lo", "_start")
+                + 1
+            ).alias("n"),
+            F.round(F.min("_val"), 6).alias("lo"),
+            F.round(F.max("_val"), 6).alias("hi"),
+        )
     )

@@ -783,7 +783,7 @@ def charset_quality(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_nonprintable: float = 0.0,
+    max_nonprintable: float = 0.05,
     max_digit: float = 0.3,
 ) -> DataFrame:
     """Character-class quality signals: per-doc ratios of non-printable
@@ -791,8 +791,17 @@ def charset_quality(
     this even text" gate that catches binary spill, minified code,
     number tables, and SHOUTING boilerplate before any token-level
     scoring runs. ``keep`` is the conjunctive verdict under the two
-    thresholds that matter most (any non-printable content, digit
-    share).
+    thresholds that matter most (non-printable share, digit share).
+
+    "Printable" means tab/newline/CR plus the printable ASCII range
+    ``[ -~]`` — multi-line documents are NOT penalized for their line
+    breaks. Every character OUTSIDE that set counts toward
+    ``nonprintable_ratio``, including non-ASCII letters (umlauts, CJK,
+    curly quotes): the default ``max_nonprintable=0.05`` tolerates the
+    ~1-2% accented-letter density of normal Latin-script prose, but
+    non-Latin scripts score near 1.0 by construction — disable the
+    gate (``max_nonprintable=1.0``) for CJK/Cyrillic/Arabic strata
+    rather than letting it silently reject them.
 
     One zero-shuffle projection; each ratio is ``length(text with the
     class removed)`` arithmetic over simple character-class regexes
@@ -808,7 +817,7 @@ def charset_quality(
             F.length(F.regexp_replace(F.col(text_col), pattern, "")) / d, 6
         )
 
-    nonprint = survivors("[ -~]")          # remove printable ASCII
+    nonprint = survivors("[\\t\\n\\r -~]")  # remove printable ASCII + \t\n\r
     digit = survivors("[^0-9]")            # remove everything but digits
     upper = survivors("[^A-Z]")
     symbol = survivors("[A-Za-z0-9 ]")     # remove alnum+space

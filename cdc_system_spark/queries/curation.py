@@ -549,9 +549,25 @@ _NEARDUP_INGEST_SQL = f"""WITH
         FROM cand c
         JOIN sig_a a ON a.doc_id = c.id1
         JOIN sig_b b ON b.doc_id = c.id2),
-    rejected AS (SELECT DISTINCT id1 FROM est WHERE est_jaccard >= 0.5)
+    rejected AS (SELECT DISTINCT id1 FROM est WHERE est_jaccard >= 0.5),
+    admitted AS (SELECT doc_id FROM batch
+                 WHERE doc_id NOT IN (SELECT id1 FROM rejected)),
+    cand_in AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM bands_a x JOIN bands_a y
+          ON x.band_idx = y.band_idx AND x.k0 = y.k0 AND x.k1 = y.k1
+             AND x.doc_id < y.doc_id
+        WHERE x.doc_id IN (SELECT doc_id FROM admitted)
+          AND y.doc_id IN (SELECT doc_id FROM admitted)),
+    est_in AS (
+        SELECT c.id2, ROUND(({_EST_TERMS}) / 16.0, 6) AS est_jaccard
+        FROM cand_in c
+        JOIN sig_a a ON a.doc_id = c.id1
+        JOIN sig_a b ON b.doc_id = c.id2),
+    dropped_in AS (SELECT DISTINCT id2 FROM est_in WHERE est_jaccard >= 0.5)
     SELECT doc_id, lang, source FROM batch
-    WHERE doc_id NOT IN (SELECT id1 FROM rejected)"""
+    WHERE doc_id NOT IN (SELECT id1 FROM rejected)
+      AND doc_id NOT IN (SELECT id2 FROM dropped_in)"""
 
 
 @register(
@@ -560,9 +576,12 @@ _NEARDUP_INGEST_SQL = f"""WITH
     doc="near-dup-aware incremental ingest: MinHash-LSH probe of the "
     "corpus band table with the batch's bands (batch x corpus "
     "candidates only, never corpus x corpus), reject batch docs whose "
-    "signature-agreement Jaccard estimate >= 0.5 — the fuzzy companion "
-    "to exact incremental_ingest; at scale the corpus bands are a "
-    "maintained bucketed artifact and each sync interval only probes",
+    "signature-agreement Jaccard estimate >= 0.5, then dedup the "
+    "admitted batch against ITSELF (smaller-id survivor) so two fresh "
+    "near-dup twins in one micro-batch can't both accrete — the fuzzy "
+    "companion to exact incremental_ingest; at scale the corpus bands "
+    "are a maintained bucketed artifact and each sync interval only "
+    "probes",
 )
 def q_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents

@@ -1616,7 +1616,7 @@ _CHARSET_SQL = """WITH t AS (
                CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS d
         FROM documents)
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-           ROUND(LENGTH(regexp_replace(text, '[ -~]', '', 'g')) / d, 6)
+           ROUND(LENGTH(regexp_replace(text, '[\t\n\r -~]', '', 'g')) / d, 6)
                AS nonprintable_ratio,
            ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / d, 6)
                AS digit_ratio,
@@ -1624,7 +1624,8 @@ _CHARSET_SQL = """WITH t AS (
                AS upper_ratio,
            ROUND(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / d, 6)
                AS symbol_ratio,
-           (ROUND(LENGTH(regexp_replace(text, '[ -~]', '', 'g')) / d, 6) <= 0.0
+           (ROUND(LENGTH(regexp_replace(text, '[\t\n\r -~]', '', 'g')) / d, 6)
+                <= 0.05
             AND ROUND(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) / d, 6)
                 <= 0.3) AS keep
     FROM t"""
@@ -1864,7 +1865,9 @@ _HLL_SQL = """WITH v AS (
                CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_empty_buckets
         FROM full_b)
-    SELECT ROUND(CAST(0.709 * 64 * 64 AS DOUBLE) / s, 4) AS n_est,
+    SELECT CASE WHEN n_empty_buckets = 64 THEN 0.0
+                ELSE ROUND(CAST(0.709 * 64 * 64 AS DOUBLE) / s, 4)
+           END AS n_est,
            n_empty_buckets
     FROM agg"""
 

@@ -72,8 +72,11 @@ class StreamingCorpusIngestor:
         self.checkpoint_path = checkpoint_path or log_path + "_ingest_checkpoint"
         self.max_files_per_trigger = max_files_per_trigger
         #: optional fuzzy admission: reject admitted rows whose MinHash
-        #: Jaccard estimate vs a DIFFERENT-id corpus doc reaches this
-        #: (None = exact content-hash dedup only)
+        #: Jaccard estimate vs a DIFFERENT-id corpus doc reaches this;
+        #: also dedups near-dup FRESH twins arriving in the same
+        #: micro-batch (smaller-id survivor — neither twin is in the
+        #: corpus yet, so the corpus probe alone would admit both).
+        #: None = exact content-hash dedup only.
         self.neardup_threshold = neardup_threshold
         #: optional content gate: ``(DataFrame) -> DataFrame`` applied
         #: to the admitted batch BEFORE the near-dup/exact merge,

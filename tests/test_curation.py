@@ -548,6 +548,29 @@ def test_neardup_ingest_shared_id_does_not_cross_match(spark):
     assert {r["doc_id"] for r in admitted.collect()} == {1}
 
 
+def test_neardup_ingest_dedups_within_batch(spark):
+    # two near-duplicate FRESH docs in one micro-batch: both pass the
+    # corpus probe (neither is in the corpus yet) — the within-batch
+    # pass must keep only the smaller id; within_batch=False documents
+    # the old accretion behavior
+    from cdc_system_spark.operators.curation import neardup_ingest
+
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(40))
+    corpus = _docs(spark, [(1, "existing corpus text about oceans " * 5)])
+    batch = _docs(
+        spark,
+        [
+            (10, base),
+            (11, base.replace("token7", "CHANGED")),  # near-dup of 10
+            (12, "entirely novel content with no overlap whatsoever " * 4),
+        ],
+    )
+    admitted = neardup_ingest(corpus, batch, threshold=0.5)
+    assert {r["doc_id"] for r in admitted.collect()} == {10, 12}
+    legacy = neardup_ingest(corpus, batch, threshold=0.5, within_batch=False)
+    assert {r["doc_id"] for r in legacy.collect()} == {10, 11, 12}
+
+
 def test_neardup_ingest_report_best_match(spark):
     from cdc_system_spark.operators.curation import neardup_ingest_report
 

@@ -153,6 +153,27 @@ def test_semantic_dedup_drop_rule(spark):
     assert {r["vec_id"] for r in again.collect()} == kept
 
 
+def test_pairwise_neardup_handles_negative_ids(spark):
+    """Sub-block salt must use pmod, not sign-preserving % — a negative
+    id would otherwise land in sub-block -7..-1 that the replicated
+    right side (0..salt-1) never matches, silently dropping its pairs."""
+    from cdc_system_spark.operators.similarity import pairwise_neardup
+
+    rows = [
+        (-5, "x", [1.0, 0.0]),
+        (3, "x", [0.99, 0.14]),
+        (-2, "x", [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in pairwise_neardup(emb, threshold=0.9).collect()
+    }
+    assert pairs == {(-5, 3)}
+
+
 def test_knn_graph_blocked_topk(spark):
     from cdc_system_spark.operators.similarity import knn_graph
 
@@ -276,6 +297,8 @@ def test_rrf_fuse_top_k_filters_on_fused_rank(spark):
     sem = spark.createDataFrame([(i, 9 - i) for i in range(1, 8)], "doc_id long, rank long")
     out = S.rrf_fuse(lex, sem, top_k=3).collect()
     assert sorted(r["fused_rank"] for r in out) == [1, 2, 3]
+    # explicit zero is a request for zero rows, not "no limit"
+    assert S.rrf_fuse(lex, sem, top_k=0).count() == 0
 
 
 def test_norm_outlier_filter_drops_extremes(spark):

@@ -33,6 +33,8 @@ def test_hll_flags_small_range_and_ignores_nulls(spark):
     only_null = spark.createDataFrame([(None,)], "v string")
     r2 = hll_distinct(only_null, "v").head()
     assert r2["n_empty_buckets"] == 64
+    # zero distinct values is EXACT, not the raw estimator's ~45.38
+    assert r2["n_est"] == 0.0
 
 
 def test_countmin_upper_bounds_and_hits_exact(spark):

@@ -512,11 +512,14 @@ def test_oov_rate_counts_unknown_tokens(spark):
 def test_charset_quality_ratios_and_verdict(spark):
     from cdc_system_spark.operators.text import charset_quality
 
+    german = "Die Tür steht offen und niemand geht je hindurch"
     docs = spark.createDataFrame(
         [
             (1, "Hello World 42"),          # clean
             (2, "1234567890"),              # all digits -> digit gate trips
             (3, "bin\x01\x02ary"),          # non-printable -> rejected
+            (4, "line one\nline two\ttab"), # \n\t are printable text
+            (5, german),
         ],
         "doc_id long, text string",
     )
@@ -526,6 +529,12 @@ def test_charset_quality_ratios_and_verdict(spark):
     assert got[1]["upper_ratio"] == round(2 / 14, 6)
     assert not got[2]["keep"] and got[2]["digit_ratio"] == 1.0
     assert not got[3]["keep"] and got[3]["nonprintable_ratio"] == 0.25  # 2/8
+    # multi-line/tabbed docs must NOT be counted non-printable
+    assert got[4]["keep"] and got[4]["nonprintable_ratio"] == 0.0
+    # one umlaut (~2% of chars) passes the 5% Latin-prose allowance;
+    # the non-ASCII letter IS counted (documented behavior)
+    assert got[5]["nonprintable_ratio"] == round(1 / len(german), 6)
+    assert got[5]["keep"]
 
 
 def test_bigram_surprisal_separates_common_from_rare(spark):
