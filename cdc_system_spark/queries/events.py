@@ -404,8 +404,9 @@ _EQUIDEPTH_SQL = """WITH b AS (
     doc="equi-depth (equal-count) histogram of the event value column "
     "— the profile that survives skew where equal-width bins collapse "
     "(one ntile window with a total-order tiebreak, then bucket-sized "
-    "aggregation); at scale swap the exact ntile for the same query "
-    "over a per-partition pre-aggregated (value, count) sketch",
+    "aggregation); the scale path is q_equidepth_sketch: the same "
+    "result from the pre-aggregated (value, count) representation "
+    "with a sharded cumsum, no row-level total order",
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -421,3 +422,65 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+# -- q_equidepth_sketch: the SAME histogram from (value,count) ---------------
+@register(
+    "q_equidepth_sketch",
+    _EQUIDEPTH_SQL,
+    doc="equi-depth histogram computed the way 100 TB requires: "
+    "aggregate to distinct (value, count) first, build the value-order "
+    "cumsum with a shard-major two-level numbering (shard = equal-"
+    "width bin of the value, broadcast per-shard offsets — never a "
+    "row-level single-partition total order), then map rank ranges to "
+    "NTILE buckets in exact integer arithmetic; the oracle is the "
+    "EXACT ntile SQL, proving the compressed computation reproduces "
+    "the row-level one bit-for-bit",
+)
+def q_equidepth_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import equidepth_from_counts
+
+    ev = catalog(spark, sf_dir).events
+    return equidepth_from_counts(ev, "value", k=10)
+
+
+# -- q_quantile_sketch: fixed-bin mergeable histogram quantiles --------------
+_QUANTILE_SKETCH_SQL = """WITH iv AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    s AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM iv),
+    b AS (SELECT ((v - lo) * 256) // (hi - lo + 1) AS bin FROM iv, s),
+    h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+    p AS (SELECT * FROM (VALUES (1),(5),(25),(50),(75),(95),(99)) AS t(pct)),
+    t AS (SELECT pct, GREATEST((pct * n + 99) // 100, 1) AS target
+          FROM p, s),
+    q AS (SELECT t.pct, t.target, MIN(c.bin) AS bin
+          FROM t JOIN c ON c.cum >= t.target GROUP BY t.pct, t.target)
+    SELECT CAST(q.pct AS INTEGER) AS pct,
+           CAST(q.target AS BIGINT) AS target_rank,
+           CAST(q.bin AS INTEGER) AS bin,
+           CAST(s.lo + (q.bin * (s.hi - s.lo + 1) + 255) // 256
+                AS DOUBLE) / 100 AS lo_est,
+           CAST(s.lo + ((q.bin + 1) * (s.hi - s.lo + 1) + 255) // 256 - 1
+                AS DOUBLE) / 100 AS hi_est
+    FROM q, s"""
+
+
+@register(
+    "q_quantile_sketch",
+    _QUANTILE_SKETCH_SQL,
+    doc="quantile estimates from a fixed-256-bin mergeable histogram "
+    "over the event value column (scaled to exact integer cents) — "
+    "the bounded-state sketch family's third member next to HLL and "
+    "Count-Min: min/max/count agg, one map-side-combined histogram "
+    "agg (<= 256 rows per partition before the shuffle), a cumsum "
+    "over that tiny table, and a percent join; each percentile is "
+    "bracketed by its bin's exact integer edges, nothing data-sized "
+    "ever sorts",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import quantile_sketch
+
+    ev = catalog(spark, sf_dir).events
+    return quantile_sketch(ev, "value")

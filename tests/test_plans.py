@@ -21,73 +21,45 @@ def plans(spark, sf_dir):
 
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
-    entries. Pin the round-4 rotation so a future registration can't
-    silently evict oracle coverage: every window slot must carry a
-    DuckDB oracle (rows-only queries trail), the 7 queries that had
-    never received a driver CORRECTNESS row before round 4 must sit
-    inside, and the two round-3 contract fixes stay in-window to prove
-    the fixes."""
+    entries. The window is now an explicit list (queries/__init__.py
+    ``_WINDOW_R5``) whose invariants ``_set_window`` already enforces
+    at import; here we pin the POLICY content: the 14 queries that had
+    never received a driver CORRECTNESS row before round 5 sit inside,
+    as does everything added or behavior-changed this round, and no
+    rows-only query wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # never driver-checked before round 4, rotated in:
-        "q_topk_per_stratum",
-        "q_incremental_ingest",
-        "q_weighted_sample",
-        "q_simhash_neardup",
-        "q_centroid_assign",
-        "q_ivf_topk_exact",
-        "q_resize_images",
-        # round-3 driver failures, fixed in round 4 — must re-verify:
-        "q_sequence_pack",
-        "q_substring_dedup",
+        # never driver-checked before round 5 (the r4 verdict's list):
+        "q_containment_pairs",
+        "q_drop_contained",
+        "q_skew_profile",
+        "q_event_transitions",
+        "q_event_anomalies",
+        "q_equidepth_histogram",
+        "q_strip_boilerplate",
+        "q_dup_source_matrix",
+        "q_lsh_recall",
+        "q_line_dedup",
+        "q_profile_orders",
+        "q_hll_distinct",
+        "q_countmin",
+        "q_pagerank_seeded",
+        # new in round 5:
+        "q_quantile_sketch",
+        "q_equidepth_sketch",
+        # operator or oracle changed in round 5 (advisor fixes):
+        "q_neardup_ingest",
+        "q_charset_quality",
+        "q_rrf_fuse",
+        "q_embedding_neardup",
+        "q_semantic_dedup",
+        "q_knn_graph",
+        "q_knn_label_noise",
         # the composed pipeline is the strongest single check — keep it:
         "q_curation_pipeline",
-        # round-4 new operators, never driver-checked — rotated in:
-        "q_semantic_dedup",
-        "q_temperature_mix",
-        "q_global_shuffle",
-        "q_token_histogram",
-        "q_audio_features",
-        "q_contamination_report",
-        "q_split_assign",
-        "q_quality_cut",
-        # late round-4 additions, also never driver-checked:
-        "q_scd2_history",
-        "q_asof_lookup",
-        "q_winnow_fingerprints",
-        "q_cluster_sizes",
-        "q_zorder_value",
-        "q_knn_graph",
-        "q_temperature_sample",
-        "q_corpus_datacard",
-        "q_quality_survivors",
-        "q_boilerplate",
-        # session-final round-4 additions, never driver-checked:
-        "q_leakage_split",
-        "q_neardup_ingest",
-        "q_quantized_ann",
-        "q_ingest_dup_report",
-        "q_vocab_coverage",
-        "q_semantic_decontaminate",
-        "q_bm25",
-        "q_rrf_fuse",
-        "q_token_budget",
-        "q_image_neardup",
-        "q_oov_rate",
-        "q_charset_quality",
-        "q_curation_funnel",
-        "q_packing_efficiency",
-        "q_event_drift",
-        "q_norm_gate",
-        "q_bigram_surprisal",
-        "q_knn_label_noise",
-        "q_shipmode_priority",
-        "q_event_trend",
-        "q_blocklist",
-        "q_pagerank",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

@@ -68,3 +68,100 @@ def test_countmin_is_layout_independent(spark):
     a = sorted(map(tuple, countmin_estimates(docs, ["shared", "w1"]).collect()))
     b = sorted(map(tuple, countmin_estimates(docs.repartition(11), ["shared", "w1"]).collect()))
     assert a == b
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark):
+    from cdc_system_spark.operators.sketch import quantile_sketch
+
+    vals = [round(0.07 * i * i, 2) for i in range(1, 201)]  # skewed grid
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {r["pct"]: r for r in quantile_sketch(df, "value").collect()}
+    svals = sorted(vals)
+    for pct, r in got.items():
+        rank = -(-pct * len(vals) // 100)  # ceil
+        assert r["target_rank"] == rank
+        exact = svals[rank - 1]
+        assert r["lo_est"] - 1e-9 <= exact <= r["hi_est"] + 1e-9
+    # bracket width is bounded by one 256th of the range
+    rng = max(vals) - min(vals)
+    for r in got.values():
+        assert r["hi_est"] - r["lo_est"] <= rng / 256 + 0.02
+
+
+def test_quantile_sketch_edge_cases(spark):
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.sketch import quantile_sketch
+
+    # constant column: every bracket collapses onto the single value
+    const = spark.createDataFrame([(7.25,)] * 9, "value double")
+    for r in quantile_sketch(const, "value").collect():
+        assert r["lo_est"] == 7.25 and r["hi_est"] == 7.25 and r["bin"] == 0
+    # empty input (or all-NULL) -> empty result, not a fake estimate
+    empty = spark.createDataFrame([(None,)], "value double")
+    assert quantile_sketch(empty, "value").count() == 0
+    with _pytest.raises(ValueError):
+        quantile_sketch(const, "value", percents=[])
+    with _pytest.raises(ValueError):
+        quantile_sketch(const, "value", percents=[0])
+    with _pytest.raises(ValueError):
+        quantile_sketch(const, "value", num_bins=0)
+
+
+def test_quantile_sketch_is_layout_independent(spark):
+    from cdc_system_spark.operators.sketch import quantile_sketch
+
+    vals = [(float(i % 37) + 0.5,) for i in range(300)]
+    df = spark.createDataFrame(vals, "value double")
+    a = sorted(map(tuple, quantile_sketch(df, "value").collect()))
+    b = sorted(
+        map(tuple, quantile_sketch(df.repartition(13), "value").collect())
+    )
+    assert a == b
+
+
+def _exact_ntile_hist(vals, k):
+    """Pure-Python oracle: NTILE(k) over sorted values, per-bucket
+    (n, lo, hi) — tiebreak-free because extrema only depend on value."""
+    s = sorted(vals)
+    n = len(s)
+    fl, r0 = divmod(n, k)
+    out = {}
+    start = 0
+    for b in range(1, k + 1):
+        size = fl + (1 if b <= r0 else 0)
+        if size == 0:
+            continue
+        chunk = s[start : start + size]
+        out[b] = (size, round(chunk[0], 6), round(chunk[-1], 6))
+        start += size
+    return out
+
+
+def test_equidepth_from_counts_matches_exact_ntile(spark):
+    from cdc_system_spark.operators.sketch import equidepth_from_counts
+
+    # heavy ties straddling bucket boundaries: 7 distinct values, 53
+    # rows, k=10 -> NTILE sizes 6,6,6,5,... with tied values split
+    vals = [1.0] * 11 + [2.5] * 9 + [2.5] * 4 + [7.75] * 13 + [100.0] * 7 + [
+        -3.25
+    ] * 5 + [0.0] * 4
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in equidepth_from_counts(df, "value", k=10).collect()
+    }
+    assert got == _exact_ntile_hist(vals, 10)
+
+
+def test_equidepth_from_counts_fewer_rows_than_buckets(spark):
+    from cdc_system_spark.operators.sketch import equidepth_from_counts
+
+    vals = [5.0, 1.0, 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in equidepth_from_counts(df, "value", k=10).collect()
+    }
+    # NTILE with n < k: first n buckets get one row each
+    assert got == {1: (1, 1.0, 1.0), 2: (1, 3.0, 3.0), 3: (1, 5.0, 5.0)}

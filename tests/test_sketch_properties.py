@@ -34,3 +34,50 @@ def test_countmin_upper_bound_holds_for_every_input(spark, docs):
     for t in terms:
         assert got[t]["exact_count"] == truth.get(t, 0)
         assert got[t]["est_count"] >= got[t]["exact_count"]
+
+
+_VALS = st.lists(
+    st.integers(min_value=-5000, max_value=5000).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_VALS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_quantile_sketch_bracket_holds_for_every_input(spark, vals):
+    from cdc_system_spark.operators.sketch import quantile_sketch
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    svals = sorted(vals)
+    n = len(vals)
+    rows = quantile_sketch(df, "value", percents=(10, 50, 90)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        rank = max(-(-r["pct"] * n // 100), 1)
+        assert r["target_rank"] == rank
+        exact = svals[rank - 1]
+        assert r["lo_est"] - 1e-9 <= exact <= r["hi_est"] + 1e-9
+
+
+@given(_VALS, st.integers(min_value=1, max_value=7))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_equidepth_from_counts_equals_ntile_for_every_input(spark, vals, k):
+    from cdc_system_spark.operators.sketch import equidepth_from_counts
+
+    from tests.test_sketch import _exact_ntile_hist
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r["bucket"]: (r["n"], r["lo"], r["hi"])
+        for r in equidepth_from_counts(df, "value", k=k).collect()
+    }
+    assert got == _exact_ntile_hist(vals, k)
