@@ -398,26 +398,35 @@ def pairwise_neardup(
 
 def semantic_dedup(
     emb: DataFrame,
-    centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+    centroid_ids: tuple[int, ...] | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pair_salt: int = 8,
+    num_centroids: int | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): quantize embeddings to k cells, then prune
-    near-duplicates *within* each cell only — the cell bound is what
-    makes pairwise cosine sub-quadratic at corpus scale (k grows with
-    the corpus, ~sqrt(N), so cells stay bounded; candidates never cross
-    cells).
+    arXiv:2303.09540): quantize embeddings to C cells, then prune
+    near-duplicates *within* each cell only. The within-cell self-join
+    is O(n²/C) pair scorings, so the cell count IS the scale knob: by
+    default (``centroid_ids=None``) C = max(4, ceil(sqrt(n))) cells
+    via :func:`auto_cells` — O(n^1.5) total pair work, cells staying
+    ~√n rows as the corpus grows. A LITERAL ``centroid_ids`` tuple
+    pins small fixed cells instead (the oracle-checkable form the
+    registered queries use — DuckDB reproduces the literal-expression
+    assignment bit-for-bit — but a fixed C is quadratic at 100×: only
+    pass it for parity testing or when the cell partition must be
+    frozen). ``num_centroids``/``refine_iters`` tune the auto path
+    (explicit C; Lloyd refinement via :func:`kmeans_refine`).
 
     Keep rule (deterministic, layout-independent): a vector is dropped
     iff some same-cell vector with a *smaller id* has rounded cosine
     ≥ ``threshold``. Survivors are returned with their cell id.
 
-    Plan shape: literal-centroid assignment (zero shuffle, same
-    contract as :func:`nearest_centroid`) → one self-join shuffled on
-    the cell key → left-anti on dropped ids. No cross join, no
+    Plan shape: zero-shuffle cell assignment (literal-expression or
+    vectorized-numpy, see :func:`auto_cells`) → one self-join shuffled
+    on the cell key → left-anti on dropped ids. No cross join, no
     all-pairs.
 
     ``pair_salt``: the raw cell-keyed self-join has only ``len(
@@ -434,8 +443,8 @@ def semantic_dedup(
     :func:`~cdc_system_spark.operators.skew.salted_join`, measured
     1.8× on the sf0.1 bench where 4 cells left 28 of 32 cores idle).
     """
-    cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
-    best = _nearest_centroid_expr(cents, vec_col)
+    if pair_salt < 1:
+        raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
     # Precompute each vector's norm ONCE before the self-join: the pair
     # cosine then needs only the dot fold. Inside the join the norm
     # would be re-folded per PAIR (cell_size x per vector) — and array
@@ -445,13 +454,18 @@ def semantic_dedup(
     # spread: the C-cosine assignment + norm fold is CPU-bound and a
     # small corpus scans as one split — without it the whole projection
     # runs on one core (a no-op at real scale, see spread's contract).
-    assigned = spread(emb).select(
-        F.col(id_col),
-        F.col(vec_col),
-        (-best["neg_cid"]).cast("int").alias("centroid_id"),
-    ).withColumn("_nrm", _norm(F.col(vec_col)))
-    if pair_salt < 1:
-        raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
+    if centroid_ids is None:
+        assigned = auto_cells(
+            emb, id_col, vec_col, num_centroids, refine_iters
+        ).withColumn("_nrm", _norm(F.col(vec_col)))
+    else:
+        cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
+        best = _nearest_centroid_expr(cents, vec_col)
+        assigned = spread(emb).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["neg_cid"]).cast("int").alias("centroid_id"),
+        ).withColumn("_nrm", _norm(F.col(vec_col)))
     a = assigned.select(
         F.col("centroid_id").alias("cell"),
         F.pmod(F.col(id_col), F.lit(pair_salt)).cast("int").alias("_sb"),
@@ -489,18 +503,25 @@ def semantic_dedup(
 def knn_graph(
     emb: DataFrame,
     k: int = 3,
-    block_col: str = "label",
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_centroids: int | None = None,
 ) -> DataFrame:
     """Block-bounded kNN graph: each vector's top-``k`` most-similar
-    neighbors within its block (label / LSH bucket / IVF cell) — the
-    edge list graph-based clustering, SemDeDup refinement, and
-    diversity sampling all start from.
+    neighbors within its block — the edge list graph-based clustering,
+    SemDeDup refinement, and diversity sampling all start from.
 
     The candidate set is the blocked self-join (never all-pairs: the
-    block key bounds it, same contract as :func:`pairwise_neardup`),
-    made symmetric so every vector ranks ALL its block neighbors; the
+    block key bounds it, same contract as :func:`pairwise_neardup`) —
+    O(n²/B) pair scorings for B blocks, so by default
+    (``block_col=None``) the blocks are corpus-scaled centroid cells,
+    C = max(4, ceil(sqrt(n))) via :func:`auto_cells`, keeping total
+    pair work O(n^1.5). Pass an explicit ``block_col`` (label, LSH
+    bucket, IVF cell) to block on a user partition instead — the
+    oracle-checkable form the registered query uses; note a fixed-
+    cardinality block column is quadratic at 100×. The join is made
+    symmetric so every vector ranks ALL its block neighbors; the
     per-source top-k is a WindowGroupLimit window (rounded-cos desc,
     neighbor-id asc tiebreak — deterministic), which prunes below-k
     rows before the shuffle.
@@ -513,7 +534,13 @@ def knn_graph(
     # folds re-evaluate outside codegen, cell_size x waste per vector);
     # spread + sub-block salt: see semantic_dedup — identical pair set,
     # block-count × 8 parallelism
-    normed = spread(emb).withColumn("_nrm", _norm(F.col(vec_col)))
+    if block_col is None:
+        block_col = "centroid_id"
+        normed = auto_cells(emb, id_col, vec_col, num_centroids).withColumn(
+            "_nrm", _norm(F.col(vec_col))
+        )
+    else:
+        normed = spread(emb).withColumn("_nrm", _norm(F.col(vec_col)))
     _n_salt = 8
     a = normed.select(
         F.col(block_col).alias("blk"),
@@ -819,6 +846,64 @@ def assign_with_centroids(
     return _assign_vectorized(emb, cents, id_col, vec_col)
 
 
+def auto_centroid_count(n: int) -> int:
+    """Corpus-scaled cell count ``C = max(4, ceil(sqrt(n)))`` — the
+    SemDeDup-practice rule that keeps the within-cell pair work
+    O(n²/C) = O(n^1.5) as the corpus grows instead of quadratic. A
+    fixed C (the pre-round-5 default of 4 cells) caps parallelism AND
+    lets per-cell pair counts grow quadratically at 100×; scaling C
+    with √n holds expected cell size at √n rows."""
+    import math
+
+    return max(4, math.isqrt(n - 1) + 1) if n > 1 else 4
+
+
+def _auto_cents(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int | None = None,
+    refine_iters: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Centroid list for the corpus-scaled cell path: the first
+    ``C = auto_centroid_count(count)`` vectors by id (deterministic
+    model parameters, C ≈ √n ≪ corpus — the only rows collected),
+    optionally Lloyd-refined. Shared by every ``centroid_ids=None``
+    operator default so both sides of a two-frame op quantize
+    identically."""
+    C = num_centroids or auto_centroid_count(emb.count())
+    if refine_iters > 0:
+        cdf = kmeans_refine(emb, C, refine_iters, id_col, vec_col)
+        return [
+            (int(r["cell_id"]), [float(x) for x in r["cvec"]])
+            for r in cdf.collect()
+        ]
+    rows = emb.orderBy(id_col).limit(C).select(id_col, vec_col).collect()
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def auto_cells(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Corpus-scaled cell assignment: ``(id, vec, centroid_id)`` with
+    ``C = max(4, ceil(sqrt(n)))`` cells (override via
+    ``num_centroids``), assigned by the vectorized numpy argmax pass
+    (:func:`_assign_vectorized` — the literal-expression form the
+    oracle queries use is interpreted per element and stops being
+    viable past a few dozen centroids). Zero joins, zero shuffles over
+    the corpus; one bounded count job + one C-row collect."""
+    cents = _auto_cents(emb, id_col, vec_col, num_centroids, refine_iters)
+    # spread: the argmax matmul is CPU-bound and a small corpus scans
+    # as one split (a no-op at real scale, see spread's contract)
+    return _assign_vectorized(
+        spread(emb), cents, id_col, vec_col
+    ).withColumnRenamed("cell_id", "centroid_id")
+
+
 # -- scalar-quantized ANN ----------------------------------------------------
 #: div-by-zero guard for all-zero vectors (quantizes them to all-zero)
 _Q_EPS = 1e-30
@@ -919,10 +1004,11 @@ def quantized_topk(
 def semantic_decontaminate(
     corpus: DataFrame,
     bench: DataFrame,
-    centroid_ids: tuple[int, ...] = (1, 2, 3, 4),
+    centroid_ids: tuple[int, ...] | None = None,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_centroids: int | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: drop corpus vectors
     whose cosine to ANY benchmark vector reaches ``threshold`` — the
@@ -932,35 +1018,58 @@ def semantic_decontaminate(
     survives lexical dedup, arXiv:2303.09540 §5).
 
     Same cell-blocking as :func:`semantic_dedup`: corpus AND benchmark
-    are assigned to literal-centroid cells (centroids drawn from the
-    corpus by id), and only same-cell (corpus, bench) pairs are scored
-    — sub-quadratic, no cross join. The benchmark side is tiny by
+    are assigned to the SAME cells (centroids drawn from the corpus),
+    and only same-cell (corpus, bench) pairs are scored — the per-cell
+    probe work is O(n·|bench|/C), so by default (``centroid_ids=None``)
+    the cell count scales with the corpus, C = max(4, ceil(sqrt(n)))
+    via :func:`auto_cells`; a literal ``centroid_ids`` tuple pins
+    small fixed cells (the oracle-checkable form the registered query
+    uses — a fixed C makes the probe linear-in-n per bench vector at
+    100×, parity testing only). The benchmark side is tiny by
     construction, so the per-cell join broadcasts. A bench vector in a
     different cell than a τ-close corpus vector is the blocked-ANN
-    recall trade, shared with semantic_dedup; raise the cell count with
-    corpus size (~sqrt N) to bound it.
+    recall trade, shared with semantic_dedup; the √n cell count bounds
+    it.
 
     Returns surviving corpus rows as (id, cell id).
     """
-    cents = _collect_centroids(corpus, centroid_ids, id_col, vec_col)
-    best = _nearest_centroid_expr(cents, vec_col)
     # norms precomputed pre-join (HOF folds have no subexpression
     # elimination inside the join — the semantic_dedup lesson); spread:
     # the broadcast join is map-side, so corpus-side parallelism is the
     # scan split count — one core on a small file without it
-    c = spread(corpus).select(
-        F.col(id_col),
-        F.col(vec_col),
-        (-best["neg_cid"]).cast("int").alias("centroid_id"),
-    ).withColumn("_nrm", _norm(F.col(vec_col)))
-    b = (
-        bench.select(
-            F.col(id_col).alias("_bid"),
-            F.col(vec_col).alias("_bv"),
-            (-best["neg_cid"]).cast("int").alias("centroid_id"),
+    if centroid_ids is None:
+        cents = _auto_cents(corpus, id_col, vec_col, num_centroids)
+        c = _assign_vectorized(
+            spread(corpus), cents, id_col, vec_col
+        ).withColumnRenamed("cell_id", "centroid_id").withColumn(
+            "_nrm", _norm(F.col(vec_col))
         )
-        .withColumn("_bnrm", _norm(F.col("_bv")))
-    )
+        b = (
+            _assign_vectorized(bench, cents, id_col, vec_col)
+            .withColumnRenamed("cell_id", "centroid_id")
+            .select(
+                F.col(id_col).alias("_bid"),
+                F.col(vec_col).alias("_bv"),
+                "centroid_id",
+            )
+            .withColumn("_bnrm", _norm(F.col("_bv")))
+        )
+    else:
+        cents = _collect_centroids(corpus, centroid_ids, id_col, vec_col)
+        best = _nearest_centroid_expr(cents, vec_col)
+        c = spread(corpus).select(
+            F.col(id_col),
+            F.col(vec_col),
+            (-best["neg_cid"]).cast("int").alias("centroid_id"),
+        ).withColumn("_nrm", _norm(F.col(vec_col)))
+        b = (
+            bench.select(
+                F.col(id_col).alias("_bid"),
+                F.col(vec_col).alias("_bv"),
+                (-best["neg_cid"]).cast("int").alias("centroid_id"),
+            )
+            .withColumn("_bnrm", _norm(F.col("_bv")))
+        )
     pair_cos = F.round(
         _dot(F.col(vec_col), F.col("_bv")) / (F.col("_nrm") * F.col("_bnrm")), 6
     )
@@ -1052,10 +1161,11 @@ def norm_outlier_filter(
 def knn_label_noise(
     emb: DataFrame,
     k: int = 5,
-    centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+    centroid_ids: tuple[int, ...] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    num_centroids: int | None = None,
 ) -> DataFrame:
     """Label-noise detection by kNN neighbor vote (the confident-
     learning / cleanlab screening step a labeled training set gets
@@ -1067,21 +1177,32 @@ def knn_label_noise(
     their cell have no neighbors and are absent, same contract as
     :func:`knn_graph`.
 
-    Blocking on :func:`nearest_centroid` (not on ``label_col`` like
+    Blocking on centroid cells (not on ``label_col`` like
     ``knn_graph``) is the point: noise detection needs neighbors found
     independently of the label under test. All ranks order on the
     ROUNDED cosine with id tiebreaks, so results are layout-stable and
-    oracle-checkable. Scale shape: cell-bounded self-join, top-k pruned
-    by a per-src window before the vote, then two map-side-combinable
-    aggregations — the same plan family as the audited ``knn_graph``.
+    oracle-checkable. Scale shape: cell-bounded self-join — O(n²/C)
+    pair scorings, so by default (``centroid_ids=None``) the cell
+    count scales with the corpus, C = max(4, ceil(sqrt(n))) via
+    :func:`auto_cells`, keeping total pair work O(n^1.5); a literal
+    ``centroid_ids`` tuple pins small fixed cells (the oracle-
+    checkable form the registered query uses — quadratic at 100×,
+    parity testing only). Then top-k pruned by a per-src window before
+    the vote, then two map-side-combinable aggregations — the same
+    plan family as the audited ``knn_graph``.
     """
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cells = nearest_centroid(emb, centroid_ids, id_col, vec_col).select(
-        id_col, "centroid_id"
-    )
+    if centroid_ids is None:
+        cells = auto_cells(emb, id_col, vec_col, num_centroids).select(
+            id_col, "centroid_id"
+        )
+    else:
+        cells = nearest_centroid(emb, centroid_ids, id_col, vec_col).select(
+            id_col, "centroid_id"
+        )
     pts = spread(emb).join(cells, id_col).withColumn(
         "_nrm", _norm(F.col(vec_col))
     )

@@ -815,7 +815,13 @@ _SEMANTIC_DEDUP_SQL = """WITH c AS (
     "pairwise cosine sub-quadratic at corpus scale",
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.semantic_dedup(catalog(spark, sf_dir).embeddings, threshold=0.4)
+    # literal 4-cell form: DuckDB reproduces the literal-expression
+    # assignment bit-for-bit; production default is corpus-scaled C
+    return S.semantic_dedup(
+        catalog(spark, sf_dir).embeddings,
+        centroid_ids=(0, 1, 2, 3),
+        threshold=0.4,
+    )
 
 
 # -- corpus length profile ---------------------------------------------------
@@ -1009,7 +1015,11 @@ _KNN_SQL = f"""WITH p AS (
     "all-pairs) + WindowGroupLimit top-k with deterministic tiebreak",
 )
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
+    # label blocking: the oracle-checkable fixed partition;
+    # production default is corpus-scaled centroid cells
+    return S.knn_graph(
+        catalog(spark, sf_dir).embeddings, k=3, block_col="label"
+    )
 
 
 # -- corpus data card --------------------------------------------------------
@@ -1479,7 +1489,11 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     bench = emb.filter(F.col("vec_id") % 5 == 0)
-    return S.semantic_decontaminate(corpus, bench, threshold=0.4)
+    # literal 4-cell form (see q_semantic_dedup); production
+    # default is corpus-scaled C
+    return S.semantic_decontaminate(
+        corpus, bench, centroid_ids=(1, 2, 3, 4), threshold=0.4
+    )
 
 
 # -- BM25 lexical retrieval ----------------------------------------------------
@@ -1754,7 +1768,11 @@ _LABEL_NOISE_SQL = f"""WITH c AS (
     "prune, deterministic rounded-cos + id tiebreaks throughout",
 )
 def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.knn_label_noise(catalog(spark, sf_dir).embeddings, k=5)
+    # literal 4-cell form (see q_semantic_dedup); production
+    # default is corpus-scaled C
+    return S.knn_label_noise(
+        catalog(spark, sf_dir).embeddings, k=5, centroid_ids=(0, 1, 2, 3)
+    )
 
 
 # -- content blocklist gate ---------------------------------------------------
@@ -1842,7 +1860,9 @@ _PAGERANK_SQL = f"""WITH knn AS ({_KNN_SQL}),
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators.graph import pagerank
 
-    edges = S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
+    edges = S.knn_graph(
+        catalog(spark, sf_dir).embeddings, k=3, block_col="label"
+    )
     return pagerank(edges, iters=3)
 
 
@@ -1994,5 +2014,7 @@ _PPR_SQL = f"""WITH knn AS ({_KNN_SQL}),
 def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators.graph import pagerank
 
-    edges = S.knn_graph(catalog(spark, sf_dir).embeddings, k=3)
+    edges = S.knn_graph(
+        catalog(spark, sf_dir).embeddings, k=3, block_col="label"
+    )
     return pagerank(edges, iters=3, seeds=[0, 1])

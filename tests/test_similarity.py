@@ -185,7 +185,7 @@ def test_knn_graph_blocked_topk(spark):
         (4, 1, [0.5, 0.5]),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
-    out = knn_graph(emb, k=1)
+    out = knn_graph(emb, k=1, block_col="label")
     best = {r["src"]: (r["dst"], r["rank"]) for r in out.collect()}
     # edges never cross blocks: 0's best is 1, not the identical 3
     assert best[0] == (1, 1)
@@ -344,3 +344,92 @@ def test_knn_label_noise_k_caps_votes_and_validates(spark):
     assert len(out) == 6 and all(not r["suspect"] for r in out)
     with _pytest.raises(ValueError):
         S.knn_label_noise(emb, k=0)
+
+
+# -- corpus-scaled (auto) cell blocking ---------------------------------------
+def test_auto_centroid_count_scales_with_sqrt_n():
+    from cdc_system_spark.operators.similarity import auto_centroid_count
+
+    assert auto_centroid_count(0) == 4
+    assert auto_centroid_count(1) == 4
+    assert auto_centroid_count(16) == 4
+    assert auto_centroid_count(17) == 5       # ceil(sqrt(17)) = 5
+    assert auto_centroid_count(100) == 10
+    assert auto_centroid_count(101) == 11
+    assert auto_centroid_count(1_000_000) == 1000
+    # the O(n^2/C) bound: doubling n raises C by ~sqrt(2), so per-cell
+    # expected pair work n^2/C grows ~n^1.5, not n^2
+    assert auto_centroid_count(4_000_000) == 2000
+
+
+def test_auto_cells_assigns_every_vector_and_honors_override(spark):
+    from cdc_system_spark.operators.similarity import auto_cells
+
+    rows = [(i, [float(i % 7), 1.0, float((i * 3) % 5)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = auto_cells(emb).collect()
+    assert len(out) == 30
+    # n=30 -> C = max(4, ceil(sqrt(30))) = 6 centroids = first 6 ids
+    assert {r["centroid_id"] for r in out} <= set(range(6))
+    two = auto_cells(emb, num_centroids=2).collect()
+    assert {r["centroid_id"] for r in two} <= {0, 1}
+
+
+def test_semantic_dedup_auto_default_drops_neardups(spark):
+    from cdc_system_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    rows.append((100, [0.0, 1.0]))        # duplicate direction of id 0
+    rows.append((101, [7.0, 1.000001]))   # near-dup of id 7
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.999999).collect()}
+    # smaller-id survivor rule holds on the auto path
+    assert 0 in out and 100 not in out
+    assert 7 in out and 101 not in out
+    # layout independence of the corpus-scaled path
+    again = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            emb.repartition(7), threshold=0.999999
+        ).collect()
+    }
+    assert again == out
+
+
+def test_knn_graph_auto_default_blocks_on_scaled_cells(spark):
+    from cdc_system_spark.operators.similarity import knn_graph
+
+    rows = [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)] + [
+        (i, [0.0, 1.0 + 0.01 * i]) for i in range(5, 10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_graph(emb, k=2).collect()
+    # two orthogonal clusters; auto cells separate them, so no edge
+    # crosses the cluster boundary
+    for r in out:
+        assert (r["src"] < 5) == (r["dst"] < 5), r
+    assert {r["src"] for r in out} == set(range(10))
+
+
+def test_knn_label_noise_auto_cells_flags_minority(spark):
+    from cdc_system_spark.operators.similarity import knn_label_noise
+
+    # two orthogonal clusters; centroids = first C ids, one per cluster.
+    # In cluster A (ids 0,2,4,6) the lone "b" at id 4 loses the vote.
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "x", [0.0, 1.0]),
+        (2, "a", [1.0, 0.01]),
+        (4, "b", [1.0, 0.02]),
+        (6, "a", [1.0, 0.03]),
+        (7, "x", [0.0, 1.01]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in knn_label_noise(emb, k=3, num_centroids=2).collect()
+    }
+    assert got[4]["suspect"] and got[4]["pred_label"] == "a"
+    assert not got[0]["suspect"] and not got[1]["suspect"]
