@@ -1,8 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
-    {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+    {"metric": ..., "value": <total of per-query minima>, "unit": "sec",
+     "queries": {name: min sec, ...}, "queries_median": {name: median
+     sec, ...}, "median_total": ..., "sf": ...}
 
 Each query is executed to completion via a noop-format write: every
 output column is actually computed (a bare count() lets Catalyst prune
@@ -77,6 +78,10 @@ HEADLINE = [
     "q_blocklist",
     "q_pagerank",
     "q_shipmode_priority",
+    # round-5 additions: the bounded-state quantile sketches
+    "q_quantile_sketch",
+    "q_equidepth_sketch",
+    "q_hll_distinct",
 ]
 
 
@@ -89,20 +94,29 @@ def main() -> None:
     # one untimed warmup query to absorb JVM/codegen startup
     QUERY_REGISTRY["q_count"].fn(spark, sf_dir).collect()
 
-    # three timed runs per query, report the min: steady-state engine
-    # throughput, not one-time plan compilation / codegen / Python-worker
-    # startup or transient machine load (at real scale those constants
-    # amortize to nothing; at sf0.1 they would swamp the signal)
+    # three timed runs per query; report BOTH the min and the median.
+    # min = steady-state engine throughput, not one-time plan
+    # compilation / codegen / Python-worker startup or transient
+    # machine load (at real scale those constants amortize to nothing;
+    # at sf0.1 they would swamp the signal). median = the variance
+    # control: a min that the median contradicts by >1.5x flags a
+    # noisy box, so cross-round comparisons (BENCH_r{N} vs r{N-1})
+    # read minima and use medians to adjudicate "regression or noise"
+    # — the r4 lesson, where single-run artifacts disagreed with
+    # same-session A/Bs two rounds running.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERY_REGISTRY[name].fn
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +126,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 3),
                 "sf": float(sf),
             }
         )

@@ -95,3 +95,104 @@ def skew_profile(
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(top_n)
     )
+
+
+def join_strategy(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    broadcast_max_rows: int = 1_000_000,
+    skew_share_threshold: float | None = None,
+) -> dict:
+    """Measure, then decide: ``broadcast`` | ``salted`` | ``plain`` for
+    ``fact ⋈ dim`` — the profiling step :func:`skew_profile`'s
+    docstring prescribes, packaged so the decision is made from
+    numbers instead of folklore. Decision order:
+
+    1. ``dim`` at or under ``broadcast_max_rows`` → **broadcast**
+       (map-side, no shuffle of the fact, skew irrelevant). The row
+       bound proxies Spark's byte-based autoBroadcastJoinThreshold
+       with an engine-portable measure the caller can reason about.
+    2. else if the fact key's heaviest value's share ≥
+       ``skew_share_threshold`` (default ``1/defaultParallelism`` —
+       a key at that share serializes one reducer into a straggler)
+       → **salted**.
+    3. else → **plain** (let AQE handle residual imbalance).
+
+    Returns the decision plus the evidence: ``{strategy, dim_rows,
+    top_key, top_share, threshold}``. Cost: one count on the dim and
+    one map-side-combined top-1 profile on the fact (skipped when the
+    dim broadcasts) — both trivially parallel; at 100 TB run them on
+    the sample you already trust or reuse table statistics.
+    """
+    dim_rows = dim.count()
+    if dim_rows <= broadcast_max_rows:
+        return {
+            "strategy": "broadcast",
+            "dim_rows": dim_rows,
+            "top_key": None,
+            "top_share": None,
+            "threshold": None,
+        }
+    if skew_share_threshold is None:
+        skew_share_threshold = 1.0 / max(
+            fact.sparkSession.sparkContext.defaultParallelism, 2
+        )
+    top = skew_profile(fact, fact_key, top_n=1).collect()
+    top_key = top[0]["key"] if top else None
+    top_share = float(top[0]["share"]) if top else 0.0
+    return {
+        "strategy": "salted" if top_share >= skew_share_threshold else "plain",
+        "dim_rows": dim_rows,
+        "top_key": top_key,
+        "top_share": top_share,
+        "threshold": skew_share_threshold,
+    }
+
+
+def auto_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: str | Column | None = None,
+    salt_count: int = 8,
+    how: str = "inner",
+    broadcast_max_rows: int = 1_000_000,
+    skew_share_threshold: float | None = None,
+) -> DataFrame:
+    """:func:`join_strategy` applied: profile the join, then execute it
+    with the measured-right physical shape — ``F.broadcast`` hint for
+    a small dim, :func:`salted_join` for a measured-skewed fact key,
+    plain equi-join otherwise. Row-identical output across all three
+    paths (column order: fact columns then dim columns minus the key),
+    so callers can adopt it without semantic review; the decision
+    inputs are exposed via :func:`join_strategy` for logging.
+
+    ``salt_source`` seeds the salted path (see :func:`salted_join`);
+    when omitted, the salt is md5 over the concatenated fact row —
+    deterministic and uniform unless the fact is mostly duplicate
+    full rows.
+    """
+    decision = join_strategy(
+        fact, dim, fact_key, broadcast_max_rows, skew_share_threshold
+    )
+    if decision["strategy"] == "broadcast":
+        d = dim.withColumnRenamed(dim_key, "_dk")
+        return (
+            fact.join(
+                F.broadcast(d), fact[fact_key] == d["_dk"], how=how
+            ).drop("_dk")
+        )
+    if decision["strategy"] == "salted":
+        if salt_source is None:
+            from cdc_system_spark.functions.portable import md5_i64
+
+            salt_source = md5_i64(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in fact.columns])
+            )
+        return salted_join(
+            fact, dim, fact_key, dim_key, salt_source, salt_count, how
+        )
+    d = dim.withColumnRenamed(dim_key, "_dk")
+    return fact.join(d, fact[fact_key] == d["_dk"], how=how).drop("_dk")

@@ -309,7 +309,16 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_remap(corpus.filter(F.col("doc_id") % 7 == 1), 2_000_000))
         .unionByName(updates)
     )
-    out = C.incremental_ingest(corpus, batch)
+    # checkpoint the DERIVED fixture frames: the operator itself is 3
+    # joins, but without a cut Catalyst re-derives the four union
+    # branches from the raw scan inside every join arm — the committed
+    # plan ballooned to 96 shuffles / 81 scans of plan text (r4 plan
+    # audit). One materialized handoff restores the operator's natural
+    # plan. (A real CDC batch arrives materialized anyway — the fixture
+    # is what's synthetic here, not the operator.)
+    out = C.incremental_ingest(
+        corpus.localCheckpoint(eager=False), batch.localCheckpoint(eager=False)
+    )
     return out.select("doc_id", "lang", "source")
 
 

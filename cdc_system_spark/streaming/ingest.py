@@ -205,3 +205,54 @@ def charset_gate(id_col: str = "doc_id", text_col: str = "text", **thresholds):
         return df.join(keep, id_col, "left_semi")
 
     return gate
+
+
+def quality_gate(id_col: str = "doc_id", text_col: str = "text", **thresholds):
+    """Admission-filter preset: drop batch rows failing the Gopher-
+    style repetition gate (duplicate-word fraction, top-2-gram
+    fraction — ``repetition_signals``'s keyword thresholds pass
+    through). Zero-shuffle map pass per micro-batch, same as the
+    batch operator."""
+    from cdc_system_spark.operators.text import repetition_signals
+
+    def gate(df: DataFrame) -> DataFrame:
+        keep = (
+            repetition_signals(
+                df, text_col=text_col, id_col=id_col, **thresholds
+            )
+            .filter(F.col("keep"))
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return gate
+
+
+def oov_gate(
+    vocab_terms: list[str],
+    max_oov_rate: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Admission-filter preset: drop batch rows whose out-of-vocabulary
+    token rate exceeds ``max_oov_rate`` against a fixed vocabulary
+    (high OOV ⇒ junk, code, or the wrong language for this tokenizer).
+    The vocabulary is model-artifact-sized and broadcasts; per batch
+    this is one broadcast membership join — no corpus-sized state."""
+    from cdc_system_spark.operators.text import oov_rate
+
+    if not vocab_terms:
+        raise ValueError("vocab_terms must be non-empty")
+
+    def gate(df: DataFrame) -> DataFrame:
+        vocab = df.sparkSession.createDataFrame(
+            [(t,) for t in sorted(set(vocab_terms))], "token string"
+        )
+        keep = (
+            oov_rate(df, vocab, text_col=text_col, id_col=id_col)
+            .filter(F.col("oov_rate") <= max_oov_rate)
+            .select(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return gate

@@ -58,3 +58,62 @@ def test_skew_profile_ranks_hot_keys_with_shares(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="top_n"):
         skew_profile(df, "k", top_n=0)
+
+
+def test_join_strategy_flips_on_skew_and_dim_size(spark, skewed):
+    from cdc_system_spark.operators.skew import join_strategy
+
+    fact, dim = skewed
+    # 1. small dim -> broadcast regardless of fact skew
+    d = join_strategy(fact, dim, "k")
+    assert d["strategy"] == "broadcast" and d["dim_rows"] == 7
+    # 2. dim over the broadcast bound + skewed fact key -> salted
+    d = join_strategy(fact, dim, "k", broadcast_max_rows=3)
+    assert d["strategy"] == "salted"
+    assert d["top_key"] == 1 and d["top_share"] == 0.9
+    # 3. same sizes, uniform key -> plain: the decision flips on the
+    # MEASURED share, not on table shapes (explicit threshold: the
+    # 1/defaultParallelism default would flag even a uniform 7-key
+    # split on a 32-core box, correctly — 1/7 share IS a straggler
+    # at 32-way parallelism)
+    uniform = fact.withColumn("k", F.col("fid") % 7 + 1)
+    d = join_strategy(
+        uniform, dim, "k", broadcast_max_rows=3, skew_share_threshold=0.5
+    )
+    assert d["strategy"] == "plain" and d["top_share"] < 0.2
+    d = join_strategy(
+        uniform, dim, "k", broadcast_max_rows=3, skew_share_threshold=0.01
+    )
+    assert d["strategy"] == "salted"
+
+
+def test_auto_join_rows_identical_across_strategies(spark, skewed):
+    from cdc_system_spark.operators.skew import auto_join
+
+    fact, dim = skewed
+    expect = sorted(
+        map(
+            tuple,
+            fact.join(
+                dim, fact["k"] == dim["dk"]
+            ).drop("dk").collect(),
+        )
+    )
+    # broadcast path (small dim), salted path (forced), plain (forced)
+    for kw in (
+        {},
+        {"broadcast_max_rows": 3},  # -> salted (k is 90% skewed)
+        {"broadcast_max_rows": 3, "skew_share_threshold": 0.99},  # -> plain
+    ):
+        got = sorted(
+            map(tuple, auto_join(fact, dim, "k", "dk", **kw).collect())
+        )
+        assert got == expect, kw
+    # broadcast path carries the hint into the physical plan
+    plan = (
+        auto_join(fact, dim, "k", "dk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -615,3 +615,64 @@ def test_gate_presets_compose(spark, tmp_path):
     )
     ing.run_available_now()
     assert {r["doc_id"] for r in corpus.read().collect()} == {1}
+
+
+def test_quality_and_oov_gates_compose_and_restart_idempotent(spark, tmp_path):
+    # the two remaining filter families as admission presets: Gopher
+    # repetition (quality_gate) and OOV-vs-vocab (oov_gate), composed
+    # like blocklist/charset. Restarting from the same checkpoint with
+    # no new captures re-delivers nothing (gate decisions are
+    # deterministic, so a replayed batch would also be a no-op).
+    import pytest as _pytest
+
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+    from cdc_system_spark.streaming.ingest import oov_gate, quality_gate
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, []))
+
+    # max_top_2gram_frac raised for 5-token fixtures: every
+    # bigram is 1/4 of the doc at this length
+    qg = quality_gate(max_dup_word_frac=0.5, max_top_2gram_frac=0.3)
+    og = oov_gate(
+        ["the", "quick", "brown", "fox", "jumps", "clean", "words", "here"],
+        max_oov_rate=0.4,
+    )
+    cap.capture_insert(
+        _doc_rows(
+            spark,
+            [
+                (1, "the quick brown fox jumps"),       # passes both
+                (2, "spam spam spam spam spam spam"),   # repetition trip
+                (3, "zzz qqq vvv kkk mmm"),             # all OOV
+                (4, "clean words here fox ok"),         # 1/5 OOV -> passes
+            ],
+        )
+    )
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "qkpt"),
+        admission_filter=lambda df: og(qg(df)),
+    )
+    ing.run_available_now()
+    assert {r["doc_id"] for r in corpus.read().collect()} == {1, 4}
+
+    # restart from the same checkpoint: nothing re-delivers
+    ing2 = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "qkpt"),
+        admission_filter=lambda df: og(qg(df)),
+    )
+    ing2.run_available_now()
+    assert {r["doc_id"] for r in corpus.read().collect()} == {1, 4}
+
+    with _pytest.raises(ValueError, match="vocab_terms"):
+        oov_gate([])
