@@ -444,3 +444,165 @@ def equidepth_from_counts(
             F.round(F.max("_val"), 6).alias("hi"),
         )
     )
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate — ``COUNT(DISTINCT x)
+    GROUP BY g`` replaced by bounded state per group: one row per group
+    ``(*group_cols, n_est, n_empty_buckets)``, same engine-exact md5
+    construction as :func:`hll_distinct` (the DuckDB oracle reproduces
+    every group bit-for-bit).
+
+    Two differences from the scalar form, both scale-motivated: the
+    per-group shuffle state is ≤ 64 (bucket, max-rank) rows per group
+    after map-side combine — the grouped exact count's state is the
+    group's distinct-value set, unbounded; and absent buckets
+    contribute their ``2^0 = 1`` harmonic terms ARITHMETICALLY
+    (``64 - count(present)``) instead of via the scalar form's
+    64-row completion join, which would need a per-group key
+    explosion here. Groups whose values are all NULL vanish (no rows
+    reach the aggregation), matching ``GROUP BY`` over the filtered
+    input.
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    vals = (
+        df.select(*group_cols, h.alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+    bucket = F.expr("_h % 64").alias("_b")
+    w = F.expr("_h div 64")
+    rho = (
+        F.when(w == 0, F.lit(_RANK_BITS + 1))
+        .otherwise(F.lit(_RANK_BITS + 1) - F.length(F.bin(w)))
+        .alias("_rho")
+    )
+    per_bucket = (
+        vals.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    term = F.round(F.pow(F.lit(2.0), -F.col("_M")), 18)
+    agg = per_bucket.groupBy(*group_cols).agg(
+        (
+            F.sum(term.cast("decimal(25,18)"))
+            + (F.lit(_M) - F.count("*")).cast("decimal(25,18)")
+        )
+        .cast("double")
+        .alias("_s"),
+        (F.lit(_M) - F.count("*")).cast("long").alias("n_empty_buckets"),
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("n_empty_buckets") == _M, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(_ALPHA_M * _M * _M) / F.col("_s"), decimals)
+        )
+        .alias("n_est"),
+        "n_empty_buckets",
+    )
+
+
+def quantile_sketch_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percents: list[int] | tuple[int, ...] = (25, 50, 75),
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group quantile brackets from per-group fixed-bin histograms
+    — :func:`quantile_sketch` with ``group_cols`` threaded through
+    every stage: one row per (group, pct) with the same exact-integer
+    bracket guarantee (the group's exact pct-th percentile lies in
+    ``[lo_est, hi_est]``, bracket width = group range / ``num_bins``).
+
+    Scale shape: per-group min/max/count agg (group-sized), one
+    histogram agg with ≤ ``num_bins`` rows per group of shuffle state,
+    a cumsum windowed PER GROUP over that bounded table (never a
+    data-sized single partition), then the percent join. Each group
+    gets its own bin geometry, so skewed groups don't flatten compact
+    ones — the failure mode of one global histogram.
+    """
+    if num_bins < 1:
+        raise ValueError(f"num_bins must be >= 1, got {num_bins}")
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    if any(p < 1 or p > 100 for p in percents):
+        raise ValueError(f"percents must be in [1, 100], got {percents}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    iv = df.select(
+        *group_cols,
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    stats = iv.groupBy(*group_cols).agg(
+        F.min("_v").alias("_lo"),
+        F.max("_v").alias("_hi"),
+        F.count("*").alias("_n"),
+    )
+    binned = iv.join(stats, group_cols).select(
+        *group_cols,
+        F.expr(f"((_v - _lo) * {num_bins}) div (_hi - _lo + 1)")
+        .cast("int")
+        .alias("_bin"),
+    )
+    hist = binned.groupBy(*group_cols, "_bin").agg(F.count("*").alias("_cnt"))
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    pcts = spark.createDataFrame(
+        [(int(p),) for p in sorted(set(percents))], "pct int"
+    )
+    targets = stats.crossJoin(F.broadcast(pcts)).select(
+        *group_cols,
+        "pct",
+        F.greatest(
+            F.expr("(pct * _n + 99) div 100"), F.lit(1).cast("long")
+        ).alias("target_rank"),
+        "_lo",
+        "_hi",
+    )
+    hit = (
+        targets.join(
+            cum,
+            [
+                *[targets[g] == cum[g] for g in group_cols],
+                cum["_cum"] >= targets["target_rank"],
+            ],
+        )
+        .groupBy(
+            *[targets[g] for g in group_cols], "pct", "target_rank", "_lo", "_hi"
+        )
+        .agg(F.min("_bin").alias("bin"))
+    )
+    r = "(_hi - _lo + 1)"
+    b = num_bins
+    return hit.select(
+        *group_cols,
+        "pct",
+        "target_rank",
+        "bin",
+        (
+            F.expr(f"_lo + (bin * {r} + {b - 1}) div {b}").cast("double")
+            / scale
+        ).alias("lo_est"),
+        (
+            F.expr(f"_lo + ((bin + 1) * {r} + {b - 1}) div {b} - 1").cast(
+                "double"
+            )
+            / scale
+        ).alias("hi_est"),
+    )

@@ -60,6 +60,8 @@ _WINDOW_R5 = [
     # -- 1. new this round --
     "q_quantile_sketch",
     "q_equidepth_sketch",
+    "q_hll_by_type",
+    "q_quantiles_by_type",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -94,8 +96,6 @@ _WINDOW_R5 = [
     "q_scd2_history",
     "q_asof_lookup",
     "q_winnow_fingerprints",
-    "q_cluster_sizes",
-    "q_zorder_value",
 ]
 
 

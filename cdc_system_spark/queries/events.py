@@ -484,3 +484,95 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog(spark, sf_dir).events
     return quantile_sketch(ev, "value")
+
+
+# -- q_hll_by_type: per-group portable HLL distinct ---------------------------
+_HLL_BY_SQL = """WITH v AS (
+        SELECT event_type,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    pb AS (
+        SELECT event_type, h % 64 AS b,
+               MAX(CASE WHEN h // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(h // 64)) END) AS m
+        FROM v GROUP BY event_type, h % 64),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(POWER(2.0, -m), 18) AS DECIMAL(25,18)))
+                    + CAST(64 - COUNT(*) AS DECIMAL(25,18)) AS DOUBLE) AS s,
+               CAST(64 - COUNT(*) AS BIGINT) AS n_empty_buckets
+        FROM pb GROUP BY event_type)
+    SELECT event_type,
+           CASE WHEN n_empty_buckets = 64 THEN 0.0
+                ELSE ROUND(CAST(0.709 * 64 * 64 AS DOUBLE) / s, 4)
+           END AS n_est,
+           n_empty_buckets
+    FROM agg"""
+
+
+@register(
+    "q_hll_by_type",
+    _HLL_BY_SQL,
+    doc="per-event-type HyperLogLog distinct-user estimate — COUNT("
+    "DISTINCT) GROUP BY with bounded state: <=64 (bucket, max-rank) "
+    "rows per group after map-side combine where the exact form "
+    "carries each group's full distinct set; absent buckets enter the "
+    "harmonic sum arithmetically (64 - count), no completion join",
+)
+def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import hll_distinct_by
+
+    ev = catalog(spark, sf_dir).events.select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    return hll_distinct_by(ev, ["event_type"], "user_id")
+
+
+# -- q_quantiles_by_type: per-group fixed-bin quantile brackets ---------------
+_QUANTILES_BY_SQL = """WITH iv AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_type, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+          FROM iv GROUP BY event_type),
+    b AS (SELECT iv.event_type, ((v - lo) * 256) // (hi - lo + 1) AS bin
+          FROM iv JOIN s USING (event_type)),
+    h AS (SELECT event_type, bin, COUNT(*) AS cnt
+          FROM b GROUP BY event_type, bin),
+    c AS (SELECT event_type, bin,
+                 SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+          FROM h),
+    p AS (SELECT * FROM (VALUES (25),(50),(75)) AS t(pct)),
+    t AS (SELECT s.event_type, pct,
+                 GREATEST((pct * n + 99) // 100, 1) AS target, lo, hi
+          FROM s, p),
+    q AS (SELECT t.event_type, t.pct, t.target, t.lo, t.hi,
+                 MIN(c.bin) AS bin
+          FROM t JOIN c ON c.event_type = t.event_type
+                       AND c.cum >= t.target
+          GROUP BY t.event_type, t.pct, t.target, t.lo, t.hi)
+    SELECT event_type,
+           CAST(pct AS INTEGER) AS pct,
+           CAST(target AS BIGINT) AS target_rank,
+           CAST(bin AS INTEGER) AS bin,
+           CAST(lo + (bin * (hi - lo + 1) + 255) // 256 AS DOUBLE) / 100
+               AS lo_est,
+           CAST(lo + ((bin + 1) * (hi - lo + 1) + 255) // 256 - 1
+                AS DOUBLE) / 100 AS hi_est
+    FROM q"""
+
+
+@register(
+    "q_quantiles_by_type",
+    _QUANTILES_BY_SQL,
+    doc="per-event-type quantile brackets (p25/p50/p75) from per-group "
+    "fixed-256-bin histograms — each group gets its own bin geometry "
+    "so skewed groups don't flatten compact ones; per-group shuffle "
+    "state bounded at 256 rows, cumsum windowed per group, exact "
+    "integer bracket guarantee as q_quantile_sketch",
+)
+def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import quantile_sketch_by
+
+    ev = catalog(spark, sf_dir).events
+    return quantile_sketch_by(ev, ["event_type"], "value")

@@ -50,6 +50,8 @@ def test_oracle_window_composition():
         # new in round 5:
         "q_quantile_sketch",
         "q_equidepth_sketch",
+        "q_hll_by_type",
+        "q_quantiles_by_type",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",

@@ -165,3 +165,54 @@ def test_equidepth_from_counts_fewer_rows_than_buckets(spark):
     }
     # NTILE with n < k: first n buckets get one row each
     assert got == {1: (1, 1.0, 1.0), 2: (1, 3.0, 3.0), 3: (1, 5.0, 5.0)}
+
+
+def test_hll_distinct_by_matches_scalar_per_group(spark):
+    from cdc_system_spark.operators.sketch import hll_distinct, hll_distinct_by
+
+    rows = [("a", f"u{i % 40}") for i in range(200)] + [
+        ("b", f"v{i}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, u string")
+    grouped = {
+        r["g"]: (r["n_est"], r["n_empty_buckets"])
+        for r in hll_distinct_by(df, ["g"], "u").collect()
+    }
+    for g in ("a", "b"):
+        scalar = hll_distinct(df.filter(F.col("g") == g), "u").head()
+        assert grouped[g] == (scalar["n_est"], scalar["n_empty_buckets"]), g
+    # estimates are in the documented +-~13% band (b: 300 distinct)
+    assert abs(grouped["b"][0] - 300) / 300 < 0.45
+    # all-null group vanishes, like GROUP BY over the filtered input
+    withnull = df.union(spark.createDataFrame([("c", None)], "g string, u string"))
+    assert "c" not in {
+        r["g"] for r in hll_distinct_by(withnull, ["g"], "u").collect()
+    }
+
+
+def test_quantile_sketch_by_brackets_each_group(spark):
+    from cdc_system_spark.operators.sketch import quantile_sketch_by
+
+    # group a: compact grid; group b: 100x wider — per-group bin
+    # geometry must bracket each group's own percentiles
+    rows = [("a", round(1.0 + 0.01 * i, 2)) for i in range(100)] + [
+        ("b", float(i * 7 % 997)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    got = {
+        (r["g"], r["pct"]): r
+        for r in quantile_sketch_by(df, ["g"], "value").collect()
+    }
+    import math
+
+    byg = {"a": sorted(v for g, v in rows if g == "a"),
+           "b": sorted(v for g, v in rows if g == "b")}
+    for (g, pct), r in got.items():
+        rank = max(math.ceil(pct * len(byg[g]) / 100), 1)
+        exact = byg[g][rank - 1]
+        assert r["target_rank"] == rank
+        assert r["lo_est"] - 1e-9 <= exact <= r["hi_est"] + 1e-9, (g, pct)
+        # bracket width bounded by the GROUP's range / 256
+        rng = byg[g][-1] - byg[g][0]
+        assert r["hi_est"] - r["lo_est"] <= rng / 256 + 0.02
+    assert len(got) == 6  # 2 groups x 3 default percents
