@@ -232,10 +232,14 @@ def quantile_sketch(
       ``[lo + ceil(b·R/B), lo + ceil((b+1)·R/B) - 1]``, divided by
       ``scale`` only for display.
 
-    Scale shape at 100 TB: a min/max/count agg (bounded state), one
-    map-side-combined histogram agg into <= ``num_bins`` rows, a
-    window cumsum over that tiny table, and a percent-table join —
-    nothing data-sized ever sorts or gathers. The histogram itself is
+    Scale shape at 100 TB: a min/max/count agg (bounded state,
+    collected as THREE scalars — the same bounded-scalar boundary as
+    ``skew_profile``'s total; attaching the 1-row stats frame with a
+    join instead would constant-fold into the audit-forbidden
+    BroadcastNestedLoopJoin), one map-side-combined histogram agg into
+    <= ``num_bins`` rows, a window cumsum over that tiny table, and a
+    literal percent-struct explode — nothing data-sized ever sorts or
+    gathers, and nothing joins at all. The histogram itself is
     MERGEABLE (bins are position-identical across splits), so shards
     can sketch independently and union before the cumsum. NULLs are
     ignored; an empty input yields an empty result.
@@ -246,23 +250,31 @@ def quantile_sketch(
         raise ValueError("percents must be non-empty")
     if any(p < 1 or p > 100 for p in percents):
         raise ValueError(f"percents must be in [1, 100], got {percents}")
+    from pyspark.sql import Window
+
     spark = df.sparkSession
+    out_schema = (
+        "pct int, target_rank long, bin int, lo_est double, hi_est double"
+    )
     iv = df.select(
         F.round(F.col(value_col) * scale, 0).cast("long").alias("_v")
     ).filter(F.col("_v").isNotNull())
-    stats = iv.agg(
+    srow = iv.agg(
         F.min("_v").alias("_lo"),
         F.max("_v").alias("_hi"),
         F.count("*").alias("_n"),
+    ).collect()[0]
+    if srow["_n"] == 0:
+        return spark.createDataFrame([], out_schema)
+    lo, hi, n = int(srow["_lo"]), int(srow["_hi"]), int(srow["_n"])
+    rng, b = hi - lo + 1, num_bins
+    hist = (
+        iv.select(
+            F.expr(f"((_v - {lo}) * {b}) div {rng}").cast("int").alias("_bin")
+        )
+        .groupBy("_bin")
+        .agg(F.count("*").alias("_cnt"))
     )
-    binned = iv.crossJoin(F.broadcast(stats)).select(
-        F.expr(f"((_v - _lo) * {num_bins}) div (_hi - _lo + 1)")
-        .cast("int")
-        .alias("_bin")
-    )
-    hist = binned.groupBy("_bin").agg(F.count("*").alias("_cnt"))
-    from pyspark.sql import Window
-
     cum = hist.withColumn(
         "_cum",
         F.sum("_cnt").over(
@@ -271,34 +283,42 @@ def quantile_sketch(
             )
         ),
     )
-    pcts = spark.createDataFrame(
-        [(int(p),) for p in sorted(set(percents))], "pct int"
-    )
-    targets = pcts.crossJoin(F.broadcast(stats)).select(
-        "pct",
-        F.greatest(
-            F.expr("(pct * _n + 99) div 100"), F.lit(1).cast("long")
-        ).alias("target_rank"),
-        "_lo",
-        "_hi",
-    )
+    # exact ceil targets in Python ints; each cum row fans out over the
+    # literal percent structs and keeps the ranks it satisfies — a
+    # map + tiny agg, no join
+    targets = [
+        (int(p), max((p * n + 99) // 100, 1)) for p in sorted(set(percents))
+    ]
     hit = (
-        targets.join(cum, F.col("_cum") >= F.col("target_rank"))
-        .groupBy("pct", "target_rank", "_lo", "_hi")
+        cum.select(
+            "_bin",
+            "_cum",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("pct"),
+                            F.lit(t).cast("long").alias("target_rank"),
+                        )
+                        for p, t in targets
+                    ]
+                )
+            ).alias("_pt"),
+        )
+        .filter(F.col("_cum") >= F.col("_pt.target_rank"))
+        .groupBy("_pt.pct", "_pt.target_rank")
         .agg(F.min("_bin").alias("bin"))
     )
-    r = "(_hi - _lo + 1)"
-    b = num_bins
     return hit.select(
         "pct",
         "target_rank",
         "bin",
         (
-            F.expr(f"_lo + (bin * {r} + {b - 1}) div {b}").cast("double")
+            F.expr(f"{lo} + (bin * {rng} + {b - 1}) div {b}").cast("double")
             / scale
         ).alias("lo_est"),
         (
-            F.expr(f"_lo + ((bin + 1) * {r} + {b - 1}) div {b} - 1").cast(
+            F.expr(f"{lo} + ((bin + 1) * {rng} + {b - 1}) div {b} - 1").cast(
                 "double"
             )
             / scale
@@ -335,7 +355,11 @@ def equidepth_from_counts(
     partition-by. Each distinct value then knows its global rank range
     ``[cum_lo, cum_hi]`` and emits one row per overlapped bucket
     (``<= k`` by construction, via an exact integer rank→bucket map) —
-    a k-row broadcast equi-join, never a range join.
+    a k-row broadcast equi-join, never a range join. The global
+    min/max/total land as THREE collected scalars (the bounded-scalar
+    boundary, as in ``skew_profile``: a 1-row stats frame attached by
+    join constant-folds into the audit-forbidden
+    BroadcastNestedLoopJoin).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -349,16 +373,21 @@ def equidepth_from_counts(
         .agg(F.count("*").alias("_cnt"))
         .withColumn("_v", F.round(F.col("_val") * scale, 0).cast("long"))
     )
-    stats = vc.agg(
+    srow = vc.agg(
         F.min("_v").alias("_lo"),
         F.max("_v").alias("_hi"),
         F.sum("_cnt").alias("_n"),
-    )
-    sharded = vc.crossJoin(F.broadcast(stats)).withColumn(
+    ).collect()[0]
+    if srow["_n"] is None:
+        return spark.createDataFrame(
+            [], "bucket int, n bigint, lo double, hi double"
+        )
+    lo, hi, n = int(srow["_lo"]), int(srow["_hi"]), int(srow["_n"])
+    rng = hi - lo + 1
+    fl, r0 = n // k, n % k
+    sharded = vc.withColumn(
         "_shard",
-        F.expr(f"((_v - _lo) * {num_shards}) div (_hi - _lo + 1)").cast(
-            "int"
-        ),
+        F.expr(f"((_v - {lo}) * {num_shards}) div {rng}").cast("int"),
     )
     within = F.sum("_cnt").over(
         Window.partitionBy("_shard").orderBy("_v").rowsBetween(
@@ -387,7 +416,6 @@ def equidepth_from_counts(
         .select(
             "_val",
             "_cnt",
-            "_n",
             (F.col("_offset") + F.col("_wcum")).alias("_cum_hi"),
             (F.col("_offset") + F.col("_wcum") - F.col("_cnt") + 1).alias(
                 "_cum_lo"
@@ -398,16 +426,16 @@ def equidepth_from_counts(
     # k, ranks 1..r0*(fl+1) live in the (fl+1)-sized buckets, the rest
     # in fl-sized ones. (fl = 0 degenerates correctly: bucket = rank.)
     def _bucket_of(rank: str) -> str:
+        if fl == 0:
+            return rank
         return (
-            f"CASE WHEN ({rank}) <= _r0 * (_fl + 1) "
-            f"THEN (({rank}) - 1) div (_fl + 1) + 1 "
-            f"ELSE _r0 + (({rank}) - _r0 * (_fl + 1) - 1) div _fl + 1 END"
+            f"CASE WHEN ({rank}) <= {r0} * {fl + 1} "
+            f"THEN (({rank}) - 1) div {fl + 1} + 1 "
+            f"ELSE {r0} + (({rank}) - {r0 * (fl + 1)} - 1) div {fl} + 1 END"
         )
 
     spanned = (
-        ranked.withColumn("_fl", F.expr(f"_n div {k}"))
-        .withColumn("_r0", F.expr(f"_n % {k}"))
-        .withColumn("_b1", F.expr(_bucket_of("_cum_lo")).cast("int"))
+        ranked.withColumn("_b1", F.expr(_bucket_of("_cum_lo")).cast("int"))
         .withColumn("_b2", F.expr(_bucket_of("_cum_hi")).cast("int"))
         .select(
             "_val",
@@ -416,20 +444,17 @@ def equidepth_from_counts(
             F.explode(F.sequence("_b1", "_b2")).alias("bucket"),
         )
     )
-    buckets = (
-        spark.range(1, k + 1)
-        .select(F.col("id").cast("int").alias("bucket"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "bucket",
-            F.expr(
-                f"(bucket - 1) * (_n div {k}) "
-                f"+ least(bucket - 1, _n % {k}) + 1"
-            ).alias("_start"),
-            F.expr(
-                f"bucket * (_n div {k}) + least(bucket, _n % {k})"
-            ).alias("_end"),
-        )
+    # the k bucket rank ranges in exact Python ints (NTILE's rule)
+    buckets = spark.createDataFrame(
+        [
+            (
+                b_,
+                (b_ - 1) * fl + min(b_ - 1, r0) + 1,
+                b_ * fl + min(b_, r0),
+            )
+            for b_ in range(1, k + 1)
+        ],
+        "bucket int, _start long, _end long",
     )
     return (
         spanned.join(F.broadcast(buckets), "bucket")
@@ -538,7 +563,6 @@ def quantile_sketch_by(
         raise ValueError(f"percents must be in [1, 100], got {percents}")
     from pyspark.sql import Window
 
-    spark = df.sparkSession
     iv = df.select(
         *group_cols,
         F.round(F.col(value_col) * scale, 0).cast("long").alias("_v"),
@@ -548,6 +572,9 @@ def quantile_sketch_by(
         F.max("_v").alias("_hi"),
         F.count("*").alias("_n"),
     )
+    # stats is group-count-sized; with the equi key present Catalyst
+    # broadcasts it when small and AQE upgrades the join at runtime —
+    # no hint, so a high-cardinality group column can't force an OOM
     binned = iv.join(stats, group_cols).select(
         *group_cols,
         F.expr(f"((_v - _lo) * {num_bins}) div (_hi - _lo + 1)")
@@ -563,10 +590,18 @@ def quantile_sketch_by(
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    pcts = spark.createDataFrame(
-        [(int(p),) for p in sorted(set(percents))], "pct int"
-    )
-    targets = stats.crossJoin(F.broadcast(pcts)).select(
+    # percents attach via a literal-array explode — never a cross join
+    # (a crossJoin of even a tiny frame plans as the audit-forbidden
+    # BroadcastNestedLoopJoin)
+    targets = stats.select(
+        *group_cols,
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in sorted(set(percents))])
+        ).alias("pct"),
+        "_lo",
+        "_hi",
+        "_n",
+    ).select(
         *group_cols,
         "pct",
         F.greatest(
@@ -575,6 +610,8 @@ def quantile_sketch_by(
         "_lo",
         "_hi",
     )
+    # equi join on the group key (cum is <= num_bins rows per group);
+    # the rank condition lands as the join's residual filter
     hit = (
         targets.join(
             cum,
