@@ -127,3 +127,89 @@ def compact_zordered(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def zone_map(
+    df: DataFrame,
+    order_col: Column | str,
+    value_col: Column | str,
+    num_zones: int = 64,
+) -> DataFrame:
+    """Zone map (min/max data-skipping statistics) over ``value_col``
+    for a table laid out in ``order_col`` order: one row per zone —
+    ``(zone, n_rows, v_min, v_max)`` — where zones are the
+    ``num_zones`` equal-width spans of ``order_col``'s integer domain,
+    standing in for files/row-groups written in that order.
+
+    This is the statistic behind parquet row-group skipping and
+    Delta/Iceberg file pruning, materialized as a queryable artifact:
+    a predicate ``value BETWEEN lo AND hi`` can skip every zone whose
+    ``[v_min, v_max]`` misses the range — and because the zone key is
+    the WRITE order, the map also diagnoses layout quality (zones with
+    near-global ``[v_min, v_max]`` spans mean the layout doesn't
+    cluster ``value_col``; a :func:`compact_zordered` rewrite fixes
+    that, checkable by re-running the map).
+
+    Plan shape: ``order_col``'s min/max land as two collected scalars
+    (bounded-scalar boundary, see ``skew_profile``), then ONE
+    map-side-combined groupBy into ``num_zones`` rows. NULL order keys
+    are excluded; an empty input yields an empty map.
+    """
+    if num_zones < 1:
+        raise ValueError(f"num_zones must be >= 1, got {num_zones}")
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    keyed = df.select(
+        oc.cast("long").alias("_o"), vc.alias("_v")
+    ).filter(F.col("_o").isNotNull())
+    srow = keyed.agg(
+        F.min("_o").alias("_lo"), F.max("_o").alias("_hi")
+    ).collect()[0]
+    if srow["_lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "zone int, n_rows bigint, v_min double, v_max double"
+        )
+    lo, hi = int(srow["_lo"]), int(srow["_hi"])
+    rng = hi - lo + 1
+    return (
+        keyed.select(
+            F.expr(f"((_o - {lo}) * {num_zones}) div {rng}")
+            .cast("int")
+            .alias("zone"),
+            "_v",
+        )
+        .groupBy("zone")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("_v"), 6).alias("v_min"),
+            F.round(F.max("_v"), 6).alias("v_max"),
+        )
+    )
+
+
+def prune_fraction(
+    zmap: DataFrame,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Skip-effectiveness of a zone map for ``value BETWEEN lo AND
+    hi``: one row ``(n_zones, n_skipped, rows_total, rows_skipped,
+    skip_fraction)``. A zone is skippable iff ``v_max < lo OR v_min >
+    hi`` (its span misses the predicate range entirely) — the exact
+    rule engines apply to row-group statistics. ``skip_fraction`` is
+    the ROW fraction (what actually saves I/O), not the zone fraction.
+    """
+    skippable = (F.col("v_max") < lo) | (F.col("v_min") > hi)
+    return zmap.agg(
+        F.count("*").cast("long").alias("n_zones"),
+        F.sum(F.when(skippable, 1).otherwise(0)).cast("long").alias("n_skipped"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(skippable, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        F.round(
+            F.sum(F.when(skippable, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows"),
+            6,
+        ).alias("skip_fraction"),
+    )

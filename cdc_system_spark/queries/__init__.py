@@ -62,6 +62,8 @@ _WINDOW_R5 = [
     "q_equidepth_sketch",
     "q_hll_by_type",
     "q_quantiles_by_type",
+    "q_bloom_prune",
+    "q_zone_map",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -94,8 +96,6 @@ _WINDOW_R5 = [
     "q_pagerank",
     "q_boilerplate",
     "q_scd2_history",
-    "q_asof_lookup",
-    "q_winnow_fingerprints",
 ]
 
 

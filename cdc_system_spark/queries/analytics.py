@@ -455,3 +455,92 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact, dim, fact_key="user_id", dim_key="c_custkey",
         salt_source="event_id", salt_count=8,
     ).select("event_id", "user_id", "c_name")
+
+
+# -- q_bloom_prune: portable Bloom-filter join pruning ------------------------
+def _bf_bit_sql(i: int, expr: str) -> str:
+    return (
+        f"CAST(CONCAT('0x', SUBSTR(MD5('bf{i}:' || CAST({expr} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % 8192"
+    )
+
+
+_BLOOM_SQL = f"""WITH dimk AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+    bits AS (SELECT DISTINCT bit FROM (
+        SELECT {_bf_bit_sql(0, 'k')} AS bit FROM dimk
+        UNION ALL SELECT {_bf_bit_sql(1, 'k')} FROM dimk
+        UNION ALL SELECT {_bf_bit_sql(2, 'k')} FROM dimk)),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_custkey IS NOT NULL),
+    fan AS (
+        SELECT k, {_bf_bit_sql(0, 'k')} AS bit FROM probe
+        UNION ALL SELECT k, {_bf_bit_sql(1, 'k')} FROM probe
+        UNION ALL SELECT k, {_bf_bit_sql(2, 'k')} FROM probe),
+    hits AS (SELECT f.k, COUNT(b.bit) = 3 AS maybe
+             FROM fan f LEFT JOIN bits b USING (bit) GROUP BY f.k),
+    flagged AS (
+        SELECT COALESCE(h.maybe, FALSE) AS maybe,
+               o.o_custkey IN (SELECT k FROM dimk) AS istrue
+        FROM orders o LEFT JOIN hits h ON o.o_custkey = h.k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(SUM(CASE WHEN maybe AND NOT istrue THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM flagged"""
+
+
+@register(
+    "q_bloom_prune",
+    _BLOOM_SQL,
+    doc="engine-portable Bloom-filter join pruning: the BUILDING-"
+    "segment customer keys compressed to an 8192-bit md5 filter "
+    "(sparse set-bit table, <=8192 rows, mergeable by union), orders "
+    "probed map-side via broadcast — the shape of Spark's runtime "
+    "bloom join made oracle-reproducible; report proves no false "
+    "negatives (n_pass >= n_true_match) and shows the FP selectivity "
+    "loss",
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.bloom import bloom_prune_report
+
+    cat = catalog(spark, sf_dir)
+    dim = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return bloom_prune_report(cat.orders, "o_custkey", dim, "c_custkey")
+
+
+# -- q_zone_map: min/max data-skipping statistics -----------------------------
+_ZONE_SQL = """WITH keyed AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS o, o_totalprice AS v
+        FROM orders WHERE o_orderdate IS NOT NULL),
+    s AS (SELECT MIN(o) AS lo, MAX(o) AS hi FROM keyed)
+    SELECT CAST(((o - lo) * 64) // (hi - lo + 1) AS INTEGER) AS zone,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(v), 6) AS v_min,
+           ROUND(MAX(v), 6) AS v_max
+    FROM keyed, s
+    GROUP BY ((o - lo) * 64) // (hi - lo + 1)"""
+
+
+@register(
+    "q_zone_map",
+    _ZONE_SQL,
+    doc="zone map (min/max data-skipping stats) of o_totalprice over "
+    "64 order-date zones — the statistic behind parquet row-group / "
+    "lake-format file pruning as a queryable artifact; near-global "
+    "per-zone spans diagnose a layout that doesn't cluster the value "
+    "(fix = Z-order rewrite, re-check by re-running); two collected "
+    "scalar bounds + one 64-row map-side-combined agg",
+)
+def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.maintenance import zone_map
+
+    orders = catalog(spark, sf_dir).orders
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    return zone_map(orders, days, F.col("o_totalprice"), num_zones=64)

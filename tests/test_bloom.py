@@ -1,0 +1,80 @@
+"""Bloom membership: no false negatives ever, bounded false positives,
+engine-portable bits, mergeable sparse representation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+    bloom_prune_report,
+)
+
+
+def test_bloom_never_false_negative_and_fp_bounded(spark):
+    keys = spark.createDataFrame([(i,) for i in range(0, 400, 2)], "k long")
+    bloom = bloom_build(keys, "k")
+    probe = spark.createDataFrame([(i,) for i in range(400)], "k long")
+    got = {r["k"]: r["maybe_member"] for r in bloom_probe(probe, "k", bloom).collect()}
+    members = set(range(0, 400, 2))
+    for k in members:
+        assert got[k], f"false negative on {k}"  # the hard guarantee
+    fp = sum(1 for k in range(400) if k not in members and got[k])
+    assert fp / 200 < 0.05  # 200 keys in 8192 bits, k=3: expect well under 5%
+
+
+def test_bloom_probe_handles_nulls_and_keeps_all_rows(spark):
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    bloom = bloom_build(keys, "k")
+    probe = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (99, "c")], "k long, payload string"
+    )
+    rows = {r["payload"]: r["maybe_member"] for r in
+            bloom_probe(probe, "k", bloom).collect()}
+    assert rows["a"] is True and rows["b"] is False
+    assert len(rows) == 3  # no probe row dropped
+
+
+def test_bloom_union_is_bitmap_or(spark):
+    a = bloom_build(spark.createDataFrame([(1,), (2,)], "k long"), "k")
+    b = bloom_build(spark.createDataFrame([(3,)], "k long"), "k")
+    merged = a.union(b).distinct()
+    probe = spark.createDataFrame([(1,), (3,)], "k long")
+    got = {r["k"]: r["maybe_member"] for r in
+           bloom_probe(probe, "k", merged).collect()}
+    assert got == {1: True, 3: True}
+    whole = bloom_build(spark.createDataFrame([(1,), (2,), (3,)], "k long"), "k")
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+
+
+def test_bloom_prune_report_counts(spark):
+    dim = spark.createDataFrame([(i,) for i in range(10)], "dk long")
+    fact = spark.createDataFrame(
+        [(i % 20,) for i in range(200)], "fk long"
+    )
+    r = bloom_prune_report(fact, "fk", dim, "dk").head()
+    assert r["n_fact"] == 200
+    assert r["n_true_match"] == 100          # keys 0..9 appear 10x each
+    assert r["n_pass"] >= r["n_true_match"]  # no false negatives
+    assert r["n_false_pos"] == r["n_pass"] - r["n_true_match"]
+
+
+def test_bloom_build_validates_and_ignores_nulls(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    bits = bloom_build(df, "k").count()
+    assert 1 <= bits <= 3  # one key, k=3 hashes, possible collisions
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", num_bits=4)
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", num_hashes=0)
+
+
+def test_bloom_is_layout_independent(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    a = sorted(r["bit"] for r in bloom_build(df, "k").collect())
+    b = sorted(r["bit"] for r in bloom_build(df.repartition(7), "k").collect())
+    assert a == b

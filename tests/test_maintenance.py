@@ -112,3 +112,44 @@ def test_compact_zordered_tightens_per_file_stats(spark, tmp_path):
     assert spark.read.parquet(out).count() == 20000
     with pytest.raises(ValueError, match="num_files"):
         compact_zordered(df, out, "x", "y", num_files=0)
+
+
+def test_zone_map_and_prune_fraction(spark):
+    from cdc_system_spark.operators.maintenance import prune_fraction, zone_map
+
+    # write order correlates with value: zones cleanly separate ranges
+    rows = [(i, float(i * 10)) for i in range(128)]
+    df = spark.createDataFrame(rows, "pos long, value double")
+    zm = zone_map(df, "pos", "value", num_zones=4)
+    zones = {r["zone"]: r for r in zm.collect()}
+    assert set(zones) == {0, 1, 2, 3}
+    assert all(r["n_rows"] == 32 for r in zones.values())
+    assert zones[0]["v_min"] == 0.0 and zones[0]["v_max"] == 310.0
+    assert zones[3]["v_min"] == 960.0 and zones[3]["v_max"] == 1270.0
+    # predicate value BETWEEN 0 AND 300 touches only zone 0
+    pf = prune_fraction(zm, 0.0, 300.0).head()
+    assert pf["n_zones"] == 4 and pf["n_skipped"] == 3
+    assert pf["rows_skipped"] == 96 and pf["skip_fraction"] == 0.75
+    # uncorrelated layout: nothing skippable — the diagnosis case
+    shuffled = spark.createDataFrame(
+        [(i, float(((i * 53) % 128) * 10)) for i in range(128)],
+        "pos long, value double",
+    )
+    pf2 = prune_fraction(
+        zone_map(shuffled, "pos", "value", num_zones=4), 0.0, 300.0
+    ).head()
+    assert pf2["n_skipped"] == 0
+
+
+def test_zone_map_edge_cases(spark):
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.maintenance import zone_map
+
+    empty = spark.createDataFrame([(None, 1.0)], "pos long, value double")
+    assert zone_map(empty, "pos", "value").count() == 0
+    one = spark.createDataFrame([(5, 2.5)], "pos long, value double")
+    r = zone_map(one, "pos", "value").head()
+    assert (r["zone"], r["n_rows"], r["v_min"], r["v_max"]) == (0, 1, 2.5, 2.5)
+    with _pytest.raises(ValueError):
+        zone_map(one, "pos", "value", num_zones=0)

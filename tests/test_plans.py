@@ -52,6 +52,8 @@ def test_oracle_window_composition():
         "q_equidepth_sketch",
         "q_hll_by_type",
         "q_quantiles_by_type",
+        "q_bloom_prune",
+        "q_zone_map",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",
