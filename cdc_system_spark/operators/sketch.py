@@ -63,31 +63,64 @@ def hll_distinct(
     ``n_empty_buckets`` never mistakes zero distinct values for a real
     estimate.
     """
+    return hll_estimate(hll_state(df, value_col), decimals)
+
+
+def hll_state(df: DataFrame, value_col: str) -> DataFrame:
+    """The HLL sketch as a TABLE artifact: ``(bucket, max_rank)``,
+    <= 64 rows — the maintained form for incremental pipelines. Build
+    one per shard/partition/day, store it, and combine with
+    :func:`hll_merge`: the merge of states equals the state of the
+    union (max is idempotent/commutative/associative), so a corpus
+    sketch never rebuilds from raw data. Absent buckets are implicit
+    rank 0 (states stay sparse)."""
     h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
         "long"
     )
     vals = df.select(h.alias("_h")).filter(F.col("_h").isNotNull())
-    bucket = F.expr("_h % 64").alias("_b")
+    bucket = F.expr("_h % 64").alias("bucket")
     w = F.expr("_h div 64")
     rho = (
         F.when(w == 0, F.lit(_RANK_BITS + 1))
         .otherwise(F.lit(_RANK_BITS + 1) - F.length(F.bin(w)))
         .alias("_rho")
     )
-    per_bucket = (
-        vals.select(bucket, rho).groupBy("_b").agg(F.max("_rho").alias("_M"))
+    return (
+        vals.select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("_rho").alias("max_rank"))
     )
-    # all 64 buckets, absent → rank 0 (2^0 = 1 in the harmonic sum)
-    buckets = df.sparkSession.range(_M).select(F.col("id").alias("_b"))
-    full = buckets.join(per_bucket, "_b", "left").select(
-        F.coalesce(F.col("_M"), F.lit(0)).alias("_M")
-    )
-    term = F.round(F.pow(F.lit(2.0), -F.col("_M")), 18)
-    agg = full.agg(
-        F.sum(term.cast("decimal(25,18)")).cast("double").alias("_s"),
-        F.sum(F.when(F.col("_M") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_empty_buckets"),
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """OR-combine HLL states (union + per-bucket max) — the lossless
+    merge that makes the sketch incrementally maintainable: estimate
+    (merge of shard states) == estimate(whole corpus), bit-for-bit,
+    proven by ``q_hll_merged``'s oracle being the WHOLE-corpus SQL."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(state: DataFrame, decimals: int = 4) -> DataFrame:
+    """One-row ``(n_est, n_empty_buckets)`` from a state table — the
+    same exact harmonic-sum arithmetic as :func:`hll_distinct` (absent
+    buckets contribute ``2^0 = 1`` arithmetically, as in
+    :func:`hll_distinct_by`)."""
+    term = F.round(F.pow(F.lit(2.0), -F.col("max_rank")), 18)
+    agg = state.filter(F.col("max_rank") > 0).agg(
+        (
+            F.coalesce(
+                F.sum(term.cast("decimal(25,18)")), F.lit(0).cast("decimal(25,18)")
+            )
+            + (F.lit(_M) - F.count("*")).cast("decimal(25,18)")
+        )
+        .cast("double")
+        .alias("_s"),
+        (F.lit(_M) - F.count("*")).cast("long").alias("n_empty_buckets"),
     )
     return agg.select(
         F.when(F.col("n_empty_buckets") == _M, F.lit(0.0))

@@ -1909,6 +1909,34 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+# -- merged HLL states: sketch-as-maintained-artifact -------------------------
+@register(
+    "q_hll_merged",
+    _HLL_SQL,
+    doc="HLL states as maintained artifacts: the event stream split "
+    "into two shards (user_id parity), one <=64-row (bucket, max_rank) "
+    "state built per shard, states OR-merged (union + per-bucket max), "
+    "then estimated — the oracle is the WHOLE-corpus HLL SQL, proving "
+    "merge-of-shard-states == rebuild-from-raw bit-for-bit; this is "
+    "the incremental maintenance path at 100 TB (per-day/per-partition "
+    "states stored and combined, raw data never re-read)",
+)
+def q_hll_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    ev = catalog(spark, sf_dir).events.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        (F.col("user_id") % 2).alias("_half"),
+    )
+    a = hll_state(ev.filter(F.col("_half") == 0), "user_id")
+    b = hll_state(ev.filter(F.col("_half") == 1), "user_id")
+    return hll_estimate(hll_merge(a, b))
+
+
 # -- portable Count-Min frequency sketch -------------------------------------
 def _cm_bucket_sql(row: int, term: str) -> str:
     return (

@@ -54,6 +54,7 @@ def test_oracle_window_composition():
         "q_quantiles_by_type",
         "q_bloom_prune",
         "q_zone_map",
+        "q_hll_merged",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",

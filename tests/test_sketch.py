@@ -216,3 +216,36 @@ def test_quantile_sketch_by_brackets_each_group(spark):
         rng = byg[g][-1] - byg[g][0]
         assert r["hi_est"] - r["lo_est"] <= rng / 256 + 0.02
     assert len(got) == 6  # 2 groups x 3 default percents
+
+
+def test_hll_state_merge_equals_rebuild(spark):
+    from cdc_system_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_state,
+    )
+
+    rows = [(f"u{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string")
+    whole = hll_distinct(df, "v").head()
+    parts = [
+        hll_state(df.filter(F.expr(f"CAST(SUBSTR(v, 2) AS INT) % 3 = {i}")), "v")
+        for i in range(3)
+    ]
+    merged = hll_estimate(hll_merge(*parts)).head()
+    assert (merged["n_est"], merged["n_empty_buckets"]) == (
+        whole["n_est"],
+        whole["n_empty_buckets"],
+    )
+    # merge is idempotent: re-merging the same state changes nothing
+    again = hll_estimate(hll_merge(parts[0], parts[0])).head()
+    solo = hll_estimate(parts[0]).head()
+    assert again["n_est"] == solo["n_est"]
+    # empty state estimates exact zero
+    import pytest as _pytest
+
+    empty = hll_state(spark.createDataFrame([], "v string"), "v")
+    assert hll_estimate(empty).head()["n_est"] == 0.0
+    with _pytest.raises(ValueError):
+        hll_merge()
