@@ -1271,3 +1271,131 @@ def knn_label_noise(
         ),
         (F.col("pred_label") != F.col("own_label")).alias("suspect"),
     )
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    dims: tuple[int, ...] | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Covariance matrix entries of the embedding dimensions: one row
+    per ``(i, j)`` with ``i <= j`` — the statistic behind PCA
+    projection, whitening, and anisotropy diagnosis of an embedding
+    corpus. ``cov = E[x_i x_j] - E[x_i] E[x_j]`` with every SUM
+    decimal-accumulated over 12-decimal-rounded per-row products
+    (order-insensitive, engine-exact — the package's ``dsum``
+    discipline), so the DuckDB oracle reproduces each entry
+    bit-for-bit; only the final two double ops (divide, subtract)
+    happen in float, identically everywhere.
+
+    ``dims`` selects a dimension subset (0-based). The exploded-pair
+    form costs n·d² rows before the d²-bounded map-side-combined agg —
+    fine for d ≤ ~32 or a diagnostic block; for full-width high-d
+    covariance at corpus scale use numpy partial outer products per
+    Arrow batch (the :func:`kmeans_refine` partial-sums shape) and
+    accept batch-order float sums, which no oracle can check.
+    """
+    d_expr = F.size(F.col(vec_col))
+    if dims is None:
+        first = emb.select(d_expr.alias("d")).first()
+        if first is None:
+            raise ValueError("embedding frame is empty and dims not given")
+        dims = tuple(range(int(first["d"])))
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    pairs = [(i, j) for i in dims for j in dims if i <= j]
+    v = F.col(vec_col)
+
+    def x(i: int) -> Column:
+        return F.element_at(v, i + 1).cast("double")
+
+    dec = "decimal(30,12)"
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for i in dims:
+        aggs.append(
+            F.sum(F.round(x(i), 12).cast(dec)).cast("double").alias(f"_s{i}")
+        )
+    for i, j in pairs:
+        aggs.append(
+            F.sum(F.round(x(i) * x(j), 12).cast(dec))
+            .cast("double")
+            .alias(f"_p{i}_{j}")
+        )
+    row = spread(emb).agg(*aggs)
+    # unpivot the single stats row into (i, j, cov) via a literal
+    # struct explode — no join, no shuffle beyond the agg itself
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.round(
+                    F.col(f"_p{i}_{j}") / F.col("_n")
+                    - (F.col(f"_s{i}") / F.col("_n"))
+                    * (F.col(f"_s{j}") / F.col("_n")),
+                    8,
+                ).alias("cov"),
+            )
+            for i, j in pairs
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select(
+        "e.i", "e.j", "e.cov"
+    )
+
+
+def pca_components(
+    cov: DataFrame,
+    num_components: int,
+    dim: int,
+) -> list[tuple[float, list[float]]]:
+    """Top-``num_components`` principal axes from a covariance-entry
+    frame (the :func:`embedding_covariance` output shape): a
+    driver-side list of ``(eigenvalue, unit_vector)`` sorted by
+    eigenvalue descending. The covariance matrix is d² scalars —
+    model parameters, collected by design (the IVF-centroid
+    boundary); the eigensolve is numpy ``eigh`` on the symmetrized
+    matrix. Sign convention: each vector's largest-|component| entry
+    is made positive, so results are deterministic across LAPACK
+    builds."""
+    import numpy as np
+
+    if num_components < 1 or num_components > dim:
+        raise ValueError(
+            f"num_components must be in [1, {dim}], got {num_components}"
+        )
+    M = np.zeros((dim, dim))
+    for r in cov.collect():
+        M[r["i"], r["j"]] = M[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(M)
+    out = []
+    for idx in np.argsort(-vals)[:num_components]:
+        vec = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        out.append((float(vals[idx]), [float(x) for x in vec]))
+    return out
+
+
+def pca_project(
+    emb: DataFrame,
+    components: list[tuple[float, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Project embeddings onto literal principal axes: ``(id, pc0,
+    pc1, ...)`` — dimensionality reduction as a zero-shuffle,
+    zero-join map projection (each score is one deterministic
+    sequential dot fold over literal axis arrays, the
+    :func:`cosine_topk` discipline — no Python in the row path)."""
+    cols = [F.col(id_col)]
+    for c_idx, (_, axis) in enumerate(components):
+        lit_axis = F.array(*[F.lit(float(a)) for a in axis])
+        cols.append(
+            F.round(_dot(F.col(vec_col), lit_axis), decimals).alias(
+                f"pc{c_idx}"
+            )
+        )
+    return spread(emb).select(*cols)

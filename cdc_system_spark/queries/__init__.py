@@ -65,6 +65,7 @@ _WINDOW_R5 = [
     "q_bloom_prune",
     "q_zone_map",
     "q_hll_merged",
+    "q_embedding_cov",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -95,7 +96,6 @@ _WINDOW_R5 = [
     "q_event_trend",
     "q_blocklist",
     "q_pagerank",
-    "q_boilerplate",
 ]
 
 

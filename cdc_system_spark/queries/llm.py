@@ -2046,3 +2046,56 @@ def q_pagerank_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         catalog(spark, sf_dir).embeddings, k=3, block_col="label"
     )
     return pagerank(edges, iters=3, seeds=[0, 1])
+
+
+# -- embedding covariance block (PCA input) ----------------------------------
+_COV_DIMS = range(6)
+
+
+def _cov_sql() -> str:
+    def dsum12(expr: str) -> str:
+        return f"SUM(CAST(ROUND({expr}, 12) AS DECIMAL(30,12)))"
+
+    sums = [
+        f"{dsum12(f'CAST(embedding[{i + 1}] AS DOUBLE)')} AS s{i}"
+        for i in _COV_DIMS
+    ]
+    prods = [
+        f"{dsum12(f'CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{j + 1}] AS DOUBLE)')} AS p{i}_{j}"
+        for i in _COV_DIMS
+        for j in _COV_DIMS
+        if i <= j
+    ]
+    entries = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"ROUND(CAST(p{i}_{j} AS DOUBLE) / n"
+        f" - (CAST(s{i} AS DOUBLE) / n) * (CAST(s{j} AS DOUBLE) / n), 8)"
+        f" AS cov FROM s"
+        for i in _COV_DIMS
+        for j in _COV_DIMS
+        if i <= j
+    )
+    return (
+        "WITH s AS (SELECT COUNT(*) AS n, "
+        + ", ".join(sums + prods)
+        + " FROM embeddings WHERE embedding IS NOT NULL) "
+        + entries
+    )
+
+
+@register(
+    "q_embedding_cov",
+    _cov_sql(),
+    doc="covariance block of the first 6 embedding dimensions — the "
+    "PCA/whitening/anisotropy input: E[xy] - E[x]E[y] with every sum "
+    "decimal-accumulated over 12-decimal-rounded products (order-"
+    "insensitive, engine-exact); one d²-bounded map-side-combined agg "
+    "then a literal struct unpivot, no join — full-width high-d "
+    "covariance at scale goes through numpy partial outer products "
+    "instead (documented, not oracle-checkable)",
+)
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings.filter(
+        F.col("embedding").isNotNull()
+    )
+    return S.embedding_covariance(emb, dims=tuple(_COV_DIMS))

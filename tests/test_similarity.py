@@ -433,3 +433,64 @@ def test_knn_label_noise_auto_cells_flags_minority(spark):
     }
     assert got[4]["suspect"] and got[4]["pred_label"] == "a"
     assert not got[0]["suspect"] and not got[1]["suspect"]
+
+
+# -- embedding covariance / PCA ----------------------------------------------
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from cdc_system_spark.operators.similarity import embedding_covariance
+
+    rng = [[(i * 7 % 5) / 2.0, (i % 3) - 1.0, i / 10.0] for i in range(40)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r["i"], r["j"]): r["cov"] for r in embedding_covariance(emb).collect()}
+    M = np.array(rng, dtype=np.float32).astype(np.float64)
+    expect = np.cov(M, rowvar=False, bias=True)  # population covariance
+    for (i, j), c in got.items():
+        assert abs(c - expect[i, j]) < 1e-6, (i, j)
+    assert len(got) == 6  # upper triangle of 3x3
+    # layout independence (decimal accumulation)
+    again = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(emb.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_pca_components_and_projection(spark):
+    import numpy as np
+
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.similarity import (
+        embedding_covariance,
+        pca_components,
+        pca_project,
+    )
+
+    # strongly anisotropic: variance concentrated along [1, 1]/sqrt(2)
+    pts = [[t + 0.01 * (i % 3), t - 0.01 * (i % 2)] for i, t in
+           enumerate(float(x) / 4 for x in range(48))]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = embedding_covariance(emb)
+    comps = pca_components(cov, 2, dim=2)
+    (ev1, ax1), (ev2, ax2) = comps
+    assert ev1 > 10 * ev2                     # one dominant direction
+    assert abs(abs(np.dot(ax1, [0.7071, 0.7071])) - 1) < 0.01
+    proj = pca_project(emb, comps)
+    assert proj.columns == ["vec_id", "pc0", "pc1"]
+    rows = {r["vec_id"]: r for r in proj.collect()}
+    # pc0 carries the spread, pc1 is ~flat
+    pc0 = [rows[i]["pc0"] for i in range(48)]
+    pc1 = [rows[i]["pc1"] for i in range(48)]
+    assert max(pc0) - min(pc0) > 10 * (max(pc1) - min(pc1))
+    with _pytest.raises(ValueError):
+        pca_components(cov, 3, dim=2)
+    with _pytest.raises(ValueError):
+        embedding_covariance(emb, dims=())
