@@ -676,3 +676,54 @@ def quantile_sketch_by(
             / scale
         ).alias("hi_est"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: int = 1,
+    p_hi: int = 99,
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+) -> DataFrame:
+    """Winsorization (percentile clipping) driven by the quantile
+    sketch: every row gets ``clipped = least(greatest(value, lo_clip),
+    hi_clip)`` where ``lo_clip`` is the LOWER bracket edge of the
+    ``p_lo``-th percentile and ``hi_clip`` the UPPER bracket edge of
+    the ``p_hi``-th — the standard outlier clip before loss-scaled
+    training or aggregate statistics, without ever sorting the data.
+
+    Using the bracket's outer edges makes the clip CONSERVATIVE (it
+    clips at most as much as exact winsorization; the slack is one
+    histogram bin ≤ range/``num_bins``) and deterministic — the
+    bounds come from :func:`quantile_sketch`, so the same clip is
+    engine-reproducible. Cost: the sketch passes (two aggs over
+    bounded state) + one zero-shuffle map projection; the two clip
+    bounds are collected scalars. NULL values pass through unclipped.
+    """
+    if not 1 <= p_lo < p_hi <= 100:
+        raise ValueError(f"need 1 <= p_lo < p_hi <= 100, got {p_lo},{p_hi}")
+    qs = {
+        r["pct"]: r
+        for r in quantile_sketch(
+            df, value_col, percents=(p_lo, p_hi), num_bins=num_bins,
+            scale=scale,
+        ).collect()
+    }
+    if not qs:
+        return df.withColumn(
+            "clipped", F.col(value_col).cast("double")
+        )
+    lo_clip, hi_clip = qs[p_lo]["lo_est"], qs[p_hi]["hi_est"]
+    # explicit NULL gate: greatest/least SKIP nulls, so without it a
+    # NULL value would silently become the clip bound
+    return df.withColumn(
+        "clipped",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.least(
+                F.greatest(F.col(value_col).cast("double"), F.lit(lo_clip)),
+                F.lit(hi_clip),
+            ),
+        ),
+    )

@@ -576,3 +576,30 @@ def q_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog(spark, sf_dir).events
     return quantile_sketch_by(ev, ["event_type"], "value")
+
+
+# -- q_winsorize: percentile clipping via the quantile sketch -----------------
+_WINSORIZE_SQL = f"""WITH qs AS ({_QUANTILE_SKETCH_SQL}),
+    b AS (SELECT (SELECT lo_est FROM qs WHERE pct = 1) AS lo_clip,
+                 (SELECT hi_est FROM qs WHERE pct = 99) AS hi_clip)
+    SELECT event_id, value,
+           LEAST(GREATEST(value, lo_clip), hi_clip) AS clipped
+    FROM events, b
+    WHERE value IS NOT NULL"""
+
+
+@register(
+    "q_winsorize",
+    _WINSORIZE_SQL,
+    doc="winsorization (p1/p99 percentile clipping) driven by the "
+    "fixed-bin quantile sketch: clip bounds are the sketch's bracket "
+    "edges (conservative by at most one bin width), collected as two "
+    "scalars, applied in one zero-shuffle map projection — the "
+    "outlier clip before loss scaling / aggregate stats, with no "
+    "global sort anywhere",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import winsorize
+
+    ev = catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    return winsorize(ev, "value").select("event_id", "value", "clipped")

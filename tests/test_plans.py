@@ -56,6 +56,7 @@ def test_oracle_window_composition():
         "q_zone_map",
         "q_hll_merged",
         "q_embedding_cov",
+        "q_winsorize",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",

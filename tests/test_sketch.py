@@ -249,3 +249,26 @@ def test_hll_state_merge_equals_rebuild(spark):
     assert hll_estimate(empty).head()["n_est"] == 0.0
     with _pytest.raises(ValueError):
         hll_merge()
+
+
+def test_winsorize_clips_tails_conservatively(spark):
+    from cdc_system_spark.operators.sketch import winsorize
+
+    vals = [float(i) for i in range(1, 100)] + [10_000.0]  # one wild outlier
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    out = {r["value"]: r["clipped"] for r in winsorize(df, "value").collect()}
+    assert out[10_000.0] < 10_000.0       # the outlier is clipped down
+    assert out[50.0] == 50.0              # the body passes through
+    # conservative: clip bound is at or beyond the exact p99 (rank 99
+    # of 100 -> value 99.0)
+    assert out[10_000.0] >= 99.0
+    # lower tail: p1 -> rank 1 -> min value; nothing below it to clip
+    assert out[1.0] == 1.0
+    # nulls pass through
+    withnull = df.union(spark.createDataFrame([(None,)], "value double"))
+    got = winsorize(withnull, "value").filter("value IS NULL").head()
+    assert got["clipped"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, "value", p_lo=50, p_hi=50)
