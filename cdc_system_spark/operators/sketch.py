@@ -727,3 +727,133 @@ def winsorize(
             ),
         ),
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+) -> DataFrame:
+    """The quantile histogram as a MERGEABLE table artifact:
+    ``(bin, cnt)``, <= ``num_bins`` + 2 rows, over an EXPLICIT
+    ``[lo, hi]`` geometry — unlike :func:`quantile_sketch` (which
+    derives its geometry from the global min/max and is therefore a
+    one-shot), states with pinned geometry built per shard/day/
+    partition merge by simple union + re-sum, so a corpus quantile
+    profile is maintained incrementally, raw data never re-read
+    (:func:`hll_state`'s contract for ranks, here for ranks' inverse).
+    Values outside ``[lo, hi]`` clamp into the edge bins (bin 0 /
+    ``num_bins - 1``), keeping counts exact for quantile purposes as
+    long as ``[lo, hi]`` covers the bulk; pick bounds from a prior
+    :func:`quantile_sketch` pass or domain knowledge."""
+    if num_bins < 1:
+        raise ValueError(f"num_bins must be >= 1, got {num_bins}")
+    ilo, ihi = int(round(lo * scale)), int(round(hi * scale))
+    if ihi < ilo:
+        raise ValueError(f"need lo <= hi, got {lo}, {hi}")
+    rng = ihi - ilo + 1
+    iv = df.select(
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    binned = iv.select(
+        F.least(
+            F.greatest(
+                F.expr(f"((_v - {ilo}) * {num_bins}) div {rng}"), F.lit(0)
+            ),
+            F.lit(num_bins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def histogram_merge(*states: DataFrame) -> DataFrame:
+    """Sum-combine histogram states sharing one geometry — the
+    lossless merge (counts are additive). Union + per-bin sum."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def quantiles_from_state(
+    state: DataFrame,
+    lo: float,
+    hi: float,
+    percents: list[int] | tuple[int, ...] = (25, 50, 75),
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile brackets from a (merged) histogram state — the same
+    exact-integer rank → bin → edge arithmetic as
+    :func:`quantile_sketch`, with the caveat that a percentile falling
+    in a clamped EDGE bin brackets to that bin's nominal edges (the
+    true value may lie beyond ``[lo, hi]``). Pass the build-time
+    geometry; output shape matches ``quantile_sketch``."""
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    if any(p < 1 or p > 100 for p in percents):
+        raise ValueError(f"percents must be in [1, 100], got {percents}")
+    from pyspark.sql import Window
+
+    ilo, ihi = int(round(lo * scale)), int(round(hi * scale))
+    rng, b = ihi - ilo + 1, num_bins
+    n_row = state.agg(F.sum("cnt").alias("_n")).collect()[0]
+    if n_row["_n"] is None:
+        return state.sparkSession.createDataFrame(
+            [],
+            "pct int, target_rank long, bin int, lo_est double, hi_est double",
+        )
+    n = int(n_row["_n"])
+    targets = [
+        (int(p), max((p * n + 99) // 100, 1)) for p in sorted(set(percents))
+    ]
+    cum = state.withColumn(
+        "_cum",
+        F.sum("cnt").over(
+            Window.partitionBy().orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    hit = (
+        cum.select(
+            "bin",
+            "_cum",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).alias("pct"),
+                            F.lit(t).cast("long").alias("target_rank"),
+                        )
+                        for p, t in targets
+                    ]
+                )
+            ).alias("_pt"),
+        )
+        .filter(F.col("_cum") >= F.col("_pt.target_rank"))
+        .groupBy("_pt.pct", "_pt.target_rank")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "pct",
+        "target_rank",
+        "bin",
+        (
+            F.expr(f"{ilo} + (bin * {rng} + {b - 1}) div {b}").cast("double")
+            / scale
+        ).alias("lo_est"),
+        (
+            F.expr(f"{ilo} + ((bin + 1) * {rng} + {b - 1}) div {b} - 1").cast(
+                "double"
+            )
+            / scale
+        ).alias("hi_est"),
+    )

@@ -67,6 +67,7 @@ _WINDOW_R5 = [
     "q_hll_merged",
     "q_embedding_cov",
     "q_winsorize",
+    "q_quantiles_merged",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -95,7 +96,6 @@ _WINDOW_R5 = [
     "q_bigram_surprisal",
     "q_shipmode_priority",
     "q_event_trend",
-    "q_blocklist",
 ]
 
 

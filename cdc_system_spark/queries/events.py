@@ -603,3 +603,51 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
     return winsorize(ev, "value").select("event_id", "value", "clipped")
+
+
+# -- q_quantiles_merged: mergeable histogram states ---------------------------
+# fixed geometry [0, 400] at scale 100 -> ilo=0, rng=40001, 256 bins
+_QMERGE_SQL = """WITH iv AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    b AS (SELECT LEAST(GREATEST((v * 256) // 40001, 0), 255) AS bin
+          FROM iv),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+    n AS (SELECT SUM(cnt) AS n FROM h),
+    c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+    p AS (SELECT * FROM (VALUES (25),(50),(75)) AS t(pct)),
+    t AS (SELECT pct, GREATEST((pct * n.n + 99) // 100, 1) AS target
+          FROM p, n),
+    q AS (SELECT t.pct, t.target, MIN(c.bin) AS bin
+          FROM t JOIN c ON c.cum >= t.target GROUP BY t.pct, t.target)
+    SELECT CAST(pct AS INTEGER) AS pct,
+           CAST(target AS BIGINT) AS target_rank,
+           CAST(bin AS INTEGER) AS bin,
+           CAST((bin * 40001 + 255) // 256 AS DOUBLE) / 100 AS lo_est,
+           CAST(((bin + 1) * 40001 + 255) // 256 - 1 AS DOUBLE) / 100
+               AS hi_est
+    FROM q"""
+
+
+@register(
+    "q_quantiles_merged",
+    _QMERGE_SQL,
+    doc="quantile histogram states as maintained artifacts: the event "
+    "stream split by event_id parity, one fixed-geometry ([0,400], "
+    "256-bin) state per shard, states sum-merged, quantiles estimated "
+    "— the oracle computes the WHOLE-corpus histogram in one pass, "
+    "proving merge-of-shard-states == rebuild bit-for-bit (the "
+    "quantile companion to q_hll_merged)",
+)
+def q_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import (
+        histogram_merge,
+        histogram_state,
+        quantiles_from_state,
+    )
+
+    ev = catalog(spark, sf_dir).events
+    LO, HI = 0.0, 400.0
+    a = histogram_state(ev.filter(F.col("event_id") % 2 == 0), "value", LO, HI)
+    b = histogram_state(ev.filter(F.col("event_id") % 2 == 1), "value", LO, HI)
+    return quantiles_from_state(histogram_merge(a, b), LO, HI)

@@ -57,6 +57,7 @@ def test_oracle_window_composition():
         "q_hll_merged",
         "q_embedding_cov",
         "q_winsorize",
+        "q_quantiles_merged",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",

@@ -272,3 +272,50 @@ def test_winsorize_clips_tails_conservatively(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, "value", p_lo=50, p_hi=50)
+
+
+def test_histogram_state_merge_equals_whole_and_brackets(spark):
+    import math
+
+    from cdc_system_spark.operators.sketch import (
+        histogram_merge,
+        histogram_state,
+        quantiles_from_state,
+    )
+
+    vals = [round(v * 0.5, 2) for v in range(1, 301)]  # 0.5 .. 150.0
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    LO, HI = 0.0, 200.0
+    whole = histogram_state(df, "value", LO, HI)
+    shards = [
+        histogram_state(
+            df.filter(F.expr(f"CAST(value * 2 AS INT) % 3 = {i}")),
+            "value",
+            LO,
+            HI,
+        )
+        for i in range(3)
+    ]
+    merged = histogram_merge(*shards)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    got = {
+        r["pct"]: r
+        for r in quantiles_from_state(merged, LO, HI).collect()
+    }
+    svals = sorted(vals)
+    for pct, r in got.items():
+        exact = svals[max(math.ceil(pct * len(vals) / 100), 1) - 1]
+        assert r["lo_est"] - 1e-9 <= exact <= r["hi_est"] + 1e-9, pct
+    # out-of-range values clamp into edge bins (count preserved)
+    wild = spark.createDataFrame([(-5.0,), (999.0,)], "value double")
+    st = histogram_state(wild, "value", LO, HI)
+    rows = {r["bin"]: r["cnt"] for r in st.collect()}
+    assert rows == {0: 1, 255: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_state(df, "value", 10.0, 5.0)
+    with _pytest.raises(ValueError):
+        histogram_merge()
