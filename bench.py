@@ -78,10 +78,19 @@ HEADLINE = [
     "q_blocklist",
     "q_pagerank",
     "q_shipmode_priority",
-    # round-5 additions: the bounded-state quantile sketches
+    # round-5 additions: the bounded-state sketch family (scalar,
+    # grouped, merged-state), bloom pruning, zone maps, covariance
     "q_quantile_sketch",
     "q_equidepth_sketch",
     "q_hll_distinct",
+    "q_hll_by_type",
+    "q_quantiles_by_type",
+    "q_hll_merged",
+    "q_quantiles_merged",
+    "q_bloom_prune",
+    "q_zone_map",
+    "q_embedding_cov",
+    "q_winsorize",
 ]
 
 

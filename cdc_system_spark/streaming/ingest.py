@@ -57,6 +57,7 @@ class StreamingCorpusIngestor:
         max_files_per_trigger: int | None = None,
         neardup_threshold: float | None = None,
         admission_filter=None,
+        stats_path: str | None = None,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -86,7 +87,49 @@ class StreamingCorpusIngestor:
         #: .select(id_col), id_col, "left_semi")``). Runs on the tiny
         #: batch side only, never against the corpus.
         self.admission_filter = admission_filter
+        #: optional maintained corpus sketch: a persisted HLL state
+        #: (<= 64 rows parquet) of every content hash EVER ADMITTED —
+        #: updated per batch by lossless merge, raw corpus never
+        #: re-scanned. Monotone by construction (DELETEs don't shrink
+        #: it): it answers "how much distinct content has flowed
+        #: through", the dedup-rate denominator; for the CURRENT
+        #: corpus's distinct count run ``hll_state(corpus.read())``.
+        #: Replay-safe twice over: the batch marker skips replays, and
+        #: even a forced double-merge is a no-op (HLL merge is
+        #: idempotent — max per bucket).
+        self.stats_path = stats_path
         self.batches_applied = 0
+
+    def _update_stats(self, admitted: DataFrame) -> None:
+        from cdc_system_spark.operators.sketch import hll_merge, hll_state
+
+        new_state = hll_state(
+            admitted.select(F.md5(F.col(self.text_col)).alias("_c")), "_c"
+        )
+        try:
+            prev = self.spark.read.parquet(self.stats_path)
+            merged = hll_merge(prev, new_state)
+        except Exception:
+            merged = new_state
+        # break lineage from the path being overwritten before the
+        # overwrite (reading and rewriting one path in a single plan
+        # truncates it mid-scan)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            self.stats_path
+        )
+
+    def distinct_content_estimate(self) -> float:
+        """HLL estimate of distinct content ever admitted (see
+        ``stats_path``); 0.0 before any batch."""
+        from cdc_system_spark.operators.sketch import hll_estimate
+
+        if self.stats_path is None:
+            raise ValueError("stats_path was not configured")
+        try:
+            state = self.spark.read.parquet(self.stats_path)
+        except Exception:
+            return 0.0
+        return float(hll_estimate(state).head()["n_est"])
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """Apply one change micro-batch to the corpus (exactly-once via
@@ -153,6 +196,8 @@ class StreamingCorpusIngestor:
             final,
             meta={"ingest_app": self.checkpoint_path, "ingest_batch": str(batch_id)},
         )
+        if self.stats_path is not None:
+            self._update_stats(admitted)
         self.batches_applied += 1
 
     def _writer(self):

@@ -676,3 +676,50 @@ def test_quality_and_oov_gates_compose_and_restart_idempotent(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="vocab_terms"):
         oov_gate([])
+
+
+def test_ingestor_maintained_hll_state(spark, tmp_path):
+    # stats_path: a persisted HLL state of content EVER ADMITTED,
+    # merged per batch, never rebuilt from the corpus; monotone under
+    # DELETE; forced double-merge is a no-op (bucket-max idempotence)
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, []))
+    ing = StreamingCorpusIngestor(
+        spark,
+        cap.path,
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "skpt"),
+        stats_path=str(tmp_path / "stats"),
+    )
+    assert ing.distinct_content_estimate() == 0.0
+    cap.capture_insert(
+        _doc_rows(spark, [(i, f"unique text {i}") for i in range(30)])
+    )
+    ing.run_available_now()
+    est1 = ing.distinct_content_estimate()
+    assert 15 <= est1 <= 60  # 30 distinct, raw-estimator small-range bias ok
+    # DELETEs do not shrink the ever-admitted sketch
+    cap.capture_delete(_doc_rows(spark, [(0, "unique text 0")]))
+    ing2 = StreamingCorpusIngestor(
+        spark, cap.path, corpus, DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "skpt"),
+        stats_path=str(tmp_path / "stats"),
+    )
+    ing2.run_available_now()
+    assert ing2.distinct_content_estimate() == est1
+    # forced replay of the same admitted batch: estimate unchanged
+    ing2._update_stats(_doc_rows(spark, [(5, "unique text 5")]))
+    assert ing2.distinct_content_estimate() == est1
+    import pytest as _pytest
+
+    nostats = StreamingCorpusIngestor(
+        spark, cap.path, corpus, DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "skpt2"),
+    )
+    with _pytest.raises(ValueError, match="stats_path"):
+        nostats.distinct_content_estimate()
