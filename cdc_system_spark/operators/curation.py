@@ -432,9 +432,13 @@ def neardup_ingest(
         minhash_jaccard_estimate,
     )
 
+    # the batch signature frame feeds THREE consumers (corpus probe,
+    # estimate, within-batch pass): checkpoint it so the shingle +
+    # 16-perm MinHash computation runs once instead of being re-derived
+    # inside every join arm (lazy - materializes at first action)
     sig_in = minhash_signatures(
         incoming, text_col, id_col, k=shingle_k, num_perms=num_perms
-    )
+    ).localCheckpoint(eager=False)
     sig_corpus = minhash_signatures(
         corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
     )
@@ -462,6 +466,9 @@ def neardup_ingest(
     admitted = incoming.join(rejected, id_col, "left_anti")
     if not within_batch:
         return admitted
+    # two consumers below (survivor signatures + the final anti join):
+    # cut the corpus-probe lineage once
+    admitted = admitted.localCheckpoint(eager=False)
     # within-batch pass: near-dup pairs AMONG corpus-survivors (both
     # sides fresh, so the corpus probe saw neither). Signatures are
     # reused; candidate pairs are batch×batch only, id1 < id2 by
