@@ -65,3 +65,45 @@ def profile_table(
         "column_name", "n_rows", "n_non_null", "n_distinct",
         "min_value", "max_value",
     )
+
+
+def fk_orphans(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Referential-integrity check: one row ``(n_fact, n_orphans,
+    n_distinct_orphan_keys, orphan_fraction)`` counting fact rows whose
+    key has NO match in the dimension — the post-replication invariant
+    a CDC pipeline verifies (a replica that dropped or reordered
+    deletes shows up here before any downstream join silently loses
+    rows). NULL fact keys count as orphans (they join nothing).
+
+    Plan shape: distinct fact keys (distinct-key-sized state) LEFT
+    JOIN the dimension's distinct keys, re-joined map-side to count
+    rows — the fact table itself never shuffles on data size when the
+    orphan-key table broadcasts back. At 100 TB run it per partition /
+    per sync interval and alert on deltas, not absolutes."""
+    fk = F.col(fact_key)
+    fact_keys = fact.select(fk.alias("_k")).groupBy("_k").agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    dim_keys = dim.select(F.col(dim_key).alias("_k")).distinct().withColumn(
+        "_hit", F.lit(1)
+    )
+    flagged = fact_keys.join(dim_keys, "_k", "left")
+    return flagged.agg(
+        F.sum("_cnt").cast("long").alias("n_fact"),
+        F.sum(F.when(F.col("_hit").isNull(), F.col("_cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_orphans"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct_orphan_keys"),
+        F.round(
+            F.sum(F.when(F.col("_hit").isNull(), F.col("_cnt")).otherwise(0))
+            / F.sum("_cnt"),
+            6,
+        ).alias("orphan_fraction"),
+    )

@@ -857,3 +857,80 @@ def quantiles_from_state(
             / scale
         ).alias("hi_est"),
     )
+
+
+def countmin_state(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The Count-Min sketch as a TABLE artifact: ``(r, b, n)`` over the
+    fixed 4×1024 geometry — at most 4096 rows regardless of corpus or
+    vocabulary size. Counts are ADDITIVE, so shard states merge by
+    union + per-cell sum (:func:`countmin_merge`) and the merged state
+    answers frequency queries for the union corpus exactly as a
+    whole-corpus build would — the CMS member of the maintained-
+    artifact family (:func:`hll_state` for cardinality,
+    :func:`histogram_state` for quantiles)."""
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).filter(F.col("_t") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(r, F.col("_t")).alias("b"),
+                    )
+                    for r in range(_CM_ROWS)
+                ]
+            )
+        ).alias("c")
+    ).select("c.r", "c.b")
+    return cells.groupBy("r", "b").agg(F.count("*").cast("long").alias("n"))
+
+
+def countmin_merge(*states: DataFrame) -> DataFrame:
+    """Sum-combine Count-Min states (union + per-cell sum) — lossless:
+    counts are additive, so merge-of-shards == build-from-union."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("r", "b").agg(F.sum("n").cast("long").alias("n"))
+
+
+def countmin_query(
+    state: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """Frequency estimates for ``terms`` from a (merged) state: one row
+    per term ``(term, est_count)`` = min over the 4 hash rows — the
+    one-sided ``est >= exact`` guarantee holds for the union corpus the
+    state describes. Broadcast lookup against the <= 4096-row state."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    spark = state.sparkSession
+    qterms = spark.createDataFrame(
+        [(t,) for t in sorted(set(terms))], "term string"
+    )
+    lookups = qterms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(r, F.col("term")).alias("b"),
+                    )
+                    for r in range(_CM_ROWS)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "c.r", "c.b")
+    return (
+        lookups.join(F.broadcast(state), ["r", "b"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -68,6 +68,8 @@ _WINDOW_R5 = [
     "q_embedding_cov",
     "q_winsorize",
     "q_quantiles_merged",
+    "q_countmin_merged",
+    "q_fk_integrity",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -94,8 +96,6 @@ _WINDOW_R5 = [
     "q_event_drift",
     "q_norm_gate",
     "q_bigram_surprisal",
-    "q_shipmode_priority",
-    "q_event_trend",
 ]
 
 

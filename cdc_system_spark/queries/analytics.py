@@ -544,3 +544,46 @@ def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
     )
     return zone_map(orders, days, F.col("o_totalprice"), num_zones=64)
+
+
+# -- q_fk_integrity: referential integrity of a replicated fact ---------------
+_FK_SQL = """WITH fact AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS k
+        FROM orders),
+    fk AS (SELECT k AS _k, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM fact GROUP BY k),
+    dk AS (SELECT DISTINCT c_custkey AS _k, 1 AS hit FROM customer),
+    fl AS (SELECT fk._k, fk.cnt, dk.hit FROM fk LEFT JOIN dk USING (_k))
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN hit IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_orphans,
+           CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_distinct_orphan_keys,
+           ROUND(SUM(CASE WHEN hit IS NULL THEN cnt ELSE 0 END)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS orphan_fraction
+    FROM fl"""
+
+
+@register(
+    "q_fk_integrity",
+    _FK_SQL,
+    doc="referential-integrity check of a replicated fact against its "
+    "dimension (every ~97th order's custkey corrupted in the fixture "
+    "to synthesize replication damage): orphan row/key counts + "
+    "fraction — the post-replication invariant a CDC pipeline alerts "
+    "on; distinct-key-sized state, the fact never shuffles on data "
+    "size",
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.profile import fk_orphans
+
+    cat = catalog(spark, sf_dir)
+    damaged = cat.orders.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1_000_000
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("fk")
+    )
+    return fk_orphans(damaged, cat.customer, "fk", "c_custkey")

@@ -1974,6 +1974,44 @@ _COUNTMIN_SQL = f"""WITH tok AS (
     FROM est LEFT JOIN exact USING (term)"""
 
 
+_CM_MERGED_SQL = f"""WITH tok AS (
+        SELECT t FROM (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents) WHERE t <> ''),
+    cells AS ({_CM_CELLS}),
+    sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n
+               FROM cells GROUP BY r, b),
+    qt AS (SELECT unnest({_CM_TERMS}) AS term),
+    lk AS ({_CM_LOOKUPS})
+    SELECT lk.term,
+           CAST(MIN(COALESCE(sketch.n, 0)) AS BIGINT) AS est_count
+    FROM lk LEFT JOIN sketch USING (r, b) GROUP BY lk.term"""
+
+
+@register(
+    "q_countmin_merged",
+    _CM_MERGED_SQL,
+    doc="Count-Min states as maintained artifacts: the corpus split by "
+    "doc_id parity, one <=4096-row (r, b, n) state per shard, states "
+    "sum-merged, frequencies queried from the merged state - the "
+    "oracle builds the WHOLE-corpus sketch in one pass, proving "
+    "merge-of-shard-states == rebuild (counts are additive); the CMS "
+    "member of the q_hll_merged / q_quantiles_merged family",
+)
+def q_countmin_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import (
+        countmin_merge,
+        countmin_query,
+        countmin_state,
+    )
+
+    docs = catalog(spark, sf_dir).documents
+    a = countmin_state(docs.filter(F.col("doc_id") % 2 == 0))
+    b = countmin_state(docs.filter(F.col("doc_id") % 2 == 1))
+    return countmin_query(
+        countmin_merge(a, b), ["join", "hash", "scan", "nosuchtoken"]
+    )
+
+
 @register(
     "q_countmin",
     _COUNTMIN_SQL,

@@ -58,6 +58,8 @@ def test_oracle_window_composition():
         "q_embedding_cov",
         "q_winsorize",
         "q_quantiles_merged",
+        "q_countmin_merged",
+        "q_fk_integrity",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",

@@ -54,3 +54,21 @@ def test_profile_approx_mode_avoids_expand(frame):
     )
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+
+def test_fk_orphans_counts_and_null_keys(spark):
+    from cdc_system_spark.operators.profile import fk_orphans
+
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,), (None,)], "k long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "dk long")
+    r = fk_orphans(fact, dim, "k", "dk").head()
+    # 99 (3 rows) and NULL (1 row) are orphans; keys 1, 2 match
+    assert r["n_fact"] == 7
+    assert r["n_orphans"] == 4
+    assert r["n_distinct_orphan_keys"] == 2
+    assert r["orphan_fraction"] == round(4 / 7, 6)
+    # clean replica: zero everywhere
+    clean = fk_orphans(fact.filter("k IN (1, 2)"), dim, "k", "dk").head()
+    assert clean["n_orphans"] == 0 and clean["orphan_fraction"] == 0.0

@@ -319,3 +319,43 @@ def test_histogram_state_merge_equals_whole_and_brackets(spark):
         histogram_state(df, "value", 10.0, 5.0)
     with _pytest.raises(ValueError):
         histogram_merge()
+
+
+def test_countmin_state_merge_equals_rebuild(spark):
+    from cdc_system_spark.operators.sketch import (
+        countmin_estimates,
+        countmin_merge,
+        countmin_query,
+        countmin_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} shared tail{i % 2}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    whole = countmin_state(docs)
+    shards = [
+        countmin_state(docs.filter(F.col("doc_id") % 3 == i))
+        for i in range(3)
+    ]
+    merged = countmin_merge(*shards)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    terms = ["shared", "w1", "absent"]
+    via_state = {
+        r["term"]: r["est_count"]
+        for r in countmin_query(merged, terms).collect()
+    }
+    direct = {
+        r["term"]: r["est_count"]
+        for r in countmin_estimates(docs, terms).collect()
+    }
+    assert via_state == direct
+    assert via_state["shared"] >= 60 and via_state["absent"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        countmin_merge()
+    with _pytest.raises(ValueError):
+        countmin_query(merged, [])
