@@ -587,3 +587,33 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fk")
     )
     return fk_orphans(damaged, cat.customer, "fk", "c_custkey")
+
+
+# -- q_auto_join: measured join-strategy selection, salted path ---------------
+@register(
+    "q_auto_join",
+    """SELECT e.event_id, e.user_id, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    doc="measured join-strategy selection (join_strategy -> auto_join): "
+    "thresholds pinned so the profiler MEASURES the dim over the "
+    "broadcast bound and the fact key's top share over the skew "
+    "threshold, forcing the salted execution path — the oracle is the "
+    "PLAIN join SQL, proving the chosen physical shape is "
+    "row-identical to the logical join (q_salted_join's twin, with "
+    "the decision made from data instead of by the caller)",
+)
+def q_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.skew import auto_join
+
+    cat = catalog(spark, sf_dir)
+    fact = cat.events.select("event_id", "user_id")
+    dim = cat.customer.select("c_custkey", "c_name")
+    return auto_join(
+        fact,
+        dim,
+        fact_key="user_id",
+        dim_key="c_custkey",
+        salt_source="event_id",
+        broadcast_max_rows=10,       # dims are bigger -> not broadcast
+        skew_share_threshold=0.0001,  # any measured share -> salted
+    ).select("event_id", "user_id", "c_name")

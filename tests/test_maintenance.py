@@ -153,3 +153,35 @@ def test_zone_map_edge_cases(spark):
     assert (r["zone"], r["n_rows"], r["v_min"], r["v_max"]) == (0, 1, 2.5, 2.5)
     with _pytest.raises(ValueError):
         zone_map(one, "pos", "value", num_zones=0)
+
+
+def test_zorder_rewrite_improves_zone_map_skipping(spark, tmp_path):
+    """The layout story end-to-end: a value-uncorrelated write order
+    gives a zone map nothing to skip; rewriting Z-ordered on the
+    filter column makes the SAME predicate skip most zones."""
+    from cdc_system_spark.operators.maintenance import (
+        compact_zordered,
+        prune_fraction,
+        zone_map,
+    )
+
+    rows = [(i, ((i * 53) % 256), ((i * 91) % 256)) for i in range(1024)]
+    df = spark.createDataFrame(rows, "pos long, a long, b long")
+    before = prune_fraction(
+        zone_map(df, "pos", "a", num_zones=16), 0.0, 31.0
+    ).head()
+    assert before["skip_fraction"] < 0.2  # scattered: nothing skippable
+
+    from cdc_system_spark.operators.maintenance import zorder_value
+
+    out = str(tmp_path / "zordered")
+    compact_zordered(df, out, "a", "b", num_files=4)
+    # the rewrite lays rows out in z order; zoning on the z value IS
+    # zoning on the new physical order
+    rewritten = spark.read.parquet(out)
+    after = prune_fraction(
+        zone_map(rewritten, zorder_value("a", "b"), F.col("a"), num_zones=16),
+        0.0,
+        31.0,
+    ).head()
+    assert after["skip_fraction"] > before["skip_fraction"] + 0.3
