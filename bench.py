@@ -91,6 +91,9 @@ HEADLINE = [
     "q_zone_map",
     "q_embedding_cov",
     "q_winsorize",
+    # literal-4-cell q_knn_label_noise (above) is the oracle-parity
+    # form; this is the corpus-scaled production path (C = sqrt(n))
+    "q_knn_label_noise_auto",
 ]
 
 

@@ -477,3 +477,49 @@ def image_neardup_pairs(
         n_bands=n_bands,
         max_hamming=max_hamming,
     )
+
+
+def scene_changes(
+    media: DataFrame,
+    frame_bytes: int = 32,
+    stride: int = 1,
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Scene-change detection over the sampled frame stream: one row
+    per consecutive frame pair ``(media_id, frame_idx, prev_idx,
+    hamming, is_cut)`` where ``hamming`` compares the two frames'
+    64-bit dHash-style fingerprints and ``is_cut`` flags distances
+    above ``max_hamming`` — the shot-boundary pass a video curation
+    pipeline runs before per-scene sampling or caption alignment.
+
+    Spark shape: frame fingerprints ride the :func:`frame_sample`
+    Arrow pass (md5 of the frame window, folded to 64 bits — the
+    deterministic fake-codec contract; a real pipeline swaps in a
+    perceptual dHash per decoded frame, same columns); the
+    consecutive-pair compare is one LAG window PARTITIONED BY media_id
+    (per-video state only, never a global order), and the popcount is
+    a builtin bit_count — zero Python in the compare path.
+    """
+    frames = frame_sample(media, frame_bytes=frame_bytes, stride=stride)
+    from pyspark.sql import Window
+
+    fp = frames.withColumn(
+        "_fp",
+        F.conv(F.substring("frame_md5", 1, 15), 16, 10).cast("long"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    paired = (
+        fp.withColumn("_prev_fp", F.lag("_fp").over(w))
+        .withColumn("prev_idx", F.lag("frame_idx").over(w))
+        .filter(F.col("_prev_fp").isNotNull())
+    )
+    hamming = F.bit_count(
+        F.col("_fp").bitwiseXOR(F.col("_prev_fp"))
+    ).cast("int")
+    return paired.select(
+        "media_id",
+        "frame_idx",
+        "prev_idx",
+        hamming.alias("hamming"),
+        (hamming > max_hamming).alias("is_cut"),
+    )

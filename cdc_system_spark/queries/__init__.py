@@ -71,6 +71,7 @@ _WINDOW_R5 = [
     "q_countmin_merged",
     "q_fk_integrity",
     "q_auto_join",
+    "q_scene_changes",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -95,7 +96,6 @@ _WINDOW_R5 = [
     "q_oov_rate",
     "q_packing_efficiency",
     "q_event_drift",
-    "q_norm_gate",
 ]
 
 

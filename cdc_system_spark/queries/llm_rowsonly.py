@@ -51,3 +51,20 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = S.kmeans_refine(emb, num_centroids=16, iters=2)
     assigned = S.assign_with_centroids(emb, centroids)
     return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
+
+
+# -- production-scaled label-noise screening (rows-only) ---------------------
+@register(
+    "q_knn_label_noise_auto",
+    None,
+    doc="kNN label-noise screening on the PRODUCTION path: corpus-"
+    "scaled C = ceil(sqrt(n)) centroid cells via the vectorized numpy "
+    "assignment (auto_cells) — rows-only check because the centroid "
+    "set is data-dependent (no literal-SQL oracle possible); the "
+    "literal-4-cell q_knn_label_noise twin carries the strong value-"
+    "hash check, and the drop-rule math is numpy-verified in tests. "
+    "Benchmarked alongside the literal form to show the O(n^1.5) "
+    "path's throughput",
+)
+def q_knn_label_noise_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.knn_label_noise(catalog(spark, sf_dir).embeddings, k=5)

@@ -223,3 +223,39 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
     return M.image_neardup_pairs(media)
+
+
+_SCENE_SQL = """WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(ceil(LENGTH(text) * 1.0 / 32) AS BIGINT) AS n_chunks
+        FROM documents),
+    f AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+               CAST(CONCAT('0x', SUBSTR(
+                   md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 32)),
+                   1, 15)) AS BIGINT) AS fp
+          FROM m, unnest(range(0, GREATEST(n_chunks, 1), 1)) AS t(i)),
+    p AS (SELECT media_id, frame_idx, fp,
+               LAG(fp) OVER (PARTITION BY media_id
+                             ORDER BY frame_idx) AS pfp,
+               LAG(frame_idx) OVER (PARTITION BY media_id
+                                    ORDER BY frame_idx) AS prev_idx
+          FROM f)
+    SELECT media_id, frame_idx, CAST(prev_idx AS INTEGER) AS prev_idx,
+           CAST(bit_count(xor(fp, pfp)) AS INTEGER) AS hamming,
+           bit_count(xor(fp, pfp)) > 16 AS is_cut
+    FROM p WHERE pfp IS NOT NULL"""
+
+
+@register(
+    "q_scene_changes",
+    _SCENE_SQL,
+    doc="video shot-boundary detection: per-frame 64-bit fingerprints "
+    "ride the frame_sample Arrow pass, consecutive-pair Hamming via "
+    "one LAG window PARTITIONED BY media_id (per-video state only, "
+    "never a global order) and builtin bit_count — cuts flagged above "
+    "the distance threshold; the pre-pass for per-scene sampling / "
+    "caption alignment in video curation",
+)
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synthesize_media(catalog(spark, sf_dir).documents)
+    return M.scene_changes(media, frame_bytes=32, stride=1, max_hamming=16)

@@ -169,3 +169,35 @@ def test_hamming_band_pairs_validates_geometry(spark):
         hamming_band_pairs(sig, "s", bits=48, n_bands=7)  # 48 % 7 != 0
     with _pytest.raises(ValueError):
         hamming_band_pairs(sig, "s", bits=48, n_bands=8, max_hamming=8)
+
+
+def test_scene_changes_flags_content_shifts(spark):
+    from cdc_system_spark.operators.multimodal import scene_changes
+
+    # video 1: 3 identical 32-byte frames then 2 different ones;
+    # video 2: one frame only (no pairs)
+    v1 = b"A" * 96 + b"Z" * 32 + b"Q" * 32
+    v2 = b"B" * 32
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(v1)), (2, "video", bytearray(v2))],
+        "media_id long, kind string, content binary",
+    )
+    out = scene_changes(media, frame_bytes=32, stride=1, max_hamming=0)
+    rows = {(r["media_id"], r["frame_idx"]): r for r in out.collect()}
+    # 4 consecutive pairs for video 1, none for video 2
+    assert set(rows) == {(1, 1), (1, 2), (1, 3), (1, 4)}
+    assert rows[(1, 1)]["hamming"] == 0 and not rows[(1, 1)]["is_cut"]
+    assert rows[(1, 2)]["hamming"] == 0 and not rows[(1, 2)]["is_cut"]
+    assert rows[(1, 3)]["is_cut"] and rows[(1, 3)]["hamming"] > 0  # A->Z
+    assert rows[(1, 4)]["is_cut"]                                  # Z->Q
+    assert rows[(1, 3)]["prev_idx"] == 2
+    # deterministic across layouts
+    again = {
+        (r["media_id"], r["frame_idx"]): (r["hamming"], r["is_cut"])
+        for r in scene_changes(
+            media.repartition(5), frame_bytes=32, stride=1, max_hamming=0
+        ).collect()
+    }
+    assert again == {
+        k: (r["hamming"], r["is_cut"]) for k, r in rows.items()
+    }

@@ -61,6 +61,7 @@ def test_oracle_window_composition():
         "q_countmin_merged",
         "q_fk_integrity",
         "q_auto_join",
+        "q_scene_changes",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",
