@@ -178,42 +178,9 @@ def countmin_estimates(
     toks = df.select(
         F.explode(F.split(F.col(text_col), " ")).alias("_t")
     ).filter(F.col("_t") != "")
-    cells = toks.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("_r"),
-                        _cm_bucket(r, F.col("_t")).alias("_b"),
-                    )
-                    for r in range(_CM_ROWS)
-                ]
-            )
-        ).alias("c")
-    ).select("c._r", "c._b")
-    sketch = cells.groupBy("_r", "_b").agg(F.count("*").alias("_n"))
-    spark = df.sparkSession
-    qterms = spark.createDataFrame(
+    est = countmin_query(countmin_state(df, text_col), terms)
+    qterms = df.sparkSession.createDataFrame(
         [(t,) for t in sorted(set(terms))], "term string"
-    )
-    lookups = qterms.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("_r"),
-                        _cm_bucket(r, F.col("term")).alias("_b"),
-                    )
-                    for r in range(_CM_ROWS)
-                ]
-            )
-        ).alias("c"),
-    ).select("term", "c._r", "c._b")
-    est = (
-        lookups.join(sketch, ["_r", "_b"], "left")
-        .groupBy("term")
-        .agg(F.min(F.coalesce(F.col("_n"), F.lit(0))).alias("est_count"))
     )
     exact = (
         toks.join(
