@@ -72,6 +72,7 @@ _WINDOW_R5 = [
     "q_fk_integrity",
     "q_auto_join",
     "q_scene_changes",
+    "q_lpa_communities",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -95,7 +96,6 @@ _WINDOW_R5 = [
     "q_image_neardup",
     "q_oov_rate",
     "q_packing_efficiency",
-    "q_event_drift",
 ]
 
 

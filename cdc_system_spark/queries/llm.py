@@ -1909,6 +1909,74 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, "user_id")
 
 
+# -- deterministic label-propagation communities ------------------------------
+_LPA_SQL = f"""WITH knn AS ({_KNN_SQL}),
+    und AS (SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM knn
+        UNION ALL SELECT dst AS a, src AS b FROM knn)),
+    l0 AS (SELECT DISTINCT a AS node, a AS community FROM und),
+    v1 AS (
+        SELECT node, community, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT u.a AS node, l.community
+            FROM und u JOIN l0 l ON l.node = u.b
+            UNION ALL SELECT node, community FROM l0)
+        GROUP BY node, community),
+    l1 AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                       ORDER BY n DESC, community ASC) AS rk
+            FROM v1) WHERE rk = 1),
+    v2 AS (
+        SELECT node, community, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT u.a AS node, l.community
+            FROM und u JOIN l1 l ON l.node = u.b
+            UNION ALL SELECT node, community FROM l1)
+        GROUP BY node, community),
+    l2 AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                       ORDER BY n DESC, community ASC) AS rk
+            FROM v2) WHERE rk = 1),
+    v3 AS (
+        SELECT node, community, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT u.a AS node, l.community
+            FROM und u JOIN l2 l ON l.node = u.b
+            UNION ALL SELECT node, community FROM l2)
+        GROUP BY node, community),
+    l3 AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                       ORDER BY n DESC, community ASC) AS rk
+            FROM v3) WHERE rk = 1)
+    SELECT node AS vec_id, CAST(community AS BIGINT) AS community
+    FROM l3"""
+
+
+@register(
+    "q_lpa_communities",
+    _LPA_SQL,
+    doc="deterministic synchronous label propagation (3 fixed rounds, "
+    "most-frequent neighbor+self label, ties to the smaller label - "
+    "no random tie-breaks, so engine-exact and oracle-expressible as "
+    "chained CTEs) over the top-3 kNN cosine graph: community "
+    "structure inside near-dup neighborhoods where connected "
+    "components answer only reachability; per round one node-keyed "
+    "join + one map-side-combinable vote count over edge-sized frames",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.graph import label_propagation
+
+    edges = S.knn_graph(
+        catalog(spark, sf_dir).embeddings, k=3, block_col="label"
+    )
+    return label_propagation(edges, iters=3).select(
+        F.col("node").alias("vec_id"), F.col("community").cast("long").alias("community")
+    )
+
+
 # -- merged HLL states: sketch-as-maintained-artifact -------------------------
 @register(
     "q_hll_merged",

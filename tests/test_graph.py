@@ -52,3 +52,39 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert got[1] == max(got.values())            # restart mass at the seed
     with pytest.raises(ValueError):
         pagerank(edges, seeds=[])
+
+
+def test_label_propagation_finds_communities(spark):
+    from cdc_system_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one weak edge: LPA separates them where
+    # connected components would merge everything
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, iters=3).collect()}
+    assert got[1] == got[2] == got[3] == 1      # min label of the triangle
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]                     # the bridge does not merge
+    # deterministic across layouts
+    again = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges.repartition(5), iters=3).collect()
+    }
+    assert again == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters"):
+        label_propagation(edges, iters=0)
+
+
+def test_label_propagation_isolated_pair_and_chain(spark):
+    from cdc_system_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(5, 6), (20, 21), (21, 22)], "src long, dst long"
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, iters=4).collect()}
+    assert got[5] == got[6] == 5
+    assert got[20] == got[21] == got[22] == 20

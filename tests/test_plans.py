@@ -62,6 +62,7 @@ def test_oracle_window_composition():
         "q_fk_integrity",
         "q_auto_join",
         "q_scene_changes",
+        "q_lpa_communities",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",

@@ -81,3 +81,26 @@ def test_equidepth_from_counts_equals_ntile_for_every_input(spark, vals, k):
         for r in equidepth_from_counts(df, "value", k=k).collect()
     }
     assert got == _exact_ntile_hist(vals, k)
+
+
+@given(
+    st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
+    st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_bloom_no_false_negative_for_every_input(spark, members, probes):
+    from cdc_system_spark.operators.bloom import bloom_build, bloom_probe
+
+    build = spark.createDataFrame([(k,) for k in members], "k long")
+    probe = spark.createDataFrame([(k,) for k in probes], "k long")
+    bloom = bloom_build(build, "k")
+    got = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(probe, "k", bloom).collect()
+    }
+    for k in probes & members:
+        assert got[k], f"false negative on {k}"  # the hard guarantee
