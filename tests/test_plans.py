@@ -142,6 +142,12 @@ def test_python_only_where_intended(plans):
         # audio feature extraction is the multimodal decode path: bytes
         # -> windowed PCM features via numpy per Arrow batch
         "q_audio_features",
+        # frame fingerprints ride the frame_sample Arrow pass (byte
+        # slicing + hashing per frame window)
+        "q_scene_changes",
+        # the production C=sqrt(n) path assigns cells with the
+        # vectorized numpy argmax (auto_cells) — the intended Arrow use
+        "q_knn_label_noise_auto",
     }
     for name, df in plans.items():
         f = plan_features(df)
