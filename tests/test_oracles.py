@@ -39,5 +39,12 @@ def test_oracle_count_matches_registry():
     oracle_backed = [n for n, q in QUERY_REGISTRY.items() if q.sql is not None]
     rows_only = [n for n, q in QUERY_REGISTRY.items() if q.sql is None]
     # rows-only queries are a deliberate, enumerated exception
-    assert rows_only == ["q_ivf_topk", "q_group_normalize", "q_ivf_kmeans_topk"]
+    assert rows_only == [
+        "q_ivf_topk",
+        "q_group_normalize",
+        "q_ivf_kmeans_topk",
+        # round 5: the corpus-scaled label-noise path — centroids are
+        # data-dependent, so no literal-SQL oracle is possible
+        "q_knn_label_noise_auto",
+    ]
     assert len(oracle_backed) + len(rows_only) == len(QUERY_REGISTRY)
