@@ -901,3 +901,52 @@ def countmin_query(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def winsorize_by(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: int = 1,
+    p_hi: int = 99,
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group winsorization: each row clipped to ITS GROUP's
+    ``[p_lo, p_hi]`` percentile brackets from
+    :func:`quantile_sketch_by` — the per-stratum outlier clip (a
+    global clip under mixed strata lets a heavy group's tails define
+    every group's bounds). Same conservative-by-one-bin contract as
+    :func:`winsorize`; bounds attach via one group-keyed broadcast-
+    able join (group-count-sized), the clip itself is a zero-shuffle
+    map. NULL values pass through unclipped; a group whose values are
+    all NULL passes through untouched (its bounds row is absent).
+    """
+    if not 1 <= p_lo < p_hi <= 100:
+        raise ValueError(f"need 1 <= p_lo < p_hi <= 100, got {p_lo},{p_hi}")
+    qs = quantile_sketch_by(
+        df, group_cols, value_col, percents=(p_lo, p_hi),
+        num_bins=num_bins, scale=scale,
+    )
+    lo_b = (
+        qs.filter(F.col("pct") == p_lo)
+        .select(*group_cols, F.col("lo_est").alias("_lo_clip"))
+    )
+    hi_b = (
+        qs.filter(F.col("pct") == p_hi)
+        .select(*group_cols, F.col("hi_est").alias("_hi_clip"))
+    )
+    out = df.join(lo_b, group_cols, "left").join(hi_b, group_cols, "left")
+    return out.withColumn(
+        "clipped",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.least(
+                F.greatest(
+                    F.col(value_col).cast("double"),
+                    F.coalesce(F.col("_lo_clip"), F.col(value_col).cast("double")),
+                ),
+                F.coalesce(F.col("_hi_clip"), F.col(value_col).cast("double")),
+            ),
+        ),
+    ).drop("_lo_clip", "_hi_clip")

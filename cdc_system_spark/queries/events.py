@@ -651,3 +651,33 @@ def q_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = histogram_state(ev.filter(F.col("event_id") % 2 == 0), "value", LO, HI)
     b = histogram_state(ev.filter(F.col("event_id") % 2 == 1), "value", LO, HI)
     return quantiles_from_state(histogram_merge(a, b), LO, HI)
+
+
+# -- q_winsorize_by_type: per-group percentile clipping -----------------------
+_WINSORIZE_BY_SQL = f"""WITH qs AS ({_QUANTILES_BY_SQL.replace("(25),(50),(75)", "(1),(99)")}),
+    lo AS (SELECT event_type, lo_est AS lo_clip FROM qs WHERE pct = 1),
+    hi AS (SELECT event_type, hi_est AS hi_clip FROM qs WHERE pct = 99)
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, lo.lo_clip), hi.hi_clip) AS clipped
+    FROM events e
+    JOIN lo ON lo.event_type = e.event_type
+    JOIN hi ON hi.event_type = e.event_type
+    WHERE e.value IS NOT NULL"""
+
+
+@register(
+    "q_winsorize_by_type",
+    _WINSORIZE_BY_SQL,
+    doc="per-event-type winsorization (p1/p99 within each type's own "
+    "distribution, from the per-group fixed-bin sketch) — the "
+    "per-stratum outlier clip: a global clip under mixed strata lets "
+    "a heavy type's tails define every type's bounds; group-keyed "
+    "bound join + zero-shuffle clip map",
+)
+def q_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import winsorize_by
+
+    ev = catalog(spark, sf_dir).events.filter(F.col("value").isNotNull())
+    return winsorize_by(ev, ["event_type"], "value", p_lo=1, p_hi=99).select(
+        "event_id", "event_type", "value", "clipped"
+    )

@@ -359,3 +359,35 @@ def test_countmin_state_merge_equals_rebuild(spark):
         countmin_merge()
     with _pytest.raises(ValueError):
         countmin_query(merged, [])
+
+
+def test_winsorize_by_clips_per_group(spark):
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.sketch import winsorize_by
+
+    # group a is tight (1..99); group b is 100x wider. A GLOBAL clip
+    # would leave a's outlier untouched — the per-group clip catches it.
+    rows = [("a", float(i)) for i in range(1, 100)] + [("a", 5000.0)] + [
+        ("b", float(i * 100)) for i in range(1, 100)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {
+        (r["g"], r["value"]): r["clipped"]
+        for r in winsorize_by(df, ["g"], "value").collect()
+    }
+    assert out[("a", 5000.0)] < 5000.0     # clipped within a's p99 bracket
+    assert out[("a", 5000.0)] >= 99.0      # conservative bound
+    assert out[("a", 50.0)] == 50.0        # body untouched
+    assert out[("b", 5000.0)] == 5000.0    # mid-range for b: untouched
+    # null values pass through; all-null group passes through
+    withnull = df.union(
+        spark.createDataFrame([("a", None), ("c", None)], "g string, value double")
+    )
+    got = {
+        (r["g"], r["value"]): r["clipped"]
+        for r in winsorize_by(withnull, ["g"], "value").collect()
+    }
+    assert got[("a", None)] is None and got[("c", None)] is None
+    with _pytest.raises(ValueError):
+        winsorize_by(df, ["g"], "value", p_lo=99, p_hi=1)
