@@ -78,3 +78,27 @@ def test_bloom_is_layout_independent(spark):
     a = sorted(r["bit"] for r in bloom_build(df, "k").collect())
     b = sorted(r["bit"] for r in bloom_build(df.repartition(7), "k").collect())
     assert a == b
+
+
+def test_bloom_scaled_geometry_holds_fp_rate(spark):
+    """The sizing claim in the module docstring: a dim-sized key set
+    needs num_bits scaled up; at ~1.5% fill (20k keys x 3 hashes in
+    2^22 bits) the false-positive rate stays well under 1%."""
+    n = 20_000
+    bits = 1 << 22
+    members = spark.range(0, n).selectExpr("id AS k")
+    bloom = bloom_build(members, "k", num_bits=bits)
+    probes = spark.range(n, 2 * n).selectExpr("id AS k")  # all non-members
+    fp = (
+        bloom_probe(probes, "k", bloom, num_bits=bits)
+        .filter("maybe_member")
+        .count()
+    )
+    assert fp / n < 0.01, fp
+    # and still zero false negatives at this scale
+    hits = (
+        bloom_probe(members, "k", bloom, num_bits=bits)
+        .filter("NOT maybe_member")
+        .count()
+    )
+    assert hits == 0
