@@ -155,3 +155,44 @@ def enrich_with_dim(
     from pyspark.sql import functions as _F
 
     return stream.join(_F.broadcast(dim), on=key, how=how)
+
+
+def windowed_hll_state(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct-count HLL STATE per event-time window: ``(w_start,
+    bucket, max_rank)``, <= 64 rows per window — the streaming answer
+    to "distinct users per window", which with an exact distinct
+    explodes state linearly in cardinality (every seen key retained per
+    open window). The HLL projection (md5 bucket + rank, the
+    :func:`~cdc_system_spark.operators.sketch.hll_state` construction)
+    reduces each window's state to a bounded 64-row max table that the
+    watermark evicts on schedule; estimates come from
+    :func:`~cdc_system_spark.operators.sketch.hll_estimate` applied
+    per window on the sink (or any engine — the state is the portable
+    artifact, and states for the same window from different streams
+    merge by per-bucket max exactly as in batch).
+    """
+    src = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = src.filter(F.col(value_col).isNotNull()).select(
+        F.col(ts_col), h.alias("_h")
+    )
+    keyed = hashed.select(
+        F.col(ts_col),
+        F.expr("_h % 64").alias("bucket"),
+        F.when(F.expr("_h div 64") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.bin(F.expr("_h div 64"))))
+        .alias("_rho"),
+    )
+    return (
+        keyed.groupBy(F.window(ts_col, window).alias("w"), F.col("bucket"))
+        .agg(F.max("_rho").alias("max_rank"))
+        .select(F.col("w.start").alias("w_start"), "bucket", "max_rank")
+    )
