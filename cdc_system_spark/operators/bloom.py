@@ -163,3 +163,36 @@ def bloom_prune_report(
         .cast("long")
         .alias("n_false_pos"),
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_bits: int = _BLOOM_BITS,
+    num_hashes: int = _BLOOM_K,
+) -> DataFrame:
+    """The bloom-accelerated LEFT SEMI join, packaged: probe the fact
+    against the dim-key filter map-side, then exact-verify only the
+    survivors — row-identical to ``fact.join(dim, key, "left_semi")``
+    (the bloom pass admits a superset, never drops a true match; the
+    verify join removes the false positives).
+
+    Why at 100 TB: the exact semi join shuffles BOTH sides on the key
+    (or broadcasts the whole distinct dim-key set); the bloom pass
+    cuts the fact to ~selectivity × rows BEFORE any exchange with a
+    ≤ ``num_bits``-row broadcast, so the expensive join runs on the
+    pre-filtered fraction. Wins when the filter is selective and the
+    dim-key set is too large to broadcast raw but compresses into
+    bits; with a non-selective filter it degenerates gracefully to
+    the plain join plus one cheap map pass.
+    """
+    bloom = bloom_build(dim, dim_key, num_bits, num_hashes)
+    survivors = bloom_probe(fact, fact_key, bloom, num_bits, num_hashes).filter(
+        F.col("maybe_member")
+    ).drop("maybe_member")
+    d = dim.select(F.col(dim_key).alias("_vk")).distinct()
+    return survivors.join(
+        d, survivors[fact_key] == F.col("_vk"), "left_semi"
+    )

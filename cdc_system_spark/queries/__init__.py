@@ -74,6 +74,7 @@ _WINDOW_R5 = [
     "q_scene_changes",
     "q_lpa_communities",
     "q_winsorize_by_type",
+    "q_bloom_semi_join",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -95,7 +96,6 @@ _WINDOW_R5 = [
     "q_bm25",
     "q_token_budget",
     "q_image_neardup",
-    "q_oov_rate",
 ]
 
 

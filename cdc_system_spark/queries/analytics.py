@@ -617,3 +617,28 @@ def q_auto_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_max_rows=10,       # dims are bigger -> not broadcast
         skew_share_threshold=0.0001,  # any measured share -> salted
     ).select("event_id", "user_id", "c_name")
+
+
+# -- q_bloom_semi_join: the bloom-accelerated semi join -----------------------
+@register(
+    "q_bloom_semi_join",
+    """SELECT o.o_orderkey, o.o_custkey FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')""",
+    doc="bloom-accelerated LEFT SEMI join: map-side bloom pre-filter "
+    "(<=8192-row broadcast) then exact verification on the surviving "
+    "fraction only — the oracle is the PLAIN semi-join SQL, proving "
+    "the two-phase execution is row-identical (no false negatives; "
+    "false positives removed by the verify join)",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.bloom import bloom_semi_join
+
+    cat = catalog(spark, sf_dir)
+    dim = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return bloom_semi_join(
+        cat.orders.select("o_orderkey", "o_custkey"),
+        dim,
+        "o_custkey",
+        "c_custkey",
+    )

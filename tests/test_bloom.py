@@ -102,3 +102,23 @@ def test_bloom_scaled_geometry_holds_fp_rate(spark):
         .count()
     )
     assert hits == 0
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from cdc_system_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.createDataFrame(
+        [(i % 30, f"p{i}") for i in range(300)] + [(None, "pn")],
+        "fk long, payload string",
+    )
+    dim = spark.createDataFrame([(k,) for k in range(0, 30, 3)], "dk long")
+    got = sorted(
+        map(tuple, bloom_semi_join(fact, dim, "fk", "dk").collect())
+    )
+    expect = sorted(
+        map(
+            tuple,
+            fact.join(dim, fact["fk"] == dim["dk"], "left_semi").collect(),
+        )
+    )
+    assert got == expect and len(got) == 100
