@@ -185,3 +185,61 @@ def label_propagation(
             "node", (-F.col("_b._neg")).alias("community")
         ).localCheckpoint(eager=False)
     return labels
+
+
+def community_profile(
+    labels: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community diagnostics over a labeling (e.g.
+    :func:`label_propagation` output) and the edge list that produced
+    it: ``(community, n_nodes, n_internal, n_external, cohesion)``
+    where internal edges join two same-community endpoints, external
+    edges cross (counted for BOTH incident communities), and
+    ``cohesion = internal / (internal + external)`` — the quality
+    readout that separates real communities (cohesion → 1) from
+    artifacts of the round budget. Each edge row is counted once as
+    given (pass a deduplicated undirected list for undirected
+    semantics).
+
+    Scale shape: two node-keyed label joins on the edge list, then
+    community-keyed map-side-combinable counts — edge-sized frames
+    only, like every pass in this module.
+    """
+    la = labels.select(F.col("node").alias(src), F.col("community").alias("_ca"))
+    lb = labels.select(F.col("node").alias(dst), F.col("community").alias("_cb"))
+    e = edges.select(src, dst).join(la, src).join(lb, dst)
+    internal = (
+        e.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("n_internal"))
+    )
+    cross = e.filter(F.col("_ca") != F.col("_cb"))
+    external = (
+        cross.select(F.col("_ca").alias("community"))
+        .union(cross.select(F.col("_cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count("*").cast("long").alias("n_external"))
+    )
+    nodes = labels.groupBy("community").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    out = (
+        nodes.join(internal, "community", "left")
+        .join(external, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("n_internal", F.lit(0)).alias("n_internal"),
+            F.coalesce("n_external", F.lit(0)).alias("n_external"),
+        )
+    )
+    denom = F.col("n_internal") + F.col("n_external")
+    return out.withColumn(
+        "cohesion",
+        F.when(denom > 0, F.round(F.col("n_internal") / denom, 6)).otherwise(
+            F.lit(None).cast("double")
+        ),
+    )

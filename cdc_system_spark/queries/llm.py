@@ -1977,6 +1977,56 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- per-community cohesion profile -------------------------------------------
+_COMMUNITY_SQL = f"""WITH lab AS ({_LPA_SQL}),
+    knn2 AS ({_KNN_SQL}),
+    e AS (SELECT src, dst FROM knn2),
+    j AS (SELECT e.src, e.dst, a.community AS ca, b.community AS cb
+          FROM e JOIN lab a ON a.vec_id = e.src
+                 JOIN lab b ON b.vec_id = e.dst),
+    i AS (SELECT ca AS community, CAST(COUNT(*) AS BIGINT) AS n_internal
+          FROM j WHERE ca = cb GROUP BY ca),
+    x AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_external FROM (
+            SELECT ca AS community FROM j WHERE ca <> cb
+            UNION ALL SELECT cb FROM j WHERE ca <> cb)
+          GROUP BY community),
+    n AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM lab GROUP BY community)
+    SELECT n.community, n.n_nodes,
+           COALESCE(i.n_internal, 0) AS n_internal,
+           COALESCE(x.n_external, 0) AS n_external,
+           CASE WHEN COALESCE(i.n_internal, 0) + COALESCE(x.n_external, 0) > 0
+                THEN ROUND(COALESCE(i.n_internal, 0)
+                     / CAST(COALESCE(i.n_internal, 0)
+                            + COALESCE(x.n_external, 0) AS DOUBLE), 6)
+           END AS cohesion
+    FROM n LEFT JOIN i USING (community) LEFT JOIN x USING (community)"""
+
+
+@register(
+    "q_community_profile",
+    _COMMUNITY_SQL,
+    doc="per-community cohesion over the LPA labeling of the kNN "
+    "graph: node/internal-edge/external-edge counts and cohesion = "
+    "internal/(internal+external) - separates real communities from "
+    "round-budget artifacts; two node-keyed label joins + community-"
+    "keyed map-side-combinable counts over edge-sized frames",
+)
+def q_community_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.graph import (
+        community_profile,
+        label_propagation,
+    )
+
+    edges = S.knn_graph(
+        catalog(spark, sf_dir).embeddings, k=3, block_col="label"
+    )
+    labels = label_propagation(edges, iters=3).select(
+        F.col("node"), F.col("community").cast("long").alias("community")
+    )
+    return community_profile(labels, edges)
+
+
 # -- merged HLL states: sketch-as-maintained-artifact -------------------------
 @register(
     "q_hll_merged",

@@ -88,3 +88,29 @@ def test_label_propagation_isolated_pair_and_chain(spark):
     got = {r["node"]: r["community"] for r in label_propagation(edges, iters=4).collect()}
     assert got[5] == got[6] == 5
     assert got[20] == got[21] == got[22] == 20
+
+
+def test_community_profile_cohesion(spark):
+    from cdc_system_spark.operators.graph import (
+        community_profile,
+        label_propagation,
+    )
+
+    # two triangles bridged by one edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long",
+    )
+    labels = label_propagation(edges, iters=3)
+    got = {r["community"]: r for r in community_profile(labels, edges).collect()}
+    assert len(got) == 2
+    for c, r in got.items():
+        assert r["n_nodes"] == 3
+        assert r["n_internal"] == 3          # the triangle
+        assert r["n_external"] == 1          # the shared bridge
+        assert r["cohesion"] == 0.75
+    # isolated clique: cohesion exactly 1
+    clique = spark.createDataFrame([(7, 8), (8, 9), (7, 9)], "src long, dst long")
+    lab2 = label_propagation(clique, iters=2)
+    prof = community_profile(lab2, clique).head()
+    assert prof["cohesion"] == 1.0 and prof["n_external"] == 0

@@ -65,6 +65,7 @@ def test_oracle_window_composition():
         "q_lpa_communities",
         "q_winsorize_by_type",
         "q_bloom_semi_join",
+        "q_community_profile",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",
