@@ -213,3 +213,67 @@ def prune_fraction(
             6,
         ).alias("skip_fraction"),
     )
+
+
+def zone_state(
+    df: DataFrame,
+    order_col: Column | str,
+    value_col: Column | str,
+    lo: int,
+    hi: int,
+    num_zones: int = 64,
+) -> DataFrame:
+    """Zone-map statistics over an EXPLICIT ``[lo, hi]`` order-key
+    geometry — the mergeable form of :func:`zone_map` (which derives
+    its bounds from the data and is therefore a one-shot): states with
+    pinned geometry built per file batch / ingest interval combine
+    with :func:`zone_merge` (counts add, extrema min/max), so the
+    data-skipping index is MAINTAINED as data lands instead of
+    recomputed — the zone member of the maintained-artifact family
+    (HLL, histogram, Count-Min). Order keys outside ``[lo, hi]`` clamp
+    into the edge zones; NULL order keys are excluded."""
+    if num_zones < 1:
+        raise ValueError(f"num_zones must be >= 1, got {num_zones}")
+    if hi < lo:
+        raise ValueError(f"need lo <= hi, got {lo}, {hi}")
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    rng = hi - lo + 1
+    keyed = df.select(
+        oc.cast("long").alias("_o"), vc.alias("_v")
+    ).filter(F.col("_o").isNotNull())
+    return (
+        keyed.select(
+            F.least(
+                F.greatest(
+                    F.expr(f"((_o - {lo}) * {num_zones}) div {rng}"),
+                    F.lit(0),
+                ),
+                F.lit(num_zones - 1),
+            )
+            .cast("int")
+            .alias("zone"),
+            "_v",
+        )
+        .groupBy("zone")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("_v"), 6).alias("v_min"),
+            F.round(F.max("_v"), 6).alias("v_max"),
+        )
+    )
+
+
+def zone_merge(*states: DataFrame) -> DataFrame:
+    """Combine zone states sharing one geometry: counts add, extrema
+    min/max — lossless, so merge-of-batches == rebuild-from-all."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("zone").agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+    )

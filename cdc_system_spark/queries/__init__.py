@@ -76,6 +76,7 @@ _WINDOW_R5 = [
     "q_winsorize_by_type",
     "q_bloom_semi_join",
     "q_community_profile",
+    "q_zone_merged",
     # -- 2. operator or oracle changed this round --
     "q_neardup_ingest",
     "q_charset_quality",
@@ -95,7 +96,6 @@ _WINDOW_R5 = [
     "q_vocab_coverage",
     "q_semantic_decontaminate",
     "q_bm25",
-    "q_token_budget",
 ]
 
 

@@ -642,3 +642,48 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "c_custkey",
     )
+
+
+# -- q_zone_merged: mergeable zone-map states ---------------------------------
+# pinned geometry: epoch days [8000, 12000] (covers the TPC-H date
+# range at every SF), 64 zones -> rng = 4001
+_ZONE_MERGED_SQL = """WITH keyed AS (
+        SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS o, o_totalprice AS v
+        FROM orders WHERE o_orderdate IS NOT NULL)
+    SELECT CAST(LEAST(GREATEST(((o - 8000) * 64) // 4001, 0), 63)
+                AS INTEGER) AS zone,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(v), 6) AS v_min,
+           ROUND(MAX(v), 6) AS v_max
+    FROM keyed
+    GROUP BY LEAST(GREATEST(((o - 8000) * 64) // 4001, 0), 63)"""
+
+
+@register(
+    "q_zone_merged",
+    _ZONE_MERGED_SQL,
+    doc="zone-map states as maintained artifacts: orders split by "
+    "orderkey parity (two ingest batches), one pinned-geometry "
+    "([8000,12000] epoch days, 64 zones) state per batch, states "
+    "merged (counts add, extrema min/max) — the oracle computes the "
+    "whole-table zone map in one pass, proving merge-of-batches == "
+    "rebuild; the data-skipping index maintained as data lands, "
+    "completing the maintained-artifact family",
+)
+def q_zone_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.maintenance import zone_merge, zone_state
+
+    orders = catalog(spark, sf_dir).orders
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    a = zone_state(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        days, F.col("o_totalprice"), 8000, 12000, num_zones=64,
+    )
+    b = zone_state(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        days, F.col("o_totalprice"), 8000, 12000, num_zones=64,
+    )
+    return zone_merge(a, b)

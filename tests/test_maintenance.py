@@ -185,3 +185,29 @@ def test_zorder_rewrite_improves_zone_map_skipping(spark, tmp_path):
         31.0,
     ).head()
     assert after["skip_fraction"] > before["skip_fraction"] + 0.3
+
+
+def test_zone_state_merge_equals_rebuild(spark):
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.maintenance import zone_merge, zone_state
+
+    rows = [(i, float(i % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "pos long, value double")
+    whole = zone_state(df, "pos", "value", 0, 600, num_zones=8)
+    parts = [
+        zone_state(df.filter(F.col("pos") % 3 == i), "pos", "value", 0, 600, num_zones=8)
+        for i in range(3)
+    ]
+    merged = zone_merge(*parts)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # out-of-range order keys clamp to edge zones
+    wild = spark.createDataFrame([(-10, 1.0), (999, 2.0)], "pos long, value double")
+    st = {r["zone"]: r for r in zone_state(wild, "pos", "value", 0, 600, num_zones=8).collect()}
+    assert set(st) == {0, 7}
+    with _pytest.raises(ValueError):
+        zone_state(df, "pos", "value", 10, 5)
+    with _pytest.raises(ValueError):
+        zone_merge()

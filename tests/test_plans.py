@@ -66,6 +66,7 @@ def test_oracle_window_composition():
         "q_winsorize_by_type",
         "q_bloom_semi_join",
         "q_community_profile",
+        "q_zone_merged",
         # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
         "q_charset_quality",
