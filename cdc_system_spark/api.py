@@ -330,5 +330,10 @@ class CDCMonitor:
             self.system.read_log(), pending_threshold=self.pending_threshold
         )
 
+    def get_replication_lag(self) -> dict[str, Any]:
+        """Event-time freshness metrics (see monitor.get_replication_lag) —
+        the lag dimension the reference's count-based report lacks."""
+        return _monitor.get_replication_lag(self.system.read_log())
+
     def print_report(self) -> None:
         _monitor.print_report(self.get_health_report())

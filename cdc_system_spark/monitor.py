@@ -62,3 +62,52 @@ def print_report(report: dict[str, Any]) -> None:
     for op, s in report["statistics"].items():
         print(f"  {op}: total={s['total']} pending={s['pending']} synced={s['synced']}")
     print("=" * 50)
+
+
+def get_replication_lag(log: DataFrame) -> dict[str, Any]:
+    """Replication freshness from the change log alone — the metric the
+    reference's health report lacks (it counts pending rows,
+    cdc_system.py:359-376, but a count of 5 can mean 5 seconds or 5
+    days of lag):
+
+    - ``oldest_pending_age_s``: seconds from the OLDEST unsynced
+      change's ``changed_at`` to the newest ``changed_at`` anywhere in
+      the log — how far behind the replica's frontier is, measured in
+      event time (clock-skew-free: both ends come from the log).
+      ``0.0`` when nothing is pending.
+    - ``last_sync_lag_s``: seconds between the most recent sync and the
+      most recent capture — how stale the last replication pass is.
+      ``None`` until something has synced.
+
+    One aggregation pass (four conditional min/max), no collect beyond
+    the single stats row.
+    """
+    from pyspark.sql import functions as F
+
+    pending = ~F.col("synced").cast("boolean")
+    r = log.agg(
+        F.max("changed_at").alias("_newest"),
+        F.min(F.when(pending, F.col("changed_at"))).alias("_oldest_pending"),
+        F.max(F.when(~pending, F.col("sync_timestamp"))).alias("_last_sync"),
+        F.count(F.when(pending, 1)).alias("_n_pending"),
+    ).head()
+    newest, oldest_pending, last_sync = (
+        r["_newest"],
+        r["_oldest_pending"],
+        r["_last_sync"],
+    )
+    oldest_age = (
+        (newest - oldest_pending).total_seconds()
+        if newest is not None and oldest_pending is not None
+        else 0.0
+    )
+    sync_lag = (
+        (newest - last_sync).total_seconds()
+        if newest is not None and last_sync is not None
+        else None
+    )
+    return {
+        "pending_changes": int(r["_n_pending"]),
+        "oldest_pending_age_s": oldest_age,
+        "last_sync_lag_s": sync_lag,
+    }

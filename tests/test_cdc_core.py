@@ -317,3 +317,35 @@ def test_scd2_replicator_maintains_history(spark, system, tmp_path):
     assert got[(1, 1)] == (False, False)
     assert got[(1, 2)] == (True, True)
     assert got[(2, 1)] == (False, False)
+
+
+def test_replication_lag_metrics(spark, system, tmp_path):
+    # freshness in EVENT time, not row counts: empty log -> zeros;
+    # pending-only -> age grows with capture spread, sync lag unknown;
+    # after replication -> nothing pending, sync lag ~0
+    import time
+
+    from cdc_system_spark.api import SnapshotTable
+
+    mon = CDCMonitor(system)
+    lag0 = mon.get_replication_lag()
+    assert lag0 == {
+        "pending_changes": 0,
+        "oldest_pending_age_s": 0.0,
+        "last_sync_lag_s": None,
+    }
+    system.capture.capture_insert(_rows(spark, [(1, "a", 1)]))
+    time.sleep(1.1)
+    system.capture.capture_insert(_rows(spark, [(2, "b", 2)]))
+    lag1 = mon.get_replication_lag()
+    assert lag1["pending_changes"] == 2
+    assert lag1["oldest_pending_age_s"] >= 1.0  # capture spread in event time
+    assert lag1["last_sync_lag_s"] is None      # nothing ever synced
+    target = SnapshotTable(
+        spark, str(tmp_path / "lag_replica"), _rows(spark, [(1, "a", 1)]).schema
+    )
+    CDCReplicator(system, target, key="id").replicate_changes()
+    lag2 = mon.get_replication_lag()
+    assert lag2["pending_changes"] == 0
+    assert lag2["oldest_pending_age_s"] == 0.0
+    assert lag2["last_sync_lag_s"] is not None
