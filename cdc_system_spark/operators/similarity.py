@@ -895,7 +895,16 @@ def auto_cells(
     (:func:`_assign_vectorized` — the literal-expression form the
     oracle queries use is interpreted per element and stops being
     viable past a few dozen centroids). Zero joins, zero shuffles over
-    the corpus; one bounded count job + one C-row collect."""
+    the corpus; one bounded count job + one C-row collect.
+
+    Bound honestly: the centroid table is driver-collected and closed
+    over by the Arrow pass, so this path holds while ``C·d`` floats fit
+    comfortably in driver/executor memory — √n scaling keeps that true
+    to roughly n ≈ 10¹⁰ vectors at d = 64 (C ≈ 10⁵ ⇒ ~50 MB). Beyond
+    that, cap ``num_centroids`` at the memory budget and accept larger
+    cells, or introduce a coarse-fine hierarchy (assign to √C coarse
+    cells, then refine within each) — the two-level IVF standard; the
+    O(n²/C) pair-work bound degrades gracefully either way."""
     cents = _auto_cents(emb, id_col, vec_col, num_centroids, refine_iters)
     # spread: the argmax matmul is CPU-bound and a small corpus scans
     # as one split (a no-op at real scale, see spread's contract)
