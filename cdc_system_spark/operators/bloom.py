@@ -87,40 +87,53 @@ def bloom_probe(
     (which must share the build geometry). No false negatives; false
     positives at the documented rate.
 
-    Plan shape: k-way explode of the probe keys, one BROADCAST join
-    against the bit table, then a per-row count-of-hits re-aggregation
-    — the probe side never shuffles on data size (the groupBy key is
-    the probe row id via its key value; rows with equal keys agg
-    together, so state is distinct-key-bounded). Use it as the map-side
-    pre-filter in front of an expensive shuffle join: semantically a
-    superset of the true semi-join, never a subset."""
-    c = F.col(key_col)
-    probes = df.select(c.alias("_k")).filter(F.col("_k").isNotNull()).distinct()
-    fanned = probes.select(
-        "_k",
-        F.explode(
-            F.array(
-                *[_bit(i, F.col("_k"), num_bits) for i in range(num_hashes)]
-            )
-        ).alias("bit"),
-    )
-    hits = (
-        fanned.join(F.broadcast(bloom.withColumn("_set", F.lit(1))), "bit", "left")
-        .groupBy("_k")
-        .agg(
-            (F.sum(F.coalesce(F.col("_set"), F.lit(0))) == num_hashes).alias(
-                "maybe_member"
-            )
+    Plan shape: the sparse bit table (geometry-bounded: <= ``num_bits``
+    rows, NEVER data-bounded) is packed into ``num_bits/64`` int64
+    words and attached to every probe partition as a one-row broadcast;
+    each probe row then does ``num_hashes`` O(1) word-index + bit
+    tests, entirely map-side inside codegen — the probe side never
+    shuffles and nothing data-sized ever reaches the driver. (An
+    earlier version re-joined a distinct-probe-key-sized aggregate back
+    to the fact under a forced broadcast — at 100-TB fact scale that
+    collects billions of keys to the driver; this shape is immune by
+    construction.) Use it as the map-side pre-filter in front of an
+    expensive shuffle join: semantically a superset of the true
+    semi-join, never a subset."""
+    n_words = (num_bits + 63) // 64
+    # Pack the sparse bits into words distributively (one agg over
+    # <= num_bits rows), then collect the <= num_bits/64 packed words —
+    # bounded by the FILTER GEOMETRY the caller chose, independent of
+    # either table's row count (num_bits = 10^7 -> ~1.2 MB collected).
+    packed = (
+        bloom.select(
+            (F.col("bit") / 64).cast("int").alias("_w"),
+            F.expr("shiftleft(1L, int(pmod(bit, 64)))").alias("_m"),
         )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+        .collect()
     )
-    return df.join(
-        F.broadcast(hits),
-        df[key_col].eqNullSafe(hits["_k"]),
-        "left",
-    ).select(
-        *[df[col] for col in df.columns],
-        F.coalesce(F.col("maybe_member"), F.lit(False)).alias("maybe_member"),
+    words = [0] * n_words
+    for r in packed:
+        words[r["_w"]] = r["_word"]
+    bits_row = df.sparkSession.createDataFrame(
+        [(words,)], "_words array<long>"
     )
+    c = F.col(key_col)
+    fanned = df.crossJoin(F.broadcast(bits_row))
+    pos_cols = [f"_bp{i}" for i in range(num_hashes)]
+    for i, name in enumerate(pos_cols):
+        fanned = fanned.withColumn(name, _bit(i, c, num_bits))
+    member = F.lit(True)
+    for name in pos_cols:
+        member = member & F.expr(
+            f"getbit(element_at(_words, int({name} / 64) + 1), "
+            f"int(pmod({name}, 64))) = 1"
+        )
+    return fanned.withColumn(
+        "maybe_member",
+        F.when(c.isNull(), F.lit(False)).otherwise(member),
+    ).drop("_words", *pos_cols)
 
 
 def bloom_prune_report(

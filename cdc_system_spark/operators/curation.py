@@ -404,11 +404,18 @@ def neardup_ingest(
     corpus yet), so without this pass the near-dup pair accretes — only
     the later EXACT-dup catch in :func:`incremental_ingest` would stop
     identical twins. The rule is :func:`~cdc_system_spark.operators
-    .similarity.semantic_dedup`'s: a batch doc is dropped iff a
-    SMALLER-id batch survivor estimates Jaccard ≥ ``threshold`` with it
-    — deterministic, one survivor per near-dup group under greedy
-    pair-drop. Cost is batch-sized only (``lsh_candidate_pairs`` over
-    the batch signatures already computed for the corpus probe).
+    .similarity.semantic_dedup`'s GREEDY pair-drop: a batch doc is
+    dropped iff ANY smaller-id corpus-surviving batch doc estimates
+    Jaccard ≥ ``threshold`` with it — whether or not that smaller-id
+    doc is itself dropped by the same pass. (In a chain A~B, B~C with
+    A≁C, C is dropped because of B even though B falls to A: stricter
+    than a transitive-survivor rule, deterministic, and single-pass —
+    a survivor-aware rule would need iterative reprocessing.) Cost is
+    batch-sized only: the batch band table built for the corpus probe
+    is exploded ONCE and reused here; candidate pairs are restricted to
+    corpus-surviving ids on both sides, so bucket caps apply over the
+    full-batch band population (the same table the probe — and the
+    registered oracle — uses).
 
     Scale shape: at 100 TB the corpus signatures and band table are
     maintained artifacts (built once, stored bucketed on the band key,
@@ -428,6 +435,7 @@ def neardup_ingest(
     Returns the admitted incoming rows (input schema, unchanged).
     """
     from cdc_system_spark.operators.dedup import (
+        _band_table,
         lsh_cross_pairs,
         minhash_jaccard_estimate,
     )
@@ -442,6 +450,10 @@ def neardup_ingest(
     sig_corpus = minhash_signatures(
         corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
     )
+    # one band explode for BOTH LSH passes (corpus probe + within-batch)
+    bands_in = _band_table(
+        sig_in, id_col, num_perms, rows_per_band
+    ).localCheckpoint(eager=False)
     cand = lsh_cross_pairs(
         sig_in,
         sig_corpus,
@@ -449,6 +461,7 @@ def neardup_ingest(
         num_perms=num_perms,
         rows_per_band=rows_per_band,
         max_bucket=max_bucket,
+        bands_a=bands_in,
     )
     if allow_same_id:
         cand = cand.filter(F.col("id1") != F.col("id2"))
@@ -466,28 +479,34 @@ def neardup_ingest(
     admitted = incoming.join(rejected, id_col, "left_anti")
     if not within_batch:
         return admitted
-    # two consumers below (survivor signatures + the final anti join):
-    # cut the corpus-probe lineage once
+    # two consumers below (survivor filter + the final anti join): cut
+    # the corpus-probe lineage once
     admitted = admitted.localCheckpoint(eager=False)
     # within-batch pass: near-dup pairs AMONG corpus-survivors (both
-    # sides fresh, so the corpus probe saw neither). Signatures are
-    # reused; candidate pairs are batch×batch only, id1 < id2 by
-    # lsh_candidate_pairs construction — drop the larger id of each
-    # estimating pair (smaller-id survivor rule, as in semantic_dedup).
+    # sides fresh, so the corpus probe saw neither). The band table and
+    # signatures are REUSED from the corpus probe — candidates come
+    # from the full-batch bands (caps over the same population the
+    # probe and the oracle use) and are then restricted to survivor
+    # ids on both sides; id1 < id2 by lsh_candidate_pairs
+    # construction — drop the larger id of each estimating pair
+    # (greedy smaller-id rule, as in semantic_dedup).
     from cdc_system_spark.operators.dedup import lsh_candidate_pairs
 
-    sig_adm = sig_in.join(
-        admitted.select(id_col).distinct(), id_col, "left_semi"
-    )
-    cand_in = lsh_candidate_pairs(
-        sig_adm,
-        id_col=id_col,
-        num_perms=num_perms,
-        rows_per_band=rows_per_band,
-        max_bucket=max_bucket,
+    adm_ids = admitted.select(id_col).distinct()
+    cand_in = (
+        lsh_candidate_pairs(
+            sig_in,
+            id_col=id_col,
+            num_perms=num_perms,
+            rows_per_band=rows_per_band,
+            max_bucket=max_bucket,
+            bands=bands_in,
+        )
+        .join(adm_ids.select(F.col(id_col).alias("id1")), "id1", "left_semi")
+        .join(adm_ids.select(F.col(id_col).alias("id2")), "id2", "left_semi")
     )
     est_in = minhash_jaccard_estimate(
-        sig_adm, cand_in, id_col=id_col, num_perms=num_perms
+        sig_in, cand_in, id_col=id_col, num_perms=num_perms
     )
     dropped_in = (
         est_in.filter(F.col("est_jaccard") >= threshold)

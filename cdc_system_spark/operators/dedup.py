@@ -139,6 +139,8 @@ def lsh_cross_pairs(
     num_perms: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    bands_a: DataFrame | None = None,
+    bands_b: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-frame LSH candidates: (id1 ∈ A, id2 ∈ B) pairs sharing ≥1
     band — near-dup detection of a NEW batch against an EXISTING corpus
@@ -153,14 +155,25 @@ def lsh_cross_pairs(
     boilerplate buckets would otherwise match every batch doc against
     an unbounded posting list). Output: distinct (id1, id2), id1 from
     ``sigs_a`` (the batch), id2 from ``sigs_b`` (the corpus).
+
+    ``bands_a`` / ``bands_b`` (optional) supply PREBUILT band tables
+    (the :func:`_band_table` shape) so a caller running several LSH
+    passes over the same signatures — e.g. ``neardup_ingest``'s corpus
+    probe + within-batch pass — explodes each side once instead of per
+    pass; this is also exactly how a maintained corpus band-table
+    artifact plugs in at scale.
     """
     key_cols = _band_key_cols(rows_per_band)
-    a = _band_table(sigs_a, id_col, num_perms, rows_per_band).select(
-        *key_cols, F.col(id_col).alias("id1")
-    )
-    b = _band_table(sigs_b, id_col, num_perms, rows_per_band).localCheckpoint(
-        eager=False
-    )
+    a = (
+        bands_a
+        if bands_a is not None
+        else _band_table(sigs_a, id_col, num_perms, rows_per_band)
+    ).select(*key_cols, F.col(id_col).alias("id1"))
+    b = (
+        bands_b
+        if bands_b is not None
+        else _band_table(sigs_b, id_col, num_perms, rows_per_band)
+    ).localCheckpoint(eager=False)
     bucket_sizes = b.groupBy(*key_cols).agg(F.count("*").alias("_n"))
     bounded = b.join(
         bucket_sizes.filter(F.col("_n") <= max_bucket).drop("_n"),
@@ -176,8 +189,11 @@ def lsh_candidate_pairs(
     num_perms: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 1000,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band.
+    ``bands`` (optional) supplies a prebuilt band table (see
+    :func:`lsh_cross_pairs`) so the explode runs once across passes.
 
     Band keys are NUMERIC: each pair of consecutive signature columns
     packs losslessly into one int64 (``h·2³¹ + h'`` — exact because
@@ -195,11 +211,15 @@ def lsh_candidate_pairs(
     """
     key_cols = _band_key_cols(rows_per_band)
     exploded = (
-        _band_table(sigs, id_col, num_perms, rows_per_band)
-        # signature computation is the expensive subtree and feeds three
-        # plan branches (bucket sizes, both join sides) — truncate the
-        # lineage so it runs once, not per branch
-        .localCheckpoint(eager=False)
+        bands
+        if bands is not None
+        else (
+            _band_table(sigs, id_col, num_perms, rows_per_band)
+            # signature computation is the expensive subtree and feeds
+            # three plan branches (bucket sizes, both join sides) —
+            # truncate the lineage so it runs once, not per branch
+            .localCheckpoint(eager=False)
+        )
     )
     # cap degenerate buckets
     bucket_sizes = exploded.groupBy(*key_cols).agg(F.count("*").alias("_n"))

@@ -389,8 +389,14 @@ def equidepth_from_counts(
         "_shard",
         F.expr(f"((_v - {lo}) * {num_shards}) div {rng}").cast("int"),
     )
+    # order by (_v, _val): _v alone is NOT injective over distinct
+    # values (two raw values can round to one scaled _v), and a
+    # nondeterministic tie order would break the bit-for-bit NTILE
+    # parity. round(value*scale) is monotone, so ties on _v are
+    # value-adjacent and (_v, _val) IS exact ascending value order —
+    # the same order NTILE's ORDER BY value uses.
     within = F.sum("_cnt").over(
-        Window.partitionBy("_shard").orderBy("_v").rowsBetween(
+        Window.partitionBy("_shard").orderBy("_v", "_val").rowsBetween(
             Window.unboundedPreceding, 0
         )
     )

@@ -98,6 +98,9 @@ _WINDOW_R5 = [
     "q_bm25",
 ]
 
+# the active window (rotated per round; _set_window validates it)
+_WINDOW = _WINDOW_R5
+
 
 def _set_window() -> None:
     """Reorder the registry: the explicit window first (in list order),
@@ -105,15 +108,23 @@ def _set_window() -> None:
     then the rows-only tail. Fails loudly on typos, duplicates, or a
     rows-only query in a strong-check slot."""
     names = list(QUERY_REGISTRY)
-    assert len(_WINDOW_R5) == 50, f"window has {len(_WINDOW_R5)} slots"
-    assert len(set(_WINDOW_R5)) == 50, "duplicate window entries"
-    unknown = [n for n in _WINDOW_R5 if n not in QUERY_REGISTRY]
-    assert not unknown, f"window names not in registry: {unknown}"
-    no_oracle = [n for n in _WINDOW_R5 if QUERY_REGISTRY[n].sql is None]
-    assert not no_oracle, f"rows-only queries waste oracle slots: {no_oracle}"
-    rest = [n for n in names if n not in set(_WINDOW_R5)]
+    # hard errors, not asserts: these invariants guard the driver's
+    # CORRECTNESS gate and must hold under `python -O` too
+    if len(_WINDOW) != 50:
+        raise ValueError(f"window has {len(_WINDOW)} slots, need 50")
+    if len(set(_WINDOW)) != 50:
+        raise ValueError("duplicate window entries")
+    unknown = [n for n in _WINDOW if n not in QUERY_REGISTRY]
+    if unknown:
+        raise ValueError(f"window names not in registry: {unknown}")
+    no_oracle = [n for n in _WINDOW if QUERY_REGISTRY[n].sql is None]
+    if no_oracle:
+        raise ValueError(
+            f"rows-only queries waste oracle slots: {no_oracle}"
+        )
+    rest = [n for n in names if n not in set(_WINDOW)]
     ordered = (
-        _WINDOW_R5
+        _WINDOW
         + [n for n in rest if QUERY_REGISTRY[n].sql is not None]
         + [n for n in rest if QUERY_REGISTRY[n].sql is None]
     )

@@ -101,6 +101,8 @@ class StreamingCorpusIngestor:
         self.batches_applied = 0
 
     def _update_stats(self, admitted: DataFrame) -> None:
+        from pyspark.errors import AnalysisException
+
         from cdc_system_spark.operators.sketch import hll_merge, hll_state
 
         new_state = hll_state(
@@ -109,7 +111,15 @@ class StreamingCorpusIngestor:
         try:
             prev = self.spark.read.parquet(self.stats_path)
             merged = hll_merge(prev, new_state)
-        except Exception:
+        except AnalysisException as exc:
+            # ONLY the first-run bootstrap (path doesn't exist yet) may
+            # fall back to the single-batch state; any other read
+            # failure (transient FS error, corrupt footer) must NOT
+            # silently reset the monotone ever-admitted sketch.
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
             merged = new_state
         # break lineage from the path being overwritten before the
         # overwrite (reading and rewriting one path in a single plan
@@ -192,12 +202,18 @@ class StreamingCorpusIngestor:
             current, admitted, text_col=self.text_col, id_col=self.id_col
         )
         final = merged.join(delete_ids, self.id_col, "left_anti")
+        # Stats BEFORE the marker commit: a crash between the two then
+        # replays the batch (marker not yet advanced) and the stats
+        # merge re-runs — a no-op, because HLL merge is idempotent (max
+        # per bucket) over the identical batch content. The previous
+        # order (stats after the flip) had a crash window that skipped
+        # the batch's stats forever: the replay guard returned early.
+        if self.stats_path is not None:
+            self._update_stats(admitted)
         self.corpus.write(
             final,
             meta={"ingest_app": self.checkpoint_path, "ingest_batch": str(batch_id)},
         )
-        if self.stats_path is not None:
-            self._update_stats(admitted)
         self.batches_applied += 1
 
     def _writer(self):
