@@ -1,0 +1,49 @@
+"""The driver-facing bench output contract (r5 regression: the single
+all-detail final line outgrew the driver's 2000-char stdout tail and
+BENCH_r05.json came back unparseable). Pure-python — no Spark."""
+
+import json
+
+import bench
+
+
+def test_compact_line_under_cap_for_current_headline():
+    timings = {name: 3.141 for name in bench.HEADLINE}
+    line = bench._compact_line(sum(timings.values()), timings, 99.9, 0.1)
+    assert len(line) <= bench._LINE_CAP
+    rec = json.loads(line)
+    assert rec["metric"] == "headline_queries_total"
+    assert set(rec["queries"]) == set(bench.HEADLINE)
+    assert abs(rec["value"] - sum(timings.values())) < 0.5
+
+
+def test_compact_line_folds_rather_than_exceeding_cap():
+    # pathological growth: 200 long-named queries cannot fit — the
+    # smallest minima fold into "other" and the line still parses
+    timings = {f"q_very_long_headline_query_name_{i:03d}": 0.01 * (i + 1)
+               for i in range(200)}
+    total = sum(timings.values())
+    line = bench._compact_line(total, timings, total, 0.1)
+    assert len(line) <= bench._LINE_CAP
+    rec = json.loads(line)
+    assert rec["queries_omitted"] > 0
+    assert "other" in rec["queries"]
+    # folding preserves the total within rounding slack
+    assert abs(sum(rec["queries"].values()) - total) < 0.01 * len(timings)
+    # the LARGEST minima survive by name (what cross-round reads need)
+    kept = set(rec["queries"]) - {"other"}
+    assert "q_very_long_headline_query_name_199" in kept
+
+
+def test_regression_baseline_loads_latest_committed_local():
+    name, mins = bench._load_prev_mins()
+    # the repo carries committed BENCH_LOCAL_r*.json records
+    assert name is not None and name.startswith("BENCH_LOCAL_r")
+    assert mins and all(isinstance(v, float) for v in mins.values())
+
+
+def test_headline_names_all_registered():
+    from cdc_system_spark.queries import QUERY_REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in QUERY_REGISTRY]
+    assert not missing
