@@ -89,10 +89,14 @@ def bloom_probe(
 
     Plan shape: the sparse bit table (geometry-bounded: <= ``num_bits``
     rows, NEVER data-bounded) is packed into ``num_bits/64`` int64
-    words and attached to every probe partition as a one-row broadcast;
-    each probe row then does ``num_hashes`` O(1) word-index + bit
-    tests, entirely map-side inside codegen — the probe side never
-    shuffles and nothing data-sized ever reaches the driver. (An
+    words and embedded as ONE array<long> literal in the probe
+    projection — no join node of any kind (a one-row broadcast
+    crossJoin would plan as BroadcastNestedLoopJoin, the node the plan
+    audit forbids); each probe row then does ``num_hashes`` O(1)
+    word-index + bit tests, entirely map-side inside codegen — the
+    probe side never shuffles and nothing data-sized ever reaches the
+    driver (the literal costs ``num_bits/8`` bytes per serialized task
+    binary, ~1.2 MB at the 10^7-bit ceiling callers are pointed to). (An
     earlier version re-joined a distinct-probe-key-sized aggregate back
     to the fact under a forced broadcast — at 100-TB fact scale that
     collects billions of keys to the driver; this shape is immune by
@@ -116,11 +120,8 @@ def bloom_probe(
     words = [0] * n_words
     for r in packed:
         words[r["_w"]] = r["_word"]
-    bits_row = df.sparkSession.createDataFrame(
-        [(words,)], "_words array<long>"
-    )
     c = F.col(key_col)
-    fanned = df.crossJoin(F.broadcast(bits_row))
+    fanned = df.withColumn("_words", F.lit(words))
     pos_cols = [f"_bp{i}" for i in range(num_hashes)]
     for i, name in enumerate(pos_cols):
         fanned = fanned.withColumn(name, _bit(i, c, num_bits))

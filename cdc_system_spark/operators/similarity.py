@@ -405,6 +405,7 @@ def semantic_dedup(
     pair_salt: int = 8,
     num_centroids: int | None = None,
     refine_iters: int = 0,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): quantize embeddings to C cells, then prune
@@ -442,6 +443,14 @@ def semantic_dedup(
     remedy for within-block pair generation (same trade as
     :func:`~cdc_system_spark.operators.skew.salted_join`, measured
     1.8× on the sf0.1 bench where 4 cells left 28 of 32 cores idle).
+
+    ``assigned``: a precomputed ``(id, vec, centroid_id)`` frame — the
+    maintained-index path (:mod:`~cdc_system_spark.operators.ann_index`).
+    When given, the centroid recompute AND the corpus re-assignment are
+    skipped entirely; ``emb`` is ignored as a vector source (the
+    assignment frame carries the vectors). Results are identical to the
+    recompute path whenever the index was built over the same corpus
+    with the same centroid parameters.
     """
     if pair_salt < 1:
         raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
@@ -454,7 +463,11 @@ def semantic_dedup(
     # spread: the C-cosine assignment + norm fold is CPU-bound and a
     # small corpus scans as one split — without it the whole projection
     # runs on one core (a no-op at real scale, see spread's contract).
-    if centroid_ids is None:
+    if assigned is not None:
+        assigned = assigned.select(id_col, vec_col, "centroid_id").withColumn(
+            "_nrm", _norm(F.col(vec_col))
+        )
+    elif centroid_ids is None:
         assigned = auto_cells(
             emb, id_col, vec_col, num_centroids, refine_iters
         ).withColumn("_nrm", _norm(F.col(vec_col)))
@@ -507,6 +520,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Block-bounded kNN graph: each vector's top-``k`` most-similar
     neighbors within its block — the edge list graph-based clustering,
@@ -534,7 +548,14 @@ def knn_graph(
     # folds re-evaluate outside codegen, cell_size x waste per vector);
     # spread + sub-block salt: see semantic_dedup — identical pair set,
     # block-count × 8 parallelism
-    if block_col is None:
+    if assigned is not None:
+        # maintained-index path (operators/ann_index.py): assignment
+        # already done at build/ingest time, skip straight to scoring
+        block_col = "centroid_id"
+        normed = assigned.select(id_col, vec_col, "centroid_id").withColumn(
+            "_nrm", _norm(F.col(vec_col))
+        )
+    elif block_col is None:
         block_col = "centroid_id"
         normed = auto_cells(emb, id_col, vec_col, num_centroids).withColumn(
             "_nrm", _norm(F.col(vec_col))
@@ -1018,6 +1039,8 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int | None = None,
+    assigned: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: drop corpus vectors
     whose cosine to ANY benchmark vector reaches ``threshold`` — the
@@ -1046,7 +1069,33 @@ def semantic_decontaminate(
     # elimination inside the join — the semantic_dedup lesson); spread:
     # the broadcast join is map-side, so corpus-side parallelism is the
     # scan split count — one core on a small file without it
-    if centroid_ids is None:
+    if assigned is not None:
+        # maintained-index path (operators/ann_index.py): the corpus
+        # side is the persisted assignment; the bench side (tiny) is
+        # assigned fresh against the index's FROZEN centroid table so
+        # both sides share one cell geometry
+        if centroids is None:
+            raise ValueError(
+                "assigned requires the matching centroids table"
+            )
+        cents = sorted(
+            (int(r["cell_id"]), [float(x) for x in r["cvec"]])
+            for r in centroids.collect()
+        )
+        c = assigned.select(id_col, vec_col, "centroid_id").withColumn(
+            "_nrm", _norm(F.col(vec_col))
+        )
+        b = (
+            _assign_vectorized(bench, cents, id_col, vec_col)
+            .withColumnRenamed("cell_id", "centroid_id")
+            .select(
+                F.col(id_col).alias("_bid"),
+                F.col(vec_col).alias("_bv"),
+                "centroid_id",
+            )
+            .withColumn("_bnrm", _norm(F.col("_bv")))
+        )
+    elif centroid_ids is None:
         cents = _auto_cents(corpus, id_col, vec_col, num_centroids)
         c = _assign_vectorized(
             spread(corpus), cents, id_col, vec_col
@@ -1175,6 +1224,7 @@ def knn_label_noise(
     vec_col: str = "embedding",
     label_col: str = "label",
     num_centroids: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Label-noise detection by kNN neighbor vote (the confident-
     learning / cleanlab screening step a labeled training set gets
@@ -1204,7 +1254,11 @@ def knn_label_noise(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if centroid_ids is None:
+    if assigned is not None:
+        # maintained-index path: the persisted assignment supplies the
+        # cell labels; emb still supplies label_col via the id join
+        cells = assigned.select(id_col, "centroid_id")
+    elif centroid_ids is None:
         cells = auto_cells(emb, id_col, vec_col, num_centroids).select(
             id_col, "centroid_id"
         )

@@ -1,0 +1,127 @@
+"""Maintained ANN index artifact: build/ingest/load parity with the
+ad-hoc recompute path, replay idempotence, and static partition
+pruning on probes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_system_spark.operators import ann_index as AI
+from cdc_system_spark.operators import similarity as S
+from cdc_system_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _asg_map(df):
+    return {r["vec_id"]: r["centroid_id"] for r in df.collect()}
+
+
+def test_build_matches_adhoc_auto_cells(spark, emb, tmp_path):
+    # index built over the same corpus with the default C must agree
+    # with auto_cells row for row — the contract that makes `assigned=`
+    # a pure skip-the-recompute substitution
+    path = str(tmp_path / "idx")
+    n = AI.ann_index_build(emb, path)
+    assert n == emb.count()
+    _, maintained = AI.ann_index_load(spark, path)
+    adhoc = S.auto_cells(emb)
+    assert _asg_map(maintained) == _asg_map(adhoc)
+
+
+def test_incremental_ingest_matches_frozen_recompute(spark, emb, tmp_path):
+    # build on 70%, ingest the rest: maintained == one-shot assignment
+    # of the FULL corpus against the frozen centroid table (centroids
+    # do not move on ingest — that is the artifact's whole point)
+    path = str(tmp_path / "idx")
+    base = emb.filter("vec_id < 350")
+    rest = emb.filter("vec_id >= 350")
+    AI.ann_index_build(base, path)
+    admitted = AI.ann_index_ingest(rest, path)
+    assert admitted == rest.count()
+    centroids, maintained = AI.ann_index_load(spark, path)
+    recomputed = S.assign_with_centroids(emb, centroids).withColumnRenamed(
+        "cell_id", "centroid_id"
+    )
+    assert _asg_map(maintained) == _asg_map(recomputed)
+
+
+def test_ingest_replay_is_idempotent(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    base = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    AI.ann_index_build(base, path)
+    assert AI.ann_index_ingest(batch, path) == batch.count()
+    assert AI.ann_index_ingest(batch, path) == 0  # redelivery: no-op
+    _, maintained = AI.ann_index_load(spark, path)
+    assert maintained.count() == emb.count()
+    assert maintained.select("vec_id").distinct().count() == emb.count()
+
+
+def test_semantic_dedup_accepts_maintained_assignment(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path)
+    _, maintained = AI.ann_index_load(spark, path)
+    via_index = S.semantic_dedup(emb, threshold=0.9, assigned=maintained)
+    recomputed = S.semantic_dedup(emb, threshold=0.9)
+    assert sorted(map(tuple, via_index.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
+
+
+def test_knn_graph_and_label_noise_accept_maintained_assignment(
+    spark, emb, tmp_path
+):
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path)
+    _, maintained = AI.ann_index_load(spark, path)
+    g1 = S.knn_graph(emb, k=2, assigned=maintained)
+    g2 = S.knn_graph(emb, k=2)
+    assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, g2.collect()))
+    n1 = S.knn_label_noise(emb, k=3, assigned=maintained)
+    n2 = S.knn_label_noise(emb, k=3)
+    assert sorted(map(tuple, n1.collect())) == sorted(map(tuple, n2.collect()))
+
+
+def test_decontaminate_accepts_maintained_assignment(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path)
+    centroids, maintained = AI.ann_index_load(spark, path)
+    bench = emb.filter("vec_id % 37 = 0").select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    d1 = S.semantic_decontaminate(
+        emb, bench, threshold=0.95, assigned=maintained, centroids=centroids
+    )
+    d2 = S.semantic_decontaminate(emb, bench, threshold=0.95)
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+    with pytest.raises(ValueError, match="centroids"):
+        S.semantic_decontaminate(emb, bench, assigned=maintained)
+
+
+def test_probe_topk_prunes_partitions_and_is_exact_at_full_probe(
+    spark, emb, tmp_path
+):
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=8)
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    # static pruning: the probe plan carries a literal partition filter
+    probe = AI.ann_index_topk(spark, path, qv, k=5, nprobe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan.replace("\n", " ") or (
+        "centroid_id" in plan and "IN (" in plan.upper()
+    )
+    rows = probe.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_sim"] == 1.0
+
+    # probing ALL cells makes IVF exact: matches brute-force top-k
+    full = AI.ann_index_topk(spark, path, qv, k=10, nprobe=8)
+    brute = S.cosine_topk(emb, qv, k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
