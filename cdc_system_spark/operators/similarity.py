@@ -867,6 +867,112 @@ def assign_with_centroids(
     return _assign_vectorized(emb, cents, id_col, vec_col)
 
 
+def assign_two_level(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_count: int | None = None,
+) -> DataFrame:
+    """Two-level (coarse → fine) cell assignment for centroid tables
+    too large to collect to the driver — the mechanized form of the
+    escape hatch :func:`auto_cells` documents.
+
+    The flat path closes all C centroids over an Arrow pass, which
+    holds to C ≈ 10⁵ (√n at n = 10¹⁰). Past that, only the
+    ``K = max(4, ceil(sqrt(C)))`` COARSE centroids (the first K fine
+    centroids by id) are driver-collected; the C-row fine table stays
+    distributed. Three map-side-ish steps, none touching the corpus
+    more than once:
+
+    1. tag every FINE centroid with its nearest coarse cell (one
+       vectorized pass over the C-row table);
+    2. tag every corpus row with its nearest coarse cell (one
+       vectorized pass over the corpus);
+    3. cogroup rows with their coarse cell's fine centroids
+       (``groupBy(coarse).cogroup(...).applyInPandas``) and take the
+       numpy argmax-cosine within the bucket — one shuffle on the
+       coarse key, expected bucket payload n/K rows × √C fine
+       centroids.
+
+    Semantics: the row is assigned to its nearest fine centroid
+    WITHIN its coarse bucket — exact whenever the globally-nearest
+    fine centroid shares the row's coarse cell (clustered data; the
+    regime the hierarchy exists for), the standard two-level IVF
+    approximation otherwise. Tie-breaks match the flat path (larger
+    cell id). A coarse bucket holding rows but no fine centroids is
+    impossible for distinct centroids (every coarse centroid IS a
+    fine centroid and tags to itself) and raises loudly rather than
+    dropping rows if duplicate-centroid degeneracy ever produces it.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    C = centroids.count()
+    K = coarse_count or (max(4, math.isqrt(C - 1) + 1) if C > 1 else 1)
+    coarse_rows = (
+        centroids.orderBy("cell_id").limit(K)
+        .select(F.col("cell_id"), F.col("cvec"))
+        .collect()
+    )
+    coarse_cents = sorted(
+        (int(r["cell_id"]), [float(x) for x in r["cvec"]]) for r in coarse_rows
+    )
+    fine_tagged = _assign_vectorized(
+        centroids.select(F.col("cell_id").alias("_fid"), "cvec"),
+        coarse_cents,
+        "_fid",
+        "cvec",
+    ).withColumnRenamed("cell_id", "_coarse")
+    rows_tagged = _assign_vectorized(
+        emb.select(id_col, vec_col), coarse_cents, id_col, vec_col
+    ).withColumnRenamed("cell_id", "_coarse")
+
+    out_schema = T.StructType(
+        [
+            emb.schema[id_col],
+            emb.schema[vec_col],
+            T.StructField("cell_id", T.LongType()),
+        ]
+    )
+
+    def fine_argmax(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0:
+            return pd.DataFrame(
+                {id_col: left[id_col], vec_col: left[vec_col], "cell_id": []}
+            )
+        if len(right) == 0:
+            raise ValueError(
+                "coarse bucket holds rows but no fine centroids — "
+                "duplicate-centroid degeneracy; deduplicate the "
+                "centroid table"
+            )
+        cid = right["_fid"].to_numpy(dtype=np.int64)
+        Cm = np.stack([np.asarray(v, dtype=np.float64) for v in right["cvec"]])
+        Cn = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+        order = np.argsort(-cid)  # argmax keeps FIRST max → desc by cid
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in left[vec_col]])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        best = np.argmax(Mn @ Cn[order].T, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: left[id_col],
+                vec_col: left[vec_col],
+                "cell_id": cid[order][best],
+            }
+        )
+
+    return (
+        rows_tagged.groupBy("_coarse")
+        .cogroup(fine_tagged.groupBy("_coarse"))
+        .applyInPandas(fine_argmax, schema=out_schema)
+    )
+
+
 def auto_centroid_count(n: int) -> int:
     """Corpus-scaled cell count ``C = max(4, ceil(sqrt(n)))`` — the
     SemDeDup-practice rule that keeps the within-cell pair work
@@ -903,12 +1009,21 @@ def _auto_cents(
     return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
 
 
+#: above this centroid count auto_cells switches from the flat
+#: driver-collected pass to the two-level coarse→fine hierarchy
+#: (:func:`assign_two_level`). 4096 × d=64 float64 ≈ 2 MB collected —
+#: far inside the driver budget; the switch point is conservative so
+#: the hierarchy is exercised long before the flat path strains.
+_TWO_LEVEL_THRESHOLD = 4096
+
+
 def auto_cells(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_centroids: int | None = None,
     refine_iters: int = 0,
+    two_level_threshold: int = _TWO_LEVEL_THRESHOLD,
 ) -> DataFrame:
     """Corpus-scaled cell assignment: ``(id, vec, centroid_id)`` with
     ``C = max(4, ceil(sqrt(n)))`` cells (override via
@@ -918,15 +1033,36 @@ def auto_cells(
     viable past a few dozen centroids). Zero joins, zero shuffles over
     the corpus; one bounded count job + one C-row collect.
 
-    Bound honestly: the centroid table is driver-collected and closed
-    over by the Arrow pass, so this path holds while ``C·d`` floats fit
-    comfortably in driver/executor memory — √n scaling keeps that true
-    to roughly n ≈ 10¹⁰ vectors at d = 64 (C ≈ 10⁵ ⇒ ~50 MB). Beyond
-    that, cap ``num_centroids`` at the memory budget and accept larger
-    cells, or introduce a coarse-fine hierarchy (assign to √C coarse
-    cells, then refine within each) — the two-level IVF standard; the
-    O(n²/C) pair-work bound degrades gracefully either way."""
-    cents = _auto_cents(emb, id_col, vec_col, num_centroids, refine_iters)
+    Driver bound, mechanized: past ``two_level_threshold`` centroids
+    the flat path (C rows driver-collected and closed over by the
+    Arrow pass) switches to :func:`assign_two_level` — only the
+    √C-row COARSE table is collected, the fine table stays
+    distributed, and rows are argmax-assigned within their coarse
+    bucket via a cogrouped Arrow pass. The flat path alone holds to
+    C ≈ 10⁵ (√n at n ≈ 10¹⁰, ~50 MB at d = 64); the hierarchy extends
+    the same O(n²/C) pair-work bound past it with the standard
+    two-level IVF within-bucket approximation. Lloyd refinement
+    (``refine_iters``) shuttles all C centroids through the driver per
+    iteration and is refused on the two-level path."""
+    if num_centroids is not None:
+        C = num_centroids
+    else:
+        C = auto_centroid_count(emb.count())
+    if C > two_level_threshold:
+        if refine_iters > 0:
+            raise ValueError(
+                f"refine_iters requires the flat path (C={C} > "
+                f"two_level_threshold={two_level_threshold}): Lloyd "
+                "iterations collect all C centroids per round"
+            )
+        cdf = emb.orderBy(id_col).limit(C).select(
+            F.col(id_col).cast("long").alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+        return assign_two_level(
+            spread(emb), cdf, id_col, vec_col
+        ).withColumnRenamed("cell_id", "centroid_id")
+    cents = _auto_cents(emb, id_col, vec_col, C, refine_iters)
     # spread: the argmax matmul is CPU-bound and a small corpus scans
     # as one split (a no-op at real scale, see spread's contract)
     return _assign_vectorized(
