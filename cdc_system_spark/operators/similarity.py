@@ -873,6 +873,7 @@ def assign_two_level(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_count: int | None = None,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """Two-level (coarse → fine) cell assignment for centroid tables
     too large to collect to the driver — the mechanized form of the
@@ -896,21 +897,28 @@ def assign_two_level(
        centroids.
 
     Semantics: the row is assigned to its nearest fine centroid
-    WITHIN its coarse bucket — exact whenever the globally-nearest
-    fine centroid shares the row's coarse cell (clustered data; the
-    regime the hierarchy exists for), the standard two-level IVF
-    approximation otherwise. Tie-breaks match the flat path (larger
-    cell id). A coarse bucket holding rows but no fine centroids is
-    impossible for distinct centroids (every coarse centroid IS a
-    fine centroid and tags to itself) and raises loudly rather than
-    dropping rows if duplicate-centroid degeneracy ever produces it.
+    within its ``coarse_probe`` nearest coarse buckets (candidates
+    unioned across probes, global tie-breaks: higher rounded-free
+    cosine, then larger cell id — the flat path's rule). Exact
+    whenever the globally-nearest fine centroid lands in one of the
+    probed buckets: always true at ``coarse_probe = K`` (the union is
+    all C centroids — a testable identity), true at small probes for
+    clustered data (the regime the hierarchy exists for), the
+    standard multi-probe IVF approximation otherwise. A coarse bucket
+    holding rows but no fine centroids is impossible for distinct
+    centroids (every coarse centroid IS a fine centroid and tags to
+    itself) and raises loudly rather than dropping rows if
+    duplicate-centroid degeneracy ever produces it.
     """
     import math
 
     from pyspark.sql import types as T
 
+    if coarse_probe < 1:
+        raise ValueError(f"coarse_probe must be >= 1, got {coarse_probe}")
     C = centroids.count()
     K = coarse_count or (max(4, math.isqrt(C - 1) + 1) if C > 1 else 1)
+    p = min(coarse_probe, K)
     coarse_rows = (
         centroids.orderBy("cell_id").limit(K)
         .select(F.col("cell_id"), F.col("cvec"))
@@ -925,25 +933,31 @@ def assign_two_level(
         "_fid",
         "cvec",
     ).withColumnRenamed("cell_id", "_coarse")
-    rows_tagged = _assign_vectorized(
-        emb.select(id_col, vec_col), coarse_cents, id_col, vec_col
-    ).withColumnRenamed("cell_id", "_coarse")
+    rows_tagged = _tag_top_coarse(
+        emb.select(id_col, vec_col), coarse_cents, id_col, vec_col, p
+    )
 
-    out_schema = T.StructType(
+    cand_schema = T.StructType(
         [
             emb.schema[id_col],
             emb.schema[vec_col],
             T.StructField("cell_id", T.LongType()),
+            T.StructField("_sim", T.DoubleType()),
         ]
     )
 
-    def fine_argmax(left, right):
+    def fine_best(left, right):
         import numpy as np
         import pandas as pd
 
         if len(left) == 0:
             return pd.DataFrame(
-                {id_col: left[id_col], vec_col: left[vec_col], "cell_id": []}
+                {
+                    id_col: left[id_col],
+                    vec_col: left[vec_col],
+                    "cell_id": [],
+                    "_sim": [],
+                }
             )
         if len(right) == 0:
             raise ValueError(
@@ -957,20 +971,83 @@ def assign_two_level(
         order = np.argsort(-cid)  # argmax keeps FIRST max → desc by cid
         M = np.stack([np.asarray(v, dtype=np.float64) for v in left[vec_col]])
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-        best = np.argmax(Mn @ Cn[order].T, axis=1)
+        sims = Mn @ Cn[order].T
+        best = np.argmax(sims, axis=1)
         return pd.DataFrame(
             {
                 id_col: left[id_col],
                 vec_col: left[vec_col],
                 "cell_id": cid[order][best],
+                "_sim": sims[np.arange(len(best)), best],
             }
         )
 
-    return (
+    per_bucket = (
         rows_tagged.groupBy("_coarse")
         .cogroup(fine_tagged.groupBy("_coarse"))
-        .applyInPandas(fine_argmax, schema=out_schema)
+        .applyInPandas(fine_best, schema=cand_schema)
     )
+    if p == 1:
+        return per_bucket.drop("_sim")
+    # combine the p probed buckets' winners: one map-side-combinable
+    # agg, ties resolved exactly like the flat pass (sim, then cell id)
+    return per_bucket.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by(
+            F.col("cell_id"), F.struct(F.col("_sim"), F.col("cell_id"))
+        ).alias("cell_id"),
+    )
+
+
+def _tag_top_coarse(
+    emb: DataFrame,
+    coarse_cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    p: int,
+) -> DataFrame:
+    """Tag each row with its ``p`` nearest coarse cells — ``p`` output
+    rows per input row (the multi-probe fan-out of
+    :func:`assign_two_level`). Rank 1 reproduces
+    :func:`_assign_vectorized` exactly (same float ops, same
+    desc-cell-id tie order)."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            emb.schema[id_col],
+            emb.schema[vec_col],
+            T.StructField("_coarse", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        cid_arr = np.array([cid for cid, _ in coarse_cents], dtype=np.int64)
+        Cm = np.stack([np.asarray(v, dtype=np.float64) for _, v in coarse_cents])
+        Cn = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+        rev = np.argsort(-cid_arr)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            sims = Mn @ Cn[rev].T
+            # stable argsort desc: first max wins, matching argmax —
+            # kind='stable' keeps the desc-cid tie order at every rank
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].repeat(p).reset_index(drop=True),
+                    vec_col: pdf[vec_col].repeat(p).reset_index(drop=True),
+                    "_coarse": cid_arr[rev][top].reshape(n * p),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
 
 
 def auto_centroid_count(n: int) -> int:

@@ -79,6 +79,34 @@ def test_auto_cells_switches_to_two_level_past_threshold(spark, clustered):
         )
 
 
+def test_full_probe_equals_flat_on_unclustered_data(spark, sf_dir):
+    # data-independent identity: probing ALL K coarse buckets makes
+    # the candidate union the whole centroid table, so two-level ==
+    # flat on arbitrary (here: real, unclustered) embeddings — the
+    # exactness dial for corpora the clustered-data assumption fails on
+    from cdc_system_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id < 64").collect()
+    )
+    flat = {
+        r["vec_id"]: r["cell_id"]
+        for r in S._assign_vectorized(emb, cents, "vec_id", "embedding").collect()
+    }
+    cdf = spark.createDataFrame(
+        [(i, v) for i, v in cents], "cell_id long, cvec array<double>"
+    )
+    two = {
+        r["vec_id"]: r["cell_id"]
+        for r in S.assign_two_level(
+            emb, cdf, coarse_count=8, coarse_probe=8
+        ).collect()
+    }
+    assert two == flat
+
+
 def test_two_level_small_case_parity(spark):
     # tiny corpus, forced hierarchy: rows are EXACT copies of the 16
     # distinct fine-centroid directions, so each row's global best is
