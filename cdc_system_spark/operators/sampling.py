@@ -409,6 +409,52 @@ def leakage_safe_split(
     return split_assign(grouped, splits, id_col="group_id", salt=salt)
 
 
+def containment_safe_split(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """:func:`leakage_safe_split` with CONTAINMENT-aware grouping: the
+    duplicate graph is built from asymmetric containment pairs
+    (:func:`~cdc_system_spark.operators.dedup.containment_pairs`, the
+    Broder resemblance-vs-containment estimate), not just symmetric
+    near-duplicates — so a quoted SUBSET document (low Jaccard to the
+    page that contains it, high containment) can never straddle the
+    train/test boundary either. The classic residual leak of
+    Jaccard-grouped splitting: the eval answer is a paragraph of a
+    training page; symmetric similarity misses it, containment
+    catches it.
+
+    Composition (each piece independently oracle-checked): containment
+    pairs at ``threshold`` → connected components
+    (:func:`~cdc_system_spark.operators.dedup.duplicate_clusters`) →
+    group-keyed :func:`split_assign`. Scale shape inherited from the
+    pieces: banded candidate generation (never all-pairs), pair-graph-
+    sized CC rounds, map-only assignment.
+    """
+    from cdc_system_spark.operators.dedup import (
+        containment_pairs,
+        duplicate_clusters,
+    )
+
+    pairs = containment_pairs(
+        df, k=k, text_col=text_col, id_col=id_col, rows_per_band=1
+    ).filter(F.col("est_containment") >= threshold)
+    clusters = duplicate_clusters(df, pairs.select("id1", "id2"), id_col=id_col)
+    return leakage_safe_split(
+        df,
+        clusters=clusters,
+        text_col=text_col,
+        id_col=id_col,
+        splits=splits,
+        salt=salt,
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,

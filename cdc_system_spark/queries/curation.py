@@ -821,6 +821,52 @@ _DROP_CONTAINED_SQL = f"""WITH pairs AS ({_CONTAIN_SQL}),
     LEFT JOIN drop_ids USING (doc_id) WHERE drop_ids.doc_id IS NULL"""
 
 
+# containment-aware leakage-safe split: the containment pair graph
+# (quoted-subset docs), closed transitively, becomes the split-group
+# frame — oracle = the containment-pair CTE + recursive-CTE connected
+# components + the same md5 bucket carving as q_leakage_split
+_LSPLIT_CONTAIN_SQL = f"""WITH RECURSIVE pairs AS ({_CONTAIN_SQL}),
+    cont AS (SELECT id1, id2 FROM pairs WHERE est_containment >= 0.8),
+    edges AS (SELECT id1 AS a, id2 AS b FROM cont
+              UNION SELECT id2, id1 FROM cont),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+    comp AS (SELECT src, LEAST(src, MIN(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+    g AS (SELECT d.doc_id,
+                 COALESCE(c.cluster_id, d.doc_id) AS group_id
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.src),
+    b AS (SELECT doc_id, group_id,
+               CAST(CONCAT('0x',
+                   SUBSTR(MD5('s9' || CAST(group_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000 AS bucket
+          FROM g)
+    SELECT doc_id, group_id,
+           CASE WHEN bucket < 980 THEN 'train'
+                WHEN bucket < 990 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b"""
+
+
+@register(
+    "q_leakage_split_containment",
+    _LSPLIT_CONTAIN_SQL,
+    doc="containment-aware leakage-safe split: the split group is the "
+    "connected component of the CONTAINMENT pair graph (est >= 0.8), "
+    "so a quoted-subset document — low Jaccard, high containment — "
+    "follows its superset page to the same side of the train/test "
+    "line; symmetric-Jaccard grouping leaves exactly that leak open",
+)
+def q_leakage_split_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import containment_safe_split
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    out = containment_safe_split(docs, threshold=0.8, k=7, salt="s9")
+    return out.select("doc_id", "group_id", "split")
+
+
 @register(
     "q_drop_contained",
     _DROP_CONTAINED_SQL,

@@ -711,3 +711,26 @@ def test_containment_clusters_feed_leakage_safe_split(spark):
     got = {r["doc_id"]: r["split"] for r in split.collect()}
     assert got[1] == got[2]          # contained pair shares a split
     assert len(got) == 32            # nothing dropped
+
+
+def test_containment_safe_split_operator(spark):
+    # the packaged form of the composition above: a contained doc
+    # FOLLOWS its superset's split, transitively (quote ⊂ page ⊂ book
+    # all one group), and singletons split independently of each other
+    from cdc_system_spark.operators.sampling import containment_safe_split
+
+    quote = "the quick brown fox jumps over the lazy dog " * 3
+    page = quote + " ".join(f"filler{i} unrelated{i}" for i in range(15))
+    book = page + " appendix material entirely new " * 10
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page), (3, book)]
+        + [(i, f"standalone doc {i} " * 10) for i in range(10, 40)],
+        "doc_id long, text string",
+    )
+    split = containment_safe_split(
+        docs, threshold=0.8, splits={"train": 0.5, "test": 0.5}, salt="t"
+    )
+    got = {r["doc_id"]: (r["group_id"], r["split"]) for r in split.collect()}
+    assert got[1] == got[2] == got[3] == (1, got[1][1])  # one chain-group
+    assert len(got) == 33
+    assert {s for _, s in got.values()} == {"train", "test"}
