@@ -17,7 +17,7 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (21)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (16)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (23)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (24)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (10)
@@ -26,80 +26,80 @@ from cdc_system_spark.queries import llm  # noqa: E402,F401  (57, all oracle-bac
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
-# Round-5 window: the driver's CORRECTNESS gate strong-checks the
-# FIRST 50 registry entries only, so the window is now an EXPLICIT
-# 50-name list (round 4's seven chained pairwise-swap lists were
-# becoming their own bug surface — one late registration silently
-# shifted a slot). Composition policy, in priority order:
+# Round-6 window: the driver's CORRECTNESS gate strong-checks the
+# FIRST 50 registry entries only; the window is an EXPLICIT 50-name
+# list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
 #      CORRECTNESS row (r3 proved twice that local green != driver
-#      green) — the 14 carried into round 5 plus everything NEW this
-#      round;
+#      green) — after r5 closed the backlog that is only what is NEW
+#      this round;
 #   2. every query whose operator or oracle CHANGED this round (the
-#      advisor fixes: within-batch near-dup ingest, charset printable
-#      set, HLL empty short-circuit, pmod sub-block salt);
-#   3. remaining slots re-confirm r4-first-green queries (second green
-#      row) — strongest-checks-first (composed pipeline, then the
-#      operators with the most intricate oracles).
-_WINDOW_R5 = [
-    # -- 1. never driver-checked (14 carried from r4) --
-    "q_containment_pairs",
-    "q_drop_contained",
-    "q_skew_profile",
-    "q_event_transitions",
-    "q_event_anomalies",
-    "q_equidepth_histogram",
-    "q_strip_boilerplate",
-    "q_dup_source_matrix",
-    "q_lsh_recall",
-    "q_line_dedup",
-    "q_profile_orders",
-    "q_hll_distinct",
-    "q_countmin",
-    "q_pagerank_seeded",
-    # -- 1. new this round --
-    "q_quantile_sketch",
-    "q_equidepth_sketch",
-    "q_hll_by_type",
-    "q_quantiles_by_type",
-    "q_bloom_prune",
-    "q_zone_map",
-    "q_hll_merged",
-    "q_embedding_cov",
-    "q_winsorize",
-    "q_quantiles_merged",
-    "q_countmin_merged",
-    "q_fk_integrity",
-    "q_auto_join",
-    "q_scene_changes",
-    "q_lpa_communities",
-    "q_winsorize_by_type",
-    "q_bloom_semi_join",
-    "q_community_profile",
-    "q_zone_merged",
+#      r5-tail advisor fixes: bloom probe rewritten to the packed-word
+#      literal, near-dup ingest's within-batch band reuse, equidepth
+#      secondary sort key; plus this round's assigned=/auto_cells
+#      two-level surface on the cell-blocked similarity family);
+#   3. remaining slots re-confirm the queries with the OLDEST driver
+#      evidence — the 48 whose only green rows are r1/r2 (locally
+#      re-verified every round, but rotated out of the driver gate
+#      since; 36 of them fit, the 12 simplest projections wait).
+_WINDOW_R6 = [
+    # -- 1. new this round, never driver-checked --
+    "q_leakage_split_containment",
     # -- 2. operator or oracle changed this round --
+    "q_bloom_prune",
+    "q_bloom_semi_join",
     "q_neardup_ingest",
-    "q_charset_quality",
-    "q_rrf_fuse",
-    "q_embedding_neardup",
+    "q_ingest_dup_report",
+    "q_equidepth_sketch",
+    "q_equidepth_histogram",
+    "q_quantile_sketch",
+    "q_quantiles_merged",
+    "q_quantiles_by_type",
     "q_semantic_dedup",
     "q_knn_graph",
     "q_knn_label_noise",
-    # -- 3. r4-first-green re-confirmation --
-    "q_curation_pipeline",
-    "q_curation_funnel",
-    "q_sequence_pack",
-    "q_substring_dedup",
-    "q_leakage_split",
-    "q_quantized_ann",
-    "q_ingest_dup_report",
-    "q_vocab_coverage",
     "q_semantic_decontaminate",
-    "q_bm25",
+    # -- 3. oldest driver evidence (last green r1/r2) --
+    "q_merge_apply",
+    "q_snapshot_diff",
+    "q_pending_changes",
+    "q_change_stats",
+    "q_rollup",
+    "q_conflict_field_merge",
+    "q_conflict_fww",
+    "q_conflict_manual_queue",
+    "q_asof_join",
+    "q_range_join",
+    "q_event_enrichment",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_dedup_exact",
+    "q_dup_clusters",
+    "q_fuzzy_dedup",
+    "q_minhash_signature",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_srp_lsh_pairs",
+    "q_decontaminate",
+    "q_embedding_topk",
+    "q_fingerprint",
+    "q_bpe_token_count",
+    "q_lang_id",
+    "q_text_quality",
+    "q_quality_filter",
+    "q_repetition_filter",
+    "q_rarity_score",
+    "q_redact_pii",
+    "q_tfidf",
+    "q_stratified_sample",
+    "q_frame_sample",
+    "q_media_decode",
+    "q_media_byte_histogram",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R5
+_WINDOW = _WINDOW_R6
 
 
 def _set_window() -> None:

@@ -32,51 +32,35 @@ def test_oracle_window_composition():
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # never driver-checked before round 5 (the r4 verdict's list):
-        "q_containment_pairs",
-        "q_drop_contained",
-        "q_skew_profile",
-        "q_event_transitions",
-        "q_event_anomalies",
-        "q_equidepth_histogram",
-        "q_strip_boilerplate",
-        "q_dup_source_matrix",
-        "q_lsh_recall",
-        "q_line_dedup",
-        "q_profile_orders",
-        "q_hll_distinct",
-        "q_countmin",
-        "q_pagerank_seeded",
-        # new in round 5:
-        "q_quantile_sketch",
-        "q_equidepth_sketch",
-        "q_hll_by_type",
-        "q_quantiles_by_type",
+        # new in round 6, never driver-checked:
+        "q_leakage_split_containment",
+        # operator or oracle changed in round 6 (r5-tail advisor fixes
+        # + the maintained-index/two-level surface):
         "q_bloom_prune",
-        "q_zone_map",
-        "q_hll_merged",
-        "q_embedding_cov",
-        "q_winsorize",
-        "q_quantiles_merged",
-        "q_countmin_merged",
-        "q_fk_integrity",
-        "q_auto_join",
-        "q_scene_changes",
-        "q_lpa_communities",
-        "q_winsorize_by_type",
         "q_bloom_semi_join",
-        "q_community_profile",
-        "q_zone_merged",
-        # operator or oracle changed in round 5 (advisor fixes):
         "q_neardup_ingest",
-        "q_charset_quality",
-        "q_rrf_fuse",
-        "q_embedding_neardup",
+        "q_ingest_dup_report",
+        "q_equidepth_sketch",
+        "q_equidepth_histogram",
+        "q_quantile_sketch",
+        "q_quantiles_merged",
+        "q_quantiles_by_type",
         "q_semantic_dedup",
         "q_knn_graph",
         "q_knn_label_noise",
-        # the composed pipeline is the strongest single check — keep it:
-        "q_curation_pipeline",
+        "q_semantic_decontaminate",
+        # oldest driver evidence (only green rows are r1/r2) — the
+        # re-confirmation pool this round's remaining slots draw from;
+        # pin the most intricate of them so a future edit can't
+        # silently swap them for easy projections:
+        "q_merge_apply",
+        "q_snapshot_diff",
+        "q_dup_clusters",
+        "q_fuzzy_dedup",
+        "q_minhash_lsh_pairs",
+        "q_asof_join",
+        "q_retention_cohorts",
+        "q_conflict_field_merge",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
