@@ -107,6 +107,9 @@ HEADLINE = [
     # literal-4-cell q_knn_label_noise (above) is the oracle-parity
     # form; this is the corpus-scaled production path (C = sqrt(n))
     "q_knn_label_noise_auto",
+    # round-6 addition: containment-aware leakage-safe split (pair
+    # gen -> connected components -> group-keyed assignment)
+    "q_leakage_split_containment",
 ]
 
 

@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (10)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (57, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (58, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no oracle)
 
@@ -41,10 +41,11 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (3, no ora
 #   3. remaining slots re-confirm the queries with the OLDEST driver
 #      evidence — the 48 whose only green rows are r1/r2 (locally
 #      re-verified every round, but rotated out of the driver gate
-#      since; 36 of them fit, the 12 simplest projections wait).
+#      since; 35 of them fit, the 13 simplest projections wait).
 _WINDOW_R6 = [
     # -- 1. new this round, never driver-checked --
     "q_leakage_split_containment",
+    "q_ann_index_maintained",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -95,7 +96,6 @@ _WINDOW_R6 = [
     "q_stratified_sample",
     "q_frame_sample",
     "q_media_decode",
-    "q_media_byte_histogram",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -771,6 +771,59 @@ def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rarity_score(catalog(spark, sf_dir).documents)
 
 
+# -- maintained ANN index: incremental build == whole-corpus recompute -------
+# The oracle recomputes the assignment of the WHOLE corpus against the
+# index's frozen centroids (the first 8 build-subset ids), so a green
+# row proves the incremental path: build on 2/3 of the corpus + ingest
+# the rest == one-shot assignment of everything. The cosine is the
+# UNROUNDED double (ties broken toward the LARGER cell id) because the
+# Spark side is the vectorized numpy pass the index actually runs —
+# unlike the literal-expression queries, which pin the rounded
+# smaller-id form. Distinct-cosine gaps on this data are ~1e-3, nine
+# orders above the cross-engine float noise, so the unrounded argmax
+# is stable.
+_ANN_INDEX_SQL = f"""WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_dot_sql('e.embedding', 'c.cv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('c.cv', 'c.cv')})) AS cos_sim
+        FROM embeddings e, c),
+    assign AS (
+        SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid DESC) AS rk
+            FROM scored) WHERE rk = 1)
+    SELECT vec_id, centroid_id FROM assign"""
+
+
+@register(
+    "q_ann_index_maintained",
+    _ANN_INDEX_SQL,
+    doc="maintained ANN cell index under the oracle gate: build the "
+    "persisted index on 2/3 of the corpus, ingest the remaining third "
+    "incrementally (frozen centroids, anti-join replay guard), load "
+    "the assignment table — the oracle is the WHOLE-corpus "
+    "nearest-centroid recompute, so the green row proves maintained "
+    "== rebuilt, the same contract q_hll_merged proves for sketches",
+)
+def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import ann_index as AI
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = tempfile.mkdtemp(prefix="annidx_q_")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    _, asg = AI.ann_index_load(spark, path)
+    return asg.select("vec_id", "centroid_id")
+
+
 # -- SemDeDup: within-cell embedding-cosine dedup ----------------------------
 _SEMANTIC_DEDUP_SQL = """WITH c AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings
