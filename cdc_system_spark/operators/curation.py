@@ -388,6 +388,8 @@ def neardup_ingest(
     shingle_k: int = 7,
     allow_same_id: bool = False,
     within_batch: bool = True,
+    corpus_sigs: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only incoming docs that are NOT near-duplicates of the
     existing corpus: MinHash both sides, LSH-probe the corpus's band
@@ -420,11 +422,19 @@ def neardup_ingest(
     Scale shape: at 100 TB the corpus signatures and band table are
     maintained artifacts (built once, stored bucketed on the band key,
     updated as batches are admitted) — each sync interval computes
-    signatures for one batch only and probes. Here both sides are
-    computed inline; the join shapes are identical. The Jaccard
-    estimate reads signatures only (no text re-shuffle); ``max_bucket``
-    caps degenerate corpus band buckets exactly as in
+    signatures for one batch only and probes. That artifact is
+    :mod:`~cdc_system_spark.operators.lsh_index`: pass its loaded
+    tables as ``corpus_sigs``/``corpus_bands`` and the corpus text is
+    never read, never shingled, never hashed here — the probe's only
+    corpus-sized work is the band join against the stored postings.
+    When they are omitted, both sides are computed inline; the join
+    shapes are identical either way. The Jaccard estimate reads
+    signatures only (no text re-shuffle); ``max_bucket`` caps
+    degenerate corpus band buckets exactly as in
     :func:`~cdc_system_spark.operators.dedup.lsh_candidate_pairs`.
+    The two frames must come from an index built with THIS call's
+    ``shingle_k``/``num_perms``/``rows_per_band`` (``lsh_index_load``
+    validates the stored geometry).
 
     ``allow_same_id=True`` ignores candidate pairs whose two sides
     carry the SAME id: a CDC UPDATE is usually a light edit of its own
@@ -447,8 +457,12 @@ def neardup_ingest(
     sig_in = minhash_signatures(
         incoming, text_col, id_col, k=shingle_k, num_perms=num_perms
     ).localCheckpoint(eager=False)
-    sig_corpus = minhash_signatures(
-        corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
+    sig_corpus = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(
+            corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
+        )
     )
     # one band explode for BOTH LSH passes (corpus probe + within-batch)
     bands_in = _band_table(
@@ -462,6 +476,7 @@ def neardup_ingest(
         rows_per_band=rows_per_band,
         max_bucket=max_bucket,
         bands_a=bands_in,
+        bands_b=corpus_bands,
     )
     if allow_same_id:
         cand = cand.filter(F.col("id1") != F.col("id2"))

@@ -46,6 +46,7 @@ _WINDOW_R6 = [
     # -- 1. new this round, never driver-checked --
     "q_leakage_split_containment",
     "q_ann_index_maintained",
+    "q_lsh_index_maintained",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -95,7 +96,6 @@ _WINDOW_R6 = [
     "q_tfidf",
     "q_stratified_sample",
     "q_frame_sample",
-    "q_media_decode",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -824,6 +824,35 @@ def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.select("vec_id", "centroid_id")
 
 
+# -- maintained MinHash-LSH index under the oracle gate ----------------------
+_LSH_INDEX_SQL = f"""WITH {lsh_ctes("documents")}
+    SELECT doc_id, band_idx, k0, k1 FROM bands"""
+
+
+@register(
+    "q_lsh_index_maintained",
+    _LSH_INDEX_SQL,
+    doc="maintained MinHash-LSH index under the oracle gate: build the "
+    "persisted index (signatures + band postings) on 2/3 of the corpus, "
+    "ingest the remaining third incrementally (frozen hash geometry, "
+    "anti-join replay guard), load the band table — the oracle is the "
+    "WHOLE-corpus shingle→minhash→band recompute, so a green row proves "
+    "maintained == rebuilt, the contract q_ann_index_maintained proves "
+    "for the cell index and q_hll_merged for sketches",
+)
+def q_lsh_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import lsh_index as LI
+
+    docs = catalog(spark, sf_dir).documents
+    path = tempfile.mkdtemp(prefix="lshidx_q_")
+    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+    _, bands = LI.lsh_index_load(spark, path, num_perms=16, rows_per_band=4)
+    return bands.select("doc_id", "band_idx", "k0", "k1")
+
+
 # -- SemDeDup: within-cell embedding-cosine dedup ----------------------------
 _SEMANTIC_DEDUP_SQL = """WITH c AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings

@@ -35,6 +35,7 @@ def test_oracle_window_composition():
         # new in round 6, never driver-checked:
         "q_leakage_split_containment",
         "q_ann_index_maintained",
+        "q_lsh_index_maintained",
         # operator or oracle changed in round 6 (r5-tail advisor fixes
         # + the maintained-index/two-level surface):
         "q_bloom_prune",
