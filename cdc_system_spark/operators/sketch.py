@@ -956,3 +956,165 @@ def winsorize_by(
             ),
         ),
     ).drop("_lo_clip", "_hi_clip")
+
+
+#: KMV hash domain: md5_i64 yields 60 bits, so hashes are uniform on
+#: [0, 2^60). The unbiased distinct estimator divides this constant by
+#: the k-th smallest hash — (k-1)·2^60 is exact in double for any
+#: plausible k, and a single IEEE division is bit-identical across
+#: engines, so the oracle reproduces estimates exactly.
+_KMV_M = 2**60
+
+
+def kmv_state(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) sketch as a TABLE
+    artifact: the ``k`` smallest DISTINCT md5 hashes of ``value_col``,
+    one ``(h)`` row each, ≤ k rows. The fourth maintained-sketch shape
+    (HLL / Count-Min / histogram are the others) and the only one of
+    the family that supports SET ALGEBRA: because the state keeps the
+    actual smallest hash values, two states can be intersected
+    (:func:`kmv_intersect`) — HLL states can only union.
+
+    Scale shape: one map-side hash projection, one distinct (map-side
+    combine), one TakeOrderedAndProject (per-partition top-k before the
+    single ≤ k·partitions-row collect-free merge) — nothing corpus-
+    sized ever moves. NULLs are ignored, matching COUNT(DISTINCT).
+
+    Merge with :func:`kmv_merge`: k-min of distinct union of states ==
+    state of the union, exactly (min is idempotent/commutative/
+    associative over sets), so shard/day states combine without ever
+    re-reading raw data — proven by ``q_kmv_merged``'s oracle being
+    the WHOLE-corpus SQL.
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    return (
+        df.select(h)
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(*states: DataFrame, k: int = 64) -> DataFrame:
+    """Combine KMV states losslessly: distinct union, re-take the k
+    smallest. States built with DIFFERENT k merge to the smallest k's
+    precision (the extra hashes of the larger state are simply
+    candidates); pass the target ``k`` explicitly."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(state: DataFrame, k: int = 64, decimals: int = 4) -> DataFrame:
+    """One-row ``(n_est, saturated)`` distinct-count estimate from a
+    KMV state. Below saturation (< k distinct hashes survive) the state
+    IS the distinct set and the count is exact; at saturation the
+    unbiased estimator ``(k-1)·2⁶⁰ / h_(k)`` applies (standard error
+    ~1/√(k-2) ≈ 13% at k = 64 — the same budget as the 64-bucket HLL,
+    but in a state that also supports intersection)."""
+    agg = state.agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    )
+    return agg.select(
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round(F.lit(float(k - 1) * _KMV_M) / F.col("_hk"), decimals)
+        )
+        .alias("n_est"),
+        (F.col("_n") >= k).alias("saturated"),
+    )
+
+
+def kmv_intersect(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    k: int = 64,
+    decimals: int = 4,
+) -> DataFrame:
+    """Set algebra over two KMV states: one row ``(union_est,
+    intersect_est, jaccard_est)`` — the theta-sketch estimator (Beyer
+    et al., "On Synopses for Distinct-Value Estimation Under Multiset
+    Operations", SIGMOD'07). The union sketch L = k-min of the combined
+    states with threshold θ = max(L); every member of L is a uniform
+    sample of the union below θ, so the fraction of L present in BOTH
+    input states estimates the Jaccard similarity, and
+    ``intersect_est = jaccard · union_est``. All arithmetic is exact
+    integer comparison + one division — engine-portable, oracle-exact.
+
+    Distinct-overlap questions (how much of corpus A's content is also
+    in corpus B?) normally cost a corpus×corpus distinct join; two ≤
+    k-row maintained states answer them in constant work.
+    """
+    a = state_a.select(F.col("h").alias("ha")).localCheckpoint(eager=False)
+    b = state_b.select(F.col("h").alias("hb")).localCheckpoint(eager=False)
+    union = (
+        a.select(F.col("ha").alias("h"))
+        .unionByName(b.select(F.col("hb").alias("h")))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    # membership flags via two ≤ k-row broadcast left joins, then ONE
+    # aggregate computes size, threshold, and common count together —
+    # no scalar×scalar recombination join in the plan
+    flagged = union.join(
+        F.broadcast(a), union["h"] == a["ha"], "left"
+    ).join(F.broadcast(b), union["h"] == b["hb"], "left")
+    agg = flagged.agg(
+        F.count("*").alias("_nu"),
+        F.max("h").alias("_theta"),
+        F.count(
+            F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1)
+        ).alias("_nc"),
+    )
+    return agg.select(
+        F.when(F.col("_nu") < k, F.col("_nu").cast("double"))
+        .otherwise(F.round(F.lit(float(k - 1) * _KMV_M) / F.col("_theta"), decimals))
+        .alias("union_est"),
+        F.round(
+            F.col("_nc")
+            / F.when(F.col("_nu") < k, F.col("_nu")).otherwise(F.lit(k)).cast("double")
+            * F.when(F.col("_nu") < k, F.col("_nu").cast("double")).otherwise(
+                F.round(F.lit(float(k - 1) * _KMV_M) / F.col("_theta"), decimals)
+            ),
+            decimals,
+        ).alias("intersect_est"),
+        F.round(
+            F.col("_nc")
+            / F.when(F.col("_nu") < k, F.col("_nu")).otherwise(F.lit(k)).cast("double"),
+            decimals,
+        ).alias("jaccard_est"),
+    )
+
+
+def kmv_state_by(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV states: ``(*group_cols, h)``, ≤ k rows per group —
+    the stored per-shard/per-day form that :func:`kmv_merge` combines.
+    One distinct + one group-keyed window top-k; nothing corpus-sized
+    moves."""
+    from pyspark.sql.window import Window
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        df.select(*group_cols, h)
+        .filter(F.col("h").isNotNull())
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -47,6 +47,9 @@ _WINDOW_R6 = [
     "q_leakage_split_containment",
     "q_ann_index_maintained",
     "q_lsh_index_maintained",
+    "q_kmv_distinct",
+    "q_kmv_merged",
+    "q_kmv_intersection",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -93,9 +96,6 @@ _WINDOW_R6 = [
     "q_repetition_filter",
     "q_rarity_score",
     "q_redact_pii",
-    "q_tfidf",
-    "q_stratified_sample",
-    "q_frame_sample",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -2337,3 +2337,107 @@ def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     return S.embedding_covariance(emb, dims=tuple(_COV_DIMS))
+
+
+# -- KMV (bottom-k / theta) sketch: the set-algebra member of the
+# -- mergeable-sketch family ---------------------------------------------------
+_KMV_EST = "ROUND(63.0 * 1152921504606846976 / {hk}, 4)"
+
+_KMV_SQL = f"""WITH v AS (
+        SELECT DISTINCT CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    st AS (SELECT h FROM v ORDER BY h LIMIT 64),
+    agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM st)
+    SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE {_KMV_EST.format(hk="hk")} END AS n_est,
+           n >= 64 AS saturated
+    FROM agg"""
+
+
+@register(
+    "q_kmv_distinct",
+    _KMV_SQL,
+    doc="KMV (k-minimum-values) distinct estimate: the 64 smallest "
+    "distinct md5 hashes of user_id; below saturation the state IS the "
+    "distinct set (exact count), at saturation the unbiased "
+    "(k-1)·2^60/h_(k) estimator — one distinct + one "
+    "TakeOrderedAndProject, nothing corpus-sized moves",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import kmv_estimate, kmv_state
+
+    ev = catalog(spark, sf_dir).events
+    return kmv_estimate(kmv_state(ev, "user_id"))
+
+
+@register(
+    "q_kmv_merged",
+    _KMV_SQL,
+    doc="KMV states as maintained artifacts: the event stream split "
+    "into two shards (user_id parity), one <=64-row state per shard, "
+    "states merged (distinct union + re-take k smallest), then "
+    "estimated — the oracle is the WHOLE-corpus KMV SQL, proving "
+    "merge-of-shard-states == rebuild-from-raw bit-for-bit (every "
+    "global bottom-64 hash is in its shard's bottom-64)",
+)
+def q_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+
+    ev = catalog(spark, sf_dir).events
+    a = kmv_state(ev.filter(F.col("user_id") % 2 == 0), "user_id")
+    b = kmv_state(ev.filter(F.col("user_id") % 2 == 1), "user_id")
+    return kmv_estimate(kmv_merge(a, b))
+
+
+def _kmv_type_cte(name: str, etype: str) -> str:
+    return f"""{name} AS (
+        SELECT h FROM (
+            SELECT DISTINCT CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS
+                        VARCHAR)), 1, 15)) AS BIGINT) AS h
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type = '{etype}')
+        ORDER BY h LIMIT 64)"""
+
+
+_KMV_INTERSECT_SQL = f"""WITH {_kmv_type_cte("a", "click")},
+    {_kmv_type_cte("b", "purchase")},
+    u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+          ORDER BY h LIMIT 64),
+    agg AS (SELECT COUNT(*) AS nu, MAX(h) AS theta,
+                   COUNT(CASE WHEN h IN (SELECT h FROM a)
+                               AND h IN (SELECT h FROM b) THEN 1 END) AS nc
+            FROM u)
+    SELECT CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                ELSE {_KMV_EST.format(hk="theta")} END AS union_est,
+           ROUND(nc / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE)
+                 * (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                         ELSE {_KMV_EST.format(hk="theta")} END),
+                 4) AS intersect_est,
+           ROUND(nc / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE),
+                 4) AS jaccard_est
+    FROM agg"""
+
+
+@register(
+    "q_kmv_intersection",
+    _KMV_INTERSECT_SQL,
+    doc="KMV set algebra (theta-sketch estimator, Beyer et al. "
+    "SIGMOD'07): distinct-user overlap between the click and purchase "
+    "audiences from two <=64-row maintained states — the union sketch's "
+    "members below theta are a uniform sample of the union, so the "
+    "fraction present in BOTH states estimates Jaccard and "
+    "intersect = jaccard x union_est; the question normally costs a "
+    "corpus x corpus distinct join, the states answer in constant work",
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import kmv_intersect, kmv_state
+
+    ev = catalog(spark, sf_dir).events
+    a = kmv_state(ev.filter(F.col("event_type") == "click"), "user_id")
+    b = kmv_state(ev.filter(F.col("event_type") == "purchase"), "user_id")
+    return kmv_intersect(a, b)

@@ -36,6 +36,9 @@ def test_oracle_window_composition():
         "q_leakage_split_containment",
         "q_ann_index_maintained",
         "q_lsh_index_maintained",
+        "q_kmv_distinct",
+        "q_kmv_merged",
+        "q_kmv_intersection",
         # operator or oracle changed in round 6 (r5-tail advisor fixes
         # + the maintained-index/two-level surface):
         "q_bloom_prune",
