@@ -968,3 +968,45 @@ def drop_contained(
         .alias(id_col)
     ).distinct()
     return docs.join(drop, id_col, "left_anti")
+
+
+def cluster_canonicals(
+    members: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Best-member canonical selection per duplicate cluster: one row
+    ``(cluster_id, canonical_id, canonical_score, n_members)`` — the
+    member with the HIGHEST ``score_col`` wins, ties to the smaller id.
+
+    :func:`duplicate_clusters` labels each component by its minimum id,
+    which answers "which group?" but not "which copy to KEEP": real
+    curation keeps the best copy (longest text, highest quality score,
+    newest crawl), not the one that happened to get the smallest id.
+    Input is the cluster labeling joined to a per-doc score — e.g.
+    ``duplicate_clusters(...)`` ⋈ ``text_quality(...)``.
+
+    One window rank + one group count over the labeling (cluster-keyed
+    shuffles of an id/score projection, nothing text-sized); singleton
+    clusters pass through as their own canonicals.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        members.select(cluster_col, id_col, score_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("canonical_id"),
+            F.col(score_col).alias("canonical_score"),
+            F.col("n_members"),
+        )
+    )

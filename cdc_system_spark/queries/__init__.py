@@ -50,6 +50,8 @@ _WINDOW_R6 = [
     "q_kmv_distinct",
     "q_kmv_merged",
     "q_kmv_intersection",
+    "q_gap_fill",
+    "q_cluster_canonical",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -94,8 +96,6 @@ _WINDOW_R6 = [
     "q_text_quality",
     "q_quality_filter",
     "q_repetition_filter",
-    "q_rarity_score",
-    "q_redact_pii",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -681,3 +681,57 @@ def q_winsorize_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_by(ev, ["event_type"], "value", p_lo=1, p_hi=99).select(
         "event_id", "event_type", "value", "clipped"
     )
+
+
+# -- gap-fill: dense per-type hourly series from sparse events ----------------
+_GAP_FILL_SQL = """WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, value FROM events),
+    c AS (SELECT event_type, h, COUNT(*) AS n_events,
+                 ROUND(MAX(value), 6) AS mv
+          FROM ev GROUP BY event_type, h),
+    span AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+    grid AS (SELECT t.event_type, g.h
+             FROM (SELECT DISTINCT event_type FROM ev) t
+             CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+                             INTERVAL 1 HOUR)) AS h FROM span) g),
+    j AS (SELECT grid.event_type, grid.h, c.n_events, c.mv
+          FROM grid LEFT JOIN c
+            ON c.event_type = grid.event_type AND c.h = grid.h)
+    SELECT event_type, h AS bucket,
+           COALESCE(n_events, 0) AS n_events,
+           LAST_VALUE(mv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_value
+    FROM j"""
+
+
+@register(
+    "q_gap_fill",
+    _GAP_FILL_SQL,
+    doc="missing-bucket materializer: sparse per-type hourly event "
+    "aggregates densified onto the full (type x hour) grid - counts "
+    "zero-fill, max_value carries forward (NULL before a type's first "
+    "observation); drift monitors and forecast featurizers assume "
+    "dense series, and raw feeds are sparse exactly where the "
+    "interesting things happen (outages emit nothing); grid = one-row "
+    "span broadcast onto distinct types + sequence explode, no "
+    "nested-loop shapes",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.temporal import gap_fill
+
+    ev = catalog(spark, sf_dir).events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    out = gap_fill(
+        ev,
+        "h",
+        ["event_type"],
+        step="1 hour",
+        agg_exprs={
+            "n_events": F.count(F.lit(1)),
+            "max_value": F.round(F.max("value"), 6),
+        },
+        ffill_cols=["max_value"],
+    )
+    return out.select("event_type", "bucket", "n_events", "max_value")

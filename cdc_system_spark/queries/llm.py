@@ -2441,3 +2441,40 @@ def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmv_state(ev.filter(F.col("event_type") == "click"), "user_id")
     b = kmv_state(ev.filter(F.col("event_type") == "purchase"), "user_id")
     return kmv_intersect(a, b)
+
+
+# -- canonical selection per duplicate cluster --------------------------------
+_CANONICAL_SQL = f"""WITH RECURSIVE {cluster_ctes("documents")},
+    lab AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               LENGTH(d.text) AS text_len
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.src),
+    rk AS (
+        SELECT cluster_id, doc_id, text_len,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY text_len DESC, doc_id ASC) AS r,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM lab)
+    SELECT cluster_id, doc_id AS canonical_id, text_len AS canonical_score,
+           n_members
+    FROM rk WHERE r = 1"""
+
+
+@register(
+    "q_cluster_canonical",
+    _CANONICAL_SQL,
+    doc="best-member canonical selection per near-dup cluster: "
+    "duplicate_clusters labels components by MIN id, but curation "
+    "keeps the BEST copy - here the longest text, ties to the smaller "
+    "id; connected components over LSH pairs joined to a per-doc "
+    "score, one cluster-keyed window rank - the keep-list a dedup "
+    "stage actually materializes",
+)
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    sigs = D.minhash_signatures(docs, k=7, num_perms=16)
+    pairs = D.lsh_candidate_pairs(sigs, num_perms=16, rows_per_band=4)
+    members = D.duplicate_clusters(docs, pairs).join(
+        docs.select("doc_id", F.length("text").alias("text_len")), "doc_id"
+    )
+    return D.cluster_canonicals(members, "text_len")
