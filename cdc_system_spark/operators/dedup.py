@@ -98,6 +98,7 @@ def _band_table(
     id_col: str,
     num_perms: int,
     rows_per_band: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exploded LSH band-key table (id, band_idx, k0, k1, …).
 
@@ -127,9 +128,9 @@ def _band_table(
         ]
     )
     key_cols = _band_key_cols(rows_per_band)
-    return sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, *[f"b.{c}" for c in key_cols]
-    )
+    return sigs.select(
+        F.col(id_col), *extra_cols, F.explode(bands).alias("b")
+    ).select(id_col, *extra_cols, *[f"b.{c}" for c in key_cols])
 
 
 def lsh_cross_pairs(

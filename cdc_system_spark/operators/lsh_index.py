@@ -6,33 +6,40 @@ incremental assignments). The ad-hoc near-dup admission path
 (:func:`~cdc_system_spark.operators.curation.neardup_ingest`) shingles
 and MinHashes the WHOLE corpus on every micro-batch — at 100 TB the
 corpus signature pass is the expensive side of every batch probe and it
-is re-done per sync interval, even though admitted documents never
-change their signatures. Here the corpus side runs ONCE at build time,
-is persisted as tables, and is maintained *incrementally*: only NEW
-documents are shingled/hashed on ingest, and the batch probe joins the
-batch's bands against the stored posting table.
+is re-done per sync interval, even though a document's signature never
+changes while its text doesn't. Here the corpus side runs ONCE at build
+time, is persisted as tables, and is maintained *incrementally*: only
+new (id, text) VERSIONS are shingled/hashed on ingest, and the batch
+probe joins the batch's bands against the stored posting table.
+
+Rows are keyed by a VERSION hash ``_vkey = md5(id ‖ text)``, not by id:
+under CDC the corpus mutates — an UPDATE changes a doc's text (its old
+signature must stop matching FOR it while a new one starts), a DELETE
+removes it, and parquet postings are append-only. Version keys make all
+three trivial: ingest appends the new version's rows (the anti-join
+replay guard is on ``_vkey``, so re-delivered identical versions no-op
+while edited text re-indexes), and :func:`lsh_index_probe_tables`
+filters the stored rows to the versions CURRENTLY in the corpus — a
+deleted doc's rows stop matching, an updated doc matches only through
+its live text. Stale versions accumulate as dead weight until a
+compaction rewrite (the zone-map/compact_log pattern), never as wrong
+answers.
 
 On-disk layout under ``path``:
 
-- ``{path}/meta`` — one row ``(shingle_k, num_perms, rows_per_band)``:
-  the index's frozen hash geometry. Every ingest/load validates against
-  it — probing a 16-perm index with 8-perm batch signatures would
-  silently produce garbage candidates, so mismatches raise instead.
-- ``{path}/signatures`` — ``(id, h0..h{p-1})``, one row per indexed
-  doc. Feeds the Jaccard-estimate rescore (signature agreement only —
-  the stored corpus text is never re-read by a probe).
-- ``{path}/bands`` — ``(id, band_idx, k0, k1, …)``, the exploded LSH
-  posting table (``dedup._band_table`` shape, int64-packed keys). On a
-  cluster this table is bucketed on the band key columns so a batch
-  probe co-locates with the postings; plain parquet here (bucketing
-  needs a metastore), and the probe's shuffle is batch-band-sized
-  either way — the corpus postings shuffle at most once per probe, and
-  zero times when bucketed.
-
-Replay safety: ingest anti-joins on already-indexed ids (reading ONLY
-the id column — parquet prunes the signature bytes), so a re-delivered
-batch is a no-op — the same idempotence contract as
-``streaming/ingest.py``'s batch markers and ``ann_index_ingest``.
+- ``{path}/meta`` — one row ``(shingle_k, num_perms, rows_per_band,
+  id_col)``: the index's frozen hash geometry. Ingest/load validate
+  against it — probing a 16-perm index with 8-perm batch signatures
+  would silently produce garbage candidates, so mismatches raise.
+- ``{path}/signatures`` — ``(_vkey, id, h0..h{p-1})``, one row per
+  indexed (id, text) version. Feeds the Jaccard-estimate rescore
+  (signature agreement only — stored text is never re-read).
+- ``{path}/bands`` — ``(_vkey, id, band_idx, k0, k1, …)``, the
+  exploded LSH posting table (``dedup._band_table`` shape, int64-packed
+  keys). On a cluster this table is bucketed on the band key columns so
+  a batch probe co-locates with the postings; plain parquet here
+  (bucketing needs a metastore), and the probe's shuffle is
+  batch-band-sized either way.
 
 Reference parity: the reference keeps its change-log lookup structures
 current on every write (``cdc_system.py:143-197``); this is the
@@ -42,7 +49,8 @@ by the ingest path, not rebuilt by the query path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_system_spark.operators.dedup import _band_table, minhash_signatures
 
@@ -50,6 +58,7 @@ __all__ = [
     "lsh_index_build",
     "lsh_index_ingest",
     "lsh_index_load",
+    "lsh_index_probe_tables",
 ]
 
 
@@ -65,6 +74,14 @@ def _band_path(path: str) -> str:
     return f"{path}/bands"
 
 
+def _vkey(id_col: str, text_col: str) -> Column:
+    """Version key: md5 over id ‖ NUL ‖ text — one row per (id, text)
+    snapshot, so text edits re-index while re-deliveries no-op."""
+    return F.md5(
+        F.concat_ws("\u0000", F.col(id_col).cast("string"), F.col(text_col))
+    ).alias("_vkey")
+
+
 def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
     row = spark.read.parquet(_meta_path(path)).collect()[0]
     return (
@@ -73,6 +90,26 @@ def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
         int(row["rows_per_band"]),
         str(row["id_col"]),
     )
+
+
+def _sign_versions(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_perms: int,
+) -> DataFrame:
+    """(_vkey, id, h0..h{p-1}) for each distinct (id, text) version:
+    the MinHash pass runs keyed by the version hash, then the id rides
+    back on via a 1:1 version-key join (index-sized, build/ingest time
+    only — never on the probe path)."""
+    keyed = docs.select(
+        _vkey(id_col, text_col), F.col(id_col), F.col(text_col)
+    ).dropDuplicates(["_vkey"])
+    sigs = minhash_signatures(
+        keyed, text_col, "_vkey", k=shingle_k, num_perms=num_perms
+    )
+    return sigs.join(keyed.select("_vkey", id_col), "_vkey")
 
 
 def lsh_index_build(
@@ -86,7 +123,7 @@ def lsh_index_build(
 ) -> int:
     """Build the index: MinHash the corpus once, persist signatures +
     exploded band postings + the frozen hash geometry. Returns the
-    number of documents indexed.
+    number of (id, text) versions indexed.
 
     One signature pass + one band explode + two writes — the same work
     ``neardup_ingest`` spends on the corpus side of a SINGLE probe,
@@ -97,15 +134,13 @@ def lsh_index_build(
         [(shingle_k, num_perms, rows_per_band, id_col)],
         "shingle_k int, num_perms int, rows_per_band int, id_col string",
     ).write.mode("overwrite").parquet(_meta_path(path))
-    sigs = minhash_signatures(
-        corpus, text_col, id_col, k=shingle_k, num_perms=num_perms
-    ).localCheckpoint(eager=False)
+    sigs = _sign_versions(corpus, text_col, id_col, shingle_k, num_perms)
     sigs.write.mode("overwrite").parquet(_sig_path(path))
     # derive bands from the WRITTEN signatures: no re-hash of the text
     stored = spark.read.parquet(_sig_path(path))
-    _band_table(stored, id_col, num_perms, rows_per_band).write.mode(
-        "overwrite"
-    ).parquet(_band_path(path))
+    _band_table(
+        stored, "_vkey", num_perms, rows_per_band, extra_cols=(id_col,)
+    ).write.mode("overwrite").parquet(_band_path(path))
     return stored.count()
 
 
@@ -115,13 +150,14 @@ def lsh_index_ingest(
     text_col: str = "text",
     id_col: str | None = None,
 ) -> int:
-    """Incrementally maintain the index: shingle/hash ONLY the new
-    documents under the frozen geometry and append their signatures and
-    band postings. Returns documents admitted.
+    """Incrementally maintain the index: shingle/hash ONLY the (id,
+    text) versions not yet indexed, under the frozen geometry, and
+    append their signatures and band postings. Returns versions added.
 
-    Replay-safe: the anti-join on already-indexed ids makes a
-    re-delivered batch a no-op. The corpus is never re-read beyond the
-    id column, never re-hashed.
+    Replay-safe: the anti-join on indexed version keys makes a
+    re-delivered batch a no-op, while an UPDATE's edited text is a NEW
+    version and indexes normally. The existing index is never re-read
+    beyond the key column, never re-hashed.
     """
     spark = new_docs.sparkSession
     shingle_k, num_perms, rows_per_band, meta_id = _read_meta(spark, path)
@@ -130,17 +166,21 @@ def lsh_index_ingest(
         raise ValueError(
             f"index at {path} was built on id column {meta_id!r}, got {id_col!r}"
         )
-    existing = spark.read.parquet(_sig_path(path)).select(id_col)
-    fresh = new_docs.select(id_col, text_col).join(existing, id_col, "left_anti")
-    sigs = minhash_signatures(
-        fresh, text_col, id_col, k=shingle_k, num_perms=num_perms
+    existing = spark.read.parquet(_sig_path(path)).select("_vkey")
+    fresh = (
+        new_docs.select(_vkey(id_col, text_col), F.col(id_col), F.col(text_col))
+        .dropDuplicates(["_vkey"])
+        .join(existing, "_vkey", "left_anti")
+    )
+    sigs = _sign_versions(
+        fresh, text_col, id_col, shingle_k, num_perms
     ).localCheckpoint(eager=True)
     n = sigs.count()
     if n:
         sigs.write.mode("append").parquet(_sig_path(path))
-        _band_table(sigs, id_col, num_perms, rows_per_band).write.mode(
-            "append"
-        ).parquet(_band_path(path))
+        _band_table(
+            sigs, "_vkey", num_perms, rows_per_band, extra_cols=(id_col,)
+        ).write.mode("append").parquet(_band_path(path))
     return n
 
 
@@ -150,7 +190,9 @@ def lsh_index_load(
     num_perms: int | None = None,
     rows_per_band: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(signatures, bands) as DataFrames, geometry-validated.
+    """(signatures, bands) as DataFrames, geometry-validated — ALL
+    stored versions, live and stale. For probe-ready tables filtered to
+    a corpus's current versions use :func:`lsh_index_probe_tables`.
 
     Pass the ``num_perms``/``rows_per_band`` the consumer will probe
     with to assert they match the index's frozen geometry (a mismatch
@@ -167,4 +209,47 @@ def lsh_index_load(
     return (
         spark.read.parquet(_sig_path(path)),
         spark.read.parquet(_band_path(path)),
+    )
+
+
+def lsh_index_probe_tables(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Probe-ready ``(corpus_sigs, corpus_bands)`` for
+    :func:`~cdc_system_spark.operators.curation.neardup_ingest`,
+    EXACTLY covering the ``current`` corpus: stored rows are filtered
+    to the versions currently live (deleted docs stop matching, updated
+    docs match only through their live text), and any current version
+    the index has never seen — rows that bypassed the maintained path —
+    is signed inline and unioned in. The inline remainder is empty in a
+    well-maintained pipeline, so the per-probe hash work is zero; the
+    result is row-identical to recomputing the corpus side from text,
+    which is what makes this a pure substitution under the oracle gate.
+    """
+    shingle_k, num_perms, rows_per_band, meta_id = _read_meta(spark, path)
+    id_col = id_col or meta_id
+    live = current.select(_vkey(id_col, text_col)).localCheckpoint(eager=False)
+    sigs, bands = lsh_index_load(spark, path)
+    live_sigs = sigs.join(live, "_vkey", "left_semi")
+    live_bands = bands.join(live, "_vkey", "left_semi")
+    uncovered = current.select(
+        _vkey(id_col, text_col), F.col(id_col), F.col(text_col)
+    ).join(sigs.select("_vkey"), "_vkey", "left_anti")
+    extra_sigs = _sign_versions(
+        uncovered, text_col, id_col, shingle_k, num_perms
+    ).localCheckpoint(eager=False)
+    extra_bands = _band_table(
+        extra_sigs, "_vkey", num_perms, rows_per_band, extra_cols=(id_col,)
+    )
+    sig_cols = [id_col] + [f"h{i}" for i in range(num_perms)]
+    band_cols = [id_col, "band_idx"] + [
+        f"k{j}" for j in range((rows_per_band + 1) // 2)
+    ]
+    return (
+        live_sigs.select(*sig_cols).unionByName(extra_sigs.select(*sig_cols)),
+        live_bands.select(*band_cols).unionByName(extra_bands.select(*band_cols)),
     )

@@ -58,6 +58,7 @@ class StreamingCorpusIngestor:
         neardup_threshold: float | None = None,
         admission_filter=None,
         stats_path: str | None = None,
+        lsh_index_path: str | None = None,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -98,7 +99,52 @@ class StreamingCorpusIngestor:
         #: even a forced double-merge is a no-op (HLL merge is
         #: idempotent — max per bucket).
         self.stats_path = stats_path
+        #: optional maintained MinHash-LSH index (operators/lsh_index):
+        #: when set (with ``neardup_threshold``), the per-batch corpus
+        #: probe reads the PERSISTED signature/band tables filtered to
+        #: the corpus's live (id, text) versions instead of re-shingling
+        #: the whole corpus text each batch, and every admitted batch
+        #: appends its versions to the index before the corpus flip.
+        #: Bootstraps from the current corpus on first use; admitted-set
+        #: parity with the inline recompute is exact
+        #: (lsh_index_probe_tables signs any uncovered live version
+        #: inline). Replay-safe: version-keyed anti-join ingest no-ops
+        #: on re-delivery, and pre-flip index rows are invisible to a
+        #: replay's probe (their versions aren't live yet).
+        self.lsh_index_path = lsh_index_path
         self.batches_applied = 0
+
+    def _lsh_probe_tables(self, current: DataFrame) -> dict:
+        from pyspark.errors import AnalysisException
+
+        from cdc_system_spark.operators import lsh_index as LI
+
+        try:
+            # neardup_ingest below runs the DEFAULT hash geometry; an
+            # index frozen on anything else must fail loudly, not
+            # produce silently-empty band joins
+            LI.lsh_index_load(
+                self.spark, self.lsh_index_path, num_perms=16, rows_per_band=4
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
+            LI.lsh_index_build(
+                current.select(self.id_col, self.text_col),
+                self.lsh_index_path,
+                text_col=self.text_col,
+                id_col=self.id_col,
+            )
+        sigs, bands = LI.lsh_index_probe_tables(
+            self.spark,
+            self.lsh_index_path,
+            current,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+        return {"corpus_sigs": sigs, "corpus_bands": bands}
 
     def _update_stats(self, admitted: DataFrame) -> None:
         from pyspark.errors import AnalysisException
@@ -188,7 +234,14 @@ class StreamingCorpusIngestor:
             # fuzzy gate BEFORE the exact merge: drop admitted rows
             # near-duplicating a different-id corpus doc (same-id pairs
             # pass — a CDC UPDATE is a light edit of its own row and
-            # must still replace it)
+            # must still replace it). With a maintained index the
+            # corpus side comes from the persisted tables (probe-exact
+            # substitution); otherwise it is recomputed inline.
+            probe_kw = (
+                self._lsh_probe_tables(current)
+                if self.lsh_index_path is not None
+                else {}
+            )
             admitted = neardup_ingest(
                 current,
                 admitted,
@@ -196,7 +249,22 @@ class StreamingCorpusIngestor:
                 id_col=self.id_col,
                 threshold=self.neardup_threshold,
                 allow_same_id=True,
+                **probe_kw,
             )
+            if self.lsh_index_path is not None:
+                # maintain the index BEFORE the marker commit (same
+                # crash-window reasoning as the stats merge below):
+                # a replay re-runs this as a version-keyed no-op, and
+                # rows indexed before a crashed flip stay invisible to
+                # the replay's probe (their versions aren't live).
+                from cdc_system_spark.operators import lsh_index as LI
+
+                LI.lsh_index_ingest(
+                    admitted.select(self.id_col, self.text_col),
+                    self.lsh_index_path,
+                    text_col=self.text_col,
+                    id_col=self.id_col,
+                )
 
         merged = incremental_ingest(
             current, admitted, text_col=self.text_col, id_col=self.id_col

@@ -1,16 +1,21 @@
 """Maintained MinHash-LSH index artifact: build/ingest/load parity with
-the ad-hoc recompute path, replay idempotence, geometry validation, and
-the neardup_ingest maintained-corpus substitution."""
+the ad-hoc recompute path, version-key semantics under UPDATE/DELETE,
+replay idempotence, geometry validation, the neardup_ingest
+maintained-corpus substitution, and the streaming ingestor wiring."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cdc_system_spark.operators import lsh_index as LI
 from cdc_system_spark.operators.curation import neardup_ingest
 from cdc_system_spark.operators.dedup import _band_table, minhash_signatures
 from cdc_system_spark.sources.catalog import load_table
+
+SIG_COLS = ["doc_id"] + [f"h{i}" for i in range(16)]
+BAND_COLS = ["doc_id", "band_idx", "k0", "k1"]
 
 
 @pytest.fixture(scope="module")
@@ -31,19 +36,21 @@ def test_build_matches_adhoc_signatures(spark, docs, tmp_path):
     assert n == docs.count()
     sigs, bands = LI.lsh_index_load(spark, path)
     adhoc = minhash_signatures(docs, k=7, num_perms=16)
-    assert _rows(sigs) == _rows(adhoc)
-    assert _rows(bands) == _rows(_band_table(adhoc, "doc_id", 16, 4))
+    assert _rows(sigs.select(*SIG_COLS)) == _rows(adhoc)
+    assert _rows(bands.select(*BAND_COLS)) == _rows(
+        _band_table(adhoc, "doc_id", 16, 4)
+    )
 
 
 def test_incremental_ingest_matches_full_recompute(spark, docs, tmp_path):
-    # build on 2/3, ingest the remaining third: maintained tables ==
-    # one-shot recompute over the FULL corpus (the hash geometry is
-    # frozen, so incremental == batch exactly)
+    # build on 2/3, ingest the remaining third: probe tables ==
+    # one-shot recompute over the FULL corpus (frozen hash geometry,
+    # so incremental == batch exactly)
     path = str(tmp_path / "idx")
     LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
     n = LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
     assert n == docs.filter("doc_id % 3 = 0").count()
-    sigs, bands = LI.lsh_index_load(spark, path)
+    sigs, bands = LI.lsh_index_probe_tables(spark, path, docs)
     full = minhash_signatures(docs, k=7, num_perms=16)
     assert _rows(sigs) == _rows(full)
     assert _rows(bands) == _rows(_band_table(full, "doc_id", 16, 4))
@@ -54,11 +61,42 @@ def test_ingest_replay_is_noop(spark, docs, tmp_path):
     LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
     batch = docs.filter("doc_id % 3 = 0")
     assert LI.lsh_index_ingest(batch, path) == batch.count()
-    # re-delivery: anti-join replay guard admits nothing, tables stable
+    # re-delivery: version-keyed anti-join admits nothing, tables stable
     assert LI.lsh_index_ingest(batch, path) == 0
     sigs, bands = LI.lsh_index_load(spark, path)
     assert sigs.count() == docs.count()
     assert bands.count() == 4 * docs.count()
+
+
+def test_update_and_delete_semantics(spark, tmp_path):
+    # an UPDATE's edited text is a NEW version (indexes despite the old
+    # id being present); probe tables follow the LIVE corpus: the old
+    # version and a deleted doc stop matching
+    path = str(tmp_path / "idx")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    v1 = mk([(1, "alpha text one"), (2, "beta text two"), (3, "gamma three")])
+    LI.lsh_index_build(v1, path)
+    # doc 1 edited, doc 3 deleted
+    assert LI.lsh_index_ingest(mk([(1, "alpha text one EDITED")]), path) == 1
+    live = mk([(1, "alpha text one EDITED"), (2, "beta text two")])
+    sigs, bands = LI.lsh_index_probe_tables(spark, path, live)
+    # probe tables carry exactly the live versions, under the live text
+    assert _rows(sigs) == _rows(minhash_signatures(live, k=7, num_perms=16))
+    assert sigs.filter("doc_id = 3").count() == 0
+    # the stale version is still stored (append-only), just not live
+    all_sigs, _ = LI.lsh_index_load(spark, path)
+    assert all_sigs.filter("doc_id = 1").count() == 2
+
+
+def test_probe_tables_sign_uncovered_rows_inline(spark, docs, tmp_path):
+    # a corpus row the index never saw (bypassed the maintained path)
+    # is signed inline — parity with recompute holds unconditionally
+    path = str(tmp_path / "idx")
+    LI.lsh_index_build(docs.filter("doc_id % 5 <> 0"), path)
+    sigs, bands = LI.lsh_index_probe_tables(spark, path, docs)
+    full = minhash_signatures(docs, k=7, num_perms=16)
+    assert _rows(sigs) == _rows(full)
+    assert _rows(bands) == _rows(_band_table(full, "doc_id", 16, 4))
 
 
 def test_geometry_validation(spark, docs, tmp_path):
@@ -80,10 +118,103 @@ def test_neardup_ingest_accepts_maintained_corpus(spark, docs, tmp_path):
     batch = docs.filter("doc_id % 5 = 0").limit(60)
     path = str(tmp_path / "idx")
     LI.lsh_index_build(corpus, path)
-    sigs, bands = LI.lsh_index_load(spark, path, num_perms=16, rows_per_band=4)
+    sigs, bands = LI.lsh_index_probe_tables(spark, path, corpus)
     inline = neardup_ingest(corpus, batch, shingle_k=7, num_perms=16)
     via_index = neardup_ingest(
         corpus, batch, shingle_k=7, num_perms=16,
         corpus_sigs=sigs, corpus_bands=bands,
     )
     assert _rows(via_index.select("doc_id")) == _rows(inline.select("doc_id"))
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _ingestor(spark, base, corpus, idx_path=None):
+    from cdc_system_spark.api import SnapshotTable
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    return StreamingCorpusIngestor(
+        spark,
+        str(base / "log"),
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(base / "ckpt"),
+        neardup_threshold=0.5,
+        lsh_index_path=idx_path,
+    )
+
+
+def test_streaming_ingestor_maintains_and_uses_index(spark, tmp_path):
+    # twin ingestors over the same capture stream — one probing inline,
+    # one via the maintained index (bootstrapped, then batch-updated):
+    # the resulting corpora must be IDENTICAL, and the index must end
+    # covering every live corpus version
+    from cdc_system_spark.api import CDCSystem, SnapshotTable
+
+    def run(tag, idx_path):
+        base = tmp_path / tag
+        sys_ = CDCSystem(spark, str(base), "docs")
+        cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+        corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
+        mk = lambda rows: spark.createDataFrame(rows, DOC_SCHEMA)
+        corpus.write(
+            mk([(1, "the quick brown fox jumps over the lazy dog")])
+        )
+        ing = _ingestor(spark, base, corpus, idx_path)
+        # batch 0: a near-dup of doc 1 (rejected), a fresh doc, and two
+        # fresh within-batch twins (larger id dropped)
+        cap.capture_insert(
+            mk(
+                [
+                    (10, "the quick brown fox jumps over the lazy dogs"),
+                    (11, "completely different content about spark engines"),
+                    (12, "pair twin text aa bb cc dd ee ff gg hh"),
+                    (13, "pair twin text aa bb cc dd ee ff gg hh!!"),
+                ]
+            )
+        )
+        ing.apply_batch(cap.read_log(), 0)
+        mx0 = cap.read_log().agg(F.max("cdc_id")).collect()[0][0]
+        # batch 1: UPDATE doc 1's text (same-id near-dup must replace),
+        # DELETE doc 11
+        cap.capture_update(
+            mk([(1, "the quick brown fox jumps over the lazy dog, revised")]),
+            mk([(1, "the quick brown fox jumps over the lazy dog")]),
+        )
+        cap.capture_delete(
+            mk([(11, "completely different content about spark engines")])
+        )
+        ing.apply_batch(cap.read_log().filter(F.col("cdc_id") > mx0), 1)
+        mx1 = cap.read_log().agg(F.max("cdc_id")).collect()[0][0]
+        # batch 2: a near-dup of the doc DELETED in batch 1 — admits,
+        # because its twin is gone from the live corpus (the index's
+        # stale version must not match)
+        cap.capture_insert(
+            mk([(20, "completely different content about spark engine")])
+        )
+        ing.apply_batch(cap.read_log().filter(F.col("cdc_id") > mx1), 2)
+        return {r["doc_id"]: r["text"] for r in corpus.read().collect()}, corpus
+
+    inline_rows, _ = run("inline", None)
+    idx_path = str(tmp_path / "indexed" / "lshidx")
+    indexed_rows, corpus = run("indexed", idx_path)
+    assert indexed_rows == inline_rows
+    assert 1 in indexed_rows and indexed_rows[1].endswith("revised")
+    assert 12 in indexed_rows and 13 not in indexed_rows
+    assert 10 not in indexed_rows
+    assert 11 not in indexed_rows and 20 in indexed_rows
+    # coverage: every live corpus version is indexed — probe-time
+    # inline remainder is empty
+    sigs, _ = LI.lsh_index_probe_tables(spark, idx_path, corpus.read())
+    live = corpus.read()
+    assert sigs.count() == live.count()
+    full = minhash_signatures(
+        live.select("doc_id", "text"), k=7, num_perms=16
+    )
+    assert _rows(sigs) == _rows(full)
