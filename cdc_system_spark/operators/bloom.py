@@ -210,3 +210,21 @@ def bloom_semi_join(
     return survivors.join(
         d, survivors[fact_key] == F.col("_vk"), "left_semi"
     )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """OR-combine sparse Bloom filters (union + distinct over set-bit
+    rows) — the lossless merge that makes the filter an incrementally
+    maintainable artifact like the HLL/KMV/histogram/zone states:
+    merge(shard filters) == filter(union of shards), bit-for-bit,
+    proven by ``q_bloom_merged``'s oracle being the WHOLE-set SQL.
+    All inputs must share (num_bits, num_hashes) — merging mismatched
+    geometries produces a filter that is wrong silently, so keep the
+    geometry with the stored artifact (the ``lsh_index`` meta pattern).
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()

@@ -52,6 +52,7 @@ _WINDOW_R6 = [
     "q_kmv_intersection",
     "q_gap_fill",
     "q_cluster_canonical",
+    "q_bloom_merged",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -95,7 +96,6 @@ _WINDOW_R6 = [
     "q_lang_id",
     "q_text_quality",
     "q_quality_filter",
-    "q_repetition_filter",
 ]
 
 # the active window (rotated per round; _set_window validates it)

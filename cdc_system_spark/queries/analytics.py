@@ -687,3 +687,35 @@ def q_zone_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
         days, F.col("o_totalprice"), 8000, 12000, num_zones=64,
     )
     return zone_merge(a, b)
+
+
+# -- q_bloom_merged: Bloom filters as mergeable shard artifacts ----------------
+_BLOOM_MERGED_SQL = f"""WITH dimk AS (
+        SELECT DISTINCT c_custkey AS k FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+    bits AS (SELECT DISTINCT bit FROM (
+        SELECT {_bf_bit_sql(0, 'k')} AS bit FROM dimk
+        UNION ALL SELECT {_bf_bit_sql(1, 'k')} FROM dimk
+        UNION ALL SELECT {_bf_bit_sql(2, 'k')} FROM dimk))
+    SELECT CAST(bit AS INTEGER) AS bit FROM bits"""
+
+
+@register(
+    "q_bloom_merged",
+    _BLOOM_MERGED_SQL,
+    doc="Bloom filters as maintained shard artifacts: the BUILDING-"
+    "segment keys split by custkey parity, one sparse set-bit filter "
+    "built per shard, filters OR-merged (union + distinct) - the "
+    "oracle is the WHOLE-set filter SQL, proving merge-of-shard-"
+    "filters == rebuild-from-raw bit-for-bit; completes the mergeable "
+    "family (HLL / Count-Min / histogram / zone / KMV / bloom)",
+)
+def q_bloom_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.bloom import bloom_build, bloom_merge
+
+    dim = catalog(spark, sf_dir).customer.filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    a = bloom_build(dim.filter(F.col("c_custkey") % 2 == 0), "c_custkey")
+    b = bloom_build(dim.filter(F.col("c_custkey") % 2 == 1), "c_custkey")
+    return bloom_merge(a, b)

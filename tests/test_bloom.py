@@ -122,3 +122,26 @@ def test_bloom_semi_join_equals_plain_semi_join(spark):
         )
     )
     assert got == expect and len(got) == 100
+
+
+def test_bloom_merge_equals_rebuild(spark):
+    from cdc_system_spark.operators.bloom import bloom_build, bloom_merge
+
+    df = spark.range(500).select((F.col("id") * 7).alias("k"))
+    whole = bloom_build(df, "k")
+    shards = [
+        bloom_build(df.filter(F.col("k") % 3 == i), "k") for i in range(3)
+    ]
+    merged = bloom_merge(*shards)
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+
+
+def test_bloom_merge_requires_filters():
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.bloom import bloom_merge
+
+    with _pytest.raises(ValueError):
+        bloom_merge()

@@ -41,6 +41,7 @@ def test_oracle_window_composition():
         "q_kmv_intersection",
         "q_gap_fill",
         "q_cluster_canonical",
+        "q_bloom_merged",
         # operator or oracle changed in round 6 (r5-tail advisor fixes
         # + the maintained-index/two-level surface):
         "q_bloom_prune",
