@@ -56,6 +56,7 @@ from cdc_system_spark.operators.dedup import _band_table, minhash_signatures
 
 __all__ = [
     "lsh_index_build",
+    "lsh_index_compact",
     "lsh_index_ingest",
     "lsh_index_load",
     "lsh_index_probe_tables",
@@ -253,3 +254,33 @@ def lsh_index_probe_tables(
         live_sigs.select(*sig_cols).unionByName(extra_sigs.select(*sig_cols)),
         live_bands.select(*band_cols).unionByName(extra_bands.select(*band_cols)),
     )
+
+
+def lsh_index_compact(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> tuple[int, int]:
+    """Rewrite the index keeping only the versions live in ``current``
+    — the compaction that reclaims the dead weight UPDATE/DELETE leave
+    behind (stale versions never give wrong answers, they only cost
+    storage and probe-filter work). Returns ``(kept, dropped)``
+    version counts.
+
+    Same maintenance cadence as ``maintenance.compact_log``: run it
+    when the stale fraction is worth the rewrite, not per batch. The
+    rewrite reads only the key column plus stored rows — no re-hash.
+    """
+    _, _, _, meta_id = _read_meta(spark, path)
+    id_col = id_col or meta_id
+    live = current.select(_vkey(id_col, text_col))
+    sigs, bands = lsh_index_load(spark, path)
+    total = sigs.count()
+    kept_sigs = sigs.join(live, "_vkey", "left_semi").localCheckpoint(eager=True)
+    kept_bands = bands.join(live, "_vkey", "left_semi").localCheckpoint(eager=True)
+    kept = kept_sigs.count()
+    kept_sigs.write.mode("overwrite").parquet(_sig_path(path))
+    kept_bands.write.mode("overwrite").parquet(_band_path(path))
+    return kept, total - kept

@@ -493,3 +493,34 @@ def token_budget_sample(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
     )
+
+
+def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id") -> DataFrame:
+    """Fixed-SIZE deterministic uniform sample: the ``k`` rows whose
+    md5(id) hashes are smallest (ties to the smaller id). The
+    maintained-artifact sibling of :func:`hash_bucket` sampling —
+    a hash-threshold filter gives a fixed RATE; bottom-k gives a fixed
+    BUDGET (the always-fresh inspection sample, eval slice, or stats
+    panel that must stay ~k rows as the corpus grows).
+
+    Mergeable like the KMV sketch it generalizes (bottom-k over hashes,
+    carrying the full row as payload): bottom-k of a UNION of shard
+    samples == bottom-k of the union of shards, exactly — so per-shard/
+    per-day samples combine without re-reading raw data, proven by
+    ``q_sample_merged``'s oracle being the WHOLE-corpus SQL. Uniform
+    because md5 is uniform on ids; deterministic because nothing is
+    seeded by time or partitioning.
+
+    Plan shape: one map-side hash projection + TakeOrderedAndProject
+    (per-partition top-k before a k·partitions-row merge) — nothing
+    corpus-sized moves.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = md5_i64(F.col(id_col).cast("string"))
+    return (
+        df.withColumn("_bk", h)
+        .orderBy("_bk", id_col)
+        .limit(k)
+        .drop("_bk")
+    )

@@ -1118,3 +1118,26 @@ def kmv_state_by(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def kmv_estimate_by(
+    state: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group ``(*group_cols, n_est, saturated)`` from
+    :func:`kmv_state_by` output — the grouped twin of
+    :func:`kmv_estimate`, one map-side-combinable aggregate."""
+    agg = state.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise(
+            F.round(F.lit(float(k - 1) * _KMV_M) / F.col("_hk"), decimals)
+        )
+        .alias("n_est"),
+        (F.col("_n") >= k).alias("saturated"),
+    )

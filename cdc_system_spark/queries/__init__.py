@@ -53,6 +53,8 @@ _WINDOW_R6 = [
     "q_gap_fill",
     "q_cluster_canonical",
     "q_bloom_merged",
+    "q_kmv_by_type",
+    "q_sample_merged",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -93,9 +95,7 @@ _WINDOW_R6 = [
     "q_embedding_topk",
     "q_fingerprint",
     "q_bpe_token_count",
-    "q_lang_id",
     "q_text_quality",
-    "q_quality_filter",
 ]
 
 # the active window (rotated per round; _set_window validates it)

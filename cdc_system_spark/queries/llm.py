@@ -2478,3 +2478,74 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.length("text").alias("text_len")), "doc_id"
     )
     return D.cluster_canonicals(members, "text_len")
+
+
+_KMV_BY_TYPE_SQL = """WITH v AS (
+        SELECT DISTINCT event_type,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL),
+    st AS (SELECT event_type, h FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM v) WHERE rk <= 64),
+    agg AS (SELECT event_type, COUNT(*) AS n, MAX(h) AS hk
+            FROM st GROUP BY event_type)
+    SELECT event_type,
+           CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE ROUND(63.0 * 1152921504606846976 / hk, 4) END AS n_est,
+           n >= 64 AS saturated
+    FROM agg"""
+
+
+@register(
+    "q_kmv_by_type",
+    _KMV_BY_TYPE_SQL,
+    doc="per-group KMV states: one <=64-row bottom-k state per event "
+    "type (the stored per-shard form kmv_merge combines), estimated "
+    "per group - distinct + one group-keyed window top-k + one "
+    "map-side-combinable aggregate, nothing corpus-sized moves",
+)
+def q_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import kmv_estimate_by, kmv_state_by
+
+    ev = catalog(spark, sf_dir).events
+    return kmv_estimate_by(
+        kmv_state_by(ev, ["event_type"], "user_id"), ["event_type"]
+    )
+
+
+# -- maintained bottom-k uniform sample ---------------------------------------
+_SAMPLE_MERGED_SQL = """WITH h AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hk
+        FROM documents)
+    SELECT doc_id, lang, source, n_chars
+    FROM h ORDER BY hk, doc_id LIMIT 40"""
+
+
+@register(
+    "q_sample_merged",
+    _SAMPLE_MERGED_SQL,
+    doc="bottom-k uniform sample as a maintained shard artifact: the "
+    "corpus split into thirds, one fixed-budget (k=40) smallest-"
+    "md5(id) sample per shard, samples merged by re-taking the bottom "
+    "k of their union - the oracle is the WHOLE-corpus bottom-k SQL, "
+    "proving merge-of-shard-samples == rebuild-from-raw; the KMV "
+    "mergeability argument carrying full rows as payload (the always-"
+    "fresh inspection sample / eval slice that stays ~k rows as the "
+    "corpus grows)",
+)
+def q_sample_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sampling import bottomk_sample
+
+    docs = catalog(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    shards = [
+        bottomk_sample(docs.filter(F.col("doc_id") % 3 == i), 40)
+        for i in range(3)
+    ]
+    u = shards[0].unionByName(shards[1]).unionByName(shards[2])
+    return bottomk_sample(u, 40)

@@ -734,3 +734,28 @@ def test_containment_safe_split_operator(spark):
     assert got[1] == got[2] == got[3] == (1, got[1][1])  # one chain-group
     assert len(got) == 33
     assert {s for _, s in got.values()} == {"train", "test"}
+
+
+def test_bottomk_sample_fixed_budget_and_mergeable(spark):
+    from cdc_system_spark.operators.sampling import bottomk_sample
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                  (F.col("id") * 2).alias("payload"))
+    whole = bottomk_sample(df, 25)
+    assert whole.count() == 25
+    assert whole.columns == ["doc_id", "payload"]
+    shards = [
+        bottomk_sample(df.filter(F.col("doc_id") % 4 == i), 25)
+        for i in range(4)
+    ]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    merged = bottomk_sample(u, 25)
+    assert sorted(r["doc_id"] for r in merged.collect()) == sorted(
+        r["doc_id"] for r in whole.collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bottomk_sample(df, 0)

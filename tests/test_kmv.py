@@ -123,3 +123,22 @@ def test_state_by_groups_bounded_and_mergeable(spark):
     assert sorted(r["h"] for r in merged.collect()) == sorted(
         r["h"] for r in whole.collect()
     )
+
+
+def test_estimate_by_matches_scalar(spark):
+    from cdc_system_spark.operators.sketch import kmv_estimate_by
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    grouped = {
+        r["g"]: (r["n_est"], r["saturated"])
+        for r in kmv_estimate_by(
+            kmv_state_by(df, ["g"], "v"), ["g"]
+        ).collect()
+    }
+    for g in range(3):
+        solo = kmv_estimate(
+            kmv_state(df.filter(F.col("g") == g), "v")
+        ).collect()[0]
+        assert grouped[g] == (solo["n_est"], solo["saturated"])

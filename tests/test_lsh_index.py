@@ -218,3 +218,20 @@ def test_streaming_ingestor_maintains_and_uses_index(spark, tmp_path):
         live.select("doc_id", "text"), k=7, num_perms=16
     )
     assert _rows(sigs) == _rows(full)
+
+
+def test_compact_drops_stale_keeps_probe_identical(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    LI.lsh_index_build(
+        mk([(1, "alpha text one"), (2, "beta text two"), (3, "gamma three")]),
+        path,
+    )
+    LI.lsh_index_ingest(mk([(1, "alpha text one EDITED")]), path)
+    live = mk([(1, "alpha text one EDITED"), (2, "beta text two")])
+    before = _rows(LI.lsh_index_probe_tables(spark, path, live)[0])
+    kept, dropped = LI.lsh_index_compact(spark, path, live)
+    assert (kept, dropped) == (2, 2)  # old v1 of doc 1 + deleted doc 3
+    sigs, bands = LI.lsh_index_load(spark, path)
+    assert sigs.count() == 2 and bands.count() == 8
+    assert _rows(LI.lsh_index_probe_tables(spark, path, live)[0]) == before

@@ -42,6 +42,8 @@ def test_oracle_window_composition():
         "q_gap_fill",
         "q_cluster_canonical",
         "q_bloom_merged",
+        "q_kmv_by_type",
+        "q_sample_merged",
         # operator or oracle changed in round 6 (r5-tail advisor fixes
         # + the maintained-index/two-level surface):
         "q_bloom_prune",
