@@ -121,7 +121,12 @@ def bloom_probe(
     for r in packed:
         words[r["_w"]] = r["_word"]
     c = F.col(key_col)
-    fanned = df.withColumn("_words", F.lit(words))
+    # the CAST is load-bearing: F.lit over small ints infers array<int>,
+    # and getbit on an int restricts positions to [0, 32) — a probe
+    # whose packed words all happen to fit 32 bits would then crash on
+    # any bit position >= 32 (caught by the Hypothesis no-false-negative
+    # sweep on a 1-member filter)
+    fanned = df.withColumn("_words", F.lit(words).cast("array<long>"))
     pos_cols = [f"_bp{i}" for i in range(num_hashes)]
     for i, name in enumerate(pos_cols):
         fanned = fanned.withColumn(name, _bit(i, c, num_bits))
