@@ -1,5 +1,13 @@
-from cdc_system_spark.streaming.ingest import StreamingCorpusIngestor
+from cdc_system_spark.streaming.ingest import (
+    StreamingCorpusIngestor,
+    corpus_content_overlap,
+)
 from cdc_system_spark.streaming.replicator import StreamingReplicator
 from cdc_system_spark.streaming.source import read_change_stream
 
-__all__ = ["StreamingCorpusIngestor", "StreamingReplicator", "read_change_stream"]
+__all__ = [
+    "StreamingCorpusIngestor",
+    "StreamingReplicator",
+    "corpus_content_overlap",
+    "read_change_stream",
+]

@@ -59,6 +59,7 @@ class StreamingCorpusIngestor:
         admission_filter=None,
         stats_path: str | None = None,
         lsh_index_path: str | None = None,
+        kmv_stats_path: str | None = None,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -112,6 +113,16 @@ class StreamingCorpusIngestor:
         #: on re-delivery, and pre-flip index rows are invisible to a
         #: replay's probe (their versions aren't live yet).
         self.lsh_index_path = lsh_index_path
+        #: optional maintained KMV state (<= 64-row parquet) over every
+        #: content hash EVER ADMITTED — the set-algebra sibling of
+        #: ``stats_path``'s HLL: two ingestors' KMV states answer "how
+        #: much distinct content do these corpora share?"
+        #: (:func:`corpus_content_overlap`) without reading either
+        #: corpus — the train/eval contamination smoke test at the
+        #: content-hash level. Same monotonicity, bootstrap, and
+        #: crash-window contract as ``stats_path`` (merge is idempotent:
+        #: bottom-k of a distinct union).
+        self.kmv_stats_path = kmv_stats_path
         self.batches_applied = 0
 
     def _lsh_probe_tables(self, current: DataFrame) -> dict:
@@ -172,6 +183,30 @@ class StreamingCorpusIngestor:
         # truncates it mid-scan)
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             self.stats_path
+        )
+
+    def _update_kmv(self, admitted: DataFrame) -> None:
+        from pyspark.errors import AnalysisException
+
+        from cdc_system_spark.operators.sketch import kmv_merge, kmv_state
+
+        new_state = kmv_state(
+            admitted.select(F.md5(F.col(self.text_col)).alias("_c")), "_c"
+        )
+        try:
+            prev = self.spark.read.parquet(self.kmv_stats_path)
+            merged = kmv_merge(prev, new_state)
+        except AnalysisException as exc:
+            # PATH_NOT_FOUND-only bootstrap — any other read failure
+            # must not silently reset the monotone ever-admitted state
+            # (same contract as _update_stats)
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
+            merged = new_state
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            self.kmv_stats_path
         )
 
     def distinct_content_estimate(self) -> float:
@@ -278,6 +313,8 @@ class StreamingCorpusIngestor:
         # the batch's stats forever: the replay guard returned early.
         if self.stats_path is not None:
             self._update_stats(admitted)
+        if self.kmv_stats_path is not None:
+            self._update_kmv(admitted)
         self.corpus.write(
             final,
             meta={"ingest_app": self.checkpoint_path, "ingest_batch": str(batch_id)},
@@ -385,3 +422,24 @@ def oov_gate(
         return df.join(keep, id_col, "left_semi")
 
     return gate
+
+
+def corpus_content_overlap(
+    spark: SparkSession, kmv_path_a: str, kmv_path_b: str, k: int = 64
+) -> DataFrame:
+    """Distinct-content overlap between two maintained corpora from
+    their persisted KMV states alone (``kmv_stats_path``): one row
+    ``(union_est, intersect_est, jaccard_est)`` — the train/eval
+    contamination smoke test, answered without reading either corpus
+    (two ≤ k-row parquet reads; the exact question a corpus×corpus
+    distinct join would otherwise shuffle both datasets for).
+    Estimates are over content EVER ADMITTED (the states are monotone,
+    like ``stats_path``'s HLL); for CURRENT-corpus overlap build fresh
+    states with ``kmv_state(corpus.read(), ...)``."""
+    from cdc_system_spark.operators.sketch import kmv_intersect
+
+    return kmv_intersect(
+        spark.read.parquet(kmv_path_a),
+        spark.read.parquet(kmv_path_b),
+        k=k,
+    )

@@ -766,3 +766,61 @@ def test_streaming_windowed_hll_matches_batch_distinct_estimate(spark, tmp_path)
             batch["n_est"],
             batch["n_empty_buckets"],
         ), day
+
+
+def test_kmv_stats_maintained_and_overlap(spark, tmp_path):
+    # the set-algebra stats artifact: per-batch KMV merge over admitted
+    # content hashes equals the state built from everything admitted;
+    # two corpora's states answer content overlap without reading
+    # either corpus
+    from cdc_system_spark.operators.sketch import kmv_state
+    from cdc_system_spark.streaming import (
+        StreamingCorpusIngestor,
+        corpus_content_overlap,
+    )
+
+    def run(tag, texts_by_batch):
+        base = tmp_path / tag
+        sys_ = CDCSystem(spark, str(base), "docs")
+        cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+        corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
+        corpus.write(_doc_rows(spark, []))
+        ing = StreamingCorpusIngestor(
+            spark,
+            cap.path,
+            corpus,
+            DOC_SCHEMA,
+            checkpoint_path=str(base / "ckpt"),
+            kmv_stats_path=str(base / "kmv"),
+        )
+        mx = -1
+        for bid, rows in enumerate(texts_by_batch):
+            cap.capture_insert(_doc_rows(spark, rows))
+            log = cap.read_log().filter(F.col("cdc_id") > mx)
+            ing.apply_batch(log, bid)
+            mx = cap.read_log().agg(F.max("cdc_id")).collect()[0][0]
+        return ing, str(base / "kmv")
+
+    shared = [(i, f"shared doc number {i}") for i in range(10)]
+    a_only = [(100 + i, f"corpus A exclusive {i}") for i in range(10)]
+    b_only = [(200 + i, f"corpus B exclusive {i}") for i in range(30)]
+    ing_a, kmv_a = run("a", [shared, a_only])
+    ing_b, kmv_b = run("b", [shared[:5], b_only])
+
+    # maintained state == one-shot state over everything admitted
+    admitted_a = _doc_rows(spark, shared + a_only).select(
+        F.md5("text").alias("_c")
+    )
+    maintained = sorted(
+        r["h"] for r in spark.read.parquet(kmv_a).collect()
+    )
+    assert maintained == sorted(
+        r["h"] for r in kmv_state(admitted_a, "_c").collect()
+    )
+
+    # both corpora are below saturation, so the overlap is EXACT:
+    # |A|=20, |B|=35, |A∩B|=5
+    row = corpus_content_overlap(spark, kmv_a, kmv_b).collect()[0]
+    assert row["union_est"] == 50.0
+    assert row["intersect_est"] == 5.0
+    assert row["jaccard_est"] == 0.1
