@@ -235,3 +235,47 @@ def test_compact_drops_stale_keeps_probe_identical(spark, tmp_path):
     sigs, bands = LI.lsh_index_load(spark, path)
     assert sigs.count() == 2 and bands.count() == 8
     assert _rows(LI.lsh_index_probe_tables(spark, path, live)[0]) == before
+
+
+# -- property: probe parity under arbitrary edit sequences --------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TXT = st.text(alphabet="abcdefg ", min_size=0, max_size=20)
+# an op is (kind, doc_id, text): 0=upsert (insert or edit), 1=delete
+_OP = st.tuples(st.integers(0, 1), st.integers(1, 6), _TXT)
+
+
+@given(st.lists(st.tuples(st.integers(1, 6), _TXT), min_size=1, max_size=4),
+       st.lists(_OP, min_size=0, max_size=6))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_probe_parity_under_any_edit_sequence(spark, tmp_path_factory, initial, ops):
+    # whatever sequence of inserts/edits/deletes the corpus saw — with
+    # the index maintained only on upserts, deletes never told to it —
+    # probe tables over the CURRENT corpus must equal the recompute
+    path = str(tmp_path_factory.mktemp("lshprop") / "idx")
+    state = {}
+    for did, txt in initial:
+        state[did] = txt
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in sorted(d.items())], "doc_id long, text string"
+    )
+    LI.lsh_index_build(mk(state), path)
+    for kind, did, txt in ops:
+        if kind == 0:
+            state[did] = txt
+            LI.lsh_index_ingest(
+                spark.createDataFrame([(did, txt)], "doc_id long, text string"),
+                path,
+            )
+        else:
+            state.pop(did, None)
+    current = mk(state)
+    sigs, bands = LI.lsh_index_probe_tables(spark, path, current)
+    full = minhash_signatures(current, k=7, num_perms=16)
+    assert _rows(sigs) == _rows(full)
+    assert _rows(bands) == _rows(_band_table(full, "doc_id", 16, 4))
