@@ -36,3 +36,12 @@ def test_conflict_demo(spark):
     assert result["lww_winner_key_100"] == "B"
     assert result["fww_winner_key_100"] == "A"
     assert result["merged_rows"] == 2
+
+
+def test_corpus_pipeline_demo(spark, tmp_path):
+    from examples.corpus_pipeline import run_corpus_pipeline_demo
+
+    report = run_corpus_pipeline_demo(spark, str(tmp_path / "cp"))
+    assert report["corpus"][1].endswith("today")
+    assert report["overlap_est"] >= 1.0
+    assert report["index_dropped"] >= 1
