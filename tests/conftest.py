@@ -9,7 +9,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="cdc-tests", master="local[*]", shuffle_partitions=8)
+    s = get_spark(app_name="cdc-tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
 

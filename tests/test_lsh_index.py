@@ -20,7 +20,14 @@ BAND_COLS = ["doc_id", "band_idx", "k0", "k1"]
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # a 200-doc slice: every parity claim here is self-consistent
+    # (maintained vs recomputed over the SAME frame), so corpus size
+    # buys no extra coverage, only suite seconds
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
 
 
 def _rows(df):
@@ -249,7 +256,7 @@ _OP = st.tuples(st.integers(0, 1), st.integers(1, 6), _TXT)
 @given(st.lists(st.tuples(st.integers(1, 6), _TXT), min_size=1, max_size=4),
        st.lists(_OP, min_size=0, max_size=6))
 @settings(
-    max_examples=5,
+    max_examples=3,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
