@@ -48,8 +48,10 @@ from cdc_system_spark.operators.similarity import (
 
 __all__ = [
     "ann_index_build",
+    "ann_index_compact",
     "ann_index_ingest",
     "ann_index_load",
+    "ann_index_probe_tables",
     "ann_index_topk",
 ]
 
@@ -112,16 +114,22 @@ def ann_index_ingest(
     """Incrementally maintain the index: assign ONLY the new rows
     against the frozen centroids and append. Returns rows admitted.
 
-    Replay-safe: an anti-join on already-indexed ids (the scan reads
-    only the id column — parquet prunes the vector bytes) makes a
-    re-delivered batch a no-op, the same idempotence contract as the
-    streaming ingest's batch markers. The assignment itself touches
-    only the batch — the corpus is never re-read, never re-assigned.
+    Replay-safe: an anti-join on already-indexed (id, vector) pairs
+    makes a re-delivered batch a no-op, the same idempotence contract
+    as the streaming ingest's batch markers — while a RE-EMBEDDED row
+    (same id, new vector: a model refresh or a corrected document) is a
+    new pair and assigns normally, leaving its old assignment behind as
+    a stale version (:func:`ann_index_probe_tables` filters those out;
+    :func:`ann_index_compact` reclaims them — the ``lsh_index`` version
+    contract). The assignment itself touches only the batch — the
+    corpus is never re-read, never re-assigned.
     """
     spark = new_emb.sparkSession
     cents = _load_cents(spark, path)
-    existing = spark.read.parquet(_asg_path(path)).select(id_col)
-    fresh = new_emb.select(id_col, vec_col).join(existing, id_col, "left_anti")
+    existing = spark.read.parquet(_asg_path(path)).select(id_col, vec_col)
+    fresh = new_emb.select(id_col, vec_col).join(
+        existing, [id_col, vec_col], "left_anti"
+    )
     assigned = _assign_vectorized(
         spread(fresh), cents, id_col, vec_col
     ).withColumnRenamed("cell_id", "centroid_id")
@@ -186,3 +194,61 @@ def ann_index_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def ann_index_probe_tables(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignments EXACTLY covering the ``current`` embedding corpus —
+    the live-version filter :func:`~cdc_system_spark.operators
+    .lsh_index.lsh_index_probe_tables` applies to band postings,
+    applied to cell assignments: stored rows are kept only for the
+    (id, vector) pairs currently live (a deleted row stops matching, a
+    re-embedded row matches only through its live vector), and any
+    live pair the index never saw is assigned inline against the
+    FROZEN centroids. Row-identical to reassigning the whole corpus —
+    the inline remainder is empty in a well-maintained pipeline, so
+    repeat queries still skip the corpus assignment pass entirely.
+    Feed the result to the cell-blocked family's ``assigned=``.
+    """
+    cents = _load_cents(spark, path)
+    _, stored = ann_index_load(spark, path)
+    live = current.select(id_col, vec_col)
+    covered = stored.join(live, [id_col, vec_col], "left_semi")
+    uncovered = live.join(
+        stored.select(id_col, vec_col), [id_col, vec_col], "left_anti"
+    )
+    extra = _assign_vectorized(
+        spread(uncovered), cents, id_col, vec_col
+    ).withColumnRenamed("cell_id", "centroid_id")
+    cols = [id_col, vec_col, "centroid_id"]
+    return covered.select(*cols).unionByName(extra.select(*cols))
+
+
+def ann_index_compact(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """Rewrite the assignment table keeping only the (id, vector) pairs
+    live in ``current`` — reclaims the stale versions re-embeddings and
+    deletions leave behind (they never give wrong answers through
+    :func:`ann_index_probe_tables`, they only cost storage and filter
+    work). Returns ``(kept, dropped)``. Centroids stay frozen — this
+    compacts storage, it does not rebuild the model."""
+    _, stored = ann_index_load(spark, path)
+    total = stored.count()
+    kept_rows = stored.join(
+        current.select(id_col, vec_col), [id_col, vec_col], "left_semi"
+    ).localCheckpoint(eager=True)
+    kept = kept_rows.count()
+    kept_rows.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        _asg_path(path)
+    )
+    return kept, total - kept

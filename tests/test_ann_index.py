@@ -125,3 +125,56 @@ def test_probe_topk_prunes_partitions_and_is_exact_at_full_probe(
     assert [r["vec_id"] for r in full.collect()] == [
         r["vec_id"] for r in brute.collect()
     ]
+
+
+def test_probe_tables_follow_live_corpus(spark, emb, tmp_path):
+    # re-embeddings and deletions: probe tables must equal a one-shot
+    # frozen-centroid assignment of the CURRENT corpus, with stale
+    # versions invisible and unseen rows assigned inline
+    from cdc_system_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_probe_tables,
+    )
+    from cdc_system_spark.operators.similarity import _assign_vectorized
+    from cdc_system_spark.functions.portable import spread
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id % 10 <> 0"), path, num_centroids=8)
+    # current corpus: some rows deleted, some re-embedded (reversed
+    # vector), some never indexed (the % 10 == 0 slice)
+    current = (
+        emb.filter("vec_id % 7 <> 0")
+        .withColumn(
+            "embedding",
+            F.when(F.col("vec_id") % 5 == 0, F.reverse("embedding")).otherwise(
+                F.col("embedding")
+            ),
+        )
+    )
+    # ingest the re-embedded rows (same ids, new vectors: must append)
+    reemb = current.filter("vec_id % 5 = 0")
+    assert AI.ann_index_ingest(reemb, path) == reemb.count()
+    # re-delivery of the same re-embedded batch: no-op
+    assert AI.ann_index_ingest(reemb, path) == 0
+
+    got = ann_index_probe_tables(spark, path, current)
+    from cdc_system_spark.operators.ann_index import _load_cents
+
+    expect = _assign_vectorized(
+        spread(current), _load_cents(spark, path), "vec_id", "embedding"
+    ).withColumnRenamed("cell_id", "centroid_id")
+    assert _asg_map(got) == _asg_map(expect)
+    assert got.count() == current.count()
+
+    # compaction keeps exactly the live pairs
+    kept, dropped = ann_index_compact(spark, path, current)
+    assert kept == ann_index_probe_tables(spark, path, current).count() - (
+        current.join(
+            AI.ann_index_load(spark, path)[1].select("vec_id", "embedding"),
+            ["vec_id", "embedding"],
+            "left_anti",
+        ).count()
+    )
+    assert dropped >= 1
+    # probe tables unchanged by compaction
+    assert _asg_map(ann_index_probe_tables(spark, path, current)) == _asg_map(expect)
