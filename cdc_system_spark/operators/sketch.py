@@ -1141,3 +1141,61 @@ def kmv_estimate_by(
         .alias("n_est"),
         (F.col("_n") >= k).alias("saturated"),
     )
+
+
+def selectivity_from_state(
+    state: DataFrame,
+    lo: float,
+    hi: float,
+    q_lo: float,
+    q_hi: float,
+    num_bins: int = _QS_BINS,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Range-selectivity estimate from a (merged) histogram state — the
+    optimizer-statistics use of the maintained-sketch family: one row
+    ``(est_rows, total_rows, selectivity)`` estimating the fraction of
+    rows with value in ``[q_lo, q_hi]``, computed from the ≤ num_bins-
+    row state with exact integer bin-overlap arithmetic and uniform
+    interpolation inside partial bins (the textbook equi-width
+    histogram estimator every cost-based optimizer runs; here it is a
+    QUERYABLE artifact over states that merge across shards/days, so
+    "how selective is this predicate" never re-reads raw data).
+
+    Deterministic and engine-exact: bin edges are the same integer
+    ceil-division the quantile path uses, each bin's contribution is an
+    int64 product divided once in double and rounded to 12 decimals,
+    and the sum runs through an exact DECIMAL accumulator — order-
+    insensitive, oracle-reproducible. Caveat shared with
+    :func:`quantiles_from_state`: values beyond ``[lo, hi]`` sit
+    clamped in the edge bins, so a query range reaching an edge bin
+    inherits that bin's nominal-edge interpolation.
+    """
+    ilo, ihi = int(round(lo * scale)), int(round(hi * scale))
+    iqlo, iqhi = int(round(q_lo * scale)), int(round(q_hi * scale))
+    rng, b = ihi - ilo + 1, num_bins
+    lb = F.lit(ilo) + F.expr(f"(bin * {rng} + {b - 1}) div {b}")
+    ub = F.lit(ilo) + F.expr(f"((bin + 1) * {rng} + {b - 1}) div {b}") - 1
+    ov = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(ub, F.lit(iqhi)) - F.greatest(lb, F.lit(iqlo)) + 1,
+    )
+    term = F.round(
+        (F.col("cnt") * ov).cast("double") / (ub - lb + 1).cast("double"), 12
+    )
+    agg = state.agg(
+        F.coalesce(
+            F.sum(term.cast("decimal(38,12)")), F.lit(0).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_est"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_rows"),
+    )
+    return agg.select(
+        F.round(F.col("_est"), decimals).alias("est_rows"),
+        F.col("total_rows"),
+        F.when(F.col("total_rows") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("_est") / F.col("total_rows"), decimals))
+        .alias("selectivity"),
+    )

@@ -55,6 +55,7 @@ _WINDOW_R6 = [
     "q_bloom_merged",
     "q_kmv_by_type",
     "q_sample_merged",
+    "q_selectivity_merged",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -94,7 +95,6 @@ _WINDOW_R6 = [
     "q_decontaminate",
     "q_embedding_topk",
     "q_fingerprint",
-    "q_bpe_token_count",
     "q_text_quality",
 ]
 

@@ -735,3 +735,53 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ffill_cols=["max_value"],
     )
     return out.select("event_type", "bucket", "n_events", "max_value")
+
+
+# -- q_selectivity_merged: range selectivity from merged histogram states -----
+_SELECTIVITY_SQL = """WITH iv AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+    b AS (SELECT LEAST(GREATEST((v * 256) // 40001, 0), 255) AS bin
+          FROM iv),
+    h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+    e AS (SELECT cnt,
+                 (bin * 40001 + 255) // 256 AS lb,
+                 ((bin + 1) * 40001 + 255) // 256 - 1 AS ub
+          FROM h),
+    o AS (SELECT cnt, lb, ub,
+                 GREATEST(0, LEAST(ub, 25000) - GREATEST(lb, 5000) + 1) AS ov
+          FROM e),
+    agg AS (SELECT CAST(SUM(CAST(ROUND(cnt * ov / (ub - lb + 1.0), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE) AS est,
+                   CAST(SUM(cnt) AS BIGINT) AS total
+            FROM o)
+    SELECT ROUND(est, 6) AS est_rows, total AS total_rows,
+           ROUND(est / total, 6) AS selectivity
+    FROM agg"""
+
+
+@register(
+    "q_selectivity_merged",
+    _SELECTIVITY_SQL,
+    doc="range selectivity of value IN [50, 250] from the merged "
+    "fixed-geometry histogram states (per-event_id-parity shards, "
+    "sum-merged) - the cost-based-optimizer statistic as a queryable "
+    "maintained artifact: exact integer bin-overlap + uniform "
+    "interpolation in partial bins, decimal-accumulated; the oracle "
+    "computes the WHOLE-corpus histogram, proving the estimate from "
+    "merged shard states == rebuild bit-for-bit",
+)
+def q_selectivity_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import (
+        histogram_merge,
+        histogram_state,
+        selectivity_from_state,
+    )
+
+    ev = catalog(spark, sf_dir).events
+    LO, HI = 0.0, 400.0
+    a = histogram_state(ev.filter(F.col("event_id") % 2 == 0), "value", LO, HI)
+    b = histogram_state(ev.filter(F.col("event_id") % 2 == 1), "value", LO, HI)
+    return selectivity_from_state(
+        histogram_merge(a, b), LO, HI, q_lo=50.0, q_hi=250.0
+    )

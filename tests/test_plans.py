@@ -44,6 +44,7 @@ def test_oracle_window_composition():
         "q_bloom_merged",
         "q_kmv_by_type",
         "q_sample_merged",
+        "q_selectivity_merged",
         # operator or oracle changed in round 6 (r5-tail advisor fixes
         # + the maintained-index/two-level surface):
         "q_bloom_prune",

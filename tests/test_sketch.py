@@ -391,3 +391,46 @@ def test_winsorize_by_clips_per_group(spark):
     assert got[("a", None)] is None and got[("c", None)] is None
     with _pytest.raises(ValueError):
         winsorize_by(df, ["g"], "value", p_lo=99, p_hi=1)
+
+
+def test_selectivity_from_state_accuracy_and_merge(spark):
+    from cdc_system_spark.operators.sketch import (
+        histogram_merge,
+        histogram_state,
+        selectivity_from_state,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 400).cast("double").alias("v"))
+    LO, HI = 0.0, 400.0
+    whole = histogram_state(df, "v", LO, HI)
+    est = selectivity_from_state(whole, LO, HI, 50.0, 250.0).collect()[0]
+    exact = df.filter("v >= 50.0 and v <= 250.0").count() / 10000
+    # uniform data: estimator error bounded by ~2 partial bin widths
+    assert abs(est["selectivity"] - exact) < 2 / 256 + 1e-9
+    assert est["total_rows"] == 10000
+    # merged shard states give the IDENTICAL estimate (counts additive,
+    # arithmetic order-insensitive via the decimal accumulator)
+    a = histogram_state(df.filter("id % 2 = 0"), "v", LO, HI)
+    b = histogram_state(df.filter("id % 2 = 1"), "v", LO, HI)
+    merged = selectivity_from_state(
+        histogram_merge(a, b), LO, HI, 50.0, 250.0
+    ).collect()[0]
+    assert merged == est
+
+
+def test_selectivity_empty_and_disjoint_ranges(spark):
+    from cdc_system_spark.operators.sketch import (
+        histogram_state,
+        selectivity_from_state,
+    )
+
+    LO, HI = 0.0, 400.0
+    empty = histogram_state(
+        spark.range(0).select(F.col("id").cast("double").alias("v")), "v", LO, HI
+    )
+    row = selectivity_from_state(empty, LO, HI, 50.0, 250.0).collect()[0]
+    assert (row["est_rows"], row["total_rows"], row["selectivity"]) == (0.0, 0, 0.0)
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    st = histogram_state(df, "v", LO, HI)
+    out = selectivity_from_state(st, LO, HI, 300.0, 390.0).collect()[0]
+    assert out["selectivity"] == 0.0  # no mass in the queried range
