@@ -64,6 +64,18 @@ def _asg_path(path: str) -> str:
     return f"{path}/assignments"
 
 
+def _vkey(id_col: str, vec_col: str):
+    """Version key: md5 over id + the JSON-rendered vector — the
+    compact (id, vector)-pair identity every membership test joins on,
+    so idempotence guards and live-version filters read/shuffle a
+    32-char column instead of the corpus's vector bytes (the
+    ``lsh_index`` ``_vkey`` pattern; rendered and compared only by
+    Spark, never by an oracle, so JSON float formatting is safe)."""
+    return F.md5(
+        F.concat_ws(",", F.col(id_col).cast("string"), F.to_json(F.col(vec_col)))
+    ).alias("_vkey")
+
+
 def _load_cents(spark: SparkSession, path: str) -> list[tuple[int, list[float]]]:
     """Centroid list from the frozen table — C rows, the only rows this
     module ever collects (same driver bound as ``auto_cells``)."""
@@ -96,9 +108,12 @@ def ann_index_build(
         [(cid, vec) for cid, vec in cents], "cell_id long, cvec array<double>"
     )
     cdf.write.mode("overwrite").parquet(_cent_path(path))
-    assigned = _assign_vectorized(
-        spread(emb), cents, id_col, vec_col
-    ).withColumnRenamed("cell_id", "centroid_id")
+    assigned = (
+        _assign_vectorized(spread(emb), cents, id_col, vec_col)
+        .withColumnRenamed("cell_id", "centroid_id")
+        .withColumn("_vkey", _vkey(id_col, vec_col))
+        .dropDuplicates(["_vkey"])
+    )
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _asg_path(path)
     )
@@ -126,19 +141,35 @@ def ann_index_ingest(
     """
     spark = new_emb.sparkSession
     cents = _load_cents(spark, path)
-    existing = spark.read.parquet(_asg_path(path)).select(id_col, vec_col)
-    fresh = new_emb.select(id_col, vec_col).join(
-        existing, [id_col, vec_col], "left_anti"
+    # membership test on the 32-char version key only — parquet prunes
+    # the stored vector bytes; within-batch re-deliveries collapse too
+    existing = spark.read.parquet(_asg_path(path)).select("_vkey")
+    fresh = (
+        new_emb.select(_vkey(id_col, vec_col), F.col(id_col), F.col(vec_col))
+        .dropDuplicates(["_vkey"])
+        .join(existing, "_vkey", "left_anti")
+        .drop("_vkey")
     )
-    assigned = _assign_vectorized(
-        spread(fresh), cents, id_col, vec_col
-    ).withColumnRenamed("cell_id", "centroid_id")
+    assigned = (
+        _assign_vectorized(spread(fresh), cents, id_col, vec_col)
+        .withColumnRenamed("cell_id", "centroid_id")
+        .withColumn("_vkey", _vkey(id_col, vec_col))
+    )
     # one pass to count + write: checkpoint the small batch so the
     # anti-join and assignment don't run twice
     assigned = assigned.localCheckpoint(eager=True)
     n = assigned.count()
     if n:
-        assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        # an empty store (a compact that kept nothing writes an
+        # unpartitioned empty frame to stay readable) is REPLACED with
+        # the canonical partitioned layout instead of appended into a
+        # mixed one; the isEmpty probe is a limit-1 scan
+        mode = (
+            "overwrite"
+            if spark.read.parquet(_asg_path(path)).isEmpty()
+            else "append"
+        )
+        assigned.write.mode(mode).partitionBy("centroid_id").parquet(
             _asg_path(path)
         )
     return n
@@ -152,8 +183,10 @@ def ann_index_load(
     keep the schema identical to the in-memory ``auto_cells`` output
     regardless of partition-type inference."""
     centroids = spark.read.parquet(_cent_path(path))
-    assignments = spark.read.parquet(_asg_path(path)).withColumn(
-        "centroid_id", F.col("centroid_id").cast("long")
+    assignments = (
+        spark.read.parquet(_asg_path(path))
+        .withColumn("centroid_id", F.col("centroid_id").cast("long"))
+        .drop("_vkey")
     )
     return centroids, assignments
 
@@ -216,11 +249,16 @@ def ann_index_probe_tables(
     Feed the result to the cell-blocked family's ``assigned=``.
     """
     cents = _load_cents(spark, path)
-    _, stored = ann_index_load(spark, path)
-    live = current.select(id_col, vec_col)
-    covered = stored.join(live, [id_col, vec_col], "left_semi")
-    uncovered = live.join(
-        stored.select(id_col, vec_col), [id_col, vec_col], "left_anti"
+    stored = spark.read.parquet(_asg_path(path)).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+    live = current.select(
+        _vkey(id_col, vec_col), F.col(id_col), F.col(vec_col)
+    ).localCheckpoint(eager=False)
+    # both membership tests join on the 32-char key, never the vectors
+    covered = stored.join(live.select("_vkey"), "_vkey", "left_semi")
+    uncovered = live.join(stored.select("_vkey"), "_vkey", "left_anti").drop(
+        "_vkey"
     )
     extra = _assign_vectorized(
         spread(uncovered), cents, id_col, vec_col
@@ -242,13 +280,21 @@ def ann_index_compact(
     :func:`ann_index_probe_tables`, they only cost storage and filter
     work). Returns ``(kept, dropped)``. Centroids stay frozen — this
     compacts storage, it does not rebuild the model."""
-    _, stored = ann_index_load(spark, path)
+    stored = spark.read.parquet(_asg_path(path)).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
     total = stored.count()
     kept_rows = stored.join(
-        current.select(id_col, vec_col), [id_col, vec_col], "left_semi"
+        current.select(_vkey(id_col, vec_col)), "_vkey", "left_semi"
     ).localCheckpoint(eager=True)
     kept = kept_rows.count()
-    kept_rows.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        _asg_path(path)
-    )
+    if kept:
+        kept_rows.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            _asg_path(path)
+        )
+    else:
+        # an EMPTY partitioned overwrite writes no schema-bearing part
+        # files and bricks every later read — write the empty frame
+        # unpartitioned (centroid_id stays as a data column) instead
+        kept_rows.write.mode("overwrite").parquet(_asg_path(path))
     return kept, total - kept

@@ -219,6 +219,8 @@ def lsh_index_probe_tables(
     current: DataFrame,
     text_col: str = "text",
     id_col: str | None = None,
+    num_perms: int | None = None,
+    rows_per_band: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe-ready ``(corpus_sigs, corpus_bands)`` for
     :func:`~cdc_system_spark.operators.curation.neardup_ingest`,
@@ -231,10 +233,21 @@ def lsh_index_probe_tables(
     result is row-identical to recomputing the corpus side from text,
     which is what makes this a pure substitution under the oracle gate.
     """
-    shingle_k, num_perms, rows_per_band, meta_id = _read_meta(spark, path)
+    shingle_k, p, rpb, meta_id = _read_meta(spark, path)
+    # optional geometry assertion, so a caller about to probe with a
+    # fixed perm/band shape fails HERE instead of via empty band joins
+    # (saves the separate validation lsh_index_load round trip)
+    if num_perms is not None and num_perms != p:
+        raise ValueError(f"index at {path} has num_perms={p}, caller wants {num_perms}")
+    if rows_per_band is not None and rows_per_band != rpb:
+        raise ValueError(
+            f"index at {path} has rows_per_band={rpb}, caller wants {rows_per_band}"
+        )
+    num_perms, rows_per_band = p, rpb
     id_col = id_col or meta_id
     live = current.select(_vkey(id_col, text_col)).localCheckpoint(eager=False)
-    sigs, bands = lsh_index_load(spark, path)
+    sigs = spark.read.parquet(_sig_path(path))
+    bands = spark.read.parquet(_band_path(path))
     live_sigs = sigs.join(live, "_vkey", "left_semi")
     live_bands = bands.join(live, "_vkey", "left_semi")
     uncovered = current.select(

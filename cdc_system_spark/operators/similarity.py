@@ -1101,6 +1101,7 @@ def auto_cells(
     num_centroids: int | None = None,
     refine_iters: int = 0,
     two_level_threshold: int = _TWO_LEVEL_THRESHOLD,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """Corpus-scaled cell assignment: ``(id, vec, centroid_id)`` with
     ``C = max(4, ceil(sqrt(n)))`` cells (override via
@@ -1120,7 +1121,12 @@ def auto_cells(
     the same O(n²/C) pair-work bound past it with the standard
     two-level IVF within-bucket approximation. Lloyd refinement
     (``refine_iters``) shuttles all C centroids through the driver per
-    iteration and is refused on the two-level path."""
+    iteration and is refused on the two-level path. The two-level
+    assignment is the standard multi-probe IVF APPROXIMATION of the
+    flat argmax — ``coarse_probe`` (default 2) sets how many coarse
+    buckets each row searches; raise it toward exactness on
+    weakly-clustered data (it forwards to :func:`assign_two_level`,
+    which is exact at full probe)."""
     if num_centroids is not None:
         C = num_centroids
     else:
@@ -1137,7 +1143,7 @@ def auto_cells(
             F.col(vec_col).alias("cvec"),
         )
         return assign_two_level(
-            spread(emb), cdf, id_col, vec_col
+            spread(emb), cdf, id_col, vec_col, coarse_probe=coarse_probe
         ).withColumnRenamed("cell_id", "centroid_id")
     cents = _auto_cents(emb, id_col, vec_col, C, refine_iters)
     # spread: the argmax matmul is CPU-bound and a small corpus scans

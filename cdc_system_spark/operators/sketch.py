@@ -1002,9 +1002,15 @@ def kmv_state(df: DataFrame, value_col: str, k: int = 64) -> DataFrame:
 
 def kmv_merge(*states: DataFrame, k: int = 64) -> DataFrame:
     """Combine KMV states losslessly: distinct union, re-take the k
-    smallest. States built with DIFFERENT k merge to the smallest k's
-    precision (the extra hashes of the larger state are simply
-    candidates); pass the target ``k`` explicitly."""
+    smallest. The merge is a VALID KMV state only at ``k`` ≤ the
+    smallest k any input was built with — an input that kept only its
+    bottom 32 cannot vouch for ranks 33..64 of the union, so merging
+    k=32 states under the default k=64 silently skews the estimate
+    upward. States carry no geometry metadata (they are bare hash
+    tables), so this cannot be validated here: keep k with the stored
+    artifact (the ``lsh_index`` meta pattern) and pass it explicitly,
+    exactly as ``bloom_merge`` requires matching (num_bits,
+    num_hashes)."""
     if not states:
         raise ValueError("states must be non-empty")
     out = states[0]

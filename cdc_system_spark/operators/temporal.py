@@ -217,6 +217,11 @@ def gap_fill(
     """
     agg_exprs = agg_exprs or {"n_events": F.count(F.lit(1))}
     ffill_cols = ffill_cols or []
+    unknown = [c for c in ffill_cols if c not in agg_exprs]
+    if unknown:
+        raise ValueError(
+            f"ffill_cols not in agg_exprs: {unknown} (have {list(agg_exprs)})"
+        )
     bucketed = df.select(*group_cols, F.col(time_col).alias("_bucket"))
     per_bucket = (
         df.groupBy(*group_cols, F.col(time_col).alias("_bucket"))
@@ -237,6 +242,14 @@ def gap_fill(
             ).alias("_bucket"),
         )
     )
+    # buckets NOT aligned to the step grid (caller truncated finer than
+    # ``step``) must not vanish in the left join below — union them in
+    # as their own rows, so the output is the dense grid PLUS every
+    # observed off-grid bucket (for aligned callers, observed ⊆ grid
+    # and this is a no-op)
+    grid = grid.unionByName(
+        per_bucket.select(*group_cols, "_bucket")
+    ).distinct()
     out = grid.join(per_bucket, [*group_cols, "_bucket"], "left")
     w = (
         Window.partitionBy(*group_cols)

@@ -817,7 +817,11 @@ def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators import ann_index as AI
 
     emb = catalog(spark, sf_dir).embeddings
-    path = tempfile.mkdtemp(prefix="annidx_q_")
+    # fixed per-sf path, OVERWRITTEN by the build: repeated verify/bench
+    # invocations reuse it instead of leaking one /tmp copy of the
+    # assignment table per run (runs are sequential per process)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/annidx_q_{tag}"
     AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
     AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
     _, asg = AI.ann_index_load(spark, path)
@@ -846,7 +850,8 @@ def q_lsh_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators import lsh_index as LI
 
     docs = catalog(spark, sf_dir).documents
-    path = tempfile.mkdtemp(prefix="lshidx_q_")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/lshidx_q_{tag}"
     LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
     LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
     _, bands = LI.lsh_index_load(spark, path, num_perms=16, rows_per_band=4)

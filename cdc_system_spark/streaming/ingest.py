@@ -130,13 +130,21 @@ class StreamingCorpusIngestor:
 
         from cdc_system_spark.operators import lsh_index as LI
 
+        # neardup_ingest below runs the DEFAULT hash geometry; an index
+        # frozen on anything else must fail loudly (probe_tables
+        # validates against the stored meta), not produce silently-empty
+        # band joins. One load per batch — bootstrap only on first use.
+        probe = lambda: LI.lsh_index_probe_tables(
+            self.spark,
+            self.lsh_index_path,
+            current,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            num_perms=16,
+            rows_per_band=4,
+        )
         try:
-            # neardup_ingest below runs the DEFAULT hash geometry; an
-            # index frozen on anything else must fail loudly, not
-            # produce silently-empty band joins
-            LI.lsh_index_load(
-                self.spark, self.lsh_index_path, num_perms=16, rows_per_band=4
-            )
+            sigs, bands = probe()
         except AnalysisException as exc:
             if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
                 exc
@@ -148,13 +156,7 @@ class StreamingCorpusIngestor:
                 text_col=self.text_col,
                 id_col=self.id_col,
             )
-        sigs, bands = LI.lsh_index_probe_tables(
-            self.spark,
-            self.lsh_index_path,
-            current,
-            text_col=self.text_col,
-            id_col=self.id_col,
-        )
+            sigs, bands = probe()
         return {"corpus_sigs": sigs, "corpus_bands": bands}
 
     def _update_stats(self, admitted: DataFrame) -> None:

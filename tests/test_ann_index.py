@@ -178,3 +178,39 @@ def test_probe_tables_follow_live_corpus(spark, emb, tmp_path):
     assert dropped >= 1
     # probe tables unchanged by compaction
     assert _asg_map(ann_index_probe_tables(spark, path, current)) == _asg_map(expect)
+
+
+def test_ingest_dedups_within_batch(spark, emb, tmp_path):
+    # a batch that re-delivers the same (id, vec) row twice must index
+    # it ONCE (the lsh_index within-batch version dedup, here for
+    # vectors) — otherwise topk returns one id in two k-slots
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id >= 100"), path, num_centroids=4)
+    batch = emb.filter("vec_id < 10")
+    doubled = batch.unionByName(batch)
+    assert AI.ann_index_ingest(doubled, path) == batch.count()
+    _, asg = AI.ann_index_load(spark, path)
+    assert asg.filter("vec_id < 10").count() == batch.count()
+
+
+def test_compact_to_empty_does_not_brick_the_index(spark, emb, tmp_path):
+    # whole corpus re-embedded before re-ingest: compact keeps nothing,
+    # but the index must stay loadable and ingestable
+    from cdc_system_spark.operators.ann_index import ann_index_compact
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.limit(50), path, num_centroids=4)
+    reembedded = emb.limit(50).withColumn("embedding", F.reverse("embedding"))
+    kept, dropped = ann_index_compact(spark, path, reembedded)
+    assert kept == 0 and dropped == 50
+    _, asg = AI.ann_index_load(spark, path)  # must not raise
+    assert asg.count() == 0
+    assert AI.ann_index_ingest(reembedded, path) == 50
+    after = AI.ann_index_load(spark, path)[1]
+    assert after.count() == 50
+    # the canonical partitioned layout is restored: every row carries a
+    # non-null centroid_id and probe tables still match a recompute
+    assert after.filter("centroid_id IS NULL").count() == 0
+    from cdc_system_spark.operators.ann_index import ann_index_probe_tables
+
+    assert ann_index_probe_tables(spark, path, reembedded).count() == 50

@@ -93,3 +93,23 @@ def test_canonical_picks_best_then_smaller_id(spark):
         for r in cluster_canonicals(members, "text_len").collect()
     }
     assert out == {1: (11, 90, 3), 2: (2, 50, 2), 3: (3, 5, 1)}
+
+
+def test_off_grid_buckets_are_kept_not_dropped(spark, sparse):
+    # step coarser than the bucket truncation: hours 1/3 sit off the
+    # 2-hour grid and must appear as their own rows, never vanish
+    out = gap_fill(
+        sparse, "h", ["g"], step="2 hours", agg_exprs={"n": F.count(F.lit(1))}
+    )
+    rows = {(r["g"], r["bucket"].hour): r["n"] for r in out.collect()}
+    assert rows[("a", 3)] == 1  # off-grid observation preserved
+    assert rows[("a", 0)] == 2 and rows[("a", 2)] == 0
+    total = sum(v for v in rows.values())
+    assert total == 5  # nothing dropped, nothing double-counted
+
+
+def test_unknown_ffill_col_raises(spark, sparse):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ffill_cols"):
+        gap_fill(sparse, "h", ["g"], ffill_cols=["nope"])
