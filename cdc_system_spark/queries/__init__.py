@@ -56,6 +56,8 @@ _WINDOW_R6 = [
     "q_kmv_by_type",
     "q_sample_merged",
     "q_selectivity_merged",
+    "q_ann_probe_maintained",
+    "q_lsh_probe_maintained",
     # -- 2. operator or oracle changed this round --
     "q_bloom_prune",
     "q_bloom_semi_join",
@@ -94,8 +96,6 @@ _WINDOW_R6 = [
     "q_srp_lsh_pairs",
     "q_decontaminate",
     "q_embedding_topk",
-    "q_fingerprint",
-    "q_text_quality",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -2554,3 +2554,103 @@ def q_sample_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     u = shards[0].unionByName(shards[1]).unionByName(shards[2])
     return bottomk_sample(u, 40)
+
+
+# -- maintained indexes under CDC mutation, driver-gated ----------------------
+# These two put the round's central mutation-correctness claim under
+# the ORACLE gate (not just pytest): after deletes (vec_id/doc_id % 7
+# = 0 gone) and updates (% 5 = 0 re-embedded / text-edited), the
+# probe tables read from the maintained artifact must equal the
+# whole-LIVE-corpus recompute the oracle performs from scratch.
+_ANN_PROBE_SQL = f"""WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    live AS (
+        SELECT vec_id,
+               CASE WHEN vec_id % 5 = 0 THEN list_reverse(embedding)
+                    ELSE embedding END AS v
+        FROM embeddings WHERE vec_id % 7 <> 0),
+    scored AS (
+        SELECT l.vec_id, c.cid,
+               {_dot_sql('l.v', 'c.cv')}
+                   / (SQRT({_dot_sql('l.v', 'l.v')})
+                      * SQRT({_dot_sql('c.cv', 'c.cv')})) AS cos_sim
+        FROM live l, c)
+    SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, cid DESC) AS rk
+        FROM scored) WHERE rk = 1"""
+
+
+@register(
+    "q_ann_probe_maintained",
+    _ANN_PROBE_SQL,
+    doc="maintained ANN index under CDC mutation: build on 2/3 of the "
+    "corpus, re-embed the % 5 slice incrementally (frozen centroids), "
+    "delete the % 7 slice, then read probe tables - the oracle "
+    "reassigns the whole LIVE corpus from scratch, so a green row "
+    "proves stale versions are invisible, updates match only through "
+    "their live vector, and unseen rows assign inline",
+)
+def q_ann_probe_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import ann_index as AI
+
+    emb = catalog(spark, sf_dir).embeddings
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/annidx_probe_q_{tag}"
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+    live = emb.filter("vec_id % 7 <> 0").withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 5 == 0, F.reverse("embedding")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    AI.ann_index_ingest(live.filter("vec_id % 5 = 0"), path)
+    return AI.ann_index_probe_tables(spark, path, live).select(
+        "vec_id", "centroid_id"
+    )
+
+
+_LSH_PROBE_SQL = f"""WITH live AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0),
+    {lsh_ctes("live")}
+    SELECT doc_id, band_idx, k0, k1 FROM bands"""
+
+
+@register(
+    "q_lsh_probe_maintained",
+    _LSH_PROBE_SQL,
+    doc="maintained LSH index under CDC mutation: build on 2/3 of the "
+    "corpus, re-index the % 5 slice's EDITED text incrementally "
+    "(version keys), delete the % 7 slice, then read probe tables - "
+    "the oracle recomputes the whole LIVE corpus's "
+    "shingle->minhash->band chain from scratch, proving stale versions "
+    "stop matching and edits match only through their live text",
+)
+def q_lsh_probe_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import lsh_index as LI
+
+    docs = catalog(spark, sf_dir).documents
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/lshidx_probe_q_{tag}"
+    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
+    live = docs.filter("doc_id % 7 <> 0").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+        ).otherwise(F.col("text")),
+    )
+    LI.lsh_index_ingest(live.filter("doc_id % 5 = 0"), path)
+    _, bands = LI.lsh_index_probe_tables(
+        spark, path, live, num_perms=16, rows_per_band=4
+    )
+    return bands.select("doc_id", "band_idx", "k0", "k1")

@@ -45,6 +45,8 @@ def test_oracle_window_composition():
         "q_kmv_by_type",
         "q_sample_merged",
         "q_selectivity_merged",
+        "q_ann_probe_maintained",
+        "q_lsh_probe_maintained",
         # operator or oracle changed in round 6 (r5-tail advisor fixes
         # + the maintained-index/two-level surface):
         "q_bloom_prune",
