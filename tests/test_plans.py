@@ -149,6 +149,10 @@ def test_python_only_where_intended(plans):
         # the production C=sqrt(n) path assigns cells with the
         # vectorized numpy argmax (auto_cells) — the intended Arrow use
         "q_knn_label_noise_auto",
+        # probe tables inline-assign uncovered live rows via the same
+        # vectorized numpy pass — the plan carries that Arrow branch
+        # (empty at runtime in a well-maintained pipeline)
+        "q_ann_probe_maintained",
     }
     for name, df in plans.items():
         f = plan_features(df)
