@@ -145,3 +145,28 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
     return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+
+
+def round_portable(col: Column | str, decimals: int = 6) -> Column:
+    """Half-up rounding as ``floor(x·10^d + 0.5)/10^d`` — the
+    engine-portable form for values that can land EXACTLY on a decimal
+    half-way boundary. ``F.round`` converts the double to BigDecimal
+    and rounds its exact binary expansion HALF_UP, while DuckDB's
+    ``ROUND`` multiplies by 10^d in floating point first — near a
+    representable boundary the two can disagree by one ulp of the last
+    kept digit (first observed at sf0.1: 4 of 5000 quality scores).
+    This form runs the IDENTICAL float ops on both engines (twin:
+    :func:`round_portable_sql`), so results match bit-for-bit
+    regardless of boundary proximity. For positive values it equals
+    HALF_UP; only use where inputs are non-negative (all ratio/score
+    columns here).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**decimals)
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
+def round_portable_sql(expr: str, decimals: int = 6) -> str:
+    """DuckDB twin of :func:`round_portable`."""
+    p = 10**decimals
+    return f"FLOOR(({expr}) * {p}.0 + 0.5) / {p}.0"

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_system_spark.functions.portable import md5_i64, shingles, spread
+from cdc_system_spark.functions.portable import md5_i64, round_portable, shingles, spread
 
 #: universal-hash parameters for MinHash permutations: perm_i(h) =
 #: (A[i]·h + B[i]) mod P over h = md5_i64(shingle) mod P. P < 2^31 keeps
@@ -931,7 +931,11 @@ def containment_pairs(
         "n_sh1",
         "n_sh2",
         F.round(F.col("_m") / p.cast("double"), 6).alias("est_jaccard"),
-        F.round(
+        # round_portable, not F.round: unlike est_jaccard (m/16, exact
+        # in <= 4 decimals), this rational can land exactly on a 1e-6
+        # half-way boundary where engine ROUND rules diverge (observed
+        # at sf0.1: 7 of 5.35M pairs)
+        round_portable(
             (F.col("_m") * (F.col("n_sh1") + F.col("n_sh2")))
             / ((p + F.col("_m")) * F.least("n_sh1", "n_sh2")).cast("double"),
             6,

@@ -324,7 +324,10 @@ def weighted_sample(
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     return (
         df.withColumn("_bucket", hash_bucket(id_col, salt))
-        .filter(F.col("_bucket") < F.round(w * BUCKETS, 0))
+        # floor(x+0.5), not F.round: score*1000 lands exactly on .5
+        # whenever the 6-dp score ends in 0005 — the same engine-rule
+        # divergence functions.portable.round_portable documents
+        .filter(F.col("_bucket") < F.floor(w * BUCKETS + F.lit(0.5)))
         .drop("_bucket")
     )
 

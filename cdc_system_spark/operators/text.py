@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from cdc_system_spark.functions.portable import spread
+from cdc_system_spark.functions.portable import round_portable, spread
 
 #: tiny English function-word list for the language heuristic
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
@@ -94,9 +94,14 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.col(id_col),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(diversity, 6).alias("diversity"),
-        F.round(len_sat * diversity * (F.lit(0.5) + stop_ratio), 6).alias("quality_score"),
+        # round_portable: ratio/score values can land exactly on a
+        # 1e-6 half-way boundary, where F.round and a SQL oracle's
+        # ROUND disagree by one ulp (observed at sf0.1)
+        round_portable(stop_ratio, 6).alias("stopword_ratio"),
+        round_portable(diversity, 6).alias("diversity"),
+        round_portable(
+            len_sat * diversity * (F.lit(0.5) + stop_ratio), 6
+        ).alias("quality_score"),
     )
 
 
@@ -890,12 +895,12 @@ def bigram_surprisal(
         .join(w_counts, "w1")
         .select(
             F.col(id_col),
-            F.round(F.col("c1") / F.col("c2").cast("double"), 6).alias("_r"),
+            round_portable(F.col("c1") / F.col("c2").cast("double"), 6).alias("_r"),
         )
     )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
-        F.round(dsum("_r") / F.count("*"), 6).alias("surprisal"),
+        round_portable(dsum("_r") / F.count("*"), 6).alias("surprisal"),
     )
 
 

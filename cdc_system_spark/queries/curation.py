@@ -322,12 +322,14 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
-_WSCORE = (
-    "ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)"
+# FLOOR(x*1e6 + 0.5)/1e6, not ROUND: see functions.portable.round_portable
+_WSCORE_RAW = (
+    "(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)"
     " * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)))"
     " * (0.5 + CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'to',"
-    " 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE) / len(w)), 6)"
+    " 'in', 'is', 'it', 'that', 'for'))) AS DOUBLE) / len(w))"
 )
+_WSCORE = f"FLOOR(({_WSCORE_RAW}) * 1000000.0 + 0.5) / 1000000.0"
 _WBUCKET = (
     "CAST(CONCAT('0x', SUBSTR(MD5('s3' || CAST(doc_id AS VARCHAR)), 1, 15)) "
     "AS BIGINT) % 1000"
@@ -336,7 +338,7 @@ _WEIGHTED_SQL = f"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
                               FROM documents),
     q AS (SELECT doc_id, {_WSCORE} AS quality_score FROM t)
     SELECT doc_id, quality_score FROM q
-    WHERE {_WBUCKET} < ROUND(LEAST(GREATEST(quality_score, 0.0), 1.0) * 1000, 0)"""
+    WHERE {_WBUCKET} < FLOOR(LEAST(GREATEST(quality_score, 0.0), 1.0) * 1000 + 0.5)"""
 
 
 _SPLIT_SQL = """WITH b AS (
@@ -770,9 +772,14 @@ _CONTAIN_SQL = f"""WITH sh AS (SELECT doc_id, {SH7} AS s FROM documents),
         FROM hm GROUP BY doc_id),
     bands AS (
         {_CONTAIN_BANDS}),
+    bsz AS (SELECT band_idx, k0, COUNT(*) AS bn
+            FROM bands GROUP BY band_idx, k0),
+    bounded AS (
+        SELECT bands.* FROM bands JOIN bsz USING (band_idx, k0)
+        WHERE bsz.bn <= 1000),
     lsh_pairs AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-        FROM bands a JOIN bands b
+        FROM bounded a JOIN bounded b
           ON a.band_idx = b.band_idx AND a.k0 = b.k0
              AND a.doc_id < b.doc_id),
     cnt AS (
@@ -788,8 +795,9 @@ _CONTAIN_SQL = f"""WITH sh AS (SELECT doc_id, {SH7} AS s FROM documents),
         JOIN sig b ON b.doc_id = p.id2)
     SELECT sc.id1, sc.id2, c1.n_sh AS n_sh1, c2.n_sh AS n_sh2,
            ROUND(sc.m / CAST(16 AS DOUBLE), 6) AS est_jaccard,
-           ROUND((sc.m * (c1.n_sh + c2.n_sh))
-                 / CAST((16 + sc.m) * least(c1.n_sh, c2.n_sh) AS DOUBLE), 6)
+           FLOOR((sc.m * (c1.n_sh + c2.n_sh))
+                 / CAST((16 + sc.m) * least(c1.n_sh, c2.n_sh) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0
                AS est_containment
     FROM sc
     JOIN cnt c1 ON c1.doc_id = sc.id1

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from cdc_system_spark.operators import dedup as D
 from cdc_system_spark.operators import similarity as S
 from cdc_system_spark.operators import text as X
+from cdc_system_spark.functions.portable import round_portable
 from cdc_system_spark.queries.base import catalog, register
 
 # DuckDB twins of the shared building blocks; the MinHash-LSH CTE
@@ -138,12 +139,16 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- quality filtering: per-language median cut ------------------------------
-_QSCORE = (
-    "ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)"
+# FLOOR(x*1e6 + 0.5)/1e6, not ROUND: the score can land exactly on a
+# 1e-6 half-way boundary where ROUND's engine-specific rule diverges
+# from Spark (functions.portable.round_portable is the Spark twin)
+_QSCORE_RAW = (
+    "(LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)"
     " * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)))"
     f" * (0.5 + CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE)"
-    " / len(w)), 6)"
+    " / len(w))"
 )
+_QSCORE = f"FLOOR(({_QSCORE_RAW}) * 1000000.0 + 0.5) / 1000000.0"
 
 
 @register(
@@ -154,7 +159,7 @@ _QSCORE = (
     m AS (SELECT lang, quantile_cont(quality_score, 0.5) AS lang_median
           FROM q GROUP BY lang)
     SELECT q.doc_id, q.lang, q.quality_score,
-           ROUND(m.lang_median, 6) AS lang_median
+           FLOOR(m.lang_median * 1000000.0 + 0.5) / 1000000.0 AS lang_median
     FROM q JOIN m ON q.lang = m.lang
     WHERE q.quality_score > m.lang_median""",
     doc="corpus filtering: keep docs above their language's median "
@@ -175,7 +180,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             "quality_score",
-            F.round("lang_median", 6).alias("lang_median"),
+            round_portable("lang_median", 6).alias("lang_median"),
         )
     )
 
@@ -506,13 +511,14 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LENGTH(text) AS BIGINT) AS n_chars,
            CAST(len(w) AS BIGINT) AS n_tokens,
-           ROUND(CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w), 6)
-               AS stopword_ratio,
-           ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS diversity,
-           ROUND((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+           FLOOR(CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w)
+                 * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+           FLOOR(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                 * 1000000.0 + 0.5) / 1000000.0 AS diversity,
+           FLOOR((LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
                   * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)))
-                 * (0.5 + CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w)),
-                 6) AS quality_score
+                 * (0.5 + CAST(len(list_filter(w, x -> x IN ('{_STOPS}'))) AS DOUBLE) / len(w))
+                 * 1000000.0 + 0.5) / 1000000.0 AS quality_score
     FROM t""",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1780,11 +1786,12 @@ _SURPRISAL_SQL = """WITH t AS (
     c2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c2 FROM dg GROUP BY g),
     c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM dg GROUP BY w1),
     s AS (SELECT dg.doc_id,
-                 ROUND(c1.c1 / CAST(c2.c2 AS DOUBLE), 6) AS r
+                 FLOOR(c1.c1 / CAST(c2.c2 AS DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 AS r
           FROM dg JOIN c2 USING (g) JOIN c1 USING (w1))
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6)
-               AS surprisal
+           FLOOR(CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS surprisal
     FROM s GROUP BY doc_id"""
 
 
