@@ -190,22 +190,30 @@ def lsh_index_load(
     path: str,
     num_perms: int | None = None,
     rows_per_band: int | None = None,
+    shingle_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(signatures, bands) as DataFrames, geometry-validated — ALL
     stored versions, live and stale. For probe-ready tables filtered to
     a corpus's current versions use :func:`lsh_index_probe_tables`.
 
-    Pass the ``num_perms``/``rows_per_band`` the consumer will probe
-    with to assert they match the index's frozen geometry (a mismatch
-    raises here, at load, instead of producing silently-empty band
-    joins downstream).
+    Pass the ``num_perms``/``rows_per_band``/``shingle_k`` the consumer
+    will probe with to assert they match the index's frozen geometry (a
+    mismatch raises here, at load, instead of producing silently-empty
+    band joins downstream). ``shingle_k`` matters as much as the other
+    two: an index frozen on different shingles hashes DIFFERENT
+    features, so a batch side signing with its own k would band-join
+    against incomparable keys and admit near-duplicates silently.
     """
-    shingle_k, p, rpb, _ = _read_meta(spark, path)
+    sk, p, rpb, _ = _read_meta(spark, path)
     if num_perms is not None and num_perms != p:
         raise ValueError(f"index at {path} has num_perms={p}, caller wants {num_perms}")
     if rows_per_band is not None and rows_per_band != rpb:
         raise ValueError(
             f"index at {path} has rows_per_band={rpb}, caller wants {rows_per_band}"
+        )
+    if shingle_k is not None and shingle_k != sk:
+        raise ValueError(
+            f"index at {path} has shingle_k={sk}, caller wants {shingle_k}"
         )
     return (
         spark.read.parquet(_sig_path(path)),
@@ -221,6 +229,7 @@ def lsh_index_probe_tables(
     id_col: str | None = None,
     num_perms: int | None = None,
     rows_per_band: int | None = None,
+    shingle_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Probe-ready ``(corpus_sigs, corpus_bands)`` for
     :func:`~cdc_system_spark.operators.curation.neardup_ingest`,
@@ -233,17 +242,21 @@ def lsh_index_probe_tables(
     result is row-identical to recomputing the corpus side from text,
     which is what makes this a pure substitution under the oracle gate.
     """
-    shingle_k, p, rpb, meta_id = _read_meta(spark, path)
+    sk, p, rpb, meta_id = _read_meta(spark, path)
     # optional geometry assertion, so a caller about to probe with a
-    # fixed perm/band shape fails HERE instead of via empty band joins
-    # (saves the separate validation lsh_index_load round trip)
+    # fixed shingle/perm/band shape fails HERE instead of via empty (or
+    # incomparable — shingle_k changes WHAT is hashed) band joins
     if num_perms is not None and num_perms != p:
         raise ValueError(f"index at {path} has num_perms={p}, caller wants {num_perms}")
     if rows_per_band is not None and rows_per_band != rpb:
         raise ValueError(
             f"index at {path} has rows_per_band={rpb}, caller wants {rows_per_band}"
         )
-    num_perms, rows_per_band = p, rpb
+    if shingle_k is not None and shingle_k != sk:
+        raise ValueError(
+            f"index at {path} has shingle_k={sk}, caller wants {shingle_k}"
+        )
+    shingle_k, num_perms, rows_per_band = sk, p, rpb
     id_col = id_col or meta_id
     live = current.select(_vkey(id_col, text_col)).localCheckpoint(eager=False)
     sigs = spark.read.parquet(_sig_path(path))

@@ -1104,8 +1104,11 @@ def kmv_intersect(
 def kmv_state_by(
     df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
 ) -> DataFrame:
-    """Per-group KMV states: ``(*group_cols, h)``, ≤ k rows per group —
-    the stored per-shard/per-day form that :func:`kmv_merge` combines.
+    """Per-group KMV states: ``(*group_cols, h)``, ≤ k rows per group.
+    Combine grouped states with :func:`kmv_merge_by` (group-keyed
+    bottom-k) — :func:`kmv_merge` is the UNGROUPED combiner and would
+    collapse every group into one global k-row state; to feed one
+    group's rows to it, filter to the group and project to ``h`` first.
     One distinct + one group-keyed window top-k; nothing corpus-sized
     moves."""
     from pyspark.sql.window import Window
@@ -1146,6 +1149,33 @@ def kmv_estimate_by(
         )
         .alias("n_est"),
         (F.col("_n") >= k).alias("saturated"),
+    )
+
+
+def kmv_merge_by(
+    *states: DataFrame, group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Combine per-group KMV states (the :func:`kmv_state_by` shape)
+    losslessly WITHIN each group: distinct union, then re-take the k
+    smallest hashes per group key. The grouped twin of
+    :func:`kmv_merge` — that one is a global bottom-k and would
+    collapse all groups into a single k-row state. Groups absent from
+    one input pass through from the other (union semantics), and the
+    same k-discipline applies: valid only at ``k`` ≤ the smallest k any
+    input was built with."""
+    from pyspark.sql.window import Window
+
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 

@@ -132,8 +132,10 @@ class StreamingCorpusIngestor:
 
         # neardup_ingest below runs the DEFAULT hash geometry; an index
         # frozen on anything else must fail loudly (probe_tables
-        # validates against the stored meta), not produce silently-empty
-        # band joins. One load per batch — bootstrap only on first use.
+        # validates ALL THREE geometry knobs against the stored meta —
+        # shingle_k included, since mismatched shingles hash different
+        # features and band joins come up silently empty), not admit
+        # near-duplicates. One load per batch — bootstrap on first use.
         probe = lambda: LI.lsh_index_probe_tables(
             self.spark,
             self.lsh_index_path,
@@ -142,6 +144,7 @@ class StreamingCorpusIngestor:
             id_col=self.id_col,
             num_perms=16,
             rows_per_band=4,
+            shingle_k=7,
         )
         try:
             sigs, bands = probe()

@@ -125,6 +125,27 @@ def test_state_by_groups_bounded_and_mergeable(spark):
     )
 
 
+def test_merge_by_equals_rebuild_per_group(spark):
+    # the grouped merge must re-take bottom-k WITHIN each group;
+    # kmv_merge would collapse all groups into one global k-row state
+    from cdc_system_spark.operators.sketch import kmv_merge_by
+
+    df = spark.range(4000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    a = kmv_state_by(df.filter("v % 2 = 0"), ["g"], "v", k=32)
+    b = kmv_state_by(df.filter("v % 2 = 1"), ["g"], "v", k=32)
+    merged = kmv_merge_by(a, b, group_cols=["g"], k=32)
+    whole = kmv_state_by(df, ["g"], "v", k=32)
+    key = lambda frame: sorted((r["g"], r["h"]) for r in frame.collect())
+    assert key(merged) == key(whole)
+    # group present in only one input passes through
+    only_a = kmv_merge_by(
+        a.filter("g = 0"), b.filter("g = 1"), group_cols=["g"], k=32
+    )
+    assert {r["g"] for r in only_a.select("g").distinct().collect()} == {0, 1}
+
+
 def test_estimate_by_matches_scalar(spark):
     from cdc_system_spark.operators.sketch import kmv_estimate_by
 

@@ -115,6 +115,13 @@ def test_geometry_validation(spark, docs, tmp_path):
         LI.lsh_index_load(spark, path, num_perms=8, rows_per_band=2)
     with pytest.raises(ValueError, match="id column"):
         LI.lsh_index_ingest(docs.limit(5), path, id_col="other_id")
+    # shingle_k is geometry too: same perms/bands but different shingle
+    # width hashes different features — must fail loudly, both on load
+    # and on the probe path (the ingestor passes shingle_k=7)
+    with pytest.raises(ValueError, match="shingle_k"):
+        LI.lsh_index_load(spark, path, shingle_k=5)
+    with pytest.raises(ValueError, match="shingle_k"):
+        LI.lsh_index_probe_tables(spark, path, docs.limit(5), shingle_k=5)
 
 
 def test_neardup_ingest_accepts_maintained_corpus(spark, docs, tmp_path):
