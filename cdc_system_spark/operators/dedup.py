@@ -859,6 +859,7 @@ def containment_pairs(
     k: int = 7,
     num_perms: int = 16,
     rows_per_band: int = 1,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: per LSH candidate pair, the
     estimated CONTAINMENT of the smaller shingle set in the larger —
@@ -891,20 +892,35 @@ def containment_pairs(
     all-pairs); the estimate joins move pair-sized frames against
     in-place signature/count tables, same contract as
     :func:`minhash_jaccard_estimate`.
+
+    ``signatures`` (optional): a precomputed ``(id_col, h0..h{p-1},
+    n_sh)`` frame — the
+    :func:`~cdc_system_spark.operators.lsh_index.lsh_index_signature_tables`
+    shape — skips BOTH text passes (the MinHash sign and the distinct-
+    shingle count), so the maintained index pays the per-doc hash work
+    once instead of every containment call. Output is row-identical to
+    the inline recompute when the frame is faithful to (k, num_perms);
+    ``docs`` text is never read in that mode.
     """
     from cdc_system_spark.functions.portable import shingles
 
-    sigs = minhash_signatures(
-        docs, text_col, id_col, k=k, num_perms=num_perms
-    )
+    if signatures is None:
+        sigs = minhash_signatures(
+            docs, text_col, id_col, k=k, num_perms=num_perms
+        )
+        counts = spread(docs).select(
+            F.col(id_col),
+            F.size(F.array_distinct(shingles(text_col, k)))
+            .cast("long")
+            .alias("n_sh"),
+        )
+    else:
+        sigs = signatures.select(
+            F.col(id_col), *[F.col(f"h{i}") for i in range(num_perms)]
+        )
+        counts = signatures.select(F.col(id_col), F.col("n_sh"))
     pairs = lsh_candidate_pairs(
         sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
-    )
-    counts = spread(docs).select(
-        F.col(id_col),
-        F.size(F.array_distinct(shingles(text_col, k)))
-        .cast("long")
-        .alias("n_sh"),
     )
     ha = sigs.select(
         F.col(id_col).alias("id1"),
@@ -951,6 +967,7 @@ def drop_contained(
     k: int = 7,
     num_perms: int = 16,
     rows_per_band: int = 1,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """The curation action on :func:`containment_pairs`: remove each
     document whose shingle set is (estimated) contained in a larger
@@ -961,9 +978,12 @@ def drop_contained(
 
     One pair-sized reduction to the drop-id set, then a corpus anti
     join — the same shape every survivor operator here uses.
+    ``signatures`` forwards to :func:`containment_pairs` (maintained-
+    index reuse — no per-call text pass).
     """
     pairs = containment_pairs(
-        docs, text_col, id_col, k, num_perms, rows_per_band
+        docs, text_col, id_col, k, num_perms, rows_per_band,
+        signatures=signatures,
     )
     hits = pairs.filter(F.col("est_containment") >= threshold)
     drop = hits.select(

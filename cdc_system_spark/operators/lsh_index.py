@@ -31,9 +31,14 @@ On-disk layout under ``path``:
   id_col)``: the index's frozen hash geometry. Ingest/load validate
   against it — probing a 16-perm index with 8-perm batch signatures
   would silently produce garbage candidates, so mismatches raise.
-- ``{path}/signatures`` — ``(_vkey, id, h0..h{p-1})``, one row per
-  indexed (id, text) version. Feeds the Jaccard-estimate rescore
-  (signature agreement only — stored text is never re-read).
+- ``{path}/signatures`` — ``(_vkey, id, h0..h{p-1}, n_sh)``, one row
+  per indexed (id, text) version; ``n_sh`` is the distinct-shingle
+  count under the frozen ``shingle_k``. Feeds the Jaccard-estimate
+  rescore (signature agreement only — stored text is never re-read)
+  and, via :func:`lsh_index_signature_tables`, the containment family
+  (1-row-band geometry + shingle counts both derive from this table,
+  so symmetric 4-row dedup AND asymmetric containment share ONE
+  maintained artifact).
 - ``{path}/bands`` — ``(_vkey, id, band_idx, k0, k1, …)``, the
   exploded LSH posting table (``dedup._band_table`` shape, int64-packed
   keys). On a cluster this table is bucketed on the band key columns so
@@ -60,6 +65,7 @@ __all__ = [
     "lsh_index_ingest",
     "lsh_index_load",
     "lsh_index_probe_tables",
+    "lsh_index_signature_tables",
 ]
 
 
@@ -100,17 +106,31 @@ def _sign_versions(
     shingle_k: int,
     num_perms: int,
 ) -> DataFrame:
-    """(_vkey, id, h0..h{p-1}) for each distinct (id, text) version:
-    the MinHash pass runs keyed by the version hash, then the id rides
-    back on via a 1:1 version-key join (index-sized, build/ingest time
-    only — never on the probe path)."""
+    """(_vkey, id, h0..h{p-1}, n_sh) for each distinct (id, text)
+    version: the MinHash pass runs keyed by the version hash, then the
+    id AND the distinct-shingle count ride back on via a 1:1
+    version-key join (index-sized, build/ingest time only — never on
+    the probe path). ``n_sh`` is stored so the CONTAINMENT family
+    (``dedup.containment_pairs`` and friends, which need per-doc
+    distinct-shingle counts under the same frozen ``shingle_k``) can
+    run entirely from the maintained artifact — without it every
+    containment call would re-shingle the corpus text just to count."""
+    from cdc_system_spark.functions.portable import shingles
+
     keyed = docs.select(
         _vkey(id_col, text_col), F.col(id_col), F.col(text_col)
     ).dropDuplicates(["_vkey"])
     sigs = minhash_signatures(
         keyed, text_col, "_vkey", k=shingle_k, num_perms=num_perms
     )
-    return sigs.join(keyed.select("_vkey", id_col), "_vkey")
+    counts = keyed.select(
+        "_vkey",
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(F.col(text_col), shingle_k)))
+        .cast("long")
+        .alias("n_sh"),
+    )
+    return sigs.join(counts, "_vkey")
 
 
 def lsh_index_build(
@@ -280,6 +300,57 @@ def lsh_index_probe_tables(
         live_sigs.select(*sig_cols).unionByName(extra_sigs.select(*sig_cols)),
         live_bands.select(*band_cols).unionByName(extra_bands.select(*band_cols)),
     )
+
+
+def lsh_index_signature_tables(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+    shingle_k: int | None = None,
+    num_perms: int | None = None,
+) -> DataFrame:
+    """Probe-ready ``(id, h0..h{p-1}, n_sh)`` signature frame for the
+    CONTAINMENT family (``dedup.containment_pairs(signatures=...)``,
+    ``drop_contained``, ``sampling.containment_safe_split``), EXACTLY
+    covering the ``current`` corpus under the same live-version
+    contract as :func:`lsh_index_probe_tables`: stored rows filtered
+    to the (id, text) versions currently live, any uncovered live
+    version signed inline (empty in a well-maintained pipeline). The
+    containment operators derive their own 1-row-band geometry from
+    the raw per-perm values, so the index's stored 4-row band table is
+    not involved — one artifact serves both banding geometries.
+
+    Result is row-identical to the inline recompute, which makes the
+    substitution oracle-exact (``q_containment_maintained`` /
+    ``q_leakage_split_maintained`` prove it under the driver gate).
+    Raises if the index predates the stored ``n_sh`` column — rebuild
+    or compact once under the current version to upgrade.
+    """
+    sk, p, _, meta_id = _read_meta(spark, path)
+    if shingle_k is not None and shingle_k != sk:
+        raise ValueError(
+            f"index at {path} has shingle_k={sk}, caller wants {shingle_k}"
+        )
+    if num_perms is not None and num_perms != p:
+        raise ValueError(f"index at {path} has num_perms={p}, caller wants {num_perms}")
+    id_col = id_col or meta_id
+    sigs = spark.read.parquet(_sig_path(path))
+    if "n_sh" not in sigs.columns:
+        raise ValueError(
+            f"index at {path} predates stored shingle counts (no n_sh "
+            "column) — rebuild it (lsh_index_build) to serve the "
+            "containment family"
+        )
+    live = current.select(_vkey(id_col, text_col)).localCheckpoint(eager=False)
+    live_sigs = sigs.join(live, "_vkey", "left_semi")
+    uncovered = current.select(
+        _vkey(id_col, text_col), F.col(id_col), F.col(text_col)
+    ).join(sigs.select("_vkey"), "_vkey", "left_anti")
+    extra = _sign_versions(uncovered, text_col, id_col, sk, p)
+    cols = [id_col] + [f"h{i}" for i in range(p)] + ["n_sh"]
+    return live_sigs.select(*cols).unionByName(extra.select(*cols))
 
 
 def lsh_index_compact(

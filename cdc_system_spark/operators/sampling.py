@@ -420,6 +420,7 @@ def containment_safe_split(
     id_col: str = "doc_id",
     splits: dict[str, float] | None = None,
     salt: str = "",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`leakage_safe_split` with CONTAINMENT-aware grouping: the
     duplicate graph is built from asymmetric containment pairs
@@ -438,6 +439,13 @@ def containment_safe_split(
     group-keyed :func:`split_assign`. Scale shape inherited from the
     pieces: banded candidate generation (never all-pairs), pair-graph-
     sized CC rounds, map-only assignment.
+
+    ``signatures`` (optional, the
+    :func:`~cdc_system_spark.operators.lsh_index.lsh_index_signature_tables`
+    ``(id, h0.., n_sh)`` shape) forwards to :func:`containment_pairs`:
+    the split then derives its pair graph from the MAINTAINED MinHash
+    artifact instead of re-shingling the corpus per call — the
+    dominant cost of this operator at corpus scale.
     """
     from cdc_system_spark.operators.dedup import (
         containment_pairs,
@@ -445,7 +453,8 @@ def containment_safe_split(
     )
 
     pairs = containment_pairs(
-        df, k=k, text_col=text_col, id_col=id_col, rows_per_band=1
+        df, k=k, text_col=text_col, id_col=id_col, rows_per_band=1,
+        signatures=signatures,
     ).filter(F.col("est_containment") >= threshold)
     clusters = duplicate_clusters(df, pairs.select("id1", "id2"), id_col=id_col)
     return leakage_safe_split(

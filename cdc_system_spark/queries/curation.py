@@ -876,6 +876,61 @@ def q_leakage_split_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_containment_maintained",
+    _CONTAIN_SQL,
+    doc="containment pairs from the MAINTAINED LSH index: build the "
+    "persisted signature table (with stored distinct-shingle counts) "
+    "on 2/3 of the corpus, ingest the rest incrementally, then run "
+    "containment_pairs(signatures=...) with ZERO per-call text passes "
+    "— the oracle is the whole-corpus inline recompute, so a green "
+    "row proves index-served containment == re-shingled containment",
+)
+def q_containment_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import lsh_index as LI
+
+    docs = catalog(spark, sf_dir).documents
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/lshidx_c_{tag}"
+    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+    sigs = LI.lsh_index_signature_tables(
+        spark, path, docs, shingle_k=7, num_perms=16
+    )
+    return D.containment_pairs(docs, k=7, rows_per_band=1, signatures=sigs)
+
+
+@register(
+    "q_leakage_split_maintained",
+    _LSPLIT_CONTAIN_SQL,
+    doc="containment-aware leakage-safe split served by the maintained "
+    "LSH index: identical semantics (and oracle) to "
+    "q_leakage_split_containment, but the pair graph derives from the "
+    "persisted signature/count table instead of re-shingling the "
+    "corpus per call — the recompute was that query's dominant cost",
+)
+def q_leakage_split_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.operators.sampling import containment_safe_split
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/lshidx_c_{tag}"
+    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+    sigs = LI.lsh_index_signature_tables(
+        spark, path, docs, shingle_k=7, num_perms=16
+    )
+    out = containment_safe_split(
+        docs, threshold=0.8, k=7, salt="s9", signatures=sigs
+    )
+    return out.select("doc_id", "group_id", "split")
+
+
+@register(
     "q_drop_contained",
     _DROP_CONTAINED_SQL,
     doc="subset dedup action: drop each doc whose shingle set is "

@@ -124,6 +124,27 @@ def test_geometry_validation(spark, docs, tmp_path):
         LI.lsh_index_probe_tables(spark, path, docs.limit(5), shingle_k=5)
 
 
+def test_containment_from_index_matches_inline(spark, docs, tmp_path):
+    # the containment family served by the maintained artifact (stored
+    # per-perm values + stored n_sh, 1-row bands derived at probe time)
+    # must be ROW-IDENTICAL to the re-shingle-everything inline path —
+    # including over an index that grew by ingest and has an uncovered
+    # remainder signed inline
+    from cdc_system_spark.operators.dedup import containment_pairs
+
+    path = str(tmp_path / "idx")
+    LI.lsh_index_build(docs.filter("doc_id % 3 = 1"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 2"), path)
+    sigs = LI.lsh_index_signature_tables(
+        spark, path, docs, shingle_k=7, num_perms=16
+    )
+    inline = containment_pairs(docs, k=7, num_perms=16, rows_per_band=1)
+    via = containment_pairs(
+        docs, k=7, num_perms=16, rows_per_band=1, signatures=sigs
+    )
+    assert _rows(via) == _rows(inline)
+
+
 def test_neardup_ingest_accepts_maintained_corpus(spark, docs, tmp_path):
     # the 100-TB path: probe against the persisted index instead of
     # re-hashing the corpus — admitted set must be ROW-IDENTICAL to the
