@@ -52,6 +52,8 @@ __all__ = [
     "ann_index_ingest",
     "ann_index_load",
     "ann_index_probe_tables",
+    "ann_index_stats",
+    "ann_index_stats_state",
     "ann_index_topk",
 ]
 
@@ -62,6 +64,59 @@ def _cent_path(path: str) -> str:
 
 def _asg_path(path: str) -> str:
     return f"{path}/assignments"
+
+
+def _stats_path(path: str) -> str:
+    return f"{path}/stats"
+
+
+def _write_stats_state(state, path: str) -> None:
+    # materialize before the overwrite: the merge reads the file the
+    # write replaces (same self-overwrite guard as SnapshotTable)
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        _stats_path(path)
+    )
+
+
+def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained KMV stats state, bootstrapping a pre-stats index
+    by one key-column scan of the stored assignments (exact rebuild —
+    a KMV state is a pure function of the version-key set)."""
+    from pyspark.errors import AnalysisException
+
+    from cdc_system_spark.operators.sketch import kmv_state
+
+    try:
+        return spark.read.parquet(_stats_path(path))
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        return kmv_state(
+            spark.read.parquet(_asg_path(path)).select("_vkey"), "_vkey"
+        )
+
+
+def ann_index_stats_state(spark: SparkSession, path: str) -> DataFrame:
+    """The index's maintained KMV state (≤ 64 rows of ``h``) over every
+    (id, vector) VERSION ever indexed — maintained by build/ingest,
+    never rebuilt by readers; composes with the sketch algebra
+    (``kmv_merge`` across per-shard indexes, ``kmv_intersect`` for
+    cross-index content overlap) without scanning assignments."""
+    return _read_stats_state(spark, path)
+
+
+def ann_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """One-row index-health estimate ``(n_est, saturated)``: distinct
+    (id, vector) versions EVER indexed, from the ≤ 64-row maintained
+    state — no assignment scan. Same monotone "ever" semantics, crash
+    window, and bootstrap escape hatch as
+    :func:`~cdc_system_spark.operators.lsh_index.lsh_index_stats`
+    (the version key here renders the vector as JSON, so this state is
+    Spark-internal — cross-checked by pytest parity, not a SQL oracle).
+    """
+    from cdc_system_spark.operators.sketch import kmv_estimate
+
+    return kmv_estimate(_read_stats_state(spark, path))
 
 
 def _vkey(id_col: str, vec_col: str):
@@ -117,7 +172,11 @@ def ann_index_build(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _asg_path(path)
     )
-    return spark.read.parquet(_asg_path(path)).count()
+    from cdc_system_spark.operators.sketch import kmv_state
+
+    stored = spark.read.parquet(_asg_path(path))
+    _write_stats_state(kmv_state(stored.select("_vkey"), "_vkey"), path)
+    return stored.count()
 
 
 def ann_index_ingest(
@@ -171,6 +230,15 @@ def ann_index_ingest(
         )
         assigned.write.mode(mode).partitionBy("centroid_id").parquet(
             _asg_path(path)
+        )
+        from cdc_system_spark.operators.sketch import kmv_merge, kmv_state
+
+        _write_stats_state(
+            kmv_merge(
+                _read_stats_state(spark, path),
+                kmv_state(assigned.select("_vkey"), "_vkey"),
+            ),
+            path,
         )
     return n
 

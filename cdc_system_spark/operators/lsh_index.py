@@ -58,6 +58,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_system_spark.operators.dedup import _band_table, minhash_signatures
+from cdc_system_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_state
 
 __all__ = [
     "lsh_index_build",
@@ -66,6 +67,8 @@ __all__ = [
     "lsh_index_load",
     "lsh_index_probe_tables",
     "lsh_index_signature_tables",
+    "lsh_index_stats",
+    "lsh_index_stats_state",
 ]
 
 
@@ -79,6 +82,18 @@ def _sig_path(path: str) -> str:
 
 def _band_path(path: str) -> str:
     return f"{path}/bands"
+
+
+def _stats_path(path: str) -> str:
+    return f"{path}/stats"
+
+
+def _write_stats_state(state: DataFrame, path: str) -> None:
+    # materialize before the overwrite: the merge reads the file the
+    # write replaces (same self-overwrite guard as SnapshotTable)
+    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        _stats_path(path)
+    )
 
 
 def _vkey(id_col: str, text_col: str) -> Column:
@@ -162,6 +177,7 @@ def lsh_index_build(
     _band_table(
         stored, "_vkey", num_perms, rows_per_band, extra_cols=(id_col,)
     ).write.mode("overwrite").parquet(_band_path(path))
+    _write_stats_state(kmv_state(stored.select("_vkey"), "_vkey"), path)
     return stored.count()
 
 
@@ -202,6 +218,13 @@ def lsh_index_ingest(
         _band_table(
             sigs, "_vkey", num_perms, rows_per_band, extra_cols=(id_col,)
         ).write.mode("append").parquet(_band_path(path))
+        _write_stats_state(
+            kmv_merge(
+                _read_stats_state(spark, path),
+                kmv_state(sigs.select("_vkey"), "_vkey"),
+            ),
+            path,
+        )
     return n
 
 
@@ -300,6 +323,52 @@ def lsh_index_probe_tables(
         live_sigs.select(*sig_cols).unionByName(extra_sigs.select(*sig_cols)),
         live_bands.select(*band_cols).unionByName(extra_bands.select(*band_cols)),
     )
+
+
+def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
+    """The maintained KMV stats state, bootstrapping a pre-stats index
+    by one full scan of the stored version keys (exact rebuild — KMV
+    state of X is a pure function of X)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(_stats_path(path))
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        return kmv_state(
+            spark.read.parquet(_sig_path(path)).select("_vkey"), "_vkey"
+        )
+
+
+def lsh_index_stats_state(spark: SparkSession, path: str) -> DataFrame:
+    """The index's maintained KMV state (≤ 64 rows of ``h``) over every
+    (id, text) VERSION ever indexed — maintained by build/ingest, never
+    rebuilt by readers. Being a bare KMV state it composes with the
+    whole sketch algebra: ``kmv_intersect`` of two indexes' states
+    estimates how much content two corpora's indexes share,
+    ``kmv_merge`` unions fleets of per-shard indexes — all without
+    scanning any signature table.
+    """
+    return _read_stats_state(spark, path)
+
+
+def lsh_index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """One-row index-health estimate ``(n_est, saturated)``: distinct
+    (id, text) versions EVER indexed, from the ≤ 64-row maintained
+    state — no signature-table scan. "Ever" is the monotone set-union
+    semantics KMV merging gives for free (and matches ``stats_path``'s
+    HLL contract in ``streaming/ingest.py``): compaction reclaims
+    stored rows but does not erase history, so the estimate tracks
+    cumulative index ingest, and ``n_est`` vs the live corpus count
+    reads as churn. Crash-window: stats are written after the data
+    tables, so a crash between the two leaves that batch's versions out
+    of the state (the same window ``stats_path`` documents — harmless
+    for a health metric; deleting ``{path}/stats`` forces the one-scan
+    exact rebuild on next read, since a KMV state is a pure function of
+    the version-key set).
+    """
+    return kmv_estimate(_read_stats_state(spark, path))
 
 
 def lsh_index_signature_tables(

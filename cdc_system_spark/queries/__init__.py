@@ -17,14 +17,14 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
 from cdc_system_spark.queries import analytics  # noqa: E402,F401  (28)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (16)
-from cdc_system_spark.queries import curation  # noqa: E402,F401  (24)
+from cdc_system_spark.queries import curation  # noqa: E402,F401  (26)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (19)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (73, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (74, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
-from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (4, no oracle)
+from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
 # Round-6 window: the driver's CORRECTNESS gate strong-checks the
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name

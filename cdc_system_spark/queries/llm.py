@@ -864,6 +864,46 @@ def q_lsh_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bands.select("doc_id", "band_idx", "k0", "k1")
 
 
+# -- maintained index-health stats under the oracle gate ---------------------
+# the stats state hashes the index's version key _vkey =
+# md5(doc_id ‖ NUL ‖ text); DuckDB reproduces the double-md5 exactly
+# (CHR(0) is a legal VARCHAR byte there)
+_LSH_STATS_SQL = """WITH v AS (
+        SELECT DISTINCT CAST(CONCAT('0x', SUBSTR(MD5(MD5(
+                    CAST(doc_id AS VARCHAR) || CHR(0) || text)), 1, 15))
+                AS BIGINT) AS h
+        FROM documents),
+    st AS (SELECT h FROM v ORDER BY h LIMIT 64),
+    agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM st)
+    SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE ROUND(63.0 * 1152921504606846976 / hk, 4) END AS n_est,
+           n >= 64 AS saturated
+    FROM agg"""
+
+
+@register(
+    "q_lsh_index_stats",
+    _LSH_STATS_SQL,
+    doc="maintained index-health stats under the oracle gate: the LSH "
+    "index keeps a ≤64-row KMV state over every (id, text) version "
+    "ever indexed, merged on each ingest — cardinality is a queryable "
+    "artifact with NO signature-table scan; the oracle recomputes the "
+    "KMV estimate from the whole corpus, so a green row proves the "
+    "incrementally-merged state == the rebuilt state",
+)
+def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import lsh_index as LI
+
+    docs = catalog(spark, sf_dir).documents
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/lshidx_st_{tag}"
+    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+    return LI.lsh_index_stats(spark, path)
+
+
 # -- SemDeDup: within-cell embedding-cosine dedup ----------------------------
 _SEMANTIC_DEDUP_SQL = """WITH c AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings

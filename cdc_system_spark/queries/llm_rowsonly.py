@@ -53,6 +53,30 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
 
 
+# -- ANN index-health stats (rows-only) --------------------------------------
+@register(
+    "q_ann_index_stats",
+    None,
+    doc="maintained ANN index-health stats: ≤64-row KMV state over "
+    "every (id, vector) version ever indexed, merged on ingest; "
+    "rows-only — the version key JSON-renders the vector, so it is "
+    "Spark-internal (maintained==rebuilt proven by pytest parity in "
+    "tests/test_ann_index.py; the LSH twin q_lsh_index_stats carries "
+    "the full oracle)",
+)
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cdc_system_spark.operators import ann_index as AI
+
+    emb = catalog(spark, sf_dir).embeddings
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/annidx_st_{tag}"
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    return AI.ann_index_stats(spark, path)
+
+
 # -- production-scaled label-noise screening (rows-only) ---------------------
 @register(
     "q_knn_label_noise_auto",

@@ -62,6 +62,29 @@ def test_ingest_replay_is_idempotent(spark, emb, tmp_path):
     assert maintained.select("vec_id").distinct().count() == emb.count()
 
 
+def test_stats_state_maintained_equals_rebuilt(spark, emb, tmp_path):
+    # the ≤64-row KMV health state merged across build + ingest must
+    # equal the state rebuilt from the stored version keys, and the
+    # estimate row must be readable without scanning assignments
+    from cdc_system_spark.operators.sketch import kmv_state
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    state = AI.ann_index_stats_state(spark, path)
+    assert state.count() <= 64
+    stored_vkeys = spark.read.parquet(f"{path}/assignments").select("_vkey")
+    rebuilt = kmv_state(stored_vkeys, "_vkey")
+    key = lambda df: sorted(r["h"] for r in df.collect())
+    assert key(state) == key(rebuilt)
+    est = AI.ann_index_stats(spark, path).head()
+    assert est["n_est"] > 0
+    # replayed ingest adds no versions — state unchanged (merge is
+    # idempotent set union)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    assert key(AI.ann_index_stats_state(spark, path)) == key(rebuilt)
+
+
 def test_semantic_dedup_accepts_maintained_assignment(spark, emb, tmp_path):
     path = str(tmp_path / "idx")
     AI.ann_index_build(emb, path)

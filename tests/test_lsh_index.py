@@ -145,6 +145,33 @@ def test_containment_from_index_matches_inline(spark, docs, tmp_path):
     assert _rows(via) == _rows(inline)
 
 
+def test_stats_state_maintained_equals_rebuilt(spark, docs, tmp_path):
+    # the ≤64-row KMV health state, merged incrementally across build +
+    # two ingests, must equal the state rebuilt from the whole version-
+    # key set — and must survive compaction unchanged (EVER semantics)
+    from cdc_system_spark.operators.sketch import kmv_state
+
+    path = str(tmp_path / "idx")
+    LI.lsh_index_build(docs.filter("doc_id % 3 = 0"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 1"), path)
+    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 2"), path)
+    state = LI.lsh_index_stats_state(spark, path)
+    assert state.count() <= 64
+    vkeys = docs.select(
+        F.md5(
+            F.concat_ws("\u0000", F.col("doc_id").cast("string"), F.col("text"))
+        ).alias("_vkey")
+    )
+    rebuilt = kmv_state(vkeys, "_vkey")
+    assert _rows(state) == _rows(rebuilt)
+    est = LI.lsh_index_stats(spark, path).head()
+    assert est["saturated"] and est["n_est"] > 0
+    # compact keeps only 1/3 of versions but the EVER-indexed stats
+    # state is history, not storage — unchanged
+    LI.lsh_index_compact(spark, path, docs.filter("doc_id % 3 = 0"))
+    assert _rows(LI.lsh_index_stats_state(spark, path)) == _rows(rebuilt)
+
+
 def test_neardup_ingest_accepts_maintained_corpus(spark, docs, tmp_path):
     # the 100-TB path: probe against the persisted index instead of
     # re-hashing the corpus — admitted set must be ROW-IDENTICAL to the
