@@ -157,6 +157,148 @@ def enrich_with_dim(
     return stream.join(_F.broadcast(dim), on=key, how=how)
 
 
+def _interval_ms(s: str) -> int:
+    """Parse the simple ``"N unit"`` interval strings this module
+    accepts (seconds/minutes/hours/days) to milliseconds — enough to
+    place a window's end on the event-time axis for state eviction."""
+    n, unit = s.strip().split()
+    mult = {
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit.rstrip("s").lower()]
+    return int(n) * mult
+
+
+def windowed_kmv_state(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-value KMV STATE per event-time window: ``(w_start, h,
+    emit_seq, final)``, ≤ k ``h`` rows per window per emission — the
+    set-algebra sibling of :func:`windowed_hll_state`. Where the HLL
+    state answers "how many distinct per window", the KMV state also
+    answers the CROSS-STREAM questions (``kmv_intersect`` of two
+    streams' same-window states: how much content do two pipelines
+    share this hour? ``kmv_merge`` across shards), because bottom-k
+    over a hash set is a uniform sample that supports intersection.
+
+    Built on ``applyInPandasWithState`` keyed by window start — bottom-k
+    is order-sensitive, so unlike HLL's per-bucket max it is not
+    expressible as a bounded built-in aggregation; the state store
+    holds exactly the ≤ k smallest hashes per open window (sorted
+    array), each micro-batch folds its distinct hashes in (idempotent
+    set union, so at-least-once replays are harmless), and every
+    emission carries a monotone ``emit_seq`` — consumers keep the
+    max-seq rows per window. The hash mapping is IDENTICAL to batch
+    :func:`~cdc_system_spark.operators.sketch.kmv_state` (computed
+    JVM-side before the Arrow stage; only (w_start, h) pairs cross
+    into Python), so a window's final streamed state equals the batch
+    state over that window's rows bit-for-bit.
+
+    State is doubly bounded: ≤ k longs per window by construction, and
+    window KEYS are evicted on event time — each update arms a timeout
+    at window end (clamped above the current watermark), and once the
+    WATERMARK passes it on a trigger without data for that window, the
+    state is emitted once more with ``final = true`` and removed.
+    Late-row contract (applyInPandasWithState does NOT pre-filter on
+    the watermark): rows for a still-OPEN window always fold — even
+    technically-late ones, which is what keeps an at-least-once,
+    arbitrarily-ordered drain bit-for-bit equal to batch — while rows
+    for an already-FINALIZED window are dropped instead of
+    resurrecting a partial state that would shadow the final one.
+    That is the finite-state contract a 100 TB stream needs spelled
+    out, not implied.
+    """
+    from collections.abc import Iterator
+    from typing import Any
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    win_ms = _interval_ms(window)
+    out_schema = T.StructType(
+        [
+            T.StructField("w_start", T.TimestampType()),
+            T.StructField("h", T.LongType()),
+            T.StructField("emit_seq", T.LongType()),
+            T.StructField("final", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("hs", T.ArrayType(T.LongType())),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["object"],
+        state: GroupState,
+    ) -> Iterator["object"]:
+        import pandas as pd
+
+        def emit(hs: list[int], seq: int, final: bool) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "w_start": pd.Series([key[0]] * len(hs)),
+                    "h": pd.Series(hs, dtype="int64"),
+                    "emit_seq": pd.Series([seq] * len(hs), dtype="int64"),
+                    "final": [final] * len(hs),
+                }
+            )
+
+        if state.hasTimedOut:
+            hs, seq = state.get
+            state.remove()
+            yield emit(list(hs), seq + 1, True)
+            return
+
+        win_end = int(key[0].timestamp() * 1000) + win_ms
+        wm = state.getCurrentWatermarkMs()
+        if not state.exists and wm > win_end:
+            # stragglers for a window already finalized and evicted
+            # (applyInPandasWithState does NOT pre-filter late rows):
+            # resurrecting a partial state would shadow the final one,
+            # so they drop here — the standard watermark contract
+            yield emit([], 0, False).iloc[0:0]
+            return
+
+        hs, seq = (list(state.get[0]), state.get[1]) if state.exists else ([], 0)
+        merged = set(hs)
+        for pdf in pdfs:
+            merged.update(int(x) for x in pdf["h"])
+        hs = sorted(merged)[:k]
+        seq += 1
+        state.update((hs, seq))
+        # finalize when the watermark passes window end; a window kept
+        # open past its end by in-flight batches (timeouts only fire on
+        # data-free triggers) re-arms just above the current watermark
+        state.setTimeoutTimestamp(max(win_end, wm + 1))
+        yield emit(hs, seq, False)
+
+    src = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = (
+        src.filter(F.col(value_col).isNotNull())
+        .select(
+            F.window(ts_col, window).alias("w"), h.alias("h"), F.col(ts_col)
+        )
+        .select(F.col("w.start").alias("w_start"), "h", ts_col)
+    )
+    return keyed.groupBy("w_start").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def windowed_hll_state(
     events: DataFrame,
     value_col: str = "user_id",

@@ -768,6 +768,122 @@ def test_streaming_windowed_hll_matches_batch_distinct_estimate(spark, tmp_path)
         ), day
 
 
+def test_streaming_windowed_kmv_matches_batch_state(spark, tmp_path):
+    # distinct users per day via bounded-state KMV
+    # (applyInPandasWithState bottom-64 per window): the max-seq
+    # streamed state per window must equal the batch kmv_state over
+    # that window's rows BIT-FOR-BIT, even when the drain is split
+    # across micro-batches (incremental fold == one-shot bottom-k).
+    # Watermark exceeds the data span so no window finalizes mid-drain
+    # — part-file listing order is not deterministic, and an order that
+    # finalizes a window before its last file legitimately LOSES the
+    # stragglers (the watermark contract; exercised deterministically
+    # in the finalize test below)
+    from cdc_system_spark.operators.sketch import kmv_state
+    from cdc_system_spark.sources.catalog import load_table
+    from cdc_system_spark.streaming.aggregations import windowed_kmv_state
+
+    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_events.write.parquet(str(tmp_path / "ev"))
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "ev"))
+    )
+    q = (
+        windowed_kmv_state(stream, "user_id", window="1 day", watermark="60 days")
+        .writeStream.format("memory")
+        .queryName("win_kmv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "kkpt"))
+        .start()
+    )
+    q.awaitTermination()
+    # consumer contract: the max-seq emission per window is the state
+    last = spark.sql(
+        """SELECT w_start, h FROM (
+               SELECT *, MAX(emit_seq) OVER (PARTITION BY w_start) AS mx
+               FROM win_kmv) WHERE emit_seq = mx"""
+    )
+    days = [r["w_start"] for r in last.select("w_start").distinct().collect()]
+    assert len(days) >= 2
+    for day in days:
+        streamed = sorted(
+            r["h"] for r in last.filter(F.col("w_start") == day).collect()
+        )
+        day_rows = batch_events.filter(
+            F.date_trunc("day", F.col("ts").cast("timestamp")) == day
+        ).select(F.col("user_id").cast("string").alias("u"))
+        batch = sorted(r["h"] for r in kmv_state(day_rows, "u").collect())
+        assert streamed == batch, day
+
+
+def test_streaming_windowed_kmv_finalize_and_drop_stragglers(spark, tmp_path):
+    # deterministic eviction semantics across checkpointed restarts:
+    # (1) day-1 folds while open; (2) a later batch with no day-1 data
+    # and watermark past day-1's end emits the FINAL day-1 state and
+    # evicts it; (3) day-1 stragglers after finalization are DROPPED,
+    # never resurrected as a partial state shadowing the final one
+    from cdc_system_spark.operators.sketch import kmv_state
+    from cdc_system_spark.streaming.aggregations import windowed_kmv_state
+
+    schema = "ts timestamp, user_id long"
+    mk = lambda rows: spark.createDataFrame(
+        [(__import__("datetime").datetime(2024, 1, d, h), u) for d, h, u in rows],
+        schema,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def run(tag):
+        # foreachBatch sink: the memory sink cannot recover from a
+        # checkpoint, and this test's whole point is restart semantics
+        out_dir = str(tmp_path / f"out_{tag}")
+        stream = spark.readStream.schema(mk([]).schema).parquet(str(src))
+        q = (
+            windowed_kmv_state(stream, "user_id", window="1 day", watermark="1 hour")
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:
+            return mk([]).sparkSession.createDataFrame(
+                [], "w_start timestamp, h long, emit_seq long, final boolean"
+            )
+
+    day1 = [(1, h % 23 + 1, u) for h, u in enumerate(range(100, 140))]
+    mk(day1).coalesce(1).write.mode("append").parquet(str(src))
+    out1 = run("p1")
+    assert out1.filter("final").count() == 0
+    # phase 2: day-2 23:00 data pushes the watermark past day-1's end
+    mk([(2, 23, u) for u in range(200, 210)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    out2 = run("p2")
+    finals = out2.filter("final").select("w_start").distinct().collect()
+    assert [r["w_start"].day for r in finals] == [1]
+    batch_day1 = kmv_state(
+        mk(day1).select(F.col("user_id").cast("string").alias("u")), "u"
+    )
+    assert sorted(r["h"] for r in out2.filter("final").collect()) == sorted(
+        r["h"] for r in batch_day1.collect()
+    )
+    # phase 3: day-1 stragglers arrive after finalization — dropped
+    mk([(1, 12, u) for u in range(300, 320)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    out3 = run("p3")
+    assert out3.filter("w_start = '2024-01-01'").count() == 0
+
+
 def test_kmv_stats_maintained_and_overlap(spark, tmp_path):
     # the set-algebra stats artifact: per-batch KMV merge over admitted
     # content hashes equals the state built from everything admitted;
