@@ -98,6 +98,70 @@ def zorder_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     return z
 
 
+def hilbert_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Hilbert-curve distance of two non-negative int columns — the
+    alternative space-filling key to :func:`zorder_value`. The Hilbert
+    curve never jumps: consecutive d values are always grid-adjacent,
+    so it avoids Morton's quadrant-boundary discontinuities and tends
+    to give equal-or-tighter per-file min/max stats (it is the
+    clustering Delta chose for Liquid Clustering over ZORDER). The
+    trade: ~3× the expression size (per-level conditional reflection/
+    swap vs a bare interleave) — pure 64-bit integer ops, still inside
+    whole-stage codegen, and identical arithmetic in any engine.
+
+    Mapping is the textbook iterative xy→d (Hamilton's/Wikipedia's
+    form): per level ``s = 2^i`` the quadrant id ``(3·rx) XOR ry``
+    contributes ``s²`` steps, then the sub-square is reflected/swapped
+    into canonical orientation. The per-level rotation rewrites BOTH
+    coordinates in terms of both, so a naive unrolled column expression
+    grows ~5^bits nodes (measured: OOMs the analyzer at 16 bits); the
+    fold therefore runs as ONE ``aggregate`` lambda over the literal
+    level array — constant expression size, evaluated iteratively at
+    runtime, the same shape ``minhash_signatures`` uses for its
+    permutation fold. Values clamp to ``bits`` bits exactly as in
+    :func:`zorder_value`. Verified against an independent Python
+    reference exhaustively at 4 bits in tests/test_maintenance.py.
+    """
+    x0 = (F.col(a) if isinstance(a, str) else a).cast("long")
+    y0 = (F.col(b) if isinstance(b, str) else b).cast("long")
+    cap = F.lit((1 << bits) - 1)
+    x0 = F.least(F.greatest(x0, F.lit(0)), cap)
+    y0 = F.least(F.greatest(y0, F.lit(0)), cap)
+    n = 1 << bits
+    svals = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)])
+    zero = F.struct(
+        x0.alias("x"), y0.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, 1).otherwise(0)
+        d2 = acc["d"] + s * s * ((F.lit(3) * rx).bitwiseXOR(ry)).cast("long")
+        # canonicalize the sub-square: ry==0 → (optional 180° flip at
+        # rx==1, then transpose); flips under n-1 are exact for the
+        # bits later levels read (see zorder_value's clamp note)
+        fx = F.when(rx == 1, F.lit(n - 1) - acc["x"]).otherwise(acc["x"])
+        fy = F.when(rx == 1, F.lit(n - 1) - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, fy).otherwise(acc["x"])
+        ny = F.when(ry == 0, fx).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(svals, zero, step, lambda acc: acc["d"])
+
+
+def _compact_by_key(df: DataFrame, out_path: str, key: Column, num_files: int) -> None:
+    """Range-partition by the clustering key (sampling-based, no
+    single-task sort), sort within each file, drop the key, write."""
+    (
+        df.withColumn("_ck", key)
+        .repartitionByRange(num_files, "_ck")
+        .sortWithinPartitions("_ck")
+        .drop("_ck")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
 def compact_zordered(
     df: DataFrame,
     out_path: str,
@@ -118,15 +182,24 @@ def compact_zordered(
     """
     if num_files < 1:
         raise ValueError(f"num_files must be >= 1, got {num_files}")
-    z = zorder_value(col_a, col_b, bits).alias("_z")
-    (
-        df.withColumn("_z", z)
-        .repartitionByRange(num_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("overwrite")
-        .parquet(out_path)
-    )
+    _compact_by_key(df, out_path, zorder_value(col_a, col_b, bits), num_files)
+
+
+def compact_hilbert(
+    df: DataFrame,
+    out_path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """:func:`compact_zordered` with the Hilbert key — measured A/B vs
+    Z-order on the zone-map skip-fraction methodology in
+    tests/test_maintenance.py (adopt-or-reject numbers in
+    BENCH_NOTES_r07.md)."""
+    if num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
+    _compact_by_key(df, out_path, hilbert_value(col_a, col_b, bits), num_files)
 
 
 def zone_map(

@@ -187,6 +187,82 @@ def test_zorder_rewrite_improves_zone_map_skipping(spark, tmp_path):
     assert after["skip_fraction"] > before["skip_fraction"] + 0.3
 
 
+def _hilbert_ref(n: int, x: int, y: int) -> int:
+    # independent reference: Wikipedia's iterative xy2d
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference_exhaustively(spark):
+    from cdc_system_spark.operators.maintenance import hilbert_value
+
+    bits = 4
+    n = 1 << bits
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select("x", "y", hilbert_value("x", "y", bits).alias("d")).collect()
+    }
+    assert got == {(x, y): _hilbert_ref(n, x, y) for x, y in rows}
+    # bijective onto [0, n*n) — a space-FILLING curve, no collisions
+    assert sorted(got.values()) == list(range(n * n))
+    # out-of-range inputs clamp like zorder_value
+    wild = spark.createDataFrame([(-5, 99), (999, 3)], "x long, y long")
+    vals = [
+        r["d"] for r in wild.select(hilbert_value("x", "y", bits).alias("d")).collect()
+    ]
+    assert vals == [_hilbert_ref(n, 0, 15), _hilbert_ref(n, 15, 3)]
+
+
+def test_hilbert_vs_zorder_skip_rate_ab(spark, tmp_path):
+    """The adopt-or-reject A/B the round contract asks for: same data,
+    same zone-map skip-fraction methodology, Z-order vs Hilbert layout.
+    Numbers recorded in BENCH_NOTES_r07.md."""
+    from cdc_system_spark.operators.maintenance import (
+        compact_hilbert,
+        compact_zordered,
+        hilbert_value,
+        prune_fraction,
+        zone_map,
+        zorder_value,
+    )
+
+    rows = [(i, ((i * 53) % 256), ((i * 91) % 256)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "pos long, a long, b long")
+    out_z = str(tmp_path / "z")
+    out_h = str(tmp_path / "h")
+    compact_zordered(df, out_z, "a", "b", num_files=8)
+    compact_hilbert(df, out_h, "a", "b", num_files=8)
+
+    def skip(path, key, lo, hi, col):
+        zoned = zone_map(spark.read.parquet(path), key, F.col(col), num_zones=32)
+        return prune_fraction(zoned, lo, hi).head()["skip_fraction"]
+
+    # per-dimension range predicates over the rewritten physical order
+    z_a = skip(out_z, zorder_value("a", "b"), 0.0, 31.0, "a")
+    h_a = skip(out_h, hilbert_value("a", "b"), 0.0, 31.0, "a")
+    z_b = skip(out_z, zorder_value("a", "b"), 0.0, 31.0, "b")
+    h_b = skip(out_h, hilbert_value("a", "b"), 0.0, 31.0, "b")
+    # both layouts must make the predicate skippable at all; Hilbert
+    # must be at least competitive (within one 32nd) on each dimension
+    for v in (z_a, h_a, z_b, h_b):
+        assert v > 0.5
+    assert h_a >= z_a - 1 / 32 and h_b >= z_b - 1 / 32
+    print(f"SKIP_AB z_a={z_a:.4f} h_a={h_a:.4f} z_b={z_b:.4f} h_b={h_b:.4f}")
+
+
 def test_zone_state_merge_equals_rebuild(spark):
     import pytest as _pytest
 
