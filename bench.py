@@ -136,7 +136,10 @@ def _load_prev_mins() -> tuple[str | None, dict[str, float]]:
     try:
         with open(best[1]) as f:
             rec = json.load(f)
-        return os.path.basename(best[1]), dict(rec.get("queries", {}))
+        prev = dict(rec.get("queries", {}))
+        # maintenance section (present from r7 on) shares the gate
+        prev.update(rec.get("maintenance", {}))
+        return os.path.basename(best[1]), prev
     except (OSError, ValueError):
         return None, {}
 
@@ -167,6 +170,84 @@ def _compact_line(total: float, timings: dict[str, float],
         )
         mins2["other"] = round(mins2.get("other", 0.0) + mins2.pop(smallest), 2)
         omitted += 1
+
+
+def _maintenance_timings(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Index-MAINTENANCE cost trend line (round-7 addition): build /
+    incremental-ingest / probe for the two maintained indexes, timed
+    with the same 3-run min+median discipline as the headline queries.
+    These are writers, so they are not registry queries and stay out of
+    the driver-parsed compact line; they live in the committed full
+    record, where ``flagged_regressions`` covers them with the same
+    1.3x machine gate — a maintenance-cost regression now trips the
+    same wire a query regression does.
+    """
+    import shutil
+    import tempfile
+
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.queries.base import catalog
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    emb = catalog(spark, sf_dir).embeddings
+    base = tempfile.mkdtemp(prefix="bench_maint_")
+
+    # (name, setup(path) -> None, timed(path) -> needs-materialization)
+    def lsh_setup_part(p):
+        LI.lsh_index_build(docs.filter("doc_id % 10 <> 0"), p)
+
+    def ann_setup_part(p):
+        AI.ann_index_build(emb.filter("vec_id % 10 <> 0"), p)
+
+    actions = [
+        ("m_lsh_index_build", None, lambda p: LI.lsh_index_build(docs, p)),
+        (
+            "m_lsh_index_ingest",
+            lsh_setup_part,
+            lambda p: LI.lsh_index_ingest(docs.filter("doc_id % 10 = 0"), p),
+        ),
+        (
+            "m_lsh_index_probe",
+            lambda p: LI.lsh_index_build(docs, p),
+            lambda p: [
+                t.write.format("noop").mode("overwrite").save()
+                for t in LI.lsh_index_probe_tables(spark, p, docs)
+            ],
+        ),
+        ("m_ann_index_build", None, lambda p: AI.ann_index_build(emb, p)),
+        (
+            "m_ann_index_ingest",
+            ann_setup_part,
+            lambda p: AI.ann_index_ingest(emb.filter("vec_id % 10 = 0"), p),
+        ),
+        (
+            "m_ann_index_probe",
+            lambda p: AI.ann_index_build(emb, p),
+            lambda p: AI.ann_index_probe_tables(spark, p, emb)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        ),
+    ]
+    mins: dict[str, float] = {}
+    meds: dict[str, float] = {}
+    try:
+        for name, setup, timed in actions:
+            runs = []
+            for i in range(3):
+                path = os.path.join(base, f"{name}_{i}")
+                if setup is not None:
+                    setup(path)
+                t0 = time.perf_counter()
+                timed(path)
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            mins[name] = round(runs[0], 3)
+            meds[name] = round(runs[1], 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return mins, meds
 
 
 def main() -> None:
@@ -205,16 +286,21 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     median_total = round(sum(medians.values()), 3)
 
+    maint_mins, maint_meds = _maintenance_timings(spark, sf_dir)
+
     # machine-checkable regression gate vs the last committed
-    # same-box record: new min > 1.3x old min -> flagged
+    # same-box record: new min > 1.3x old min -> flagged (headline
+    # queries and maintenance actions alike)
     prev_name, prev_mins = _load_prev_mins()
+    gated = dict(timings)
+    gated.update(maint_mins)
     flagged = {
-        name: {"min": timings[name], "prev_min": prev_mins[name],
-               "ratio": round(timings[name] / prev_mins[name], 2)}
-        for name in timings
+        name: {"min": gated[name], "prev_min": prev_mins[name],
+               "ratio": round(gated[name] / prev_mins[name], 2)}
+        for name in gated
         if name in prev_mins
         and prev_mins[name] > 0
-        and timings[name] > 1.3 * prev_mins[name]
+        and gated[name] > 1.3 * prev_mins[name]
     }
 
     full = {
@@ -224,6 +310,8 @@ def main() -> None:
         "queries": timings,
         "queries_median": medians,
         "median_total": median_total,
+        "maintenance": maint_mins,
+        "maintenance_median": maint_meds,
         "sf": float(sf),
         "regression_baseline": prev_name,
         "flagged_regressions": flagged,

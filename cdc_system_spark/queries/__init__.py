@@ -26,80 +26,88 @@ from cdc_system_spark.queries import llm  # noqa: E402,F401  (74, all oracle-bac
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
-# Round-6 window: the driver's CORRECTNESS gate strong-checks the
+# Round-7 window: the driver's CORRECTNESS gate strong-checks the
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
 #      CORRECTNESS row (r3 proved twice that local green != driver
-#      green) — after r5 closed the backlog that is only what is NEW
-#      this round;
-#   2. every query whose operator or oracle CHANGED this round (the
-#      r5-tail advisor fixes: bloom probe rewritten to the packed-word
-#      literal, near-dup ingest's within-batch band reuse, equidepth
-#      secondary sort key; plus this round's assigned=/auto_cells
-#      two-level surface on the cell-blocked similarity family);
+#      green) — this round, the maintained-containment pair and the
+#      index-health stats query;
+#   2. every query whose operator or oracle CHANGED this round: the
+#      whole containment family (now servable from the maintained LSH
+#      signature table), every lsh_index/ann_index consumer (stored
+#      n_sh column + stats-state writes landed on their build/ingest
+#      paths), and the six queries whose oracles got the r6-tail
+#      ROUND→FLOOR half-up rewrite, which r6 deliberately deferred to
+#      this window (the advisor called that out — they go FIRST among
+#      the changed set);
 #   3. remaining slots re-confirm the queries with the OLDEST driver
-#      evidence — the 48 whose only green rows are r1/r2 (locally
-#      re-verified every round, but rotated out of the driver gate
-#      since; 35 of them fit, the 13 simplest projections wait).
-_WINDOW_R6 = [
+#      evidence — this closes the r1/r2-only pool COMPLETELY (the
+#      last 25 such queries all fit), so after this round no
+#      oracle-backed query's latest driver evidence predates r3; the
+#      tail picks the r3-evidence queries of most operator variety.
+_WINDOW_R7 = [
     # -- 1. new this round, never driver-checked --
+    "q_containment_maintained",
+    "q_leakage_split_maintained",
+    "q_lsh_index_stats",
+    # -- 2a. oracle changed late in r6 (FLOOR rewrite), deferred here --
+    "q_text_quality",
+    "q_quality_filter",
+    "q_bpe_token_count",
+    "q_weighted_sample",
+    "q_bigram_surprisal",
+    "q_containment_pairs",
+    # -- 2b. operator changed this round (containment signature reuse;
+    #        index builds now store n_sh + write stats states) --
+    "q_drop_contained",
     "q_leakage_split_containment",
-    "q_ann_index_maintained",
     "q_lsh_index_maintained",
-    "q_kmv_distinct",
-    "q_kmv_merged",
-    "q_kmv_intersection",
-    "q_gap_fill",
-    "q_cluster_canonical",
-    "q_bloom_merged",
-    "q_kmv_by_type",
-    "q_sample_merged",
-    "q_selectivity_merged",
-    "q_ann_probe_maintained",
     "q_lsh_probe_maintained",
-    # -- 2. operator or oracle changed this round --
-    "q_bloom_prune",
-    "q_bloom_semi_join",
     "q_neardup_ingest",
     "q_ingest_dup_report",
-    "q_equidepth_sketch",
-    "q_equidepth_histogram",
-    "q_quantile_sketch",
-    "q_quantiles_merged",
-    "q_quantiles_by_type",
-    "q_semantic_dedup",
-    "q_knn_graph",
-    "q_knn_label_noise",
-    "q_semantic_decontaminate",
-    # -- 3. oldest driver evidence (last green r1/r2) --
-    "q_merge_apply",
-    "q_snapshot_diff",
-    "q_pending_changes",
-    "q_change_stats",
-    "q_rollup",
-    "q_conflict_field_merge",
-    "q_conflict_fww",
-    "q_conflict_manual_queue",
-    "q_asof_join",
-    "q_range_join",
-    "q_event_enrichment",
-    "q_funnel",
-    "q_retention_cohorts",
-    "q_dedup_exact",
-    "q_dup_clusters",
-    "q_fuzzy_dedup",
-    "q_minhash_signature",
-    "q_minhash_lsh_pairs",
-    "q_ngram_jaccard",
-    "q_simhash",
-    "q_srp_lsh_pairs",
-    "q_decontaminate",
-    "q_embedding_topk",
+    "q_ann_index_maintained",
+    "q_ann_probe_maintained",
+    # -- 3a. oldest driver evidence (last green r1/r2) — closes the pool --
+    "q_array_ops",
+    "q_count",
+    "q_filter_eq",
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_from_json",
+    "q_hash_sample",
+    "q_isin_semijoin",
+    "q_lang_id",
+    "q_media_byte_histogram",
+    "q_media_catalog",
+    "q_media_decode",
+    "q_project_limit",
+    "q_rarity_score",
+    "q_redact_pii",
+    "q_regex_extract",
+    "q_repetition_filter",
+    "q_stratified_sample",
+    "q_term_frequency",
+    "q_tfidf",
+    "q_to_json",
+    "q_token_count",
+    # -- 3b. r3-evidence re-confirmations (variety: flagship TPC-H,
+    #        windows, OLAP cube family, skew join, LSH estimate, star CC) --
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_window_rank",
+    "q_session_window",
+    "q_tumbling_window",
+    "q_pivot",
+    "q_cube",
+    "q_grouping_sets",
+    "q_salted_join",
+    "q_minhash_jaccard_est",
+    "q_dup_clusters_star",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R6
+_WINDOW = _WINDOW_R7
 
 
 def _set_window() -> None:

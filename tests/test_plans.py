@@ -22,58 +22,63 @@ def plans(spark, sf_dir):
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
     entries. The window is now an explicit list (queries/__init__.py
-    ``_WINDOW_R5``) whose invariants ``_set_window`` already enforces
-    at import; here we pin the POLICY content: the 14 queries that had
-    never received a driver CORRECTNESS row before round 5 sit inside,
-    as does everything added or behavior-changed this round, and no
-    rows-only query wastes a strong-check slot."""
+    ``_WINDOW_R7``) whose invariants ``_set_window`` already enforces
+    at import; here we pin the POLICY content: everything never
+    driver-checked sits inside, as does everything whose operator or
+    oracle changed this round (including the r6-tail FLOOR-rewrite six
+    the advisor flagged as deferred), the final 25-query r1/r2-only
+    evidence pool is closed out completely, and no rows-only query
+    wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # new in round 6, never driver-checked:
+        # new in round 7, never driver-checked:
+        "q_containment_maintained",
+        "q_leakage_split_maintained",
+        "q_lsh_index_stats",
+        # the r6-tail ROUND→FLOOR oracle rewrites, deferred to r7:
+        "q_text_quality",
+        "q_quality_filter",
+        "q_bpe_token_count",
+        "q_weighted_sample",
+        "q_bigram_surprisal",
+        "q_containment_pairs",
+        # operator changed in round 7 (containment signature reuse;
+        # index builds store n_sh and write stats states):
+        "q_drop_contained",
         "q_leakage_split_containment",
-        "q_ann_index_maintained",
         "q_lsh_index_maintained",
-        "q_kmv_distinct",
-        "q_kmv_merged",
-        "q_kmv_intersection",
-        "q_gap_fill",
-        "q_cluster_canonical",
-        "q_bloom_merged",
-        "q_kmv_by_type",
-        "q_sample_merged",
-        "q_selectivity_merged",
-        "q_ann_probe_maintained",
         "q_lsh_probe_maintained",
-        # operator or oracle changed in round 6 (r5-tail advisor fixes
-        # + the maintained-index/two-level surface):
-        "q_bloom_prune",
-        "q_bloom_semi_join",
         "q_neardup_ingest",
         "q_ingest_dup_report",
-        "q_equidepth_sketch",
-        "q_equidepth_histogram",
-        "q_quantile_sketch",
-        "q_quantiles_merged",
-        "q_quantiles_by_type",
-        "q_semantic_dedup",
-        "q_knn_graph",
-        "q_knn_label_noise",
-        "q_semantic_decontaminate",
-        # oldest driver evidence (only green rows are r1/r2) — the
-        # re-confirmation pool this round's remaining slots draw from;
-        # pin the most intricate of them so a future edit can't
-        # silently swap them for easy projections:
-        "q_merge_apply",
-        "q_snapshot_diff",
-        "q_dup_clusters",
-        "q_fuzzy_dedup",
-        "q_minhash_lsh_pairs",
-        "q_asof_join",
-        "q_retention_cohorts",
-        "q_conflict_field_merge",
+        "q_ann_index_maintained",
+        "q_ann_probe_maintained",
+        # the last of the r1/r2-only evidence pool — all 22 remaining
+        # names (3 of the 25 appear above in the rewrite six):
+        "q_array_ops",
+        "q_count",
+        "q_filter_eq",
+        "q_fingerprint",
+        "q_frame_sample",
+        "q_from_json",
+        "q_hash_sample",
+        "q_isin_semijoin",
+        "q_lang_id",
+        "q_media_byte_histogram",
+        "q_media_catalog",
+        "q_media_decode",
+        "q_project_limit",
+        "q_rarity_score",
+        "q_redact_pii",
+        "q_regex_extract",
+        "q_repetition_filter",
+        "q_stratified_sample",
+        "q_term_frequency",
+        "q_tfidf",
+        "q_to_json",
+        "q_token_count",
     }
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
