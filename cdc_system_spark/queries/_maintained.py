@@ -1,0 +1,62 @@
+"""Process-local shared builds for the maintained-index queries.
+
+Four LSH queries (`q_lsh_index_maintained`, `q_containment_maintained`,
+`q_leakage_split_maintained`, `q_lsh_index_stats`) and two ANN queries
+(`q_ann_index_maintained`, `q_ann_index_stats`) perform the IDENTICAL
+build-on-2/3 + ingest-1/3 sequence under the default geometry before
+reading the artifact. Rebuilding per query is pure duplication — and it
+is also the WRONG model: the whole point of a maintained artifact is
+that queries share it. The memo here is deliberately process-local
+(first use in any process always rebuilds), so a stale on-disk index
+left by an older code version can never serve a newer process — the
+cross-run staleness hazard that rules out a mtime/exists check.
+
+The two MUTATION-gate queries (`q_ann_probe_maintained`,
+`q_lsh_probe_maintained`) do NOT share these paths: they ingest edits
+and deletions, and `q_lsh_index_maintained` reads the RAW version table
+(stale rows included), which a shared mutated index would pollute.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_BUILT: set[str] = set()
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
+def shared_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared default-geometry LSH index over ``documents``
+    (built on ``doc_id % 3 <> 0``, ingested ``% 3 = 0``), built at most
+    once per process."""
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/lshidx_q_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        docs = catalog(spark, sf_dir).documents
+        LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
+        LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+        _BUILT.add(path)
+    return path
+
+
+def shared_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared 8-centroid ANN index over ``embeddings``
+    (built on ``vec_id % 3 <> 0``, ingested ``% 3 = 0``), built at most
+    once per process."""
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/annidx_q_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        emb = catalog(spark, sf_dir).embeddings
+        AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+        AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+        _BUILT.add(path)
+    return path

@@ -886,15 +886,11 @@ def q_leakage_split_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row proves index-served containment == re-shingled containment",
 )
 def q_containment_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.queries._maintained import shared_lsh_index
 
     docs = catalog(spark, sf_dir).documents
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{tempfile.gettempdir()}/lshidx_c_{tag}"
-    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
-    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+    path = shared_lsh_index(spark, sf_dir)
     sigs = LI.lsh_index_signature_tables(
         spark, path, docs, shingle_k=7, num_perms=16
     )
@@ -911,16 +907,12 @@ def q_containment_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus per call — the recompute was that query's dominant cost",
 )
 def q_leakage_split_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from cdc_system_spark.operators import lsh_index as LI
     from cdc_system_spark.operators.sampling import containment_safe_split
+    from cdc_system_spark.queries._maintained import shared_lsh_index
 
     docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{tempfile.gettempdir()}/lshidx_c_{tag}"
-    LI.lsh_index_build(docs.filter("doc_id % 3 <> 0"), path)
-    LI.lsh_index_ingest(docs.filter("doc_id % 3 = 0"), path)
+    path = shared_lsh_index(spark, sf_dir)
     sigs = LI.lsh_index_signature_tables(
         spark, path, docs, shingle_k=7, num_perms=16
     )

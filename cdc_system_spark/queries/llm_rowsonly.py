@@ -65,16 +65,10 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the full oracle)",
 )
 def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.queries._maintained import shared_ann_index
 
-    emb = catalog(spark, sf_dir).embeddings
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{tempfile.gettempdir()}/annidx_st_{tag}"
-    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
-    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
-    return AI.ann_index_stats(spark, path)
+    return AI.ann_index_stats(spark, shared_ann_index(spark, sf_dir))
 
 
 # -- production-scaled label-noise screening (rows-only) ---------------------

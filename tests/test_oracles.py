@@ -43,6 +43,10 @@ def test_oracle_count_matches_registry():
         "q_ivf_topk",
         "q_group_normalize",
         "q_ivf_kmeans_topk",
+        # round 7: ANN index-health stats — the version key JSON-renders
+        # the vector, Spark-internal; pytest parity + the oracle-backed
+        # LSH twin (q_lsh_index_stats) carry the proof
+        "q_ann_index_stats",
         # round 5: the corpus-scaled label-noise path — centroids are
         # data-dependent, so no literal-SQL oracle is possible
         "q_knn_label_noise_auto",

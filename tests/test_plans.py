@@ -38,6 +38,7 @@ def test_oracle_window_composition():
         "q_containment_maintained",
         "q_leakage_split_maintained",
         "q_lsh_index_stats",
+        "q_kmv_merged_by",
         # the r6-tail ROUND→FLOOR oracle rewrites, deferred to r7:
         "q_text_quality",
         "q_quality_filter",

@@ -99,7 +99,7 @@ def change_log_case(draw):
 
 @given(change_log_case())
 @settings(
-    max_examples=20,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -145,7 +145,7 @@ def split_log_case(draw):
 
 @given(split_log_case())
 @settings(
-    max_examples=15,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

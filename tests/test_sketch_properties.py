@@ -22,7 +22,7 @@ _DOC = st.lists(_WORD, min_size=0, max_size=25).map(" ".join)
 
 @given(st.lists(_DOC, min_size=1, max_size=12))
 @settings(
-    max_examples=10,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -45,7 +45,7 @@ _VALS = st.lists(
 
 @given(_VALS)
 @settings(
-    max_examples=10,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -66,7 +66,7 @@ def test_quantile_sketch_bracket_holds_for_every_input(spark, vals):
 
 @given(_VALS, st.integers(min_value=1, max_value=7))
 @settings(
-    max_examples=10,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -88,7 +88,7 @@ def test_equidepth_from_counts_equals_ntile_for_every_input(spark, vals, k):
     st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
 )
 @settings(
-    max_examples=10,
+    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
