@@ -60,6 +60,9 @@ class StreamingCorpusIngestor:
         stats_path: str | None = None,
         lsh_index_path: str | None = None,
         kmv_stats_path: str | None = None,
+        zone_stats_path: str | None = None,
+        zone_hi: int = (1 << 20) - 1,
+        zone_num_zones: int = 64,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -123,6 +126,27 @@ class StreamingCorpusIngestor:
         #: crash-window contract as ``stats_path`` (merge is idempotent:
         #: bottom-k of a distinct union).
         self.kmv_stats_path = kmv_stats_path
+        #: optional maintained zone-map state (≤ zone_num_zones rows of
+        #: parquet) over every row EVER ADMITTED: order key = id (the
+        #: write/layout order under monotone CDC ids), value = text
+        #: length — the layout-quality artifact. Answers "what fraction
+        #: of the corpus would a length-range scan skip under the
+        #: current layout" (``zone_skip_estimate``) without scanning
+        #: the corpus; near-global per-zone spans diagnose a layout
+        #: that needs a compact_zordered/compact_hilbert rewrite. The
+        #: geometry (``[0, zone_hi]`` id range, ``zone_num_zones``) is
+        #: FROZEN at construction — zone_merge requires one geometry;
+        #: ids past zone_hi clamp into the top zone. Replay safety
+        #: differs from the HLL/KMV states: zone COUNTS are additive,
+        #: so a read-merge-rewrite would double-count a replayed batch.
+        #: Instead each batch's ≤ num_zones-row state is written to its
+        #: own ``b{batch_id}`` subpath (a replay OVERWRITES the same
+        #: subpath — idempotent by construction) and readers merge the
+        #: per-batch states; merge-of-batches == rebuild-from-all is
+        #: the q_zone_merged oracle proof.
+        self.zone_stats_path = zone_stats_path
+        self.zone_hi = zone_hi
+        self.zone_num_zones = zone_num_zones
         self.batches_applied = 0
 
     def _lsh_probe_tables(self, current: DataFrame) -> dict:
@@ -213,6 +237,49 @@ class StreamingCorpusIngestor:
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             self.kmv_stats_path
         )
+
+    def _update_zone(self, admitted: DataFrame, batch_id: int) -> None:
+        from cdc_system_spark.operators.maintenance import zone_state
+
+        st = zone_state(
+            admitted.select(
+                F.col(self.id_col),
+                F.length(F.col(self.text_col)).alias("_len"),
+            ),
+            self.id_col,
+            "_len",
+            0,
+            self.zone_hi,
+            self.zone_num_zones,
+        )
+        # per-batch subpath: a replayed batch overwrites ITS OWN state
+        # (idempotent), never re-merges into an accumulated one —
+        # additive counts make read-merge-rewrite unsafe under replay
+        st.write.mode("overwrite").parquet(
+            f"{self.zone_stats_path}/b{batch_id}"
+        )
+
+    def corpus_zone_state(self) -> DataFrame:
+        """The merged zone-map state over every batch ever admitted
+        (``(zone, n_rows, v_min, v_max)``, ≤ ``zone_num_zones`` rows):
+        one scan over the tiny per-batch states, zone-grouped — the
+        corpus is not read."""
+        from cdc_system_spark.operators.maintenance import zone_merge
+
+        if self.zone_stats_path is None:
+            raise ValueError("zone_stats_path was not configured")
+        return zone_merge(self.spark.read.parquet(f"{self.zone_stats_path}/b*"))
+
+    def zone_skip_estimate(self, lo: float, hi: float) -> float:
+        """Fraction of ever-admitted rows a ``text length BETWEEN lo
+        AND hi`` scan could skip under the id-ordered layout, from the
+        maintained zone state alone (``prune_fraction`` semantics).
+        A low number on a selective predicate is the signal to schedule
+        a ``compact_zordered``/``compact_hilbert`` rewrite."""
+        from cdc_system_spark.operators.maintenance import prune_fraction
+
+        row = prune_fraction(self.corpus_zone_state(), lo, hi).head()
+        return float(row["skip_fraction"] or 0.0)
 
     def distinct_content_estimate(self) -> float:
         """HLL estimate of distinct content ever admitted (see
@@ -320,6 +387,8 @@ class StreamingCorpusIngestor:
             self._update_stats(admitted)
         if self.kmv_stats_path is not None:
             self._update_kmv(admitted)
+        if self.zone_stats_path is not None:
+            self._update_zone(admitted, batch_id)
         self.corpus.write(
             final,
             meta={"ingest_app": self.checkpoint_path, "ingest_batch": str(batch_id)},

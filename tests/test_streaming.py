@@ -768,6 +768,59 @@ def test_streaming_windowed_hll_matches_batch_distinct_estimate(spark, tmp_path)
         ), day
 
 
+def test_ingestor_maintained_zone_state(spark, tmp_path):
+    # zone_stats_path: per-batch zone states (replay overwrites its own
+    # subpath — additive counts forbid read-merge-rewrite), reader
+    # merges; merged state == one-shot zone_state over everything
+    # admitted, and the skip estimate reads layout quality corpus-free
+    from cdc_system_spark.operators.maintenance import zone_state
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    sys_ = CDCSystem(spark, str(tmp_path), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(tmp_path / "corpus"), DOC_SCHEMA)
+    corpus.write(_doc_rows(spark, []))
+    mk_ing = lambda: StreamingCorpusIngestor(
+        spark, cap.path, corpus, DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "zkpt"),
+        zone_stats_path=str(tmp_path / "zstats"),
+        zone_hi=1023, zone_num_zones=8,
+    )
+    # batch 1: short texts on low ids; batch 2: long texts on high ids
+    # (id-ordered layout DOES cluster length -> skippable)
+    b1 = [(i, "x" * 10) for i in range(100)]
+    b2 = [(i, "y" * 200) for i in range(600, 700)]
+    cap.capture_insert(_doc_rows(spark, b1))
+    ing = mk_ing()
+    ing.run_available_now()
+    cap.capture_insert(_doc_rows(spark, b2))
+    mk_ing().run_available_now()
+    merged = {r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()}
+    whole = zone_state(
+        _doc_rows(spark, b1 + b2).select(
+            "doc_id", F.length("text").alias("_len")
+        ),
+        "doc_id", "_len", 0, 1023, num_zones=8,
+    )
+    assert merged == {r["zone"]: tuple(r) for r in whole.collect()}
+    # replayed batch overwrites its own subpath — state unchanged
+    ing._update_zone(_doc_rows(spark, b1), 0)
+    assert merged == {
+        r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()
+    }
+    # the layout clusters length: a short-text predicate skips the
+    # long-text zones entirely
+    assert mk_ing().zone_skip_estimate(0.0, 50.0) >= 0.4
+    import pytest as _pytest
+
+    nozone = StreamingCorpusIngestor(
+        spark, cap.path, corpus, DOC_SCHEMA,
+        checkpoint_path=str(tmp_path / "zkpt2"),
+    )
+    with _pytest.raises(ValueError, match="zone_stats_path"):
+        nozone.corpus_zone_state()
+
+
 def test_streaming_windowed_kmv_matches_batch_state(spark, tmp_path):
     # distinct users per day via bounded-state KMV
     # (applyInPandasWithState bottom-64 per window): the max-seq
