@@ -71,29 +71,25 @@ def _stats_path(path: str) -> str:
 
 
 def _write_stats_state(state, path: str) -> None:
-    # materialize before the overwrite: the merge reads the file the
-    # write replaces (same self-overwrite guard as SnapshotTable)
-    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        _stats_path(path)
-    )
+    from cdc_system_spark.operators._index_stats import write_stats_state
+
+    write_stats_state(state, _stats_path(path))
 
 
 def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
     """The maintained KMV stats state, bootstrapping a pre-stats index
     by one key-column scan of the stored assignments (exact rebuild —
     a KMV state is a pure function of the version-key set)."""
-    from pyspark.errors import AnalysisException
-
+    from cdc_system_spark.operators._index_stats import read_stats_state
     from cdc_system_spark.operators.sketch import kmv_state
 
-    try:
-        return spark.read.parquet(_stats_path(path))
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        return kmv_state(
+    return read_stats_state(
+        spark,
+        _stats_path(path),
+        lambda: kmv_state(
             spark.read.parquet(_asg_path(path)).select("_vkey"), "_vkey"
-        )
+        ),
+    )
 
 
 def ann_index_stats_state(spark: SparkSession, path: str) -> DataFrame:

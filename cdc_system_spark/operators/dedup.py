@@ -55,8 +55,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 5,
     num_perms: int = 8,
+    with_count: bool = False,
 ) -> DataFrame:
-    """Per-doc MinHash signature: int64 columns ``h0..h{p-1}``.
+    """Per-doc MinHash signature: int64 columns ``h0..h{p-1}`` (plus
+    ``n_sh``, the distinct-shingle count, when ``with_count`` — the
+    containment family's denominator, computed in the SAME projection
+    so the shingle array is built once, not re-derived by a second
+    text pass).
 
     Each shingle is md5-hashed ONCE; the p permutations are cheap
     universal-hash rearrangements (A·h+B mod P) folded in a single
@@ -81,12 +86,17 @@ def minhash_signatures(
             ]
         )
 
-    sig = spread(df).select(
-        F.col(id_col), F.aggregate(hs, zero, merge).alias("_sig")
-    ).localCheckpoint(eager=False)
-    return sig.select(
-        F.col(id_col), *[F.col(f"_sig.h{i}").alias(f"h{i}") for i in range(num_perms)]
-    )
+    cols = [F.col(id_col), F.aggregate(hs, zero, merge).alias("_sig")]
+    if with_count:
+        cols.append(F.size(F.array_distinct(sh)).cast("long").alias("n_sh"))
+    sig = spread(df).select(*cols).localCheckpoint(eager=False)
+    out = [
+        F.col(id_col),
+        *[F.col(f"_sig.h{i}").alias(f"h{i}") for i in range(num_perms)],
+    ]
+    if with_count:
+        out.append(F.col("n_sh"))
+    return sig.select(*out)
 
 
 def _band_key_cols(rows_per_band: int) -> list[str]:
@@ -902,23 +912,14 @@ def containment_pairs(
     the inline recompute when the frame is faithful to (k, num_perms);
     ``docs`` text is never read in that mode.
     """
-    from cdc_system_spark.functions.portable import shingles
-
     if signatures is None:
-        sigs = minhash_signatures(
-            docs, text_col, id_col, k=k, num_perms=num_perms
+        signatures = minhash_signatures(
+            docs, text_col, id_col, k=k, num_perms=num_perms, with_count=True
         )
-        counts = spread(docs).select(
-            F.col(id_col),
-            F.size(F.array_distinct(shingles(text_col, k)))
-            .cast("long")
-            .alias("n_sh"),
-        )
-    else:
-        sigs = signatures.select(
-            F.col(id_col), *[F.col(f"h{i}") for i in range(num_perms)]
-        )
-        counts = signatures.select(F.col(id_col), F.col("n_sh"))
+    sigs = signatures.select(
+        F.col(id_col), *[F.col(f"h{i}") for i in range(num_perms)]
+    )
+    counts = signatures.select(F.col(id_col), F.col("n_sh"))
     pairs = lsh_candidate_pairs(
         sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
     )

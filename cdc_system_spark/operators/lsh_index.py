@@ -89,11 +89,9 @@ def _stats_path(path: str) -> str:
 
 
 def _write_stats_state(state: DataFrame, path: str) -> None:
-    # materialize before the overwrite: the merge reads the file the
-    # write replaces (same self-overwrite guard as SnapshotTable)
-    state.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        _stats_path(path)
-    )
+    from cdc_system_spark.operators._index_stats import write_stats_state
+
+    write_stats_state(state, _stats_path(path))
 
 
 def _vkey(id_col: str, text_col: str) -> Column:
@@ -122,30 +120,23 @@ def _sign_versions(
     num_perms: int,
 ) -> DataFrame:
     """(_vkey, id, h0..h{p-1}, n_sh) for each distinct (id, text)
-    version: the MinHash pass runs keyed by the version hash, then the
-    id AND the distinct-shingle count ride back on via a 1:1
-    version-key join (index-sized, build/ingest time only — never on
-    the probe path). ``n_sh`` is stored so the CONTAINMENT family
+    version: the MinHash pass (which also emits the distinct-shingle
+    count in the same projection — one text pass total) runs keyed by
+    the version hash, then the id rides back on via a 1:1 version-key
+    join (index-sized, build/ingest time only — never on the probe
+    path). ``n_sh`` is stored so the CONTAINMENT family
     (``dedup.containment_pairs`` and friends, which need per-doc
     distinct-shingle counts under the same frozen ``shingle_k``) can
     run entirely from the maintained artifact — without it every
     containment call would re-shingle the corpus text just to count."""
-    from cdc_system_spark.functions.portable import shingles
-
     keyed = docs.select(
         _vkey(id_col, text_col), F.col(id_col), F.col(text_col)
     ).dropDuplicates(["_vkey"])
     sigs = minhash_signatures(
-        keyed, text_col, "_vkey", k=shingle_k, num_perms=num_perms
+        keyed, text_col, "_vkey", k=shingle_k, num_perms=num_perms,
+        with_count=True,
     )
-    counts = keyed.select(
-        "_vkey",
-        F.col(id_col),
-        F.size(F.array_distinct(shingles(F.col(text_col), shingle_k)))
-        .cast("long")
-        .alias("n_sh"),
-    )
-    return sigs.join(counts, "_vkey")
+    return sigs.join(keyed.select("_vkey", id_col), "_vkey")
 
 
 def lsh_index_build(
@@ -329,16 +320,15 @@ def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
     """The maintained KMV stats state, bootstrapping a pre-stats index
     by one full scan of the stored version keys (exact rebuild — KMV
     state of X is a pure function of X)."""
-    from pyspark.errors import AnalysisException
+    from cdc_system_spark.operators._index_stats import read_stats_state
 
-    try:
-        return spark.read.parquet(_stats_path(path))
-    except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
-        return kmv_state(
+    return read_stats_state(
+        spark,
+        _stats_path(path),
+        lambda: kmv_state(
             spark.read.parquet(_sig_path(path)).select("_vkey"), "_vkey"
-        )
+        ),
+    )
 
 
 def lsh_index_stats_state(spark: SparkSession, path: str) -> DataFrame:
@@ -394,8 +384,9 @@ def lsh_index_signature_tables(
     Result is row-identical to the inline recompute, which makes the
     substitution oracle-exact (``q_containment_maintained`` /
     ``q_leakage_split_maintained`` prove it under the driver gate).
-    Raises if the index predates the stored ``n_sh`` column — rebuild
-    or compact once under the current version to upgrade.
+    Raises if the index predates the stored ``n_sh`` column — only a
+    ``lsh_index_build`` rebuild upgrades it (compaction copies stored
+    rows verbatim and never re-reads text, so it cannot add counts).
     """
     sk, p, _, meta_id = _read_meta(spark, path)
     if shingle_k is not None and shingle_k != sk:

@@ -152,6 +152,8 @@ def hilbert_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
 def _compact_by_key(df: DataFrame, out_path: str, key: Column, num_files: int) -> None:
     """Range-partition by the clustering key (sampling-based, no
     single-task sort), sort within each file, drop the key, write."""
+    if num_files < 1:
+        raise ValueError(f"num_files must be >= 1, got {num_files}")
     (
         df.withColumn("_ck", key)
         .repartitionByRange(num_files, "_ck")
@@ -180,8 +182,6 @@ def compact_zordered(
     this is the layout for the two-filter access pattern (e.g. change
     log queried by record_id AND time, corpus by length AND quality).
     """
-    if num_files < 1:
-        raise ValueError(f"num_files must be >= 1, got {num_files}")
     _compact_by_key(df, out_path, zorder_value(col_a, col_b, bits), num_files)
 
 
@@ -197,8 +197,6 @@ def compact_hilbert(
     Z-order on the zone-map skip-fraction methodology in
     tests/test_maintenance.py (adopt-or-reject numbers in
     BENCH_NOTES_r07.md)."""
-    if num_files < 1:
-        raise ValueError(f"num_files must be >= 1, got {num_files}")
     _compact_by_key(df, out_path, hilbert_value(col_a, col_b, bits), num_files)
 
 

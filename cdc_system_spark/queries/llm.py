@@ -31,6 +31,10 @@ from cdc_system_spark.queries.fragments import cluster_ctes, lsh_ctes, perm_sql 
 _SH = "unnest(list_transform(range(1, greatest(length(text) - 4, 1) + 1), i -> substr(text, i, 5)))"
 _STOPS = "', '".join(X.EN_STOPWORDS)
 _P = D.MINHASH_P
+# the saturated-KMV estimator (k-1)·2^60/h_(k) at k = 64, shared by
+# every KMV oracle in this module (scalar, grouped, intersect, and the
+# maintained index-stats twin) so an estimator change lands everywhere
+_KMV_EST = "ROUND(63.0 * 1152921504606846976 / {hk}, 4)"
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -856,16 +860,20 @@ def q_lsh_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- maintained index-health stats under the oracle gate ---------------------
 # the stats state hashes the index's version key _vkey =
 # md5(doc_id ‖ NUL ‖ text); DuckDB reproduces the double-md5 exactly
-# (CHR(0) is a legal VARCHAR byte there)
-_LSH_STATS_SQL = """WITH v AS (
+# (CHR(0) is a legal VARCHAR byte there). The CASE mirrors concat_ws's
+# null-skipping — a NULL text indexes under md5(doc_id), and bare ||
+# would instead NULL the whole row out of the oracle's bottom-64
+_LSH_STATS_SQL = f"""WITH v AS (
         SELECT DISTINCT CAST(CONCAT('0x', SUBSTR(MD5(MD5(
-                    CAST(doc_id AS VARCHAR) || CHR(0) || text)), 1, 15))
+                    CASE WHEN text IS NULL THEN CAST(doc_id AS VARCHAR)
+                         ELSE CAST(doc_id AS VARCHAR) || CHR(0) || text
+                    END)), 1, 15))
                 AS BIGINT) AS h
         FROM documents),
     st AS (SELECT h FROM v ORDER BY h LIMIT 64),
     agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM st)
     SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-                ELSE ROUND(63.0 * 1152921504606846976 / hk, 4) END AS n_est,
+                ELSE {_KMV_EST.format(hk="hk")} END AS n_est,
            n >= 64 AS saturated
     FROM agg"""
 
@@ -2376,7 +2384,6 @@ def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- KMV (bottom-k / theta) sketch: the set-algebra member of the
 # -- mergeable-sketch family ---------------------------------------------------
-_KMV_EST = "ROUND(63.0 * 1152921504606846976 / {hk}, 4)"
 
 _KMV_SQL = f"""WITH v AS (
         SELECT DISTINCT CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)),

@@ -162,12 +162,13 @@ def _interval_ms(s: str) -> int:
     accepts (seconds/minutes/hours/days) to milliseconds — enough to
     place a window's end on the event-time axis for state eviction."""
     n, unit = s.strip().split()
+    # lower() BEFORE rstrip: "HOURS".rstrip("s") keeps its capital S
     mult = {
         "second": 1_000,
         "minute": 60_000,
         "hour": 3_600_000,
         "day": 86_400_000,
-    }[unit.rstrip("s").lower()]
+    }[unit.lower().rstrip("s")]
     return int(n) * mult
 
 
@@ -222,6 +223,14 @@ def windowed_kmv_state(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     win_ms = _interval_ms(window)
+    # the grouped key arrives as a SESSION-TZ-NAIVE datetime; naive
+    # .timestamp() would read it in the OS zone, shifting every window
+    # end by the tz offset (silently early finalization + on-time rows
+    # classified as stragglers) — so capture the session zone here and
+    # localize explicitly before going to epoch ms
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     out_schema = T.StructType(
         [
             T.StructField("w_start", T.TimestampType()),
@@ -260,7 +269,12 @@ def windowed_kmv_state(
             yield emit(list(hs), seq + 1, True)
             return
 
-        win_end = int(key[0].timestamp() * 1000) + win_ms
+        from zoneinfo import ZoneInfo
+
+        w_start_ms = int(
+            key[0].replace(tzinfo=ZoneInfo(session_tz)).timestamp() * 1000
+        )
+        win_end = w_start_ms + win_ms
         wm = state.getCurrentWatermarkMs()
         if not state.exists and wm > win_end:
             # stragglers for a window already finalized and evicted
