@@ -143,6 +143,18 @@ def test_containment_from_index_matches_inline(spark, docs, tmp_path):
         docs, k=7, num_perms=16, rows_per_band=1, signatures=sigs
     )
     assert _rows(via) == _rows(inline)
+    # post-compact trusted path: stored == live right after a build
+    # against this exact corpus, so assume_covered (zero text reads)
+    # must be row-identical too
+    path2 = str(tmp_path / "idx2")
+    LI.lsh_index_build(docs, path2)
+    trusted = LI.lsh_index_signature_tables(
+        spark, path2, docs, assume_covered=True
+    )
+    via2 = containment_pairs(
+        docs, k=7, num_perms=16, rows_per_band=1, signatures=trusted
+    )
+    assert _rows(via2) == _rows(inline)
 
 
 def test_stats_state_maintained_equals_rebuilt(spark, docs, tmp_path):
