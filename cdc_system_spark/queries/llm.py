@@ -832,6 +832,76 @@ def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asg.select("vec_id", "centroid_id")
 
 
+# -- batch IVF top-k over the maintained index -------------------------------
+_ANN_TOPK_BATCH_SQL = f"""WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, c.cid,
+               {_dot_sql('e.embedding', 'c.cv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('c.cv', 'c.cv')})) AS cos_sim
+        FROM embeddings e, c),
+    assign AS (
+        SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 7, 23)),
+    qprobe AS (
+        SELECT qid, cid, qv FROM (
+            SELECT q.qid, c.cid, q.qv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_dot_sql('q.qv', 'c.cv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('c.cv', 'c.cv')})), 6) DESC,
+                           c.cid ASC) AS rk
+            FROM q, c) WHERE rk <= 2),
+    cand AS (
+        SELECT p.qid, a.vec_id, p.qv, e.embedding
+        FROM qprobe p
+        JOIN assign a ON a.centroid_id = p.cid
+        JOIN embeddings e ON e.vec_id = a.vec_id),
+    scored AS (
+        SELECT qid, vec_id,
+               ROUND({_dot_sql('embedding', 'qv')}
+                   / (SQRT({_dot_sql('embedding', 'embedding')})
+                      * SQRT({_dot_sql('qv', 'qv')})), 6) AS cos_sim
+        FROM cand)
+    SELECT qid, vec_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10"""
+
+
+@register(
+    "q_ann_topk_batch",
+    _ANN_TOPK_BATCH_SQL,
+    doc="batch IVF top-k over the maintained index: three query "
+    "vectors resolved in ONE plan — queries broadcast-score the frozen "
+    "C-row centroid table (window keeps nprobe=2 cells each), one "
+    "equi-join on centroid_id lands each query on exactly its probed "
+    "cells' stored assignments, per-query window top-10; join volume "
+    "is queries x nprobe x cell size, never queries x corpus; the "
+    "oracle reproduces the whole path (first-C-by-id centroids, argmax "
+    "assignment, rounded-cosine probe and ranking)",
+)
+def q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ann_index_topk_many
+    from cdc_system_spark.queries._maintained import shared_ann_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_index_topk_many(spark, path, queries, k=10, nprobe=2)
+
+
 # -- maintained MinHash-LSH index under the oracle gate ----------------------
 _LSH_INDEX_SQL = f"""WITH {lsh_ctes("documents")}
     SELECT doc_id, band_idx, k0, k1 FROM bands"""
@@ -2555,6 +2625,36 @@ def q_kmv_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate_by(
         kmv_state_by(ev, ["event_type"], "user_id"), ["event_type"]
     )
+
+
+_KMV_WINDOWED_SQL = """WITH v AS (
+        SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_day,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT w_day, h FROM (
+        SELECT w_day, h,
+               ROW_NUMBER() OVER (PARTITION BY w_day ORDER BY h) AS rk
+        FROM v) WHERE rk <= 64"""
+
+
+@register(
+    "q_kmv_windowed",
+    _KMV_WINDOWED_SQL,
+    doc="per-day KMV distinct states (w_day, h): the batch twin of "
+    "streaming.windowed_kmv_state — the streamed operator's per-window "
+    "bottom-64 is proven bit-for-bit equal to THIS shape in "
+    "tests/test_streaming.py, so a green row here transitively pins "
+    "the streaming state under the oracle gate too; one distinct + "
+    "one day-keyed window top-k, nothing corpus-sized moves",
+)
+def q_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import kmv_state_by
+
+    ev = catalog(spark, sf_dir).events.select(
+        F.date_trunc("day", "ts").alias("w_day"), "user_id"
+    )
+    return kmv_state_by(ev, ["w_day"], "user_id")
 
 
 @register(

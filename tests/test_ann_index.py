@@ -62,6 +62,38 @@ def test_ingest_replay_is_idempotent(spark, emb, tmp_path):
     assert maintained.select("vec_id").distinct().count() == emb.count()
 
 
+def test_topk_many_exact_at_full_probe(spark, emb, tmp_path):
+    # batch top-k over the maintained index: at nprobe = C every cell
+    # is probed, so each query's result must equal the exact
+    # brute-force cosine_topk for that vector; at nprobe < C results
+    # stay <= k per query and are a subset of the probed cells
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=8)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    full = AI.ann_index_topk_many(spark, path, queries, k=10, nprobe=8)
+    got = {
+        q: [(r["vec_id"], r["cos_sim"]) for r in full.filter(F.col("qid") == q)
+            .orderBy(F.desc("cos_sim"), "vec_id").collect()]
+        for q in qids
+    }
+    for q in qids:
+        qv = list(emb.filter(F.col("vec_id") == q).head()["embedding"])
+        exact = [
+            (r["vec_id"], r["cos_sim"])
+            for r in S.cosine_topk(emb, qv, k=10).collect()
+        ]
+        assert got[q] == exact, q
+    pruned = AI.ann_index_topk_many(spark, path, queries, k=10, nprobe=2)
+    per_q = {
+        r["qid"]: r["n"]
+        for r in pruned.groupBy("qid").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_q) == set(qids) and all(n <= 10 for n in per_q.values())
+
+
 def test_stats_state_maintained_equals_rebuilt(spark, emb, tmp_path):
     # the ≤64-row KMV health state merged across build + ingest must
     # equal the state rebuilt from the stored version keys, and the

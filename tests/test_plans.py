@@ -39,6 +39,8 @@ def test_oracle_window_composition():
         "q_leakage_split_maintained",
         "q_lsh_index_stats",
         "q_kmv_merged_by",
+        "q_ann_topk_batch",
+        "q_kmv_windowed",
         # the r6-tail ROUND→FLOOR oracle rewrites, deferred to r7:
         "q_text_quality",
         "q_quality_filter",
