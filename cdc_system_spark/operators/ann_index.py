@@ -315,41 +315,60 @@ def ann_index_topk_many(
     query's ``nprobe`` best cells), then ONE equi-join on
     ``centroid_id`` lands every query on exactly its probed cells'
     assignments and a per-query window keeps the top k. Join volume is
-    queries × nprobe × avg-cell-size — never queries × corpus; all
-    arithmetic is the JVM-side rounded cosine, no Python stage.
+    queries × nprobe × avg-cell-size — never queries × corpus.
 
-    Determinism: probe cells by rounded-6 cosine with cell-id
-    tiebreak, final ranking by rounded-6 cosine with vec-id tiebreak —
-    both reproducible by the SQL oracle (``q_ann_topk_batch`` pins the
-    whole path, including the frozen first-C-by-id centroid rule and
-    the stored argmax assignment, under the driver gate).
+    The probe-selection stage is the same vectorized-numpy Arrow pass
+    the assignment side uses (``_assign_vectorized``): the C-row
+    centroid matrix rides the task closure, each query batch is one
+    matmul, top-``nprobe`` cells per query with ties to the SMALLER
+    cell id. (A DataFrame formulation needs every query joined to all
+    C centroids — a literal-key broadcast join, which Catalyst
+    constant-folds into the audit-forbidden BroadcastNestedLoopJoin;
+    and a per-query literal explode stops scaling at C=√n.) Final
+    ranking: rounded-6 cosine, vec-id tiebreak — JVM-side.
+    ``q_ann_topk_batch`` pins the whole path (frozen first-C-by-id
+    centroid rule, stored argmax assignment, probe selection, ranking)
+    under the driver's oracle gate.
     """
-    from pyspark.sql import Window
+    from pyspark.sql import Window, types as T
 
     if k < 1 or nprobe < 1:
         raise ValueError(f"k and nprobe must be >= 1, got k={k} nprobe={nprobe}")
-    centroids = spark.read.parquet(_cent_path(path))
-    q = queries.select(F.col(qid_col), F.col(qvec_col)).withColumn(
-        "_j", F.lit(1)
+    cents = _load_cents(spark, path)
+    q = queries.select(F.col(qid_col), F.col(qvec_col))
+    probe_schema = T.StructType(
+        [
+            q.schema[qid_col],
+            q.schema[qvec_col],
+            T.StructField("centroid_id", T.LongType()),
+        ]
     )
-    # broadcast equi-join on a literal key (NOT a cross join: the plan
-    # stays a BroadcastHashJoin, inside the repo's no-BNLJ audit)
-    scored_c = q.join(
-        F.broadcast(centroids.withColumn("_j", F.lit(1))), "_j"
-    ).select(
-        F.col(qid_col),
-        F.col(qvec_col),
-        F.col("cell_id"),
-        cosine(F.col(qvec_col), F.col("cvec")).alias("_cs"),
-    )
-    wp = Window.partitionBy(qid_col).orderBy(
-        F.desc("_cs"), F.asc("cell_id")
-    )
-    probe = (
-        scored_c.withColumn("_rk", F.row_number().over(wp))
-        .filter(F.col("_rk") <= nprobe)
-        .select(F.col(qid_col), F.col(qvec_col), F.col("cell_id").alias("centroid_id"))
-    )
+
+    def probe_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        srt = sorted(cents)  # cid ascending: stable argsort ties → smaller cid
+        cid_arr = np.array([cid for cid, _ in srt], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in srt])
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        take = min(nprobe, len(srt))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[qvec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            order = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :take]
+            idx = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].iloc[idx].values,
+                    qvec_col: pdf[qvec_col].iloc[idx].values,
+                    "centroid_id": cid_arr[order.ravel()],
+                }
+            )
+
+    probe = q.mapInPandas(probe_batches, probe_schema)
     _, assignments = ann_index_load(spark, path)
     scored = probe.join(assignments, "centroid_id").select(
         F.col(qid_col),

@@ -856,9 +856,9 @@ _ANN_TOPK_BATCH_SQL = f"""WITH c AS (
             SELECT q.qid, c.cid, q.qv,
                    ROW_NUMBER() OVER (
                        PARTITION BY q.qid
-                       ORDER BY ROUND({_dot_sql('q.qv', 'c.cv')}
+                       ORDER BY {_dot_sql('q.qv', 'c.cv')}
                            / (SQRT({_dot_sql('q.qv', 'q.qv')})
-                              * SQRT({_dot_sql('c.cv', 'c.cv')})), 6) DESC,
+                              * SQRT({_dot_sql('c.cv', 'c.cv')})) DESC,
                            c.cid ASC) AS rk
             FROM q, c) WHERE rk <= 2),
     cand AS (

@@ -161,6 +161,11 @@ def test_python_only_where_intended(plans):
         # vectorized numpy pass — the plan carries that Arrow branch
         # (empty at runtime in a well-maintained pipeline)
         "q_ann_probe_maintained",
+        # batch IVF probe selection is the same vectorized-numpy Arrow
+        # pass as the assignment side (literal-key DataFrame joins
+        # constant-fold into the forbidden BNLJ; literal explode stops
+        # scaling at C = sqrt(n))
+        "q_ann_topk_batch",
     }
     for name, df in plans.items():
         f = plan_features(df)
