@@ -259,6 +259,68 @@ class StreamingCorpusIngestor:
             f"{self.zone_stats_path}/b{batch_id}"
         )
 
+    def compact_zone_stats(self) -> tuple[int, int]:
+        """Fold the per-batch zone states into one base state, keeping
+        the NEWEST batch subpath out of the fold: replays only ever
+        re-deliver batches past the committed marker — i.e. the newest
+        — and a replayed batch must overwrite its own subpath, not
+        double-count against a base that already absorbed it. Returns
+        ``(folded, remaining_subpaths)``.
+
+        Run it when the subpath count is worth the rewrite (the
+        zone-map sibling of ``lsh_index_compact``'s cadence). Plain-FS
+        crash safety via a manifest, since the three steps (write fold,
+        remove folded, rename) are not atomic here (a table format's
+        REPLACE would be): the fold is written to a temp dir OUTSIDE
+        the reader glob, then a ``_FOLDED`` manifest is dropped inside
+        it, then the folded subpaths are removed and the temp renamed.
+        A crash before the manifest leaves every source intact (the
+        orphan temp is discarded on the next run); a crash after it is
+        completed by the next run (re-remove whatever of the manifest
+        still exists, rename) — either way never a double-count, never
+        a loss.
+        """
+        import glob
+        import os
+        import shutil
+
+        from cdc_system_spark.operators.maintenance import zone_merge
+
+        if self.zone_stats_path is None:
+            raise ValueError("zone_stats_path was not configured")
+        root = self.zone_stats_path
+        base = os.path.join(root, "bbase")
+        tmp = os.path.join(root, "tmp_base")  # outside the b* glob
+        man = os.path.join(tmp, "_FOLDED")  # _ prefix: parquet ignores it
+
+        def _finish() -> int:
+            folded = [d for d in open(man).read().splitlines() if d]
+            for d in folded:
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            os.remove(man)
+            os.rename(tmp, base)
+            return len(folded)
+
+        if os.path.exists(tmp):
+            if os.path.exists(man):  # crashed mid-removal: complete it
+                return _finish(), 2
+            shutil.rmtree(tmp)  # crashed mid-write: sources intact
+        subs = sorted(glob.glob(os.path.join(root, "b*")))
+        numbered = [d for d in subs if d != base]
+        if len(numbered) <= 1:
+            return 0, len(subs)
+        # keep the newest batch id out of the fold (replay target)
+        numbered.sort(key=lambda d: int(os.path.basename(d)[1:]))
+        fold = numbered[:-1] + ([base] if base in subs else [])
+        merged = zone_merge(
+            *[self.spark.read.parquet(d) for d in fold]
+        ).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(man, "w") as f:
+            f.write("\n".join(fold))
+        return _finish(), 2
+
     def corpus_zone_state(self) -> DataFrame:
         """The merged zone-map state over every batch ever admitted
         (``(zone, n_rows, v_min, v_max)``, ≤ ``zone_num_zones`` rows):

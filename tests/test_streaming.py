@@ -811,6 +811,32 @@ def test_ingestor_maintained_zone_state(spark, tmp_path):
     # the layout clusters length: a short-text predicate skips the
     # long-text zones entirely
     assert mk_ing().zone_skip_estimate(0.0, 50.0) >= 0.4
+    # compaction folds all but the NEWEST batch subpath (the replay
+    # target) into one base state; the merged state is unchanged
+    import os
+
+    folded, remaining = ing.compact_zone_stats()
+    assert (folded, remaining) == (1, 2)
+    assert merged == {
+        r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()
+    }
+    # a crashed mid-write temp (no manifest yet) is discarded on the
+    # next compact run — sources were still intact at that point
+    os.makedirs(tmp_path / "zstats" / "tmp_base", exist_ok=True)
+    b3 = [(i, "z" * 50) for i in range(300, 350)]
+    cap.capture_insert(_doc_rows(spark, b3))
+    mk_ing().run_available_now()
+    folded2, _ = ing.compact_zone_stats()  # folds prior batch + base
+    assert folded2 == 2
+    whole3 = zone_state(
+        _doc_rows(spark, b1 + b2 + b3).select(
+            "doc_id", F.length("text").alias("_len")
+        ),
+        "doc_id", "_len", 0, 1023, num_zones=8,
+    )
+    assert {r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()} == {
+        r["zone"]: tuple(r) for r in whole3.collect()
+    }
     import pytest as _pytest
 
     nozone = StreamingCorpusIngestor(
