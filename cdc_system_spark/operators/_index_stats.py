@@ -15,6 +15,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_path_not_found(exc: Exception) -> bool:
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
 def write_stats_state(state: DataFrame, stats_path: str) -> None:
     """Persist a stats state, materializing first: the merge plan reads
     the very file the write replaces (the SnapshotTable self-overwrite
@@ -22,18 +26,61 @@ def write_stats_state(state: DataFrame, stats_path: str) -> None:
     state.localCheckpoint(eager=True).write.mode("overwrite").parquet(stats_path)
 
 
+def mark_compacted(
+    spark: SparkSession, marker_path: str, compacted: bool = True
+) -> None:
+    """Persist the one-row marker a compaction drops next to the stats
+    state: after a compaction has reclaimed stale versions, the
+    bootstrap rebuild (a scan of currently-STORED version keys) is no
+    longer the exact "ever indexed" state — the marker makes a
+    stats-less read RAISE instead of silently rebuilding a smaller,
+    live-only state (the r7 advisor's finding). A full index REBUILD
+    clears it (``compacted=False``): rebuild rewrites the stats to
+    exactly the stored set, so the bootstrap is exact again until the
+    next compaction. Written via parquet so the module stays
+    FS-agnostic like every other index artifact."""
+    from pyspark.sql import functions as F
+
+    spark.range(1).select(F.lit(compacted).alias("compacted")).write.mode(
+        "overwrite"
+    ).parquet(marker_path)
+
+
 def read_stats_state(
-    spark: SparkSession, stats_path: str, bootstrap: Callable[[], DataFrame]
+    spark: SparkSession,
+    stats_path: str,
+    bootstrap: Callable[[], DataFrame],
+    compacted_marker: str | None = None,
 ) -> DataFrame:
     """The maintained state, or — ONLY when the path does not exist yet
     (a pre-stats index) — the exact rebuild from ``bootstrap()``. Any
     other read failure (transient FS error, corrupt footer) raises: it
-    must never silently reset a maintained artifact."""
+    must never silently reset a maintained artifact. When
+    ``compacted_marker`` exists and the stats are missing, raises too:
+    the rebuild would scan only the post-compaction survivors and
+    silently demote EVER semantics to live-only."""
     from pyspark.errors import AnalysisException
 
     try:
         return spark.read.parquet(stats_path)
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+        if not _is_path_not_found(exc):
             raise
-        return bootstrap()
+    if compacted_marker is not None:
+        try:
+            marker = spark.read.parquet(compacted_marker)
+        except AnalysisException as exc:
+            if not _is_path_not_found(exc):
+                raise
+            marker = None
+        if marker is not None and marker.filter("compacted").head() is not None:
+            raise ValueError(
+                f"stats state missing at {stats_path!r} but the index "
+                "has been compacted since it was written: the bootstrap "
+                "rebuild scans only currently-stored version keys, so "
+                "it would silently lose the 'ever indexed' history. "
+                "Restore the stats state from a backup, or explicitly "
+                "accept live-only semantics by deleting the marker at "
+                f"{compacted_marker!r} before re-reading."
+            )
+    return bootstrap()

@@ -71,6 +71,10 @@ def _stats_path(path: str) -> str:
     return f"{path}/stats"
 
 
+def _compact_marker_path(path: str) -> str:
+    return f"{path}/stats_compact_marker"
+
+
 def _write_stats_state(state, path: str) -> None:
     from cdc_system_spark.operators._index_stats import write_stats_state
 
@@ -80,7 +84,10 @@ def _write_stats_state(state, path: str) -> None:
 def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
     """The maintained KMV stats state, bootstrapping a pre-stats index
     by one key-column scan of the stored assignments (exact rebuild —
-    a KMV state is a pure function of the version-key set)."""
+    a KMV state is a pure function of the version-key set — but exact
+    only BEFORE any compaction has dropped stale versions; the
+    compaction marker makes a post-compact bootstrap raise instead of
+    silently shrinking)."""
     from cdc_system_spark.operators._index_stats import read_stats_state
     from cdc_system_spark.operators.sketch import kmv_state
 
@@ -90,6 +97,7 @@ def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
         lambda: kmv_state(
             spark.read.parquet(_asg_path(path)).select("_vkey"), "_vkey"
         ),
+        compacted_marker=_compact_marker_path(path),
     )
 
 
@@ -173,6 +181,11 @@ def ann_index_build(
 
     stored = spark.read.parquet(_asg_path(path))
     _write_stats_state(kmv_state(stored.select("_vkey"), "_vkey"), path)
+    # a rebuild resets the stats to exactly the stored set — the
+    # bootstrap is exact again, so clear any pre-rebuild compact marker
+    from cdc_system_spark.operators._index_stats import mark_compacted
+
+    mark_compacted(spark, _compact_marker_path(path), compacted=False)
     return stored.count()
 
 
@@ -451,4 +464,9 @@ def ann_index_compact(
         # files and bricks every later read — write the empty frame
         # unpartitioned (centroid_id stays as a data column) instead
         kept_rows.write.mode("overwrite").parquet(_asg_path(path))
+    # from here the stored keys are no longer the EVER set: a stats
+    # bootstrap must raise rather than silently demote to live-only
+    from cdc_system_spark.operators._index_stats import mark_compacted
+
+    mark_compacted(spark, _compact_marker_path(path))
     return kept, total - kept

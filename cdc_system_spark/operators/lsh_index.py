@@ -88,6 +88,10 @@ def _stats_path(path: str) -> str:
     return f"{path}/stats"
 
 
+def _compact_marker_path(path: str) -> str:
+    return f"{path}/stats_compact_marker"
+
+
 def _write_stats_state(state: DataFrame, path: str) -> None:
     from cdc_system_spark.operators._index_stats import write_stats_state
 
@@ -169,6 +173,11 @@ def lsh_index_build(
         stored, "_vkey", num_perms, rows_per_band, extra_cols=(id_col,)
     ).write.mode("overwrite").parquet(_band_path(path))
     _write_stats_state(kmv_state(stored.select("_vkey"), "_vkey"), path)
+    # a rebuild resets the stats to exactly the stored set — the
+    # bootstrap is exact again, so clear any pre-rebuild compact marker
+    from cdc_system_spark.operators._index_stats import mark_compacted
+
+    mark_compacted(spark, _compact_marker_path(path), compacted=False)
     return stored.count()
 
 
@@ -319,7 +328,9 @@ def lsh_index_probe_tables(
 def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
     """The maintained KMV stats state, bootstrapping a pre-stats index
     by one full scan of the stored version keys (exact rebuild — KMV
-    state of X is a pure function of X)."""
+    state of X is a pure function of X — but exact only BEFORE any
+    compaction has dropped stale versions; the compaction marker makes
+    a post-compact bootstrap raise instead of silently shrinking)."""
     from cdc_system_spark.operators._index_stats import read_stats_state
 
     return read_stats_state(
@@ -328,6 +339,7 @@ def _read_stats_state(spark: SparkSession, path: str) -> DataFrame:
         lambda: kmv_state(
             spark.read.parquet(_sig_path(path)).select("_vkey"), "_vkey"
         ),
+        compacted_marker=_compact_marker_path(path),
     )
 
 
@@ -356,7 +368,11 @@ def lsh_index_stats(spark: SparkSession, path: str) -> DataFrame:
     of the state (the same window ``stats_path`` documents — harmless
     for a health metric; deleting ``{path}/stats`` forces the one-scan
     exact rebuild on next read, since a KMV state is a pure function of
-    the version-key set).
+    the version-key set — exact, though, only while no compaction has
+    dropped stale versions: after ``lsh_index_compact`` a persisted
+    marker makes a stats-less read raise instead of silently rebuilding
+    a smaller live-only state, and a full ``lsh_index_build`` rebuild
+    clears the marker along with rewriting the stats).
     """
     return kmv_estimate(_read_stats_state(spark, path))
 
@@ -464,4 +480,9 @@ def lsh_index_compact(
     kept = kept_sigs.count()
     kept_sigs.write.mode("overwrite").parquet(_sig_path(path))
     kept_bands.write.mode("overwrite").parquet(_band_path(path))
+    # from here the stored keys are no longer the EVER set: a stats
+    # bootstrap must raise rather than silently demote to live-only
+    from cdc_system_spark.operators._index_stats import mark_compacted
+
+    mark_compacted(spark, _compact_marker_path(path))
     return kept, total - kept

@@ -158,18 +158,78 @@ def enrich_with_dim(
 
 
 def _interval_ms(s: str) -> int:
-    """Parse the simple ``"N unit"`` interval strings this module
-    accepts (seconds/minutes/hours/days) to milliseconds — enough to
-    place a window's end on the event-time axis for state eviction."""
-    n, unit = s.strip().split()
-    # lower() BEFORE rstrip: "HOURS".rstrip("s") keeps its capital S
+    """Parse the interval strings Spark's ``window()`` /
+    ``withWatermark`` accept — one or MORE ``"N unit"`` parts
+    (``"1 hour"``, ``"1 hour 30 minutes"``, ``"2 weeks"``) — to
+    milliseconds, enough to place a window's end on the event-time
+    axis for state eviction. Anything else raises a ValueError naming
+    the supported grammar (pre-r8 this parsed only single-part
+    strings, so compound intervals Spark itself accepts crashed the
+    plan build — the r7 advisor's finding)."""
     mult = {
+        "millisecond": 1,
         "second": 1_000,
         "minute": 60_000,
         "hour": 3_600_000,
         "day": 86_400_000,
-    }[unit.lower().rstrip("s")]
-    return int(n) * mult
+        "week": 604_800_000,
+    }
+    # lower() BEFORE rstrip: "HOURS".rstrip("s") keeps its capital S
+    toks = s.strip().lower().split()
+    err = ValueError(
+        f"unsupported interval {s!r}: expected one or more 'N unit' "
+        f"parts with unit in {sorted(mult)} (plural accepted), "
+        "e.g. '1 hour 30 minutes'"
+    )
+    if not toks or len(toks) % 2:
+        raise err
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        u = unit.rstrip("s")
+        if u not in mult or not n.lstrip("-").isdigit() or int(n) < 0:
+            raise err
+        total += int(n) * mult[u]
+    return total
+
+
+def _require_arrow_resolvable_tz(tz: str) -> None:
+    """Fail fast when the session zone would crash Spark's Arrow
+    serializer mid-stream. Spark itself accepts offset forms like
+    ``'GMT+08:00'`` / ``'UTC+2'`` for ``spark.sql.session.timeZone``,
+    but the Python worker localizes every timestamp column crossing an
+    Arrow stage via pytz/ZoneInfo, which reject those forms — so a
+    stateful query that carries its watermark column (the analyzer
+    requires it in the stateful input) would die inside a task with a
+    bare ``UnknownTimeZoneError``. Raise at plan build instead, naming
+    the IANA equivalent. Bare ``±HH:MM`` offsets are exempt — pyarrow
+    parses those natively."""
+    import re
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        ZoneInfo(tz)
+        return
+    except Exception:
+        pass
+    if re.fullmatch(r"[+-]\d{2}:\d{2}", tz.strip()):
+        return  # pyarrow's own offset grammar
+    m = re.fullmatch(r"(?:GMT|UTC)([+-])(\d{1,2})(?::?(\d{2}))?", tz.strip())
+    hint = ""
+    if m and m.group(3) in (None, "00"):
+        inv = "-" if m.group(1) == "+" else "+"
+        hint = (
+            f"; e.g. set spark.sql.session.timeZone to "
+            f"'Etc/GMT{inv}{int(m.group(2))}' (IANA Etc zones invert "
+            f"the sign) or to the bare offset '{m.group(1)}"
+            f"{int(m.group(2)):02d}:{m.group(3) or '00'}'"
+        )
+    raise ValueError(
+        f"session timeZone {tz!r} is not resolvable by the Arrow "
+        "serializer (pytz/ZoneInfo): timestamp columns crossing the "
+        "stateful Arrow stage would crash at runtime — use an IANA "
+        "zone or a bare ±HH:MM offset" + hint
+    )
 
 
 def windowed_kmv_state(
@@ -189,7 +249,18 @@ def windowed_kmv_state(
     share this hour? ``kmv_merge`` across shards), because bottom-k
     over a hash set is a uniform sample that supports intersection.
 
-    Built on ``applyInPandasWithState`` keyed by window start — bottom-k
+    Built on ``applyInPandasWithState`` keyed by the window start's
+    JVM-computed ``unix_millis`` (the output timestamp is restored
+    JVM-side AFTER the stateful operator): the Python side never
+    re-derives epoch ms from a session-tz-naive datetime, so the
+    eviction math is timezone-independent by construction. The
+    watermark column itself must still cross the Arrow stage (the
+    analyzer requires it in the stateful input), and Spark's Arrow
+    serializer cannot localize timestamps under the offset-form zones
+    Spark otherwise accepts (``'GMT+08:00'``, ``'UTC+2'``) — that
+    engine-wide limit is converted into a clear plan-build error with
+    the IANA equivalent (:func:`_require_arrow_resolvable_tz`) instead
+    of a mid-stream task crash — bottom-k
     is order-sensitive, so unlike HLL's per-bucket max it is not
     expressible as a bounded built-in aggregation; the state store
     holds exactly the ≤ k smallest hashes per open window (sorted
@@ -223,17 +294,12 @@ def windowed_kmv_state(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     win_ms = _interval_ms(window)
-    # the grouped key arrives as a SESSION-TZ-NAIVE datetime; naive
-    # .timestamp() would read it in the OS zone, shifting every window
-    # end by the tz offset (silently early finalization + on-time rows
-    # classified as stragglers) — so capture the session zone here and
-    # localize explicitly before going to epoch ms
-    session_tz = events.sparkSession.conf.get(
-        "spark.sql.session.timeZone", "UTC"
+    _require_arrow_resolvable_tz(
+        events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     )
     out_schema = T.StructType(
         [
-            T.StructField("w_start", T.TimestampType()),
+            T.StructField("w_start_ms", T.LongType()),
             T.StructField("h", T.LongType()),
             T.StructField("emit_seq", T.LongType()),
             T.StructField("final", T.BooleanType()),
@@ -256,7 +322,9 @@ def windowed_kmv_state(
         def emit(hs: list[int], seq: int, final: bool) -> pd.DataFrame:
             return pd.DataFrame(
                 {
-                    "w_start": pd.Series([key[0]] * len(hs)),
+                    "w_start_ms": pd.Series(
+                        [int(key[0])] * len(hs), dtype="int64"
+                    ),
                     "h": pd.Series(hs, dtype="int64"),
                     "emit_seq": pd.Series([seq] * len(hs), dtype="int64"),
                     "final": [final] * len(hs),
@@ -269,12 +337,8 @@ def windowed_kmv_state(
             yield emit(list(hs), seq + 1, True)
             return
 
-        from zoneinfo import ZoneInfo
-
-        w_start_ms = int(
-            key[0].replace(tzinfo=ZoneInfo(session_tz)).timestamp() * 1000
-        )
-        win_end = w_start_ms + win_ms
+        # the key IS the epoch ms, computed JVM-side — no tz round-trip
+        win_end = int(key[0]) + win_ms
         wm = state.getCurrentWatermarkMs()
         if not state.exists and wm > win_end:
             # stragglers for a window already finalized and evicted
@@ -306,10 +370,19 @@ def windowed_kmv_state(
         .select(
             F.window(ts_col, window).alias("w"), h.alias("h"), F.col(ts_col)
         )
-        .select(F.col("w.start").alias("w_start"), "h", ts_col)
+        # ts_col stays ONLY because the analyzer requires the
+        # watermark-tagged attribute in the stateful input; the key and
+        # the Python-side math are the epoch-ms long
+        .select(F.unix_millis(F.col("w.start")).alias("w_start_ms"), "h", ts_col)
     )
-    return keyed.groupBy("w_start").applyInPandasWithState(
+    state = keyed.groupBy("w_start_ms").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+    )
+    return state.select(
+        F.timestamp_millis(F.col("w_start_ms")).alias("w_start"),
+        "h",
+        "emit_seq",
+        "final",
     )
 
 

@@ -273,11 +273,16 @@ class StreamingCorpusIngestor:
         remove folded, rename) are not atomic here (a table format's
         REPLACE would be): the fold is written to a temp dir OUTSIDE
         the reader glob, then a ``_FOLDED`` manifest is dropped inside
-        it, then the folded subpaths are removed and the temp renamed.
-        A crash before the manifest leaves every source intact (the
-        orphan temp is discarded on the next run); a crash after it is
-        completed by the next run (re-remove whatever of the manifest
-        still exists, rename) — either way never a double-count, never
+        it, then the folded subpaths are removed, the temp is renamed
+        into place WITH the manifest still inside (parquet readers
+        ignore ``_``-prefixed files), and the manifest is deleted LAST.
+        That ordering means tmp is never simultaneously the only
+        surviving copy and manifest-less: a crash before the manifest
+        leaves every source intact (the orphan temp is discarded on the
+        next run); a crash mid-removal or pre-rename is completed by
+        the next run (re-remove what remains of the manifest list,
+        rename); a crash after the rename leaves only a stale in-base
+        manifest, swept on the next call — never a double-count, never
         a loss.
         """
         import glob
@@ -298,10 +303,18 @@ class StreamingCorpusIngestor:
             for d in folded:
                 if os.path.exists(d):
                     shutil.rmtree(d)
-            os.remove(man)
+            # manifest rides inside the rename (readers ignore _*) and
+            # is deleted last — a manifest-less tmp therefore ALWAYS
+            # means "crashed mid-write, sources intact", never "only
+            # surviving copy" (the pre-r8 remove-then-rename ordering
+            # had exactly that loss window)
             os.rename(tmp, base)
+            os.remove(os.path.join(base, "_FOLDED"))
             return len(folded)
 
+        stale_man = os.path.join(base, "_FOLDED")
+        if os.path.exists(stale_man):  # crashed after rename: sweep
+            os.remove(stale_man)
         if os.path.exists(tmp):
             if os.path.exists(man):  # crashed mid-removal: complete it
                 return _finish(), 2

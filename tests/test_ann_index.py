@@ -115,6 +115,18 @@ def test_stats_state_maintained_equals_rebuilt(spark, emb, tmp_path):
     # idempotent set union)
     AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
     assert key(AI.ann_index_stats_state(spark, path)) == key(rebuilt)
+    # post-compaction a stats-less read raises instead of silently
+    # rebuilding live-only (r7 advisor finding — the LSH twin test
+    # covers the rebuild-clears-marker half)
+    import shutil
+
+    import pytest as _pytest
+
+    AI.ann_index_compact(spark, path, emb.filter("vec_id % 3 <> 0"))
+    assert key(AI.ann_index_stats_state(spark, path)) == key(rebuilt)
+    shutil.rmtree(tmp_path / "idx" / "stats")
+    with _pytest.raises(ValueError, match="ever indexed"):
+        AI.ann_index_stats_state(spark, path)
 
 
 def test_semantic_dedup_accepts_maintained_assignment(spark, emb, tmp_path):

@@ -182,6 +182,21 @@ def test_stats_state_maintained_equals_rebuilt(spark, docs, tmp_path):
     # state is history, not storage — unchanged
     LI.lsh_index_compact(spark, path, docs.filter("doc_id % 3 = 0"))
     assert _rows(LI.lsh_index_stats_state(spark, path)) == _rows(rebuilt)
+    # a stats-less read AFTER compaction must raise, not silently
+    # rebuild a smaller live-only state from the survivors (the r7
+    # advisor finding: 'ever' history is unrecoverable post-compact)
+    import shutil
+
+    import pytest as _pytest
+
+    shutil.rmtree(tmp_path / "idx" / "stats")
+    with _pytest.raises(ValueError, match="ever indexed"):
+        LI.lsh_index_stats_state(spark, path)
+    # a full REBUILD rewrites the stats to exactly the stored set and
+    # clears the marker: the bootstrap is exact again
+    LI.lsh_index_build(docs, path)
+    shutil.rmtree(tmp_path / "idx" / "stats")
+    assert _rows(LI.lsh_index_stats_state(spark, path)) == _rows(rebuilt)
 
 
 def test_neardup_ingest_accepts_maintained_corpus(spark, docs, tmp_path):

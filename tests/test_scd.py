@@ -78,6 +78,8 @@ def test_asof_lookup_returns_version_valid_at_ts(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.hyp_budget import examples
+
 
 @st.composite
 def change_log_case(draw):
@@ -99,7 +101,7 @@ def change_log_case(draw):
 
 @given(change_log_case())
 @settings(
-    max_examples=12,
+    max_examples=examples(12, 20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -145,7 +147,7 @@ def split_log_case(draw):
 
 @given(split_log_case())
 @settings(
-    max_examples=10,
+    max_examples=examples(10, 15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

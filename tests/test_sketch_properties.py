@@ -14,6 +14,8 @@ from collections import Counter
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.hyp_budget import examples
+
 from cdc_system_spark.operators.sketch import countmin_estimates
 
 _WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
@@ -22,7 +24,7 @@ _DOC = st.lists(_WORD, min_size=0, max_size=25).map(" ".join)
 
 @given(st.lists(_DOC, min_size=1, max_size=12))
 @settings(
-    max_examples=6,
+    max_examples=examples(6, 10),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -45,7 +47,7 @@ _VALS = st.lists(
 
 @given(_VALS)
 @settings(
-    max_examples=6,
+    max_examples=examples(6, 10),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -66,7 +68,7 @@ def test_quantile_sketch_bracket_holds_for_every_input(spark, vals):
 
 @given(_VALS, st.integers(min_value=1, max_value=7))
 @settings(
-    max_examples=6,
+    max_examples=examples(6, 10),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -88,7 +90,7 @@ def test_equidepth_from_counts_equals_ntile_for_every_input(spark, vals, k):
     st.sets(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30),
 )
 @settings(
-    max_examples=6,
+    max_examples=examples(6, 10),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

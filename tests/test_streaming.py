@@ -837,6 +837,52 @@ def test_ingestor_maintained_zone_state(spark, tmp_path):
     assert {r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()} == {
         r["zone"]: tuple(r) for r in whole3.collect()
     }
+    # crash mid-_finish — folded sources already removed, tmp (the only
+    # surviving copy) still holds the manifest: recovery must COMPLETE
+    # the fold. Pre-r8 the manifest was deleted BEFORE the rename, so a
+    # crash in that window left a manifest-less tmp that the next run
+    # discarded as "crashed mid-write" — permanently losing the folded
+    # history (the r7 advisor's medium finding).
+    import glob
+    import shutil
+
+    from cdc_system_spark.operators.maintenance import zone_merge
+
+    b4 = [(i, "w" * 120) for i in range(400, 450)]
+    cap.capture_insert(_doc_rows(spark, b4))
+    mk_ing().run_available_now()
+    zroot = str(tmp_path / "zstats")
+    subs = sorted(glob.glob(os.path.join(zroot, "b*")))
+    numbered = [d for d in subs if not d.endswith("bbase")]
+    numbered.sort(key=lambda d: int(os.path.basename(d)[1:]))
+    fold = numbered[:-1] + [os.path.join(zroot, "bbase")]
+    zone_merge(*[spark.read.parquet(d) for d in fold]).localCheckpoint(
+        eager=True
+    ).write.mode("overwrite").parquet(os.path.join(zroot, "tmp_base"))
+    with open(os.path.join(zroot, "tmp_base", "_FOLDED"), "w") as f:
+        f.write("\n".join(fold))
+    for d in fold:  # the crash point: sources gone, tmp not yet renamed
+        shutil.rmtree(d)
+    folded3, _ = mk_ing().compact_zone_stats()
+    assert folded3 == len(fold)
+    whole4 = zone_state(
+        _doc_rows(spark, b1 + b2 + b3 + b4).select(
+            "doc_id", F.length("text").alias("_len")
+        ),
+        "doc_id", "_len", 0, 1023, num_zones=8,
+    )
+    assert {r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()} == {
+        r["zone"]: tuple(r) for r in whole4.collect()
+    }
+    # crash after the rename, before the in-base manifest cleanup: the
+    # stale _FOLDED is invisible to readers and swept by the next call
+    stale = os.path.join(zroot, "bbase", "_FOLDED")
+    open(stale, "w").write("")
+    assert {r["zone"]: tuple(r) for r in mk_ing().corpus_zone_state().collect()} == {
+        r["zone"]: tuple(r) for r in whole4.collect()
+    }
+    mk_ing().compact_zone_stats()
+    assert not os.path.exists(stale)
     import pytest as _pytest
 
     nozone = StreamingCorpusIngestor(
@@ -896,6 +942,78 @@ def test_streaming_windowed_kmv_matches_batch_state(spark, tmp_path):
         ).select(F.col("user_id").cast("string").alias("u"))
         batch = sorted(r["h"] for r in kmv_state(day_rows, "u").collect())
         assert streamed == batch, day
+
+
+def test_interval_ms_compound_and_errors():
+    # Spark's window()/withWatermark accept compound intervals and
+    # 'week'; _interval_ms must parse everything it forwards to them
+    # (pre-r8 it crashed on compound forms — r7 advisor finding)
+    import pytest as _pytest
+
+    from cdc_system_spark.streaming.aggregations import _interval_ms
+
+    assert _interval_ms("1 hour") == 3_600_000
+    assert _interval_ms("1 hour 30 minutes") == 5_400_000
+    assert _interval_ms("2 weeks") == 14 * 86_400_000
+    assert _interval_ms("1 day 2 hours 3 seconds") == 93_603_000
+    assert _interval_ms("500 milliseconds") == 500
+    assert _interval_ms("  3 HOURS ") == 10_800_000
+    for bad in ("", "hour", "1", "1 fortnight", "-1 hour", "1 hour 30"):
+        with _pytest.raises(ValueError, match="unsupported interval"):
+            _interval_ms(bad)
+
+
+def test_streaming_windowed_kmv_offset_timezone(spark, tmp_path):
+    # session.timeZone also accepts offset forms pytz/ZoneInfo cannot
+    # resolve ('GMT+08:00'); Spark's Arrow serializer localizes every
+    # timestamp column crossing into pandas through that lookup, so a
+    # stateful query under such a zone dies mid-task with a bare
+    # UnknownTimeZoneError (pre-r8 our own state fn ALSO re-derived
+    # epoch via ZoneInfo(session_tz) — r7 advisor finding; the epoch
+    # math is now JVM-side via a unix_millis key, and the engine-wide
+    # Arrow limit is converted into a clear plan-build error naming
+    # the IANA equivalent)
+    from zoneinfo import ZoneInfo
+
+    import pytest as _pytest
+
+    from cdc_system_spark.streaming.aggregations import (
+        _require_arrow_resolvable_tz,
+        windowed_kmv_state,
+    )
+
+    with _pytest.raises(Exception):
+        ZoneInfo("GMT+08:00")  # the exact failure mode being guarded
+
+    # the guard's grammar: IANA and bare pyarrow offsets pass,
+    # GMT/UTC-prefixed offset forms fail with an actionable hint
+    for ok in ("UTC", "America/New_York", "Etc/GMT-8", "+08:00", "-05:30"):
+        _require_arrow_resolvable_tz(ok)
+    with _pytest.raises(ValueError, match="Etc/GMT-8"):
+        _require_arrow_resolvable_tz("GMT+08:00")
+    with _pytest.raises(ValueError, match="Etc/GMT\\+2"):
+        _require_arrow_resolvable_tz("UTC-2")
+    with _pytest.raises(ValueError, match="IANA"):
+        _require_arrow_resolvable_tz("GMT+05:30")  # no Etc equivalent
+
+    schema = "ts timestamp, user_id long"
+    spark.createDataFrame(
+        [(__import__("datetime").datetime(2024, 1, 1), 1)], schema
+    ).write.parquet(str(tmp_path / "ev"))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "GMT+08:00")
+    try:
+        stream = spark.readStream.schema(schema).parquet(str(tmp_path / "ev"))
+        with _pytest.raises(ValueError, match="Etc/GMT-8"):
+            windowed_kmv_state(stream, "user_id", window="1 day")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    # and under a resolvable zone the plan builds (smoke, not started)
+    windowed_kmv_state(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "ev")),
+        "user_id",
+        window="1 day",
+    )
 
 
 def test_streaming_windowed_kmv_finalize_and_drop_stragglers(spark, tmp_path):
