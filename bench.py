@@ -9,7 +9,12 @@ BENCH_r05.json came back unparseable):
   regression flags vs the last committed BENCH_LOCAL_r*.json) is
   WRITTEN to $SPARK_GRAFT_BENCH_OUT (default ``BENCH_FULL.json`` in the
   repo root) and also printed on its own stdout line ABOVE the final
-  line, for humans and committed-artifact diffing;
+  line, for humans and committed-artifact diffing. Every flag carries
+  a machine-readable ``adjudication`` ("confirmed-regression" when the
+  median exceeds the 1.3x gate too, "box-drift" when the median
+  contradicts the min), and the record carries the git heads plus the
+  source files changed since the baseline's commit — a stranger can
+  adjudicate a flag from the artifact alone (r7 verdict task 1);
 - the LAST stdout line — the only thing the driver parses — is a
   compact JSON guaranteed < 1800 chars: ``{"metric", "value" (= total
   of per-query minima), "unit", "queries" (per-query minima only, 2
@@ -110,6 +115,12 @@ HEADLINE = [
     # round-6 addition: containment-aware leakage-safe split (pair
     # gen -> connected components -> group-keyed assignment)
     "q_leakage_split_containment",
+    # round-8 additions (r7 verdict task 3): the MAINTAINED-index forms
+    # next to their from-scratch twins — the headline should time the
+    # plan you'd run at 100x, not only the inline recompute
+    "q_leakage_split_maintained",
+    "q_ann_topk_batch",
+    "q_kmv_windowed",
 ]
 
 
@@ -118,9 +129,9 @@ HEADLINE = [
 _LINE_CAP = 1800
 
 
-def _load_prev_mins() -> tuple[str | None, dict[str, float]]:
-    """Per-query minima from the LATEST committed BENCH_LOCAL_r*.json —
-    the regression-gate baseline (driver BENCH_r* files are a different
+def _load_prev() -> tuple[str | None, dict]:
+    """The LATEST committed BENCH_LOCAL_r*.json record — the
+    regression-gate baseline (driver BENCH_r* files are a different
     machine; the committed locals are same-box controlled runs)."""
     import glob
     import re
@@ -135,13 +146,24 @@ def _load_prev_mins() -> tuple[str | None, dict[str, float]]:
         return None, {}
     try:
         with open(best[1]) as f:
-            rec = json.load(f)
-        prev = dict(rec.get("queries", {}))
-        # maintenance section (present from r7 on) shares the gate
-        prev.update(rec.get("maintenance", {}))
-        return os.path.basename(best[1]), prev
+            return os.path.basename(best[1]), json.load(f)
     except (OSError, ValueError):
         return None, {}
+
+
+def _git(*args: str) -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", *args],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=30,
+        ).stdout.strip()
+    except Exception:
+        return ""
 
 
 def _compact_line(total: float, timings: dict[str, float],
@@ -290,18 +312,61 @@ def main() -> None:
 
     # machine-checkable regression gate vs the last committed
     # same-box record: new min > 1.3x old min -> flagged (headline
-    # queries and maintenance actions alike)
-    prev_name, prev_mins = _load_prev_mins()
+    # queries and maintenance actions alike). Each flag ALSO carries a
+    # machine-readable adjudication (the r7 verdict's task 1: the r7
+    # driver artifact shipped 3 flags a stranger could not tell apart
+    # from real regressions without reading the bench notes):
+    #   "confirmed-regression" — the MEDIAN exceeds 1.3x too. Minima
+    #     dodge transient load; a min AND median both out is code.
+    #   "box-drift" — the median contradicts the min (or no baseline
+    #     median exists): the signature of a loaded box, not code.
+    # plus the changed-source evidence: files under cdc_system_spark/
+    # touched since the baseline record's commit.
+    prev_name, prev_rec = _load_prev()
+    prev_mins = dict(prev_rec.get("queries", {}))
+    prev_mins.update(prev_rec.get("maintenance", {}))
+    prev_meds = dict(prev_rec.get("queries_median", {}))
+    prev_meds.update(prev_rec.get("maintenance_median", {}))
     gated = dict(timings)
     gated.update(maint_mins)
-    flagged = {
-        name: {"min": gated[name], "prev_min": prev_mins[name],
-               "ratio": round(gated[name] / prev_mins[name], 2)}
-        for name in gated
-        if name in prev_mins
-        and prev_mins[name] > 0
-        and gated[name] > 1.3 * prev_mins[name]
-    }
+    meds_all = dict(medians)
+    meds_all.update(maint_meds)
+    # the baseline commit: recorded in the baseline from r8 on; for
+    # older baselines, the commit that last touched the baseline file
+    baseline_head = prev_rec.get("git_head") or (
+        _git("log", "-1", "--format=%H", "--", prev_name) if prev_name else ""
+    )
+    changed_src = (
+        _git(
+            "diff", "--name-only", baseline_head, "HEAD", "--",
+            "cdc_system_spark", "__spark_entry__.py",
+        ).splitlines()
+        if baseline_head
+        else None
+    )
+    flagged = {}
+    for name in gated:
+        if name not in prev_mins or prev_mins[name] <= 0:
+            continue
+        if gated[name] <= 1.3 * prev_mins[name]:
+            continue
+        med, pmed = meds_all.get(name), prev_meds.get(name)
+        med_ratio = (
+            round(med / pmed, 2) if med and pmed and pmed > 0 else None
+        )
+        flagged[name] = {
+            "min": gated[name],
+            "prev_min": prev_mins[name],
+            "ratio": round(gated[name] / prev_mins[name], 2),
+            "median": med,
+            "prev_median": pmed,
+            "median_ratio": med_ratio,
+            "adjudication": (
+                "confirmed-regression"
+                if med_ratio is not None and med_ratio > 1.3
+                else "box-drift"
+            ),
+        }
 
     full = {
         "metric": "headline_queries_total",
@@ -314,6 +379,11 @@ def main() -> None:
         "maintenance_median": maint_meds,
         "sf": float(sf),
         "regression_baseline": prev_name,
+        "git_head": _git("rev-parse", "HEAD") or None,
+        "baseline_git_head": baseline_head or None,
+        "source_files_changed_since_baseline": (
+            changed_src[:50] if changed_src is not None else None
+        ),
         "flagged_regressions": flagged,
     }
     out_path = os.environ.get(

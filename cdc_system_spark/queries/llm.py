@@ -1911,7 +1911,7 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- kNN label-noise screening ------------------------------------------------
 _LABEL_NOISE_SQL = f"""WITH c AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        WHERE vec_id IN (0, 1, 2, 3)),
+        WHERE vec_id IN ({", ".join(str(i) for i in range(16))})),
     assign_scored AS (
         SELECT e.vec_id, c.cid, {_cos_sql('e.embedding', 'c.cv')} AS cs
         FROM embeddings e, c),
@@ -1960,13 +1960,18 @@ _LABEL_NOISE_SQL = f"""WITH c AS (
     "style): 5 nearest cosine neighbors within the vector's nearest-"
     "centroid cell vote with their labels; own-label majority loss "
     "flags the row suspect — cell-bounded self-join, top-k window "
-    "prune, deterministic rounded-cos + id tiebreaks throughout",
+    "prune, deterministic rounded-cos + id tiebreaks throughout. "
+    "Registered form pins C=16 literal centroids (r8, up from the "
+    "r4-era 4): still DuckDB-exact, but O(n²/16) pair work — the "
+    "registered plan is no longer the repo's most expensive; the "
+    "production default remains corpus-scaled C=sqrt(n) "
+    "(q_knn_label_noise_auto)",
 )
 def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # literal 4-cell form (see q_semantic_dedup); production
+    # literal 16-cell form (see q_semantic_dedup); production
     # default is corpus-scaled C
     return S.knn_label_noise(
-        catalog(spark, sf_dir).embeddings, k=5, centroid_ids=(0, 1, 2, 3)
+        catalog(spark, sf_dir).embeddings, k=5, centroid_ids=tuple(range(16))
     )
 
 
