@@ -591,6 +591,176 @@ def neardup_ingest_report(
     )
 
 
+def containment_ingest(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    shingle_k: int = 7,
+    num_perms: int = 16,
+    max_bucket: int = 1000,
+    allow_same_id: bool = False,
+    within_batch: bool = True,
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Admit only incoming docs that are NOT (estimated) CONTAINED in
+    an existing corpus doc — the asymmetric companion to
+    :func:`neardup_ingest`. Jaccard admission misses exactly the
+    quoted-subset case (a document pasted inside a much longer corpus
+    page has tiny Jaccard — the union is the big page — but
+    containment ≈ 1, Broder SEQUENCES '97); this gate rejects an
+    incoming doc when ``est_containment >= threshold`` against a
+    corpus doc whose shingle set is AT LEAST as large (``n_sh_batch <=
+    n_sh_corpus``): the batch doc is the subset, the corpus copy is
+    the superset that keeps the quote's context. A batch doc that
+    CONTAINS a smaller corpus doc is admitted — it brings new content;
+    reclaiming the now-redundant corpus subset is a
+    :func:`~cdc_system_spark.operators.dedup.drop_contained`
+    compaction, not an admission decision (admission must never mutate
+    corpus rows it did not receive a change for).
+
+    Same integer-exact estimate as
+    :func:`~cdc_system_spark.operators.dedup.containment_pairs`
+    (``m·(n1+n2) / ((P+m)·min(n1,n2))``), same 1-row-band geometry
+    (a contained pair's Jaccard is small by construction — the
+    symmetric 4-row bands would filter out exactly the pairs this gate
+    exists to catch), batch×corpus candidates only.
+
+    ``within_batch=True`` additionally drops quoted-subset pairs
+    ARRIVING TOGETHER (neither side in the corpus yet): among
+    corpus-surviving batch docs, each qualifying pair drops its
+    smaller-``n_sh`` side (ties: the larger id) — the
+    :func:`~cdc_system_spark.operators.dedup.drop_contained` rule,
+    greedy single-pass like ``neardup_ingest``'s.
+
+    ``corpus_signatures`` (optional): a ``(id_col, h0..h{p-1}, n_sh)``
+    frame — the :func:`~cdc_system_spark.operators.lsh_index
+    .lsh_index_signature_tables` shape — so the corpus side reads the
+    MAINTAINED MinHash artifact: no corpus text pass at all (the
+    live-filtered load costs one md5 pass over corpus BYTES, the
+    post-compact ``assume_covered`` load costs zero). The 1-row band
+    probe is derived from the stored per-perm values per batch — an
+    index-sized column explode, no text; at 100 TB cadence that
+    derivation is itself worth persisting, but it is already
+    text-free. ``allow_same_id=True`` ignores same-id pairs (a CDC
+    UPDATE truncating its own row to a subset must still replace it).
+
+    Returns the admitted incoming rows (input schema, unchanged).
+    """
+    from cdc_system_spark.functions.portable import round_portable
+    from cdc_system_spark.operators.dedup import _band_table, lsh_cross_pairs
+
+    sig_in = minhash_signatures(
+        incoming, text_col, id_col, k=shingle_k, num_perms=num_perms,
+        with_count=True,
+    ).localCheckpoint(eager=False)
+    sig_corpus = (
+        corpus_signatures
+        if corpus_signatures is not None
+        else minhash_signatures(
+            corpus, text_col, id_col, k=shingle_k, num_perms=num_perms,
+            with_count=True,
+        )
+    )
+    # one band explode per side at the containment geometry (1-row
+    # bands); the batch table is reused by the within-batch pass
+    bands_in = _band_table(sig_in, id_col, num_perms, 1).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_cross_pairs(
+        sig_in,
+        sig_corpus,
+        id_col=id_col,
+        num_perms=num_perms,
+        rows_per_band=1,
+        max_bucket=max_bucket,
+        bands_a=bands_in,
+    )
+    if allow_same_id:
+        cand = cand.filter(F.col("id1") != F.col("id2"))
+
+    p = F.lit(num_perms)
+
+    def _containment(est: DataFrame) -> DataFrame:
+        m = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(num_perms)
+        )
+        return est.withColumn("_m", m.cast("long")).select(
+            "id1",
+            "id2",
+            "n_sh1",
+            "n_sh2",
+            round_portable(
+                (F.col("_m") * (F.col("n_sh1") + F.col("n_sh2")))
+                / ((p + F.col("_m")) * F.least("n_sh1", "n_sh2")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("est_containment"),
+        )
+
+    ha = sig_in.select(
+        F.col(id_col).alias("id1"),
+        F.col("n_sh").alias("n_sh1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perms)],
+    )
+    hb = sig_corpus.select(
+        F.col(id_col).alias("id2"),
+        F.col("n_sh").alias("n_sh2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perms)],
+    )
+    scored = _containment(cand.join(ha, "id1").join(hb, "id2"))
+    rejected = (
+        scored.filter(
+            (F.col("est_containment") >= threshold)
+            & (F.col("n_sh1") <= F.col("n_sh2"))
+        )
+        .select(F.col("id1").alias(id_col))
+        .distinct()
+    )
+    admitted = incoming.join(rejected, id_col, "left_anti")
+    if not within_batch:
+        return admitted
+    admitted = admitted.localCheckpoint(eager=False)
+    adm_ids = admitted.select(id_col).distinct()
+    cand_in = (
+        lsh_candidate_pairs(
+            sig_in,
+            id_col=id_col,
+            num_perms=num_perms,
+            rows_per_band=1,
+            max_bucket=max_bucket,
+            bands=bands_in,
+        )
+        .join(adm_ids.select(F.col(id_col).alias("id1")), "id1", "left_semi")
+        .join(adm_ids.select(F.col(id_col).alias("id2")), "id2", "left_semi")
+    )
+    ha2 = sig_in.select(
+        F.col(id_col).alias("id1"),
+        F.col("n_sh").alias("n_sh1"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_perms)],
+    )
+    hb2 = sig_in.select(
+        F.col(id_col).alias("id2"),
+        F.col("n_sh").alias("n_sh2"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_perms)],
+    )
+    est_in = _containment(cand_in.join(ha2, "id1").join(hb2, "id2"))
+    dropped_in = (
+        est_in.filter(F.col("est_containment") >= threshold)
+        .select(
+            F.when(F.col("n_sh1") < F.col("n_sh2"), F.col("id1"))
+            .when(F.col("n_sh2") < F.col("n_sh1"), F.col("id2"))
+            .otherwise(F.greatest("id1", "id2"))
+            .alias(id_col)
+        )
+        .distinct()
+    )
+    return admitted.join(dropped_in, id_col, "left_anti")
+
+
 def packing_efficiency(
     df: DataFrame,
     text_col: str = "text",

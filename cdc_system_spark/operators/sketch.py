@@ -1081,11 +1081,20 @@ def kmv_intersect(
             F.when(F.col("ha").isNotNull() & F.col("hb").isNotNull(), 1)
         ).alias("_nc"),
     )
+    # the two RATIO outputs round with round_portable, not F.round:
+    # _nc/k is an exact binary fraction (k is a power of two), so it
+    # can land EXACTLY on a decimal half-way boundary (2/64 = 0.03125)
+    # where engine ROUND rules diverge — the same hazard
+    # containment_pairs documents. union_est keeps F.round: a ratio of
+    # 60-bit md5 integers never hits the boundary in practice (the
+    # kmv_estimate/q_lsh_index_stats precedent, driver-green).
+    from cdc_system_spark.functions.portable import round_portable
+
     return agg.select(
         F.when(F.col("_nu") < k, F.col("_nu").cast("double"))
         .otherwise(F.round(F.lit(float(k - 1) * _KMV_M) / F.col("_theta"), decimals))
         .alias("union_est"),
-        F.round(
+        round_portable(
             F.col("_nc")
             / F.when(F.col("_nu") < k, F.col("_nu")).otherwise(F.lit(k)).cast("double")
             * F.when(F.col("_nu") < k, F.col("_nu").cast("double")).otherwise(
@@ -1093,7 +1102,7 @@ def kmv_intersect(
             ),
             decimals,
         ).alias("intersect_est"),
-        F.round(
+        round_portable(
             F.col("_nc")
             / F.when(F.col("_nu") < k, F.col("_nu")).otherwise(F.lit(k)).cast("double"),
             decimals,

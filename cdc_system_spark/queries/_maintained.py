@@ -60,3 +60,23 @@ def shared_ann_index(spark: SparkSession, sf_dir: str) -> str:
         AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
         _BUILT.add(path)
     return path
+
+
+def shared_lsh_slice_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Paths of two shared LSH indexes over OVERLAPPING corpus slices
+    (A = even ids, B = ids divisible by 3 — overlap = multiples of 6),
+    for the cross-index set-algebra queries: each index's maintained
+    ≤64-row KMV stats state composes via ``kmv_intersect`` to estimate
+    content overlap with no corpus scan. Built at most once per
+    process, same staleness reasoning as :func:`shared_lsh_index`."""
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.queries.base import catalog
+
+    pa = f"{tempfile.gettempdir()}/lshidx_qa_{_tag(sf_dir)}"
+    pb = f"{tempfile.gettempdir()}/lshidx_qb_{_tag(sf_dir)}"
+    if pa not in _BUILT:
+        docs = catalog(spark, sf_dir).documents
+        LI.lsh_index_build(docs.filter("doc_id % 2 = 0"), pa)
+        LI.lsh_index_build(docs.filter("doc_id % 3 = 0"), pb)
+        _BUILT.add(pa)
+    return pa, pb

@@ -641,6 +641,113 @@ def q_ingest_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.neardup_ingest_report(corpus, batch)
 
 
+# -- containment-aware incremental ingest (asymmetric batch vs corpus) --------
+def _cbands_sql(sig: str) -> str:
+    """1-row-band SELECT over a signature CTE (the containment
+    geometry: 16 single-permutation bands — multi-row bands would
+    filter out exactly the low-Jaccard/high-containment pairs)."""
+    return "\n        UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, h{i} AS k0 FROM {sig}"
+        for i in range(16)
+    )
+
+
+_CONTAIN_EC = (
+    "FLOOR((sc.m * (c1.n_sh + c2.n_sh))"
+    " / CAST((16 + sc.m) * least(c1.n_sh, c2.n_sh) AS DOUBLE)"
+    " * 1000000.0 + 0.5) / 1000000.0"
+)
+
+_CONTAIN_INGEST_SQL = f"""WITH
+    corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    {_sig_band_ctes("batch", "_a")},
+    {_sig_band_ctes("corpus", "_b")},
+    cbands_a AS ({_cbands_sql("sig_a")}),
+    cbands_b AS ({_cbands_sql("sig_b")}),
+    bszb AS (SELECT band_idx, k0, COUNT(*) AS bn
+             FROM cbands_b GROUP BY band_idx, k0),
+    bounded_b AS (
+        SELECT cbands_b.* FROM cbands_b JOIN bszb USING (band_idx, k0)
+        WHERE bszb.bn <= 1000),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM cbands_a x JOIN bounded_b y
+          ON x.band_idx = y.band_idx AND x.k0 = y.k0),
+    cnt AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(list_transform(
+                   range(1, greatest(length(text) - 6, 1) + 1),
+                   i -> substr(text, i, 7)))) AS BIGINT) AS n_sh
+        FROM documents),
+    sc AS (
+        SELECT c.id1, c.id2, CAST(({_EST_TERMS}) AS BIGINT) AS m
+        FROM cand c
+        JOIN sig_a a ON a.doc_id = c.id1
+        JOIN sig_b b ON b.doc_id = c.id2),
+    est AS (
+        SELECT sc.id1, sc.id2, c1.n_sh AS n_sh1, c2.n_sh AS n_sh2,
+               {_CONTAIN_EC} AS ec
+        FROM sc
+        JOIN cnt c1 ON c1.doc_id = sc.id1
+        JOIN cnt c2 ON c2.doc_id = sc.id2),
+    rejected AS (
+        SELECT DISTINCT id1 FROM est WHERE ec >= 0.8 AND n_sh1 <= n_sh2),
+    admitted AS (SELECT doc_id FROM batch
+                 WHERE doc_id NOT IN (SELECT id1 FROM rejected)),
+    bsza AS (SELECT band_idx, k0, COUNT(*) AS bn
+             FROM cbands_a GROUP BY band_idx, k0),
+    bounded_a AS (
+        SELECT cbands_a.* FROM cbands_a JOIN bsza USING (band_idx, k0)
+        WHERE bsza.bn <= 1000),
+    cand_in AS (
+        SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        FROM bounded_a x JOIN bounded_a y
+          ON x.band_idx = y.band_idx AND x.k0 = y.k0
+             AND x.doc_id < y.doc_id
+        WHERE x.doc_id IN (SELECT doc_id FROM admitted)
+          AND y.doc_id IN (SELECT doc_id FROM admitted)),
+    sc_in AS (
+        SELECT c.id1, c.id2, CAST(({_EST_TERMS}) AS BIGINT) AS m
+        FROM cand_in c
+        JOIN sig_a a ON a.doc_id = c.id1
+        JOIN sig_a b ON b.doc_id = c.id2),
+    est_in AS (
+        SELECT sc.id1, sc.id2, c1.n_sh AS n_sh1, c2.n_sh AS n_sh2,
+               {_CONTAIN_EC} AS ec
+        FROM sc_in sc
+        JOIN cnt c1 ON c1.doc_id = sc.id1
+        JOIN cnt c2 ON c2.doc_id = sc.id2),
+    dropped_in AS (
+        SELECT DISTINCT CASE WHEN n_sh1 < n_sh2 THEN id1
+                             WHEN n_sh2 < n_sh1 THEN id2
+                             ELSE greatest(id1, id2) END AS doc_id
+        FROM est_in WHERE ec >= 0.8)
+    SELECT doc_id, lang, source FROM batch
+    WHERE doc_id NOT IN (SELECT id1 FROM rejected)
+      AND doc_id NOT IN (SELECT doc_id FROM dropped_in)"""
+
+
+@register(
+    "q_containment_ingest",
+    _CONTAIN_INGEST_SQL,
+    doc="containment-aware incremental ingest (the r8 ingestor gate): "
+    "reject batch docs whose estimated containment in an "
+    "at-least-as-large corpus doc reaches 0.8 — the quoted-subset "
+    "case Jaccard admission misses — then drop the smaller side of "
+    "subset pairs arriving in the same batch; 1-row-band batch x "
+    "corpus candidates only, corpus-side bucket caps, integer-exact "
+    "Broder containment estimate; with a maintained LSH index the "
+    "corpus side reads the persisted signature table (zero text)",
+)
+def q_containment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = catalog(spark, sf_dir).documents
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    admitted = C.containment_ingest(corpus, batch, threshold=0.8)
+    return admitted.select("doc_id", "lang", "source")
+
+
 # -- token-budget sampling -----------------------------------------------------
 _TOKEN_BUDGET_SQL = """WITH t AS (
         SELECT doc_id, lang,

@@ -965,6 +965,71 @@ def q_lsh_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LI.lsh_index_stats(spark, shared_lsh_index(spark, sf_dir))
 
 
+# -- cross-index content overlap from the maintained stats states ------------
+# two indexes over OVERLAPPING corpus slices (A = even ids, B = ids
+# divisible by 3); their ≤64-row KMV states compose via kmv_intersect
+# (the Beyer et al. SIGMOD'07 theta-sketch estimator) to answer "how
+# much content do these two corpora share?" with NO corpus scan. The
+# oracle rebuilds both states from the raw slices (the CHR(0)
+# double-md5 version key, as in q_lsh_index_stats) and reruns the
+# estimator: union sketch = bottom-64 of the combined states with
+# threshold theta = max, nc = union members present in BOTH states.
+# The ratio outputs use the FLOOR half-up form (nc/64 is an exact
+# binary fraction — it CAN land on a decimal half-way boundary).
+_VKEY_H = """CAST(CONCAT('0x', SUBSTR(MD5(MD5(
+                CASE WHEN text IS NULL THEN CAST(doc_id AS VARCHAR)
+                     ELSE CAST(doc_id AS VARCHAR) || CHR(0) || text
+                END)), 1, 15)) AS BIGINT)"""
+
+_INDEX_OVERLAP_SQL = f"""WITH va AS (
+        SELECT DISTINCT {_VKEY_H} AS h FROM documents WHERE doc_id % 2 = 0),
+    vb AS (
+        SELECT DISTINCT {_VKEY_H} AS h FROM documents WHERE doc_id % 3 = 0),
+    sta AS (SELECT h FROM va ORDER BY h LIMIT 64),
+    stb AS (SELECT h FROM vb ORDER BY h LIMIT 64),
+    l AS (SELECT h FROM (SELECT h FROM sta UNION SELECT h FROM stb)
+          ORDER BY h LIMIT 64),
+    agg AS (
+        SELECT COUNT(*) AS nu, MAX(h) AS theta,
+               SUM(CASE WHEN h IN (SELECT h FROM sta)
+                         AND h IN (SELECT h FROM stb) THEN 1 ELSE 0 END) AS nc
+        FROM l),
+    u AS (
+        SELECT nu, nc,
+               CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                    ELSE {_KMV_EST.format(hk="theta")} END AS u_est,
+               CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE) AS den
+        FROM agg)
+    SELECT u_est AS union_est,
+           FLOOR(nc / den * u_est * 10000.0 + 0.5) / 10000.0
+               AS intersect_est,
+           FLOOR(nc / den * 10000.0 + 0.5) / 10000.0 AS jaccard_est
+    FROM u"""
+
+
+@register(
+    "q_index_overlap",
+    _INDEX_OVERLAP_SQL,
+    doc="cross-index content overlap with zero corpus reads: "
+    "kmv_intersect of two maintained indexes' ≤64-row KMV stats "
+    "states (theta-sketch union/intersection/Jaccard, Beyer et al. "
+    "SIGMOD'07) over two overlapping corpus slices; the oracle "
+    "rebuilds both states from the raw slices and reruns the "
+    "estimator, so a green row proves state composition == "
+    "from-scratch set algebra",
+)
+def q_index_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.operators.sketch import kmv_intersect
+    from cdc_system_spark.queries._maintained import shared_lsh_slice_indexes
+
+    pa, pb = shared_lsh_slice_indexes(spark, sf_dir)
+    return kmv_intersect(
+        LI.lsh_index_stats_state(spark, pa),
+        LI.lsh_index_stats_state(spark, pb),
+    )
+
+
 # -- SemDeDup: within-cell embedding-cosine dedup ----------------------------
 _SEMANTIC_DEDUP_SQL = """WITH c AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings

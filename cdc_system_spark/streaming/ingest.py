@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cdc_system_spark.api import SnapshotTable
-from cdc_system_spark.operators.curation import incremental_ingest, neardup_ingest
+from cdc_system_spark.operators.curation import (
+    containment_ingest,
+    incremental_ingest,
+    neardup_ingest,
+)
 from cdc_system_spark.operators.merge import net_effect_reduce
 from cdc_system_spark.streaming.source import read_change_stream
 
@@ -56,6 +60,7 @@ class StreamingCorpusIngestor:
         checkpoint_path: str | None = None,
         max_files_per_trigger: int | None = None,
         neardup_threshold: float | None = None,
+        containment_threshold: float | None = None,
         admission_filter=None,
         stats_path: str | None = None,
         lsh_index_path: str | None = None,
@@ -84,6 +89,28 @@ class StreamingCorpusIngestor:
         #: corpus yet, so the corpus probe alone would admit both).
         #: None = exact content-hash dedup only.
         self.neardup_threshold = neardup_threshold
+        #: optional ASYMMETRIC admission gate: reject admitted rows
+        #: whose estimated containment in a different-id corpus doc of
+        #: at-least-equal shingle count reaches this (the quoted-subset
+        #: case Jaccard admission misses — Broder's
+        #: resemblance-vs-containment distinction); also drops the
+        #: smaller side of quoted-subset pairs arriving in the same
+        #: micro-batch. Composes with ``neardup_threshold`` (either or
+        #: both). With ``lsh_index_path`` set, the corpus side reads
+        #: the maintained signature table — live-filtered by default
+        #: (one md5 pass over corpus bytes, zero shingling), or with
+        #: ZERO corpus reads right after :meth:`compact_index` (the
+        #: trusted window lasts while batches stay insert-only and the
+        #: process stays up; any UPDATE/DELETE/overwrite falls back to
+        #: the live filter automatically).
+        self.containment_threshold = containment_threshold
+        #: True only between a :meth:`compact_index` call and the next
+        #: batch that leaves stale versions behind (UPDATE/DELETE or an
+        #: overwriting UPSERT); NOT persisted — a restart conservatively
+        #: resumes live-filtered (a crashed flip can leave the index a
+        #: superset of the corpus, which the live filter tolerates and
+        #: the trusted path must not).
+        self._index_trusted = False
         #: optional content gate: ``(DataFrame) -> DataFrame`` applied
         #: to the admitted batch BEFORE the near-dup/exact merge,
         #: returning only surviving rows with the schema unchanged —
@@ -185,6 +212,63 @@ class StreamingCorpusIngestor:
             )
             sigs, bands = probe()
         return {"corpus_sigs": sigs, "corpus_bands": bands}
+
+    def _lsh_signature_table(self, current: DataFrame) -> DataFrame:
+        """The maintained ``(id, h0.., n_sh)`` signature frame for the
+        containment gate — live-filtered, or read directly (zero corpus
+        access) inside the post-:meth:`compact_index` trusted window.
+        Bootstraps the index from the current corpus on first use, like
+        :meth:`_lsh_probe_tables`."""
+        from pyspark.errors import AnalysisException
+
+        from cdc_system_spark.operators import lsh_index as LI
+
+        load = lambda: LI.lsh_index_signature_tables(
+            self.spark,
+            self.lsh_index_path,
+            current,
+            text_col=self.text_col,
+            id_col=self.id_col,
+            num_perms=16,
+            shingle_k=7,
+            assume_covered=self._index_trusted,
+        )
+        try:
+            return load()
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+                exc
+            ):
+                raise
+            LI.lsh_index_build(
+                current.select(self.id_col, self.text_col),
+                self.lsh_index_path,
+                text_col=self.text_col,
+                id_col=self.id_col,
+            )
+            return load()
+
+    def compact_index(self) -> tuple[int, int]:
+        """Compact the maintained LSH index against the CURRENT corpus
+        (reclaims the stale versions UPDATE/DELETE leave behind) and
+        open the TRUSTED window: until the next batch that leaves stale
+        versions, the containment gate reads the stored signature table
+        directly — zero corpus reads, not even the live-filter's md5
+        pass. Returns ``(kept, dropped)``. Run on the same cadence as
+        the other compactions (when the stale fraction is worth it)."""
+        from cdc_system_spark.operators import lsh_index as LI
+
+        if self.lsh_index_path is None:
+            raise ValueError("lsh_index_path was not configured")
+        kept = LI.lsh_index_compact(
+            self.spark,
+            self.lsh_index_path,
+            self.corpus.read().select(self.id_col, self.text_col),
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+        self._index_trusted = True
+        return kept
 
     def _update_stats(self, admitted: DataFrame) -> None:
         from pyspark.errors import AnalysisException
@@ -433,20 +517,64 @@ class StreamingCorpusIngestor:
                 allow_same_id=True,
                 **probe_kw,
             )
-            if self.lsh_index_path is not None:
-                # maintain the index BEFORE the marker commit (same
-                # crash-window reasoning as the stats merge below):
-                # a replay re-runs this as a version-keyed no-op, and
-                # rows indexed before a crashed flip stay invisible to
-                # the replay's probe (their versions aren't live).
-                from cdc_system_spark.operators import lsh_index as LI
+        if self.containment_threshold is not None:
+            # asymmetric gate AFTER the symmetric one (both reject-only
+            # batch filters, so order only affects which gate gets
+            # billed for a doc both would drop): reject quoted-subset
+            # batch docs against an at-least-as-large different-id
+            # corpus doc, and the smaller side of subset pairs arriving
+            # together. Same-id pairs pass — a CDC UPDATE truncating
+            # its own row must still replace it.
+            sig_kw = (
+                {"corpus_signatures": self._lsh_signature_table(current)}
+                if self.lsh_index_path is not None
+                else {}
+            )
+            admitted = containment_ingest(
+                current,
+                admitted,
+                text_col=self.text_col,
+                id_col=self.id_col,
+                threshold=self.containment_threshold,
+                allow_same_id=True,
+                **sig_kw,
+            )
+        if (
+            self.neardup_threshold is not None
+            or self.containment_threshold is not None
+        ):
+            # the gated batch feeds many consumers below (index ingest,
+            # trusted-window probe, exact merge, three stats updates):
+            # materialize the batch-sized survivors once instead of
+            # re-running the probe joins per consumer
+            admitted = admitted.localCheckpoint(eager=True)
+        if self.lsh_index_path is not None and (
+            self.neardup_threshold is not None
+            or self.containment_threshold is not None
+        ):
+            # maintain the index BEFORE the marker commit (same
+            # crash-window reasoning as the stats merge below):
+            # a replay re-runs this as a version-keyed no-op, and
+            # rows indexed before a crashed flip stay invisible to
+            # the replay's probe (their versions aren't live).
+            from cdc_system_spark.operators import lsh_index as LI
 
-                LI.lsh_index_ingest(
-                    admitted.select(self.id_col, self.text_col),
-                    self.lsh_index_path,
-                    text_col=self.text_col,
-                    id_col=self.id_col,
-                )
+            LI.lsh_index_ingest(
+                admitted.select(self.id_col, self.text_col),
+                self.lsh_index_path,
+                text_col=self.text_col,
+                id_col=self.id_col,
+            )
+            if self._index_trusted:
+                # the trusted window survives only batches that leave
+                # no stale versions behind: any DELETE, or any admitted
+                # id already in the corpus (an overwrite strands the
+                # old version), drops back to the live filter. Both
+                # probes are tiny (limit-1 / id-column semi join).
+                if not delete_ids.isEmpty() or not admitted.join(
+                    current.select(self.id_col), self.id_col, "left_semi"
+                ).isEmpty():
+                    self._index_trusted = False
 
         merged = incremental_ingest(
             current, admitted, text_col=self.text_col, id_col=self.id_col

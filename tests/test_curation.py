@@ -759,3 +759,67 @@ def test_bottomk_sample_fixed_budget_and_mergeable(spark):
 
     with _pytest.raises(ValueError):
         bottomk_sample(df, 0)
+
+
+def test_containment_ingest_rejects_quoted_subset(spark):
+    # the case neardup_ingest MISSES by design: an excerpt of a long
+    # corpus page has tiny Jaccard (the union is the page) but
+    # containment ~1 — the asymmetric gate rejects it; a batch doc
+    # CONTAINING a small corpus doc is admitted (it brings new content)
+    from cdc_system_spark.operators.curation import (
+        containment_ingest,
+        neardup_ingest,
+    )
+
+    page = " ".join(f"sentence{i} about topic{i} detail{i}" for i in range(40))
+    excerpt = page[100:220]
+    corpus = _docs(
+        spark,
+        [(1, page), (2, "tiny corpus note on rivers")],
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, excerpt),  # quoted subset of corpus doc 1 -> rejected
+            (11, "entirely novel content with no overlap whatsoever " * 4),
+            # superset of corpus doc 2 -> admitted (brings new content)
+            (12, "tiny corpus note on rivers plus a long original "
+                 "continuation " + " ".join(f"extra{i}" for i in range(30))),
+        ],
+    )
+    admitted = containment_ingest(corpus, batch, threshold=0.8)
+    assert {r["doc_id"] for r in admitted.collect()} == {11, 12}
+    # and the symmetric gate indeed admits the excerpt (the gap this
+    # operator exists to close)
+    sym = neardup_ingest(corpus, batch, threshold=0.5)
+    assert 10 in {r["doc_id"] for r in sym.collect()}
+
+
+def test_containment_ingest_within_batch_and_same_id(spark):
+    from cdc_system_spark.operators.curation import containment_ingest
+
+    page = " ".join(f"fresh{i} page{i} words{i}" for i in range(40))
+    corpus = _docs(spark, [(1, " ".join(f"old{i} row{i}" for i in range(40)))])
+    batch = _docs(
+        spark,
+        [
+            (10, page),          # fresh page
+            (11, page[50:170]),  # its quoted excerpt, same batch -> drop
+            (12, "unrelated novel material " * 6),
+        ],
+    )
+    admitted = containment_ingest(corpus, batch, threshold=0.8)
+    assert {r["doc_id"] for r in admitted.collect()} == {10, 12}
+    legacy = containment_ingest(
+        corpus, batch, threshold=0.8, within_batch=False
+    )
+    assert {r["doc_id"] for r in legacy.collect()} == {10, 11, 12}
+    # allow_same_id: a CDC UPDATE truncating its own row to a subset
+    # must still replace it
+    trunc = _docs(spark, [(1, corpus.head()["text"][:120])])
+    gated = containment_ingest(corpus, trunc, threshold=0.8)
+    assert gated.count() == 0
+    allowed = containment_ingest(
+        corpus, trunc, threshold=0.8, allow_same_id=True
+    )
+    assert allowed.count() == 1

@@ -368,3 +368,95 @@ def test_probe_parity_under_any_edit_sequence(spark, tmp_path_factory, initial, 
     full = minhash_signatures(current, k=7, num_perms=16)
     assert _rows(sigs) == _rows(full)
     assert _rows(bands) == _rows(_band_table(full, "doc_id", 16, 4))
+
+
+def test_streaming_ingestor_containment_gate_parity(spark, tmp_path):
+    # twin ingestors with containment_threshold — one inline, one via
+    # the maintained signature table (live-filtered): identical corpora
+    # across inserts, a quoted-subset reject, an UPDATE (same-id must
+    # replace), and a post-DELETE re-admit (stale index versions must
+    # not match). Then the TRUSTED window: after compact_index(), an
+    # insert-only batch probes with zero corpus reads and stays
+    # row-identical; the next overwriting batch drops back to the live
+    # filter automatically.
+    from cdc_system_spark.api import CDCSystem, SnapshotTable
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    page = " ".join(f"sentence{i} about topic{i} detail{i}" for i in range(40))
+    unrelated = "completely different content about spark engines " * 3
+
+    def run(tag, idx_path):
+        base = tmp_path / tag
+        sys_ = CDCSystem(spark, str(base), "docs")
+        cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+        corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
+        mk = lambda rows: spark.createDataFrame(rows, DOC_SCHEMA)
+        corpus.write(mk([(1, page)]))
+        ing = StreamingCorpusIngestor(
+            spark,
+            str(base / "log"),
+            corpus,
+            DOC_SCHEMA,
+            checkpoint_path=str(base / "ckpt"),
+            containment_threshold=0.8,
+            lsh_index_path=idx_path,
+        )
+        # batch 0: a quoted excerpt of corpus doc 1 (rejected), a fresh
+        # doc, a fresh page + ITS excerpt in the same batch (the
+        # excerpt drops)
+        page2 = " ".join(f"fresh{i} page{i} words{i}" for i in range(40))
+        cap.capture_insert(
+            mk(
+                [
+                    (10, page[100:220]),
+                    (11, unrelated),
+                    (12, page2),
+                    (13, page2[50:170]),
+                ]
+            )
+        )
+        ing.apply_batch(cap.read_log(), 0)
+        mx0 = cap.read_log().agg(F.max("cdc_id")).collect()[0][0]
+        # batch 1: UPDATE doc 1 to a truncation of itself (same-id
+        # containment must still replace), DELETE doc 11
+        cap.capture_update(mk([(1, page[:200])]), mk([(1, page)]))
+        cap.capture_delete(mk([(11, unrelated)]))
+        ing.apply_batch(cap.read_log().filter(F.col("cdc_id") > mx0), 1)
+        mx1 = cap.read_log().agg(F.max("cdc_id")).collect()[0][0]
+        # batch 2: an excerpt of the DELETED doc — admits (live filter
+        # must hide the index's stale version)
+        cap.capture_insert(mk([(20, unrelated[:110])]))
+        ing.apply_batch(cap.read_log().filter(F.col("cdc_id") > mx1), 2)
+        return ing, cap, corpus, mk
+
+    ing_a, _, corpus_a, _ = run("inline", None)
+    idx_path = str(tmp_path / "indexed" / "lshidx")
+    ing_b, cap_b, corpus_b, mk = run("indexed", idx_path)
+    snap = lambda c: {r["doc_id"]: r["text"] for r in c.read().collect()}
+    rows = snap(corpus_b)
+    assert rows == snap(corpus_a)
+    assert 10 not in rows and 13 not in rows  # subset rejects
+    assert 11 not in rows and 20 in rows  # stale version didn't match
+    assert rows[1] == rows[1][:200][:200] and len(rows[1]) == 200  # update
+    assert 12 in rows
+
+    # trusted window: compact, then an insert-only batch — parity with
+    # a fresh live-filtered ingestor over the same stream
+    assert ing_b._index_trusted is False
+    ing_b.compact_index()
+    assert ing_b._index_trusted is True
+    mx2 = cap_b.read_log().agg(F.max("cdc_id")).collect()[0][0]
+    cap_b.capture_insert(
+        mk([(30, rows[12][40:160]), (31, "wholly new themes entirely " * 5)])
+    )
+    batch3 = cap_b.read_log().filter(F.col("cdc_id") > mx2)
+    ing_b.apply_batch(batch3, 3)
+    rows3 = snap(corpus_b)
+    assert 30 not in rows3 and 31 in rows3  # subset rejected corpus-free
+    assert ing_b._index_trusted is True  # insert-only: window holds
+    # an overwriting batch closes the window
+    mx3 = cap_b.read_log().agg(F.max("cdc_id")).collect()[0][0]
+    cap_b.capture_update(mk([(31, "wholly new themes entirely, edited " * 5)]),
+                         mk([(31, "wholly new themes entirely " * 5)]))
+    ing_b.apply_batch(cap_b.read_log().filter(F.col("cdc_id") > mx3), 4)
+    assert ing_b._index_trusted is False
