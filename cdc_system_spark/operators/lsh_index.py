@@ -67,6 +67,7 @@ __all__ = [
     "lsh_index_load",
     "lsh_index_probe_tables",
     "lsh_index_signature_tables",
+    "lsh_index_staleness",
     "lsh_index_stats",
     "lsh_index_stats_state",
 ]
@@ -375,6 +376,64 @@ def lsh_index_stats(spark: SparkSession, path: str) -> DataFrame:
     clears the marker along with rewriting the stats).
     """
     return kmv_estimate(_read_stats_state(spark, path))
+
+
+def lsh_index_staleness(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DataFrame:
+    """One-row maintenance-scheduling metric ``(n_ever_est, n_live,
+    churn_est)``: the maintained EVER estimate (the ≤64-row KMV stats
+    state — no index scan) against the exact LIVE version count (one
+    distinct count over the corpus's key+text projection — no index
+    scan either), with ``churn_est = max(0, 1 - n_live/n_ever_est)``
+    rounded half-up at 4 decimals. This is the docstring recipe at
+    :func:`lsh_index_stats` ("n_est vs the live corpus count reads as
+    churn") promoted to an operator: a high churn fraction is the
+    signal to schedule :func:`lsh_index_compact` — the stored tables
+    are carrying roughly that fraction of dead versions (UPDATE/DELETE
+    leftovers), paying storage and probe-filter cost for rows that can
+    never match. Estimate error is the KMV budget (~13% at k=64), fine
+    for a scheduling signal — an unchurned saturated index reads a few
+    % off zero, not exactly zero; the max(0,·) clamp absorbs the
+    estimator sitting below the true count on the other side.
+    """
+    from cdc_system_spark.functions.portable import round_portable
+    from cdc_system_spark.operators.sketch import _KMV_M
+
+    _, _, _, meta_id = _read_meta(spark, path)
+    id_col = id_col or meta_id
+    # one aggregation over a tagged union — a join of two one-row
+    # aggregates would plan as a CartesianProduct (the scalar×scalar
+    # recombination anti-pattern the plan audit rejects)
+    state_rows = _read_stats_state(spark, path).select(
+        F.col("h").alias("_h"), F.lit(True).alias("_st")
+    )
+    live_rows = (
+        current.select(_vkey(id_col, text_col))
+        .distinct()
+        .select(F.lit(None).cast("long").alias("_h"), F.lit(False).alias("_st"))
+    )
+    agg = state_rows.unionByName(live_rows).agg(
+        F.count(F.when(F.col("_st"), 1)).alias("_ns"),
+        F.max(F.when(F.col("_st"), F.col("_h"))).alias("_hk"),
+        F.count(F.when(~F.col("_st"), 1)).alias("n_live"),
+    )
+    ever = (
+        F.when(F.col("_ns") < 64, F.col("_ns").cast("double"))
+        .otherwise(F.round(F.lit(63.0 * _KMV_M) / F.col("_hk"), 4))
+    )
+    return agg.select(
+        ever.alias("n_ever_est"),
+        "n_live",
+        round_portable(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("n_live") / ever),
+            4,
+        ).alias("churn_est"),
+    )
 
 
 def lsh_index_signature_tables(

@@ -335,6 +335,97 @@ def zone_state(
     )
 
 
+def zone_pruned_between(
+    df: DataFrame,
+    state: DataFrame,
+    order_col: Column | str,
+    value_col: Column | str,
+    lo: float,
+    hi: float,
+    geo_lo: int,
+    geo_hi: int,
+    num_zones: int = 64,
+) -> DataFrame:
+    """``value BETWEEN lo AND hi`` with the scan PRUNED by a maintained
+    zone state — the read path that turns :func:`zone_state` /
+    :func:`prune_fraction` from a diagnostic into actual skipped I/O.
+    The state (≤ ``num_zones`` rows) names the zones whose
+    ``[v_min, v_max]`` can intersect the predicate; surviving zones
+    convert back to ORDER-KEY ranges under the same ``[geo_lo,
+    geo_hi]`` geometry, coalesced into contiguous spans, and the scan
+    filters on those ranges FIRST. Because the range predicate
+    references only the (layout-ordering) key column, it reaches the
+    parquet scan as a pushed filter and skips row groups via their
+    min/max stats — the value expression (often computed, e.g.
+    ``length(text)``, which no stats can serve) then evaluates only on
+    surviving rows. Result rows are IDENTICAL to the plain filter.
+
+    Contract: the state must summarize (a superset of) ``df`` under
+    exactly this geometry — rows newer than the state's last update
+    may be wrongly skipped (refresh the state first, the same
+    freshness rule any external index has). Order-key-NULL rows are
+    outside every zone and pass the range stage unconditionally (the
+    value predicate decides them), mirroring ``zone_state``'s
+    exclusion. The state stores extrema rounded half-up at 6 decimals,
+    so skipping is exact for values with ≤ 6 decimals (counts,
+    lengths); for full-precision floats widen ``[lo, hi]`` by 1e-6 to
+    stay conservative.
+
+    One ≤ ``num_zones``-row collect (bounded scalar), zero shuffles
+    added — the plan is scan→filter either way; only the scanned bytes
+    change.
+    """
+    if num_zones < 1:
+        raise ValueError(f"num_zones must be >= 1, got {num_zones}")
+    if geo_hi < geo_lo:
+        raise ValueError(f"need geo_lo <= geo_hi, got {geo_lo}, {geo_hi}")
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    value_pred = vc.between(F.lit(lo), F.lit(hi))
+    keep = (
+        state.filter(~((F.col("v_max") < lo) | (F.col("v_min") > hi)))
+        .select("zone")
+        .collect()
+    )
+    zones = sorted(int(r["zone"]) for r in keep)
+    if len(zones) >= num_zones:
+        return df.filter(value_pred)  # nothing skippable
+    rng = geo_hi - geo_lo + 1
+    # zone z holds order keys o with ((o-geo_lo)*N) div rng == z
+    # (clamped at the edges): o in [geo_lo + ceil(z*rng/N),
+    # geo_lo + ceil((z+1)*rng/N) - 1]; zone 0 / N-1 absorb the
+    # out-of-geometry tails
+    import math
+
+    def bounds(z: int) -> tuple[int | None, int | None]:
+        zlo = None if z == 0 else geo_lo + math.ceil(z * rng / num_zones)
+        zhi = (
+            None
+            if z == num_zones - 1
+            else geo_lo + math.ceil((z + 1) * rng / num_zones) - 1
+        )
+        return zlo, zhi
+
+    # coalesce adjacent zones into contiguous order-key spans
+    spans: list[list[int]] = []
+    for z in zones:
+        if spans and z == spans[-1][1] + 1:
+            spans[-1][1] = z
+        else:
+            spans.append([z, z])
+    rng_pred = oc.isNull()  # unzoned rows: the value predicate decides
+    for z0, z1 in spans:
+        s_lo, _ = bounds(z0)
+        _, s_hi = bounds(z1)
+        cond = F.lit(True)
+        if s_lo is not None:
+            cond = cond & (oc >= F.lit(s_lo))
+        if s_hi is not None:
+            cond = cond & (oc <= F.lit(s_hi))
+        rng_pred = rng_pred | cond
+    return df.filter(rng_pred).filter(value_pred)
+
+
 def zone_merge(*states: DataFrame) -> DataFrame:
     """Combine zone states sharing one geometry: counts add, extrema
     min/max — lossless, so merge-of-batches == rebuild-from-all."""

@@ -80,3 +80,45 @@ def shared_lsh_slice_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str
         LI.lsh_index_build(docs.filter("doc_id % 3 = 0"), pb)
         _BUILT.add(pa)
     return pa, pb
+
+
+def shared_churned_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of a shared LSH index with DETERMINISTIC churn: built on
+    the full corpus, then ingested with EDITED versions of every 10th
+    doc — the originals become stale stored versions (the UPDATE
+    leftover shape), so the ever-indexed estimate exceeds the live
+    count by ~10%. Feeds the staleness/churn metric query; cached
+    per process like the other shared builds."""
+    from pyspark.sql import functions as F
+
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/lshidx_qc_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+        LI.lsh_index_build(docs, path)
+        edited = docs.filter("doc_id % 10 = 0").select(
+            "doc_id", F.concat(F.col("text"), F.lit(" EDITED")).alias("text")
+        )
+        LI.lsh_index_ingest(edited, path)
+        _BUILT.add(path)
+    return path
+
+
+def churned_corpus(spark: SparkSession, sf_dir: str):
+    """The LIVE corpus matching :func:`shared_churned_lsh_index`: every
+    10th doc carries its edited text (the original version is stale)."""
+    from pyspark.sql import functions as F
+
+    from cdc_system_spark.queries.base import catalog
+
+    docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )

@@ -512,6 +512,36 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prune_report(cat.orders, "o_custkey", dim, "c_custkey")
 
 
+# -- q_zone_pruned_read: the zone map driving an actual pruned scan -----------
+_ZONE_PRUNED_SQL = """SELECT doc_id, lang, source FROM documents
+    WHERE length(text) BETWEEN 100 AND 200"""
+
+
+@register(
+    "q_zone_pruned_read",
+    _ZONE_PRUNED_SQL,
+    doc="zone-map-driven pruned read: a maintained zone state over "
+    "(doc_id order, text length) converts the surviving zones back to "
+    "id ranges that reach the parquet scan as PUSHED filters — row "
+    "groups outside them never load, and the computed length "
+    "predicate (which no file stats can serve) evaluates only on "
+    "survivors; the oracle is the plain filter, so a green row proves "
+    "pruned scan == full scan row-for-row",
+)
+def q_zone_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.maintenance import (
+        zone_pruned_between,
+        zone_state,
+    )
+
+    docs = catalog(spark, sf_dir).documents
+    geo_hi = (1 << 20) - 1
+    st = zone_state(docs, "doc_id", F.length("text"), 0, geo_hi, 64)
+    return zone_pruned_between(
+        docs, st, "doc_id", F.length(F.col("text")), 100, 200, 0, geo_hi, 64
+    ).select("doc_id", "lang", "source")
+
+
 # -- q_zone_map: min/max data-skipping statistics -----------------------------
 _ZONE_SQL = """WITH keyed AS (
         SELECT DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

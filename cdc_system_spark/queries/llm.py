@@ -1030,6 +1030,57 @@ def q_index_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- maintained-index staleness (compaction-scheduling metric) ---------------
+# the index carries EVER = all original versions + edited versions of
+# every 10th doc; LIVE = the corpus with those edits applied. The
+# oracle rebuilds the ever-KMV from the version union and counts live
+# exactly; churn uses the FLOOR half-up form (1 - live/ever CAN land
+# on a decimal half-way boundary when ever is integer-valued)
+_STALENESS_SQL = f"""WITH versions AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id, text || ' EDITED' AS text FROM documents
+        WHERE doc_id % 10 = 0),
+    v AS (SELECT DISTINCT {_VKEY_H} AS h FROM versions),
+    st AS (SELECT h FROM v ORDER BY h LIMIT 64),
+    agg AS (SELECT COUNT(*) AS n, MAX(h) AS hk FROM st),
+    live AS (
+        SELECT COUNT(*) AS n_live FROM (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' EDITED'
+                        ELSE text END AS text
+            FROM documents)),
+    u AS (SELECT CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE {_KMV_EST.format(hk="hk")} END AS n_ever_est,
+                 CAST(n_live AS BIGINT) AS n_live
+          FROM agg, live)
+    SELECT n_ever_est, n_live,
+           FLOOR(GREATEST(0.0, 1.0 - n_live / n_ever_est)
+                 * 10000.0 + 0.5) / 10000.0 AS churn_est
+    FROM u"""
+
+
+@register(
+    "q_index_staleness",
+    _STALENESS_SQL,
+    doc="maintained-index staleness metric: the ever-indexed KMV "
+    "estimate (≤64-row stats state, no index scan) vs the exact live "
+    "version count — churn_est = max(0, 1 - live/ever) is the "
+    "compaction-scheduling signal (the stored tables carry ~that "
+    "fraction of dead UPDATE/DELETE versions); index built with "
+    "deterministic 10% churn so the metric reads nonzero",
+)
+def q_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators import lsh_index as LI
+    from cdc_system_spark.queries._maintained import (
+        churned_corpus,
+        shared_churned_lsh_index,
+    )
+
+    path = shared_churned_lsh_index(spark, sf_dir)
+    return LI.lsh_index_staleness(spark, path, churned_corpus(spark, sf_dir))
+
+
 # -- SemDeDup: within-cell embedding-cosine dedup ----------------------------
 _SEMANTIC_DEDUP_SQL = """WITH c AS (
         SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -2725,6 +2776,39 @@ def q_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("w_day"), "user_id"
     )
     return kmv_state_by(ev, ["w_day"], "user_id")
+
+
+_KMV_WINDOWED_BY_SQL = """WITH v AS (
+        SELECT DISTINCT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_day,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type, w_day, h FROM (
+        SELECT event_type, w_day, h,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, w_day ORDER BY h) AS rk
+        FROM v) WHERE rk <= 64"""
+
+
+@register(
+    "q_kmv_windowed_by",
+    _KMV_WINDOWED_BY_SQL,
+    doc="per-(group, day) KMV distinct states (event_type, w_day, h): "
+    "the batch twin of streaming.windowed_kmv_state_by — the grouped "
+    "streamed operator's per-key bottom-64 is proven bit-for-bit "
+    "equal to THIS shape in tests/test_streaming.py, so a green row "
+    "transitively pins the grouped streaming state under the oracle "
+    "gate; one distinct + one key-windowed top-k, nothing corpus-sized "
+    "moves",
+)
+def q_kmv_windowed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import kmv_state_by
+
+    ev = catalog(spark, sf_dir).events.select(
+        "event_type", F.date_trunc("day", "ts").alias("w_day"), "user_id"
+    )
+    return kmv_state_by(ev, ["event_type", "w_day"], "user_id")
 
 
 @register(

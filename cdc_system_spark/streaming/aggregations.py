@@ -249,10 +249,37 @@ def windowed_kmv_state(
     share this hour? ``kmv_merge`` across shards), because bottom-k
     over a hash set is a uniform sample that supports intersection.
 
-    Built on ``applyInPandasWithState`` keyed by the window start's
-    JVM-computed ``unix_millis`` (the output timestamp is restored
-    JVM-side AFTER the stateful operator): the Python side never
-    re-derives epoch ms from a session-tz-naive datetime, so the
+    The ungrouped form of :func:`windowed_kmv_state_by` — all
+    semantics (eviction, late-row contract, tz-independence,
+    bit-for-bit batch parity) are documented and implemented there.
+    """
+    return windowed_kmv_state_by(
+        events, [], value_col, window=window, watermark=watermark,
+        ts_col=ts_col, k=k,
+    )
+
+
+def windowed_kmv_state_by(
+    events: DataFrame,
+    group_cols: list[str],
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-value KMV STATE per (group, event-time window):
+    ``(*group_cols, w_start, h, emit_seq, final)``, ≤ k ``h`` rows per
+    group×window per emission — the streaming twin of
+    :func:`~cdc_system_spark.operators.sketch.kmv_state_by`, exactly as
+    the ungrouped :func:`windowed_kmv_state` twins ``kmv_state``
+    ("distinct users per event type per hour", the per-tenant /
+    per-shard form of every cross-stream set-algebra question).
+
+    Built on ``applyInPandasWithState`` keyed by (*group_cols, window
+    start's JVM-computed ``unix_millis``) — the output timestamp is
+    restored JVM-side AFTER the stateful operator, so the Python side
+    never re-derives epoch ms from a session-tz-naive datetime and the
     eviction math is timezone-independent by construction. The
     watermark column itself must still cross the Arrow stage (the
     analyzer requires it in the stateful input), and Spark's Arrow
@@ -260,32 +287,33 @@ def windowed_kmv_state(
     Spark otherwise accepts (``'GMT+08:00'``, ``'UTC+2'``) — that
     engine-wide limit is converted into a clear plan-build error with
     the IANA equivalent (:func:`_require_arrow_resolvable_tz`) instead
-    of a mid-stream task crash — bottom-k
-    is order-sensitive, so unlike HLL's per-bucket max it is not
-    expressible as a bounded built-in aggregation; the state store
-    holds exactly the ≤ k smallest hashes per open window (sorted
-    array), each micro-batch folds its distinct hashes in (idempotent
-    set union, so at-least-once replays are harmless), and every
-    emission carries a monotone ``emit_seq`` — consumers keep the
-    max-seq rows per window. The hash mapping is IDENTICAL to batch
-    :func:`~cdc_system_spark.operators.sketch.kmv_state` (computed
-    JVM-side before the Arrow stage; only (w_start, h) pairs cross
-    into Python), so a window's final streamed state equals the batch
-    state over that window's rows bit-for-bit.
+    of a mid-stream task crash. Bottom-k is order-sensitive, so unlike
+    HLL's per-bucket max it is not expressible as a bounded built-in
+    aggregation; the state store holds exactly the ≤ k smallest hashes
+    per open key (sorted array), each micro-batch folds its distinct
+    hashes in (idempotent set union, so at-least-once replays are
+    harmless), and every emission carries a monotone ``emit_seq`` —
+    consumers keep the max-seq rows per key. The hash mapping is
+    IDENTICAL to the batch operators (computed JVM-side before the
+    Arrow stage), so a key's final streamed state equals the batch
+    state over that key's rows bit-for-bit.
 
-    State is doubly bounded: ≤ k longs per window by construction, and
-    window KEYS are evicted on event time — each update arms a timeout
-    at window end (clamped above the current watermark), and once the
-    WATERMARK passes it on a trigger without data for that window, the
-    state is emitted once more with ``final = true`` and removed.
-    Late-row contract (applyInPandasWithState does NOT pre-filter on
-    the watermark): rows for a still-OPEN window always fold — even
-    technically-late ones, which is what keeps an at-least-once,
-    arbitrarily-ordered drain bit-for-bit equal to batch — while rows
-    for an already-FINALIZED window are dropped instead of
-    resurrecting a partial state that would shadow the final one.
-    That is the finite-state contract a 100 TB stream needs spelled
-    out, not implied.
+    State is doubly bounded: ≤ k longs per group×window by
+    construction, and keys are evicted on event time — each update
+    arms a timeout at window end (clamped above the current
+    watermark), and once the WATERMARK passes it on a trigger without
+    data for that key, the state is emitted once more with ``final =
+    true`` and removed. Late-row contract (applyInPandasWithState does
+    NOT pre-filter on the watermark): rows for a still-OPEN key always
+    fold — even technically-late ones, which is what keeps an
+    at-least-once, arbitrarily-ordered drain bit-for-bit equal to
+    batch — while rows for an already-FINALIZED key are dropped
+    instead of resurrecting a partial state that would shadow the
+    final one. That is the finite-state contract a 100 TB stream needs
+    spelled out, not implied. Group-key cardinality multiplies the
+    state bound (G groups × open windows × k longs) — group on
+    bounded-cardinality dimensions, the same contract as any streaming
+    groupBy.
     """
     from collections.abc import Iterator
     from typing import Any
@@ -297,8 +325,16 @@ def windowed_kmv_state(
     _require_arrow_resolvable_tz(
         events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     )
+    by_type = {f.name: f.dataType for f in events.schema.fields}
+    missing = [g for g in group_cols if g not in by_type]
+    if missing:
+        raise ValueError(
+            f"group_cols {missing} not in the stream schema "
+            f"{sorted(by_type)}"
+        )
     out_schema = T.StructType(
-        [
+        [T.StructField(g, by_type[g]) for g in group_cols]
+        + [
             T.StructField("w_start_ms", T.LongType()),
             T.StructField("h", T.LongType()),
             T.StructField("emit_seq", T.LongType()),
@@ -311,6 +347,7 @@ def windowed_kmv_state(
             T.StructField("seq", T.LongType()),
         ]
     )
+    n_groups = len(group_cols)
 
     def fn(
         key: tuple[Any, ...],
@@ -320,16 +357,17 @@ def windowed_kmv_state(
         import pandas as pd
 
         def emit(hs: list[int], seq: int, final: bool) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "w_start_ms": pd.Series(
-                        [int(key[0])] * len(hs), dtype="int64"
-                    ),
-                    "h": pd.Series(hs, dtype="int64"),
-                    "emit_seq": pd.Series([seq] * len(hs), dtype="int64"),
-                    "final": [final] * len(hs),
-                }
+            data = {
+                g: pd.Series([key[i]] * len(hs))
+                for i, g in enumerate(group_cols)
+            }
+            data["w_start_ms"] = pd.Series(
+                [int(key[n_groups])] * len(hs), dtype="int64"
             )
+            data["h"] = pd.Series(hs, dtype="int64")
+            data["emit_seq"] = pd.Series([seq] * len(hs), dtype="int64")
+            data["final"] = [final] * len(hs)
+            return pd.DataFrame(data)
 
         if state.hasTimedOut:
             hs, seq = state.get
@@ -337,11 +375,12 @@ def windowed_kmv_state(
             yield emit(list(hs), seq + 1, True)
             return
 
-        # the key IS the epoch ms, computed JVM-side — no tz round-trip
-        win_end = int(key[0]) + win_ms
+        # the last key element IS the epoch ms, computed JVM-side —
+        # no tz round-trip
+        win_end = int(key[n_groups]) + win_ms
         wm = state.getCurrentWatermarkMs()
         if not state.exists and wm > win_end:
-            # stragglers for a window already finalized and evicted
+            # stragglers for a key already finalized and evicted
             # (applyInPandasWithState does NOT pre-filter late rows):
             # resurrecting a partial state would shadow the final one,
             # so they drop here — the standard watermark contract
@@ -355,7 +394,7 @@ def windowed_kmv_state(
         hs = sorted(merged)[:k]
         seq += 1
         state.update((hs, seq))
-        # finalize when the watermark passes window end; a window kept
+        # finalize when the watermark passes window end; a key kept
         # open past its end by in-flight batches (timeouts only fire on
         # data-free triggers) re-arms just above the current watermark
         state.setTimeoutTimestamp(max(win_end, wm + 1))
@@ -368,17 +407,26 @@ def windowed_kmv_state(
     keyed = (
         src.filter(F.col(value_col).isNotNull())
         .select(
-            F.window(ts_col, window).alias("w"), h.alias("h"), F.col(ts_col)
+            *[F.col(g) for g in group_cols],
+            F.window(ts_col, window).alias("w"),
+            h.alias("h"),
+            F.col(ts_col),
         )
         # ts_col stays ONLY because the analyzer requires the
         # watermark-tagged attribute in the stateful input; the key and
         # the Python-side math are the epoch-ms long
-        .select(F.unix_millis(F.col("w.start")).alias("w_start_ms"), "h", ts_col)
+        .select(
+            *group_cols,
+            F.unix_millis(F.col("w.start")).alias("w_start_ms"),
+            "h",
+            ts_col,
+        )
     )
-    state = keyed.groupBy("w_start_ms").applyInPandasWithState(
+    state = keyed.groupBy(*group_cols, "w_start_ms").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
     )
     return state.select(
+        *group_cols,
         F.timestamp_millis(F.col("w_start_ms")).alias("w_start"),
         "h",
         "emit_seq",

@@ -440,6 +440,32 @@ class StreamingCorpusIngestor:
         row = prune_fraction(self.corpus_zone_state(), lo, hi).head()
         return float(row["skip_fraction"] or 0.0)
 
+    def read_pruned(self, lo: float, hi: float) -> DataFrame:
+        """The corpus rows with ``length(text) BETWEEN lo AND hi``,
+        scanned through the maintained zone state
+        (:func:`~cdc_system_spark.operators.maintenance
+        .zone_pruned_between`): surviving zones convert to id ranges
+        that reach the parquet scan as pushed filters, so row groups
+        outside them never load — the read path
+        :meth:`zone_skip_estimate` forecasts. Row-identical to the
+        plain filter; the state is maintained per admitted batch, so
+        it is always current for the committed corpus."""
+        from cdc_system_spark.operators.maintenance import (
+            zone_pruned_between,
+        )
+
+        return zone_pruned_between(
+            self.corpus.read(),
+            self.corpus_zone_state(),
+            self.id_col,
+            F.length(F.col(self.text_col)),
+            lo,
+            hi,
+            0,
+            self.zone_hi,
+            self.zone_num_zones,
+        )
+
     def distinct_content_estimate(self) -> float:
         """HLL estimate of distinct content ever admitted (see
         ``stats_path``); 0.0 before any batch."""

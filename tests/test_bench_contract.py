@@ -36,10 +36,13 @@ def test_compact_line_folds_rather_than_exceeding_cap():
 
 
 def test_regression_baseline_loads_latest_committed_local():
-    name, mins = bench._load_prev_mins()
+    name, rec = bench._load_prev()
     # the repo carries committed BENCH_LOCAL_r*.json records
     assert name is not None and name.startswith("BENCH_LOCAL_r")
+    mins = rec.get("queries", {})
     assert mins and all(isinstance(v, float) for v in mins.values())
+    # r8 adjudication inputs: the baseline's medians ride along
+    assert rec.get("queries_median")
 
 
 def test_headline_names_all_registered():

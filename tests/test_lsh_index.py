@@ -460,3 +460,29 @@ def test_streaming_ingestor_containment_gate_parity(spark, tmp_path):
                          mk([(31, "wholly new themes entirely " * 5)]))
     ing_b.apply_batch(cap_b.read_log().filter(F.col("cdc_id") > mx3), 4)
     assert ing_b._index_trusted is False
+
+
+def test_index_staleness_metric(spark, docs, tmp_path):
+    # fresh index: ever ~= live -> churn within the KMV estimator's
+    # noise of 0 (the saturated estimate sits a few % off the true
+    # count — 0 exactly only below saturation); after ingesting edited
+    # versions of 1/5 of the docs the stale originals read as ~17%
+    # churn (1 - 200/240 within the KMV ~13% budget); after compaction
+    # against the live corpus the LIVE count is unchanged and the EVER
+    # estimate still includes the dead versions (EVER semantics)
+    path = str(tmp_path / "idx")
+    LI.lsh_index_build(docs, path)
+    row = LI.lsh_index_staleness(spark, path, docs).head()
+    assert row["churn_est"] <= 0.05 and row["n_live"] == docs.count()
+    edited = docs.filter("doc_id % 5 = 0").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    LI.lsh_index_ingest(edited, path)
+    live = docs.filter("doc_id % 5 <> 0").unionByName(edited)
+    row2 = LI.lsh_index_staleness(spark, path, live).head()
+    true_churn = 1 - live.count() / (docs.count() + edited.count())
+    assert row2["n_live"] == live.count()
+    assert abs(row2["churn_est"] - true_churn) < 0.10
+    LI.lsh_index_compact(spark, path, live)
+    row3 = LI.lsh_index_staleness(spark, path, live).head()
+    assert row3 == row2  # EVER state survives compaction

@@ -287,3 +287,44 @@ def test_zone_state_merge_equals_rebuild(spark):
         zone_state(df, "pos", "value", 10, 5)
     with _pytest.raises(ValueError):
         zone_merge()
+
+
+def test_zone_pruned_between_rows_and_pushdown(spark, tmp_path):
+    # the zone map driving an ACTUAL pruned read: rows == plain filter
+    # (including NULL order keys and out-of-geometry clamps), and the
+    # surviving-zone id ranges reach the parquet scan as pushed filters
+    from cdc_system_spark.operators.maintenance import (
+        zone_pruned_between,
+        zone_state,
+    )
+
+    rows = [(i, float(i // 100)) for i in range(1000)]
+    rows += [(None, 2.5), (None, 9.0), (-5, 2.2), (2000, 2.4)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    df.orderBy("id").coalesce(4).write.parquet(str(tmp_path / "t"))
+    stored = spark.read.parquet(str(tmp_path / "t"))
+    st = zone_state(stored, "id", "v", 0, 999, num_zones=10)
+    pruned = zone_pruned_between(
+        stored, st, "id", F.col("v"), 2.0, 3.0, 0, 999, num_zones=10
+    )
+    plain = stored.filter(F.col("v").between(2.0, 3.0))
+    key = lambda d: sorted(
+        ((r["id"] is None, r["id"]), r["v"]) for r in d.collect()
+    )
+    assert key(pruned) == key(plain)
+    # NULL ids with in-range v pass; the -5/2000 clamps land in the
+    # surviving edge-zone ranges (zone 0 kept via -5's 2.2, zone 9 via
+    # 2000's 2.4) and survive
+    got = {(r["id"], r["v"]) for r in pruned.collect()}
+    assert (None, 2.5) in got and (-5, 2.2) in got and (2000, 2.4) in got
+    assert (None, 9.0) not in got
+    # the range predicate is pushed to the scan (id min/max row-group
+    # stats can serve it; the computed v-between cannot)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:200]
+    # degenerate: nothing skippable (predicate spans all zones) falls
+    # back to the plain filter — still row-identical
+    wide = zone_pruned_between(
+        stored, st, "id", F.col("v"), 0.0, 99.0, 0, 999, num_zones=10
+    )
+    assert wide.count() == stored.count()

@@ -19,70 +19,77 @@ def plans(spark, sf_dir):
     return {name: q.fn(spark, sf_dir) for name, q in QUERY_REGISTRY.items()}
 
 
+#: the oldest-evidence pool, RECOMPUTED from the seven committed
+#: CORRECTNESS_r*.json artifacts at round-8 start (the r7 verdict's
+#: task 2: pin the recomputed list, not the builder's estimate —
+#: r7 SURVEY said 36, the artifacts say 39). Every name's latest
+#: driver-green row is round 3; _WINDOW_R8 re-confirms ALL of them,
+#: moving the registry-wide evidence floor to r4.
+R3_EVIDENCE_POOL = {
+    "q_agg_groupby", "q_anti_join", "q_case_when", "q_chunk_documents",
+    "q_count_distinct", "q_customer_distribution", "q_date_funcs",
+    "q_disjunctive_revenue", "q_distinct", "q_dormant_customers",
+    "q_except", "q_forecast_revenue", "q_grouping_sets", "q_intersect",
+    "q_large_orders", "q_local_volume", "q_market_share",
+    "q_minhash_jaccard_est", "q_normalize_text", "q_order_priority",
+    "q_percentiles", "q_pivot", "q_product_profit", "q_promo_revenue",
+    "q_returned_items", "q_scalar_subquery", "q_semi_join",
+    "q_sliding_window", "q_small_quantity_revenue", "q_string_funcs",
+    "q_supplier_part_count", "q_top_customers", "q_top_supplier",
+    "q_union", "q_volume_shipping", "q_waiting_suppliers",
+    "q_window_lag", "q_window_ntile", "q_window_running",
+}
+
+
+def test_oldest_evidence_pool_recorded():
+    """The recorded pool matches the artifacts when they are present
+    (the repo ships all seven CORRECTNESS files; a checkout without
+    them skips the recompute but still pins the list's size)."""
+    import glob
+    import json
+    import os
+
+    assert len(R3_EVIDENCE_POOL) == 39
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                         "CORRECTNESS_r0*.json")))
+    if len(arts) < 7:
+        pytest.skip("driver artifacts not in this checkout")
+    latest: dict[str, int] = {}
+    for p in arts:
+        rnd = int(p.rsplit("_r", 1)[1].split(".")[0])
+        for name, v in json.load(open(p)).items():
+            ok = (v.get("rows_match") and v.get("schema_match")
+                  and v.get("hash_match") and not v.get("err"))
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    recomputed = {n for n, r in latest.items() if r == 3}
+    assert recomputed == R3_EVIDENCE_POOL
+
+
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
     entries. The window is now an explicit list (queries/__init__.py
-    ``_WINDOW_R7``) whose invariants ``_set_window`` already enforces
+    ``_WINDOW_R8``) whose invariants ``_set_window`` already enforces
     at import; here we pin the POLICY content: everything never
     driver-checked sits inside, as does everything whose operator or
-    oracle changed this round (including the r6-tail FLOOR-rewrite six
-    the advisor flagged as deferred), the final 25-query r1/r2-only
-    evidence pool is closed out completely, and no rows-only query
+    oracle changed this round, the COMPLETE recomputed r3-evidence
+    pool (39 names — the floor moves to r4), and no rows-only query
     wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # new in round 7, never driver-checked:
-        "q_containment_maintained",
-        "q_leakage_split_maintained",
-        "q_lsh_index_stats",
-        "q_kmv_merged_by",
-        "q_ann_topk_batch",
-        "q_kmv_windowed",
-        # the r6-tail ROUND→FLOOR oracle rewrites, deferred to r7:
-        "q_text_quality",
-        "q_quality_filter",
-        "q_bpe_token_count",
-        "q_weighted_sample",
-        "q_bigram_surprisal",
-        "q_containment_pairs",
-        # operator changed in round 7 (containment signature reuse;
-        # index builds store n_sh and write stats states):
-        "q_drop_contained",
-        "q_leakage_split_containment",
-        "q_lsh_index_maintained",
-        "q_lsh_probe_maintained",
-        "q_neardup_ingest",
-        "q_ingest_dup_report",
-        "q_ann_index_maintained",
-        "q_ann_probe_maintained",
-        # the last of the r1/r2-only evidence pool — all 22 remaining
-        # names (3 of the 25 appear above in the rewrite six):
-        "q_array_ops",
-        "q_count",
-        "q_filter_eq",
-        "q_fingerprint",
-        "q_frame_sample",
-        "q_from_json",
-        "q_hash_sample",
-        "q_isin_semijoin",
-        "q_lang_id",
-        "q_media_byte_histogram",
-        "q_media_catalog",
-        "q_media_decode",
-        "q_project_limit",
-        "q_rarity_score",
-        "q_redact_pii",
-        "q_regex_extract",
-        "q_repetition_filter",
-        "q_stratified_sample",
-        "q_term_frequency",
-        "q_tfidf",
-        "q_to_json",
-        "q_token_count",
-    }
+        # new in round 8, never driver-checked:
+        "q_containment_ingest",
+        "q_index_overlap",
+        "q_index_staleness",
+        "q_kmv_windowed_by",
+        "q_zone_pruned_read",
+        # operator AND oracle changed in round 8 (C=16 literal
+        # centroids; vote winner folded into the totals aggregation):
+        "q_knn_label_noise",
+    } | R3_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
 

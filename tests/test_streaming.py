@@ -811,6 +811,17 @@ def test_ingestor_maintained_zone_state(spark, tmp_path):
     # the layout clusters length: a short-text predicate skips the
     # long-text zones entirely
     assert mk_ing().zone_skip_estimate(0.0, 50.0) >= 0.4
+    # and the PRUNED read path serves that predicate row-identically
+    # to the plain corpus filter (surviving zones -> pushed id ranges).
+    # NB the corpus is exact-deduped, so it holds fewer rows than the
+    # zone state counts — the state summarizes ADMITTED rows, a safe
+    # superset for pruning
+    pruned = {r["doc_id"] for r in mk_ing().read_pruned(0.0, 50.0).collect()}
+    plain = {
+        r["doc_id"]
+        for r in corpus.read().filter(F.length("text") <= 50).collect()
+    }
+    assert pruned == plain and len(pruned) >= 1
     # compaction folds all but the NEWEST batch subpath (the replay
     # target) into one base state; the merged state is unchanged
     import os
@@ -1137,3 +1148,59 @@ def test_kmv_stats_maintained_and_overlap(spark, tmp_path):
     assert row["union_est"] == 50.0
     assert row["intersect_est"] == 5.0
     assert row["jaccard_est"] == 0.1
+
+
+def test_streaming_windowed_kmv_by_group_matches_batch(spark, tmp_path):
+    # grouped twin: per-(event_type, day) streamed bottom-64 == batch
+    # kmv_state_by over the same rows BIT-FOR-BIT across a multi-file
+    # drain (same contract as the ungrouped test; group key rides the
+    # state key, so eviction and folding are per (group, window))
+    from cdc_system_spark.operators.sketch import kmv_state_by
+    from cdc_system_spark.sources.catalog import load_table
+    from cdc_system_spark.streaming.aggregations import windowed_kmv_state_by
+
+    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_events.write.parquet(str(tmp_path / "ev"))
+    q = (
+        windowed_kmv_state_by(
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "ev")),
+            ["event_type"],
+            "user_id",
+            window="1 day",
+            watermark="60 days",
+        )
+        .writeStream.format("memory")
+        .queryName("win_kmv_by")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "kkpt"))
+        .start()
+    )
+    q.awaitTermination()
+    last = spark.sql(
+        """SELECT event_type, w_start, h FROM (
+               SELECT *, MAX(emit_seq) OVER (
+                   PARTITION BY event_type, w_start) AS mx
+               FROM win_kmv_by) WHERE emit_seq = mx"""
+    )
+    streamed = sorted(
+        (r["event_type"], r["w_start"], r["h"]) for r in last.collect()
+    )
+    expected = sorted(
+        (r["event_type"], r["w_day"], r["h"])
+        for r in kmv_state_by(
+            batch_events.select(
+                "event_type",
+                F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+                    "w_day"
+                ),
+                F.col("user_id").cast("string").alias("u"),
+            ),
+            ["event_type", "w_day"],
+            "u",
+        ).collect()
+    )
+    assert len({k for k, _, _ in streamed}) >= 2  # multiple groups live
+    assert streamed == expected
