@@ -316,10 +316,15 @@ def main() -> None:
     # machine-readable adjudication (the r7 verdict's task 1: the r7
     # driver artifact shipped 3 flags a stranger could not tell apart
     # from real regressions without reading the bench notes):
-    #   "confirmed-regression" — the MEDIAN exceeds 1.3x too. Minima
-    #     dodge transient load; a min AND median both out is code.
-    #   "box-drift" — the median contradicts the min (or no baseline
-    #     median exists): the signature of a loaded box, not code.
+    #   "confirmed-regression" — the MEDIAN exceeds 1.3x too AND the
+    #     query's ratio still exceeds 1.3x after dividing out the
+    #     RUN-WIDE shift (global_drift_ratio = this run's shared-query
+    #     min-sum over the baseline's). Minima dodge transient load,
+    #     medians dodge one-off stalls, and the drift normalization
+    #     dodges the failure mode both miss: a uniformly slow box
+    #     shifts min AND median together on UNTOUCHED queries (seen in
+    #     r7 run A at 1.18x and again in r8 run A at 1.09x).
+    #   "box-drift" — anything else: the signature of load, not code.
     # plus the changed-source evidence: files under cdc_system_spark/
     # touched since the baseline record's commit.
     prev_name, prev_rec = _load_prev()
@@ -344,6 +349,12 @@ def main() -> None:
         if baseline_head
         else None
     )
+    shared = [n for n in gated if n in prev_mins and prev_mins[n] > 0]
+    global_drift = (
+        round(sum(gated[n] for n in shared) / sum(prev_mins[n] for n in shared), 3)
+        if shared
+        else 1.0
+    )
     flagged = {}
     for name in gated:
         if name not in prev_mins or prev_mins[name] <= 0:
@@ -354,16 +365,19 @@ def main() -> None:
         med_ratio = (
             round(med / pmed, 2) if med and pmed and pmed > 0 else None
         )
+        ratio = round(gated[name] / prev_mins[name], 2)
+        excess = round(ratio / max(global_drift, 1.0), 2)
         flagged[name] = {
             "min": gated[name],
             "prev_min": prev_mins[name],
-            "ratio": round(gated[name] / prev_mins[name], 2),
+            "ratio": ratio,
             "median": med,
             "prev_median": pmed,
             "median_ratio": med_ratio,
+            "drift_normalized_ratio": excess,
             "adjudication": (
                 "confirmed-regression"
-                if med_ratio is not None and med_ratio > 1.3
+                if med_ratio is not None and med_ratio > 1.3 and excess > 1.3
                 else "box-drift"
             ),
         }
@@ -379,6 +393,7 @@ def main() -> None:
         "maintenance_median": maint_meds,
         "sf": float(sf),
         "regression_baseline": prev_name,
+        "global_drift_ratio": global_drift,
         "git_head": _git("rev-parse", "HEAD") or None,
         "baseline_git_head": baseline_head or None,
         "source_files_changed_since_baseline": (
