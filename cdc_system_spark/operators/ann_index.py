@@ -52,6 +52,7 @@ __all__ = [
     "ann_index_ingest",
     "ann_index_load",
     "ann_index_probe_tables",
+    "ann_index_staleness",
     "ann_index_stats",
     "ann_index_stats_state",
     "ann_index_topk",
@@ -432,6 +433,52 @@ def ann_index_probe_tables(
     ).withColumnRenamed("cell_id", "centroid_id")
     cols = [id_col, vec_col, "centroid_id"]
     return covered.select(*cols).unionByName(extra.select(*cols))
+
+
+def ann_index_staleness(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row compaction-scheduling metric ``(n_ever_est, n_live,
+    churn_est)`` — the ANN twin of
+    :func:`~cdc_system_spark.operators.lsh_index.lsh_index_staleness`
+    (same tagged-union single-aggregation shape, same KMV error
+    budget): the maintained EVER estimate against the exact live
+    (id, vector) version count; a high ``churn_est`` says the
+    assignment table is carrying roughly that fraction of dead
+    re-embedding/deletion leftovers — schedule
+    :func:`ann_index_compact`."""
+    from cdc_system_spark.functions.portable import round_portable
+    from cdc_system_spark.operators.sketch import _KMV_M
+
+    state_rows = _read_stats_state(spark, path).select(
+        F.col("h").alias("_h"), F.lit(True).alias("_st")
+    )
+    live_rows = (
+        current.select(_vkey(id_col, vec_col))
+        .distinct()
+        .select(F.lit(None).cast("long").alias("_h"), F.lit(False).alias("_st"))
+    )
+    agg = state_rows.unionByName(live_rows).agg(
+        F.count(F.when(F.col("_st"), 1)).alias("_ns"),
+        F.max(F.when(F.col("_st"), F.col("_h"))).alias("_hk"),
+        F.count(F.when(~F.col("_st"), 1)).alias("n_live"),
+    )
+    ever = (
+        F.when(F.col("_ns") < 64, F.col("_ns").cast("double"))
+        .otherwise(F.round(F.lit(63.0 * _KMV_M) / F.col("_hk"), 4))
+    )
+    return agg.select(
+        ever.alias("n_ever_est"),
+        "n_live",
+        round_portable(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("n_live") / ever),
+            4,
+        ).alias("churn_est"),
+    )
 
 
 def ann_index_compact(

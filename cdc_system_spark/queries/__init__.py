@@ -36,7 +36,9 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 #   2. every query whose operator or oracle CHANGED this round:
 #      q_knn_label_noise (registered form moved from 4 to 16 literal
 #      centroids AND the vote winner folded into the totals
-#      aggregation — both sides of the comparison changed);
+#      aggregation — both sides of the comparison changed) and
+#      q_leakage_split_maintained (now reads the post-compact TRUSTED
+#      signature path, assume_covered — zero corpus text access);
 #   3. remaining slots re-confirm the queries with the OLDEST driver
 #      evidence: ALL 39 r3-evidence names (recomputed from the seven
 #      CORRECTNESS artifacts — the r7 verdict corrected the builder's
@@ -52,8 +54,9 @@ _WINDOW_R8 = [
     "q_index_staleness",
     "q_kmv_windowed_by",
     "q_zone_pruned_read",
-    # -- 2. operator + oracle changed this round --
+    # -- 2. operator or oracle changed this round --
     "q_knn_label_noise",
+    "q_leakage_split_maintained",
     # -- 3a. the COMPLETE r3-evidence pool (39) — floor moves to r4 --
     "q_agg_groupby",
     "q_anti_join",
@@ -99,7 +102,6 @@ _WINDOW_R8 = [
     "q_image_neardup",
     "q_pagerank",
     "q_scd2_history",
-    "q_ivf_topk_exact",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -1011,7 +1011,13 @@ def q_containment_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH index: identical semantics (and oracle) to "
     "q_leakage_split_containment, but the pair graph derives from the "
     "persisted signature/count table instead of re-shingling the "
-    "corpus per call — the recompute was that query's dominant cost",
+    "corpus per call — the recompute was that query's dominant cost. "
+    "r8: reads the POST-COMPACT trusted path (assume_covered — zero "
+    "corpus text access, not even the live filter's md5 pass; valid "
+    "because the shared index is built+ingested over exactly this "
+    "corpus with no mutations, the invariant compact_index restores "
+    "in the streaming ingestor). The live-filtered load keeps its own "
+    "driver coverage via q_containment_maintained",
 )
 def q_leakage_split_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators import lsh_index as LI
@@ -1021,7 +1027,7 @@ def q_leakage_split_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = catalog(spark, sf_dir).documents.select("doc_id", "text")
     path = shared_lsh_index(spark, sf_dir)
     sigs = LI.lsh_index_signature_tables(
-        spark, path, docs, shingle_k=7, num_perms=16
+        spark, path, docs, shingle_k=7, num_perms=16, assume_covered=True
     )
     out = containment_safe_split(
         docs, threshold=0.8, k=7, salt="s9", signatures=sigs

@@ -281,3 +281,24 @@ def test_compact_to_empty_does_not_brick_the_index(spark, emb, tmp_path):
     from cdc_system_spark.operators.ann_index import ann_index_probe_tables
 
     assert ann_index_probe_tables(spark, path, reembedded).count() == 50
+
+
+def test_ann_index_staleness_metric(spark, emb, tmp_path):
+    # the ANN twin of lsh_index_staleness: ever-vs-live churn within
+    # the KMV budget, and EVER state survives compaction
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=8)
+    row = AI.ann_index_staleness(spark, path, emb).head()
+    assert row["n_live"] == emb.count() and row["churn_est"] <= 0.05
+    # re-embed 1/5 of the vectors (new versions; old ones go stale)
+    reemb = emb.filter("vec_id % 5 = 0").withColumn(
+        "embedding", F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float"))
+    )
+    AI.ann_index_ingest(reemb, path)
+    live = emb.filter("vec_id % 5 <> 0").unionByName(reemb)
+    row2 = AI.ann_index_staleness(spark, path, live).head()
+    true_churn = 1 - live.count() / (emb.count() + reemb.count())
+    assert row2["n_live"] == live.count()
+    assert abs(row2["churn_est"] - true_churn) < 0.10
+    AI.ann_index_compact(spark, path, live)
+    assert AI.ann_index_staleness(spark, path, live).head() == row2

@@ -86,9 +86,11 @@ def test_oracle_window_composition():
         "q_index_staleness",
         "q_kmv_windowed_by",
         "q_zone_pruned_read",
-        # operator AND oracle changed in round 8 (C=16 literal
-        # centroids; vote winner folded into the totals aggregation):
+        # operator or oracle changed in round 8 (C=16 literal
+        # centroids + vote winner folded into the totals aggregation;
+        # the maintained split moved to the trusted signature path):
         "q_knn_label_noise",
+        "q_leakage_split_maintained",
     } | R3_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
