@@ -128,6 +128,12 @@ HEADLINE = [
 #: of stdout; stay comfortably under it
 _LINE_CAP = 1800
 
+#: a regression flag requires BOTH >1.3x relative AND more than this
+#: many seconds of absolute min increase (see the adjudication comment
+#: in main) — sub-second queries wobble past a pure ratio gate on
+#: scheduler noise alone
+_MIN_FLAG_DELTA = 0.25
+
 
 def _load_prev() -> tuple[str | None, dict]:
     """The LATEST committed BENCH_LOCAL_r*.json record — the
@@ -291,19 +297,46 @@ def main() -> None:
     # read minima and use medians to adjudicate "regression or noise"
     # — the r4 lesson, where single-run artifacts disagreed with
     # same-session A/Bs two rounds running.
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name in HEADLINE:
+    def _time_runs(name: str, n: int) -> list[float]:
         fn = QUERY_REGISTRY[name].fn
         runs = []
-        for _ in range(3):
+        for _ in range(n):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        runs.sort()
+        return runs
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        runs = sorted(_time_runs(name, 3))
+        all_runs[name] = runs
         timings[name] = round(runs[0], 3)
         medians[name] = round(runs[1], 3)
+
+    # retry pass: a query whose 3-run min would trip the flag gate vs
+    # the committed baseline gets 3 MORE runs before anything is
+    # recorded — min/median over all 6. One noisy draw then cannot
+    # masquerade as a regression (observed r8: three same-code solo
+    # runs within two hours each flagged a DIFFERENT disjoint set of
+    # sub-2 s queries at 1.3-1.5x; every flag vanished on retry),
+    # while a REAL regression survives 6 runs just as it survives 3.
+    # Cost is paid only on suspects — a clean run adds zero work.
+    prev_probe = _load_prev()[1]
+    probe_mins = dict(prev_probe.get("queries", {}))
+    retried = []
+    for name in HEADLINE:
+        pm = probe_mins.get(name)
+        if not pm or pm <= 0:
+            continue
+        if timings[name] > 1.3 * pm and timings[name] - pm > _MIN_FLAG_DELTA:
+            runs = sorted(all_runs[name] + _time_runs(name, 3))
+            all_runs[name] = runs
+            timings[name] = round(runs[0], 3)
+            medians[name] = round(runs[len(runs) // 2], 3)
+            retried.append(name)
 
     total = round(sum(timings.values()), 3)
     median_total = round(sum(medians.values()), 3)
@@ -327,6 +360,14 @@ def main() -> None:
     #   "box-drift" — anything else: the signature of load, not code.
     # plus the changed-source evidence: files under cdc_system_spark/
     # touched since the baseline record's commit.
+    #
+    # Material-delta floor: a flag also requires the ABSOLUTE min
+    # increase to exceed _MIN_FLAG_DELTA seconds. Sub-second queries
+    # trip a pure ratio gate on ~0.1 s of scheduler noise (observed
+    # r8: four 0.3-0.5 s sketch queries flagged 1.3-1.4x between two
+    # same-code solo runs two hours apart) — a 0.15 s wobble at sf0.1
+    # says nothing about 100 TB throughput, while a REAL 1.3x on any
+    # query that matters clears 0.25 s easily.
     prev_name, prev_rec = _load_prev()
     prev_mins = dict(prev_rec.get("queries", {}))
     prev_mins.update(prev_rec.get("maintenance", {}))
@@ -361,6 +402,8 @@ def main() -> None:
             continue
         if gated[name] <= 1.3 * prev_mins[name]:
             continue
+        if gated[name] - prev_mins[name] <= _MIN_FLAG_DELTA:
+            continue  # ratio-only wobble on a sub-second query
         med, pmed = meds_all.get(name), prev_meds.get(name)
         med_ratio = (
             round(med / pmed, 2) if med and pmed and pmed > 0 else None
@@ -393,6 +436,7 @@ def main() -> None:
         "maintenance_median": maint_meds,
         "sf": float(sf),
         "regression_baseline": prev_name,
+        "retried_queries": retried,
         "global_drift_ratio": global_drift,
         "git_head": _git("rev-parse", "HEAD") or None,
         "baseline_git_head": baseline_head or None,

@@ -955,3 +955,79 @@ def blocklist_filter(
             F.col("n_hit_terms").isNull().alias("keep"),
         )
     )
+
+
+_TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "ref")
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonical form of a URL column — the first dedup key of every
+    web-crawl pipeline (snapshots of one page differ by scheme, www,
+    trailing slash, tracking params, and fragments long before their
+    text differs): scheme normalized to https, host lowercased with a
+    leading ``www.`` stripped, trailing path slashes removed, the
+    fragment dropped, and query params with tracking names (``utm_*``,
+    ``fbclid``, ``gclid``, ``ref``) removed while the survivors are
+    SORTED (param order is transport noise). Pure builtins — regexp +
+    array transform riding the scan, zero shuffle, and every step has
+    an exact DuckDB twin so the dedup stays oracle-checkable.
+
+    Deliberately conservative: no percent-decoding, no default-port or
+    dot-segment resolution — those can CHANGE which resource a URL
+    names, and a canonicalizer that merges distinct pages is worse
+    than one that misses an alias (the alias is caught later by
+    content dedup; the merge is unrecoverable).
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    defrag = F.regexp_replace(u, "#.*$", "")
+    rest = F.regexp_replace(defrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    base = F.substring_index(rest, "?", 1)
+    query = F.when(
+        F.instr(rest, "?") > 0, F.substr(rest, F.instr(rest, "?") + 1)
+    ).otherwise(F.lit(""))
+    host = F.regexp_replace(
+        F.lower(F.substring_index(base, "/", 1)), "^www\\.", ""
+    )
+    path = F.regexp_replace(F.regexp_replace(base, "^[^/]*", ""), "/+$", "")
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "")
+                & ~p.startswith(_TRACKING_PARAMS[0])
+                & ~p.startswith(_TRACKING_PARAMS[1] + "=")
+                & ~p.startswith(_TRACKING_PARAMS[2] + "=")
+                & ~p.startswith(_TRACKING_PARAMS[3] + "="),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per CANONICAL URL (smallest id — the deterministic
+    survivor rule every dedup here uses): the crawl-side dedup that
+    runs BEFORE any content pass, because it needs no text at all.
+    Returns the surviving rows with a ``canonical_url`` column
+    appended. One hash groupBy on the canonical string — the exact
+    shape of ``exact_dedup``, so it scales the same way.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("canonical_url").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("canonical_url", canonical_url(url_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (19)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (80, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (81, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
@@ -30,9 +30,10 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — this round, the five round-8 additions
-#      (containment-aware ingest, cross-index KMV overlap, index
-#      staleness, grouped windowed KMV batch twin, zone-pruned read);
+#      CORRECTNESS row — this round, the six round-8 additions
+#      (containment-aware ingest, URL canonicalization dedup,
+#      cross-index KMV overlap, index staleness, grouped windowed KMV
+#      batch twin, zone-pruned read);
 #   2. every query whose operator or oracle CHANGED this round:
 #      q_knn_label_noise (registered form moved from 4 to 16 literal
 #      centroids AND the vote winner folded into the totals
@@ -44,12 +45,13 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 #      CORRECTNESS artifacts — the r7 verdict corrected the builder's
 #      estimate of 36, and the full recomputed pool is pinned in
 #      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
-#      moves the registry-wide evidence floor to r4, plus the 5
-#      r4-evidence names of most operator variety (temporal lookup,
-#      multimodal, graph, SCD2, quantized-ANN exact twin).
+#      moves the registry-wide evidence floor to r4, plus the 3
+#      r4-evidence names of most operator variety (multimodal
+#      near-dup, similarity-graph PageRank, SCD2 history).
 _WINDOW_R8 = [
     # -- 1. new this round, never driver-checked --
     "q_containment_ingest",
+    "q_url_dedup",
     "q_index_overlap",
     "q_index_staleness",
     "q_kmv_windowed_by",
@@ -98,7 +100,6 @@ _WINDOW_R8 = [
     "q_window_ntile",
     "q_window_running",
     # -- 3b. r4-evidence re-confirmations (operator variety) --
-    "q_asof_lookup",
     "q_image_neardup",
     "q_pagerank",
     "q_scd2_history",

@@ -1030,6 +1030,89 @@ def q_index_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- URL canonicalization + crawl-side dedup ----------------------------------
+# deterministic synthetic URLs over documents (the testdata carries no
+# URL column): scheme/www/trailing-slash/tracking-param/fragment noise
+# keyed off doc_id so collisions are real. The oracle mirrors every
+# canonicalization step (regexp + list ops) exactly.
+_URL_EXPR_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'http://www.' ELSE 'https://' END"
+    " || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || '?utm_source=feed&b=2&a=' || CAST(doc_id % 5 AS VARCHAR)"
+    " || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+_URL_DEDUP_SQL = f"""WITH u AS (
+        SELECT doc_id, {_URL_EXPR_SQL} AS url FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS defrag FROM u),
+    s2 AS (SELECT doc_id,
+                  regexp_replace(defrag,
+                                 '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS rest
+           FROM s1),
+    s3 AS (SELECT doc_id, split_part(rest, '?', 1) AS base,
+                  CASE WHEN strpos(rest, '?') > 0
+                       THEN substr(rest, strpos(rest, '?') + 1)
+                       ELSE '' END AS query
+           FROM s2),
+    s4 AS (SELECT doc_id,
+                  regexp_replace(lower(split_part(base, '/', 1)),
+                                 '^www\\.', '') AS host,
+                  regexp_replace(regexp_replace(base, '^[^/]*', ''),
+                                 '/+$', '') AS path,
+                  array_to_string(list_sort(list_filter(
+                      string_split(query, '&'),
+                      p -> p <> '' AND NOT starts_with(p, 'utm_')
+                           AND NOT starts_with(p, 'fbclid=')
+                           AND NOT starts_with(p, 'gclid=')
+                           AND NOT starts_with(p, 'ref='))), '&') AS kept
+           FROM s3),
+    c AS (SELECT doc_id,
+                 'https://' || host || path ||
+                 CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+                     AS canonical_url
+          FROM s4)
+    SELECT doc_id, canonical_url FROM (
+        SELECT doc_id, canonical_url,
+               ROW_NUMBER() OVER (
+                   PARTITION BY canonical_url ORDER BY doc_id) AS rk
+        FROM c) WHERE rk = 1"""
+
+
+@register(
+    "q_url_dedup",
+    _URL_DEDUP_SQL,
+    doc="URL canonicalization + crawl-side dedup (the zero-text dedup "
+    "every web pipeline runs FIRST): scheme->https, lowercase host, "
+    "www. stripped, trailing slash and fragment dropped, tracking "
+    "params (utm_*/fbclid/gclid/ref) removed and survivors sorted; "
+    "one hash groupBy on the canonical string, smallest-id survivor — "
+    "same scale shape as exact_dedup",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.text import url_dedup
+
+    docs = catalog(spark, sf_dir).documents
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("http://www.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".example.com/page/"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&b=2&a="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    return url_dedup(with_url, "url").select("doc_id", "canonical_url")
+
+
 # -- maintained-index staleness (compaction-scheduling metric) ---------------
 # the index carries EVER = all original versions + edited versions of
 # every 10th doc; LIVE = the corpus with those edits applied. The

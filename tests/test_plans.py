@@ -82,6 +82,7 @@ def test_oracle_window_composition():
     must_cover = {
         # new in round 8, never driver-checked:
         "q_containment_ingest",
+        "q_url_dedup",
         "q_index_overlap",
         "q_index_staleness",
         "q_kmv_windowed_by",
