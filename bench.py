@@ -324,8 +324,8 @@ def main() -> None:
     # sub-2 s queries at 1.3-1.5x; every flag vanished on retry),
     # while a REAL regression survives 6 runs just as it survives 3.
     # Cost is paid only on suspects — a clean run adds zero work.
-    prev_probe = _load_prev()[1]
-    probe_mins = dict(prev_probe.get("queries", {}))
+    prev_name, prev_rec = _load_prev()  # loaded ONCE, reused by the gate
+    probe_mins = dict(prev_rec.get("queries", {}))
     retried = []
     for name in HEADLINE:
         pm = probe_mins.get(name)
@@ -335,7 +335,10 @@ def main() -> None:
             runs = sorted(all_runs[name] + _time_runs(name, 3))
             all_runs[name] = runs
             timings[name] = round(runs[0], 3)
-            medians[name] = round(runs[len(runs) // 2], 3)
+            # LOWER median ((n-1)//2) — the same rule the 3-run path
+            # applies (runs[1]), so retried and non-retried queries
+            # feed the next round's med_ratio input consistently
+            medians[name] = round(runs[(len(runs) - 1) // 2], 3)
             retried.append(name)
 
     total = round(sum(timings.values()), 3)
@@ -351,12 +354,15 @@ def main() -> None:
     # from real regressions without reading the bench notes):
     #   "confirmed-regression" — the MEDIAN exceeds 1.3x too AND the
     #     query's ratio still exceeds 1.3x after dividing out the
-    #     RUN-WIDE shift (global_drift_ratio = this run's shared-query
-    #     min-sum over the baseline's). Minima dodge transient load,
-    #     medians dodge one-off stalls, and the drift normalization
-    #     dodges the failure mode both miss: a uniformly slow box
-    #     shifts min AND median together on UNTOUCHED queries (seen in
-    #     r7 run A at 1.18x and again in r8 run A at 1.09x).
+    #     RUN-WIDE shift, computed LEAVE-ONE-OUT (the shared-query
+    #     min-sum ratio with the candidate excluded from both sums —
+    #     a time-dominant query that genuinely regresses would
+    #     otherwise inflate the very drift it is normalized by and
+    #     mask its own flag). Minima dodge transient load, medians
+    #     dodge one-off stalls, and the drift normalization dodges the
+    #     failure mode both miss: a uniformly slow box shifts min AND
+    #     median together on UNTOUCHED queries (seen in r7 run A at
+    #     1.18x and again in r8 run A at 1.09x).
     #   "box-drift" — anything else: the signature of load, not code.
     # plus the changed-source evidence: files under cdc_system_spark/
     # touched since the baseline record's commit.
@@ -368,7 +374,6 @@ def main() -> None:
     # same-code solo runs two hours apart) — a 0.15 s wobble at sf0.1
     # says nothing about 100 TB throughput, while a REAL 1.3x on any
     # query that matters clears 0.25 s easily.
-    prev_name, prev_rec = _load_prev()
     prev_mins = dict(prev_rec.get("queries", {}))
     prev_mins.update(prev_rec.get("maintenance", {}))
     prev_meds = dict(prev_rec.get("queries_median", {}))
@@ -391,11 +396,18 @@ def main() -> None:
         else None
     )
     shared = [n for n in gated if n in prev_mins and prev_mins[n] > 0]
-    global_drift = (
-        round(sum(gated[n] for n in shared) / sum(prev_mins[n] for n in shared), 3)
-        if shared
-        else 1.0
-    )
+    sum_now = sum(gated[n] for n in shared)
+    sum_prev = sum(prev_mins[n] for n in shared)
+    global_drift = round(sum_now / sum_prev, 3) if shared else 1.0
+
+    def _drift_excluding(name: str) -> float:
+        # leave-one-out: a time-dominant query that genuinely regresses
+        # inflates the very drift it is normalized by, masking its own
+        # flag — exclude the candidate from both sums
+        if len(shared) <= 1 or name not in prev_mins:
+            return 1.0
+        d = (sum_now - gated[name]) / (sum_prev - prev_mins[name])
+        return round(d, 3)
     flagged = {}
     for name in gated:
         if name not in prev_mins or prev_mins[name] <= 0:
@@ -409,7 +421,8 @@ def main() -> None:
             round(med / pmed, 2) if med and pmed and pmed > 0 else None
         )
         ratio = round(gated[name] / prev_mins[name], 2)
-        excess = round(ratio / max(global_drift, 1.0), 2)
+        loo_drift = _drift_excluding(name)
+        excess = round(ratio / max(loo_drift, 1.0), 2)
         flagged[name] = {
             "min": gated[name],
             "prev_min": prev_mins[name],
@@ -417,6 +430,7 @@ def main() -> None:
             "median": med,
             "prev_median": pmed,
             "median_ratio": med_ratio,
+            "drift_excluding_self": loo_drift,
             "drift_normalized_ratio": excess,
             "adjudication": (
                 "confirmed-regression"

@@ -46,6 +46,45 @@ def mark_compacted(
     ).parquet(marker_path)
 
 
+def staleness_metric(state: DataFrame, live_keys: DataFrame) -> DataFrame:
+    """One-row ``(n_ever_est, n_live, churn_est)`` from a maintained
+    KMV stats state and the live version-key frame — the shared math
+    behind ``lsh_index_staleness`` / ``ann_index_staleness`` (one copy,
+    so the k=64 estimator constants cannot drift between the twins).
+    One aggregation over a tagged union: a join of two one-row
+    aggregates would plan as a CartesianProduct (the scalar×scalar
+    recombination anti-pattern the plan audit rejects). ``churn_est =
+    max(0, 1 - n_live/n_ever_est)`` rounded half-up at 4 decimals;
+    estimator error is the KMV budget (~13% at k=64) — an unchurned
+    saturated index reads a few % off zero, not exactly zero."""
+    from pyspark.sql import functions as F
+
+    from cdc_system_spark.functions.portable import round_portable
+    from cdc_system_spark.operators.sketch import _KMV_M
+
+    state_rows = state.select(F.col("h").alias("_h"), F.lit(True).alias("_st"))
+    live_rows = live_keys.distinct().select(
+        F.lit(None).cast("long").alias("_h"), F.lit(False).alias("_st")
+    )
+    agg = state_rows.unionByName(live_rows).agg(
+        F.count(F.when(F.col("_st"), 1)).alias("_ns"),
+        F.max(F.when(F.col("_st"), F.col("_h"))).alias("_hk"),
+        F.count(F.when(~F.col("_st"), 1)).alias("n_live"),
+    )
+    ever = (
+        F.when(F.col("_ns") < 64, F.col("_ns").cast("double"))
+        .otherwise(F.round(F.lit(63.0 * _KMV_M) / F.col("_hk"), 4))
+    )
+    return agg.select(
+        ever.alias("n_ever_est"),
+        "n_live",
+        round_portable(
+            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("n_live") / ever),
+            4,
+        ).alias("churn_est"),
+    )
+
+
 def read_stats_state(
     spark: SparkSession,
     stats_path: str,

@@ -401,38 +401,13 @@ def lsh_index_staleness(
     % off zero, not exactly zero; the max(0,·) clamp absorbs the
     estimator sitting below the true count on the other side.
     """
-    from cdc_system_spark.functions.portable import round_portable
-    from cdc_system_spark.operators.sketch import _KMV_M
+    from cdc_system_spark.operators._index_stats import staleness_metric
 
     _, _, _, meta_id = _read_meta(spark, path)
     id_col = id_col or meta_id
-    # one aggregation over a tagged union — a join of two one-row
-    # aggregates would plan as a CartesianProduct (the scalar×scalar
-    # recombination anti-pattern the plan audit rejects)
-    state_rows = _read_stats_state(spark, path).select(
-        F.col("h").alias("_h"), F.lit(True).alias("_st")
-    )
-    live_rows = (
-        current.select(_vkey(id_col, text_col))
-        .distinct()
-        .select(F.lit(None).cast("long").alias("_h"), F.lit(False).alias("_st"))
-    )
-    agg = state_rows.unionByName(live_rows).agg(
-        F.count(F.when(F.col("_st"), 1)).alias("_ns"),
-        F.max(F.when(F.col("_st"), F.col("_h"))).alias("_hk"),
-        F.count(F.when(~F.col("_st"), 1)).alias("n_live"),
-    )
-    ever = (
-        F.when(F.col("_ns") < 64, F.col("_ns").cast("double"))
-        .otherwise(F.round(F.lit(63.0 * _KMV_M) / F.col("_hk"), 4))
-    )
-    return agg.select(
-        ever.alias("n_ever_est"),
-        "n_live",
-        round_portable(
-            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("n_live") / ever),
-            4,
-        ).alias("churn_est"),
+    return staleness_metric(
+        _read_stats_state(spark, path),
+        current.select(_vkey(id_col, text_col)),
     )
 
 

@@ -394,15 +394,18 @@ def zone_pruned_between(
     # zone z holds order keys o with ((o-geo_lo)*N) div rng == z
     # (clamped at the edges): o in [geo_lo + ceil(z*rng/N),
     # geo_lo + ceil((z+1)*rng/N) - 1]; zone 0 / N-1 absorb the
-    # out-of-geometry tails
-    import math
+    # out-of-geometry tails. INTEGER ceil (-(-a // b)) — float ceil
+    # loses exactness past 2^53, and wide order-key geometries
+    # (48-bit Z-order/Hilbert keys x 64 zones) sit beyond it: a
+    # one-off boundary there silently excludes a surviving zone's
+    # edge key from the span, breaking the rows-identical contract
 
     def bounds(z: int) -> tuple[int | None, int | None]:
-        zlo = None if z == 0 else geo_lo + math.ceil(z * rng / num_zones)
+        zlo = None if z == 0 else geo_lo + -(-(z * rng) // num_zones)
         zhi = (
             None
             if z == num_zones - 1
-            else geo_lo + math.ceil((z + 1) * rng / num_zones) - 1
+            else geo_lo + -(-((z + 1) * rng) // num_zones) - 1
         )
         return zlo, zhi
 

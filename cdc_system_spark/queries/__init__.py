@@ -39,15 +39,18 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 #      centroids AND the vote winner folded into the totals
 #      aggregation — both sides of the comparison changed) and
 #      q_leakage_split_maintained (now reads the post-compact TRUSTED
-#      signature path, assume_covered — zero corpus text access);
+#      signature path, assume_covered — zero corpus text access), and
+#      q_kmv_intersection (the operator's ratio outputs moved to
+#      round_portable with the oracle rewritten to match — the r8
+#      self-review caught the oracle lagging the operator);
 #   3. remaining slots re-confirm the queries with the OLDEST driver
 #      evidence: ALL 39 r3-evidence names (recomputed from the seven
 #      CORRECTNESS artifacts — the r7 verdict corrected the builder's
 #      estimate of 36, and the full recomputed pool is pinned in
 #      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
-#      moves the registry-wide evidence floor to r4, plus the 3
+#      moves the registry-wide evidence floor to r4, plus the 2
 #      r4-evidence names of most operator variety (multimodal
-#      near-dup, similarity-graph PageRank, SCD2 history).
+#      near-dup, similarity-graph PageRank).
 _WINDOW_R8 = [
     # -- 1. new this round, never driver-checked --
     "q_containment_ingest",
@@ -59,6 +62,7 @@ _WINDOW_R8 = [
     # -- 2. operator or oracle changed this round --
     "q_knn_label_noise",
     "q_leakage_split_maintained",
+    "q_kmv_intersection",
     # -- 3a. the COMPLETE r3-evidence pool (39) — floor moves to r4 --
     "q_agg_groupby",
     "q_anti_join",
@@ -102,7 +106,6 @@ _WINDOW_R8 = [
     # -- 3b. r4-evidence re-confirmations (operator variety) --
     "q_image_neardup",
     "q_pagerank",
-    "q_scd2_history",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -2730,12 +2730,12 @@ _KMV_INTERSECT_SQL = f"""WITH {_kmv_type_cte("a", "click")},
             FROM u)
     SELECT CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
                 ELSE {_KMV_EST.format(hk="theta")} END AS union_est,
-           ROUND(nc / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE)
+           FLOOR(nc / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE)
                  * (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
-                         ELSE {_KMV_EST.format(hk="theta")} END),
-                 4) AS intersect_est,
-           ROUND(nc / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE),
-                 4) AS jaccard_est
+                         ELSE {_KMV_EST.format(hk="theta")} END)
+                 * 10000.0 + 0.5) / 10000.0 AS intersect_est,
+           FLOOR(nc / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard_est
     FROM agg"""
 
 

@@ -213,7 +213,9 @@ class StreamingCorpusIngestor:
             sigs, bands = probe()
         return {"corpus_sigs": sigs, "corpus_bands": bands}
 
-    def _lsh_signature_table(self, current: DataFrame) -> DataFrame:
+    def _lsh_signature_table(
+        self, current: DataFrame, trusted: bool
+    ) -> DataFrame:
         """The maintained ``(id, h0.., n_sh)`` signature frame for the
         containment gate — live-filtered, or read directly (zero corpus
         access) inside the post-:meth:`compact_index` trusted window.
@@ -231,7 +233,7 @@ class StreamingCorpusIngestor:
             id_col=self.id_col,
             num_perms=16,
             shingle_k=7,
-            assume_covered=self._index_trusted,
+            assume_covered=trusted,
         )
         try:
             return load()
@@ -499,6 +501,16 @@ class StreamingCorpusIngestor:
         net = net_effect_reduce(decoded, key="record_id").localCheckpoint(eager=True)
 
         current = self.corpus.read()
+        # disarm the trusted window for the batch's DURATION and
+        # re-arm only after a successful corpus flip: by the time the
+        # flip runs, the index already holds this attempt's versions
+        # (ingested below, pre-flip) — so if the flip fails and the
+        # caller retries apply_batch IN-PROCESS, a still-armed trusted
+        # path would read stored-but-uncommitted versions, the exact
+        # superset state its contract forbids (the restart-resets-flag
+        # defense only covers process death, not in-process retry)
+        trusted_for_batch = self._index_trusted
+        self._index_trusted = False
         delete_ids = net.filter(F.col("effect") == "DELETE").select(
             F.col("record_id").alias(self.id_col)
         )
@@ -552,7 +564,11 @@ class StreamingCorpusIngestor:
             # together. Same-id pairs pass — a CDC UPDATE truncating
             # its own row must still replace it.
             sig_kw = (
-                {"corpus_signatures": self._lsh_signature_table(current)}
+                {
+                    "corpus_signatures": self._lsh_signature_table(
+                        current, trusted_for_batch
+                    )
+                }
                 if self.lsh_index_path is not None
                 else {}
             )
@@ -591,7 +607,7 @@ class StreamingCorpusIngestor:
                 text_col=self.text_col,
                 id_col=self.id_col,
             )
-            if self._index_trusted:
+            if trusted_for_batch:
                 # the trusted window survives only batches that leave
                 # no stale versions behind: any DELETE, or any admitted
                 # id already in the corpus (an overwrite strands the
@@ -600,7 +616,7 @@ class StreamingCorpusIngestor:
                 if not delete_ids.isEmpty() or not admitted.join(
                     current.select(self.id_col), self.id_col, "left_semi"
                 ).isEmpty():
-                    self._index_trusted = False
+                    trusted_for_batch = False
 
         merged = incremental_ingest(
             current, admitted, text_col=self.text_col, id_col=self.id_col
@@ -622,6 +638,9 @@ class StreamingCorpusIngestor:
             final,
             meta={"ingest_app": self.checkpoint_path, "ingest_batch": str(batch_id)},
         )
+        # flip committed: stored == live again (insert-only batch under
+        # an open window) — re-arm
+        self._index_trusted = trusted_for_batch
         self.batches_applied += 1
 
     def _writer(self):

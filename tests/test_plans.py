@@ -92,6 +92,7 @@ def test_oracle_window_composition():
         # the maintained split moved to the trusted signature path):
         "q_knn_label_noise",
         "q_leakage_split_maintained",
+        "q_kmv_intersection",
     } | R3_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
