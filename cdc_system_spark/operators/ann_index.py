@@ -459,6 +459,64 @@ def ann_index_staleness(
     )
 
 
+def ann_cell_skew(
+    spark: SparkSession,
+    path: str,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Cell-occupancy profile of the maintained ANN index: one row per
+    centroid ``(centroid_id, n_vecs, share, occ_ratio)`` including
+    EMPTY cells — the IVF health metric the cardinality stats state
+    does not expose. ``occ_ratio`` = ``n_vecs · C / total`` (1.0 =
+    perfectly balanced): a cell at 10× means a probe landing there
+    scans 10× the expected candidates (the IVF latency tail), and
+    empty/starved cells mean their neighborhoods' vectors were
+    absorbed elsewhere, hurting recall at fixed ``nprobe`` — both say
+    re-train centroids (``kmeans_refine``) or split the hot cell.
+
+    Reads the STORED assignment table (== live for a compacted or
+    never-mutated index); for an index carrying re-embedding/deletion
+    leftovers pass ``assignments=ann_index_probe_tables(...)`` so dead
+    versions don't inflate counts. Scale shape: one C-group count over
+    the partition-pruned assignment scan, a C-row broadcast-able left
+    join from the centroid table (empty cells survive), and the
+    share/total window runs over the BOUNDED C-row profile only —
+    nothing corpus-sized moves, exactly the ``token_histogram``
+    bounded-state convention.
+    """
+    from pyspark.sql import Window
+
+    from cdc_system_spark.functions.portable import round_portable
+
+    centroids, stored = ann_index_load(spark, path)
+    asg = stored if assignments is None else assignments
+    counts = asg.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    profile = (
+        centroids.select(F.col("cell_id").cast("long").alias("centroid_id"))
+        .join(counts, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_vecs"), F.lit(0).cast("long")).alias("n_vecs"),
+        )
+    )
+    w = Window.partitionBy()  # over the <= C-row profile only
+    total = F.sum("n_vecs").over(w)
+    n_cells = F.count("*").over(w)
+    # empty-index guard: 0/0 must be a defined 0.0, not a NULL (or an
+    # ANSI abort) — the advisor's staleness_metric empty-state rule
+    safe = lambda num: F.when(  # noqa: E731
+        total > 0, round_portable(num / total, 6)
+    ).otherwise(F.lit(0.0))
+    return profile.select(
+        "centroid_id",
+        "n_vecs",
+        safe(F.col("n_vecs")).alias("share"),
+        safe(F.col("n_vecs") * n_cells).alias("occ_ratio"),
+    )
+
+
 def ann_index_compact(
     spark: SparkSession,
     path: str,

@@ -75,6 +75,59 @@ def read_log_range(
     return df
 
 
+def log_zone_state(
+    log: DataFrame,
+    geo_lo: int,
+    geo_hi: int,
+    num_zones: int = 64,
+) -> DataFrame:
+    """Zone state over ``(cdc_id order, synced flag)`` — the maintained
+    analogue of the reference's ``(synced, cdc_id)`` covering index
+    (``cdc_system.py:129-132``): each cdc_id zone records the min/max
+    of the synced flag, so a zone whose ``v_min = 1`` is ALL-synced and
+    the pending poll can skip it entirely. Mergeable like any
+    :func:`zone_state` (counts add, extrema min/max) — maintain it
+    per compaction/ingest batch, never re-scan the log for it."""
+    return zone_state(
+        log, "cdc_id", F.col("synced").cast("int"), geo_lo, geo_hi,
+        num_zones,
+    )
+
+
+def read_pending_pruned(
+    log: DataFrame,
+    state: DataFrame,
+    geo_lo: int,
+    geo_hi: int,
+    num_zones: int = 64,
+    limit: int | None = None,
+) -> DataFrame:
+    """The reference's hot poll — ``WHERE synced = 0 ORDER BY cdc_id
+    LIMIT n`` (``cdc_system.py:209-216``) — with the scan PRUNED by a
+    maintained :func:`log_zone_state`: all-synced cdc_id zones convert
+    to order-key ranges the scan skips (:func:`zone_pruned_between`
+    with the predicate ``synced::int BETWEEN 0 AND 0``), which is
+    exactly what the reference's ``(synced, cdc_id)`` covering index
+    buys SQLite. On a real replication log the synced prefix is nearly
+    the whole log (everything but the tail has drained), so the poll
+    touches only the tail zones' files/row groups instead of scanning
+    history — completing the DDL2 index story on the CDC path itself,
+    not just on analytics columns. Rows are IDENTICAL to the plain
+    filter (the zone_pruned_between contract); the ``orderBy + limit``
+    still plans as TakeOrderedAndProject over the surviving rows.
+
+    Freshness contract inherited from :func:`zone_pruned_between`: the
+    state must cover (a superset of) the log under exactly this
+    geometry — refresh/merge the state after appends before polling.
+    """
+    pending = zone_pruned_between(
+        log, state, "cdc_id", F.col("synced").cast("int"), 0, 0,
+        geo_lo, geo_hi, num_zones,
+    )
+    out = pending.orderBy("cdc_id")
+    return out.limit(limit) if limit is not None else out
+
+
 def zorder_value(a: Column | str, b: Column | str, bits: int = 16) -> Column:
     """Morton (Z-order) interleave of two non-negative int columns.
 
@@ -242,9 +295,15 @@ def zone_map(
         )
     lo, hi = int(srow["_lo"]), int(srow["_hi"])
     rng = hi - lo + 1
+    # DECIMAL(38,0) intermediate — same wide-geometry overflow guard
+    # as zone_state (a hash-derived order key can span ~2^63, whose
+    # product with num_zones overflows int64 and aborts under ANSI)
     return (
         keyed.select(
-            F.expr(f"((_o - {lo}) * {num_zones}) div {rng}")
+            F.expr(
+                f"CAST(((CAST(_o AS DECIMAL(38,0)) - {lo}) * {num_zones}) "
+                f"div {rng} AS BIGINT)"
+            )
             .cast("int")
             .alias("zone"),
             "_v",
@@ -313,13 +372,19 @@ def zone_state(
     keyed = df.select(
         oc.cast("long").alias("_o"), vc.alias("_v")
     ).filter(F.col("_o").isNotNull())
+    # DECIMAL(38,0) intermediate: with wide order-key geometries
+    # (timestamp-derived cdc_ids sit near 1.8e18) the int64 product
+    # (_o - lo) * num_zones overflows — ANSI aborts the state build.
+    # Decimal keeps the zone math exact at any long geometry (2^63·64
+    # ≈ 5.9e20 ≪ 10^38); `div` on decimals is still integral division.
+    zone_expr = (
+        f"CAST(((CAST(_o AS DECIMAL(38,0)) - {lo}) * {num_zones}) "
+        f"div {rng} AS BIGINT)"
+    )
     return (
         keyed.select(
             F.least(
-                F.greatest(
-                    F.expr(f"((_o - {lo}) * {num_zones}) div {rng}"),
-                    F.lit(0),
-                ),
+                F.greatest(F.expr(zone_expr), F.lit(0)),
                 F.lit(num_zones - 1),
             )
             .cast("int")

@@ -92,6 +92,39 @@ def hll_state(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def hll_state_by(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group HLL sketch as a TABLE artifact: ``(*group_cols,
+    bucket, max_rank)``, <= 64 rows per group — the grouped twin of
+    :func:`hll_state`, exactly as ``kmv_state_by`` twins ``kmv_state``.
+    Same engine-exact md5/bucket/rank construction (so a group's state
+    equals the scalar :func:`hll_state` over that group's rows
+    bit-for-bit, and the streaming ``windowed_hll_state_by`` is proven
+    equal to THIS shape); states stay sparse (absent buckets are
+    implicit rank 0) and merge per group by union + per-(group,
+    bucket) max. Map-side combine bounds the shuffle at ≤ 64 rows per
+    group per partition regardless of input size."""
+    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    vals = df.select(*group_cols, h.alias("_h")).filter(
+        F.col("_h").isNotNull()
+    )
+    bucket = F.expr("_h % 64").alias("bucket")
+    w = F.expr("_h div 64")
+    rho = (
+        F.when(w == 0, F.lit(_RANK_BITS + 1))
+        .otherwise(F.lit(_RANK_BITS + 1) - F.length(F.bin(w)))
+        .alias("_rho")
+    )
+    return (
+        vals.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("max_rank"))
+    )
+
+
 def hll_merge(*states: DataFrame) -> DataFrame:
     """OR-combine HLL states (union + per-bucket max) — the lossless
     merge that makes the sketch incrementally maintainable: estimate

@@ -21,95 +21,86 @@ from cdc_system_spark.queries import curation  # noqa: E402,F401  (27)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (19)
-from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (13)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (81, all oracle-backed)
+from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (14)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (83, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
-# Round-8 window: the driver's CORRECTNESS gate strong-checks the
+# Round-9 window: the driver's CORRECTNESS gate strong-checks the
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — this round, the six round-8 additions
-#      (containment-aware ingest, URL canonicalization dedup,
-#      cross-index KMV overlap, index staleness, grouped windowed KMV
-#      batch twin, zone-pruned read);
-#   2. every query whose operator or oracle CHANGED this round:
-#      q_knn_label_noise (registered form moved from 4 to 16 literal
-#      centroids AND the vote winner folded into the totals
-#      aggregation — both sides of the comparison changed) and
-#      q_leakage_split_maintained (now reads the post-compact TRUSTED
-#      signature path, assume_covered — zero corpus text access), and
-#      q_kmv_intersection (the operator's ratio outputs moved to
-#      round_portable with the oracle rewritten to match — the r8
-#      self-review caught the oracle lagging the operator);
+#      CORRECTNESS row — the round-9 additions;
+#   2. every query whose operator or oracle CHANGED this round;
 #   3. remaining slots re-confirm the queries with the OLDEST driver
-#      evidence: ALL 39 r3-evidence names (recomputed from the seven
-#      CORRECTNESS artifacts — the r7 verdict corrected the builder's
-#      estimate of 36, and the full recomputed pool is pinned in
+#      evidence: the COMPLETE 30-name r4-evidence pool (recomputed
+#      from the eight CORRECTNESS_r0[1-8] artifacts and pinned in
 #      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
-#      moves the registry-wide evidence floor to r4, plus the 2
-#      r4-evidence names of most operator variety (multimodal
-#      near-dup, similarity-graph PageRank).
-_WINDOW_R8 = [
+#      moves the registry-wide evidence floor to r5, then r5-evidence
+#      names oldest-first (alphabetical within the round) in whatever
+#      slots remain.
+_WINDOW_R9 = [
     # -- 1. new this round, never driver-checked --
-    "q_containment_ingest",
-    "q_url_dedup",
-    "q_index_overlap",
-    "q_index_staleness",
-    "q_kmv_windowed_by",
-    "q_zone_pruned_read",
-    # -- 2. operator or oracle changed this round --
-    "q_knn_label_noise",
-    "q_leakage_split_maintained",
-    "q_kmv_intersection",
-    # -- 3a. the COMPLETE r3-evidence pool (39) — floor moves to r4 --
-    "q_agg_groupby",
-    "q_anti_join",
-    "q_case_when",
-    "q_chunk_documents",
-    "q_count_distinct",
-    "q_customer_distribution",
-    "q_date_funcs",
-    "q_disjunctive_revenue",
-    "q_distinct",
-    "q_dormant_customers",
-    "q_except",
-    "q_forecast_revenue",
-    "q_grouping_sets",
-    "q_intersect",
-    "q_large_orders",
-    "q_local_volume",
-    "q_market_share",
-    "q_minhash_jaccard_est",
-    "q_normalize_text",
-    "q_order_priority",
-    "q_percentiles",
-    "q_pivot",
-    "q_product_profit",
-    "q_promo_revenue",
-    "q_returned_items",
-    "q_scalar_subquery",
-    "q_semi_join",
-    "q_sliding_window",
-    "q_small_quantity_revenue",
-    "q_string_funcs",
-    "q_supplier_part_count",
-    "q_top_customers",
-    "q_top_supplier",
-    "q_union",
-    "q_volume_shipping",
-    "q_waiting_suppliers",
-    "q_window_lag",
-    "q_window_ntile",
-    "q_window_running",
-    # -- 3b. r4-evidence re-confirmations (operator variety) --
-    "q_image_neardup",
-    "q_pagerank",
+    "q_hll_windowed_by",
+    "q_log_pruned_read",
+    "q_ann_cell_skew",
+    # -- 2. operator changed this round --
+    "q_leakage_split_containment",  # split closure moved to star contraction
+    "q_leakage_split_maintained",   # same closure change, trusted-path form
+    "q_dup_clusters_star",  # star contraction newly load-bearing (the
+    # split family's default closure) — re-confirm it alongside
+    "q_leakage_split",  # exact-group form, UNCHANGED (no closure) — an
+    # r5-evidence re-confirmation listed here so the split family's
+    # three driver rows land in the same artifact
+    # -- 3a. the COMPLETE r4-evidence pool (30) — floor moves to r5 --
+    "q_asof_lookup",
+    "q_audio_features",
+    "q_blocklist",
+    "q_boilerplate",
+    "q_centroid_assign",
+    "q_cluster_sizes",
+    "q_contamination_report",
+    "q_corpus_datacard",
+    "q_event_drift",
+    "q_event_trend",
+    "q_global_shuffle",
+    "q_incremental_ingest",
+    "q_ivf_topk_exact",
+    "q_norm_gate",
+    "q_oov_rate",
+    "q_packing_efficiency",
+    "q_quality_cut",
+    "q_quality_survivors",
+    "q_resize_images",
+    "q_scd2_history",
+    "q_shipmode_priority",
+    "q_simhash_neardup",
+    "q_split_assign",
+    "q_temperature_mix",
+    "q_temperature_sample",
+    "q_token_budget",
+    "q_token_histogram",
+    "q_topk_per_stratum",
+    "q_winnow_fingerprints",
+    "q_zorder_value",
+    # -- 3b. r5-evidence re-confirmations, oldest-first --
+    "q_auto_join",
+    "q_bm25",
+    "q_charset_quality",
+    "q_community_profile",
+    "q_countmin",
+    "q_countmin_merged",
+    "q_curation_funnel",
+    "q_curation_pipeline",
+    "q_dup_source_matrix",
+    "q_embedding_cov",
+    "q_embedding_neardup",
+    "q_event_anomalies",
+    "q_event_transitions",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R8
+_WINDOW = _WINDOW_R9
 
 
 def _set_window() -> None:

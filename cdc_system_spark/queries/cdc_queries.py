@@ -328,3 +328,56 @@ def q_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "record_id", "ts", "version", "valid_from"
     )
+
+
+# -- q_log_pruned_read: the hot poll served by a maintained zone state --------
+_LOG_PRUNED_SQL = """WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    cdc AS (
+        SELECT event_id AS cdc_id,
+               CASE WHEN event_type IN ('click', 'view') THEN 'INSERT'
+                    WHEN event_type IN ('purchase', 'signup') THEN 'UPDATE'
+                    ELSE 'DELETE' END AS operation,
+               user_id AS record_id,
+               (event_id <= (SELECT (m * 3) // 4 FROM mx)) AS synced
+        FROM events)
+    SELECT cdc_id, operation, CAST(record_id AS BIGINT) AS record_id
+    FROM cdc WHERE NOT synced ORDER BY cdc_id LIMIT 100"""
+
+
+@register(
+    "q_log_pruned_read",
+    _LOG_PRUNED_SQL,
+    doc="the reference hot poll (WHERE synced=0 ORDER BY cdc_id LIMIT "
+    "n, cdc_system.py:209-216) served by a maintained log zone state "
+    "(the (synced, cdc_id) covering-index analogue, "
+    "cdc_system.py:129-132): on a drained log only the unsynced TAIL "
+    "is pending, so the all-synced cdc_id zones convert to order-key "
+    "ranges that reach the parquet scan as pushed filters and the "
+    "poll never reads history; the oracle is the plain filter + "
+    "top-k, so a green row proves pruned poll == full poll "
+    "row-for-row; one collected max-id scalar + a <=64-row state, "
+    "zero shuffles added",
+)
+def q_log_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.maintenance import (
+        log_zone_state,
+        read_pending_pruned,
+    )
+
+    ev = catalog(spark, sf_dir).events
+    mx = int(ev.agg(F.max("event_id")).first()[0])
+    thr = (mx * 3) // 4  # synced prefix: everything but the tail quarter
+    log = ev.select(
+        F.col("event_id").alias("cdc_id"),
+        F.when(F.col("event_type").isin("click", "view"), "INSERT")
+        .when(F.col("event_type").isin("purchase", "signup"), "UPDATE")
+        .otherwise("DELETE")
+        .alias("operation"),
+        F.col("user_id").alias("record_id"),
+        (F.col("event_id") <= thr).alias("synced"),
+    )
+    state = log_zone_state(log, 0, mx, 64)
+    out = read_pending_pruned(log, state, 0, mx, 64, limit=100)
+    return out.select(
+        "cdc_id", "operation", F.col("record_id").cast("long").alias("record_id")
+    )

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 from cdc_system_spark.operators import dedup as D
 from cdc_system_spark.operators import similarity as S
 from cdc_system_spark.operators import text as X
-from cdc_system_spark.functions.portable import round_portable
+from cdc_system_spark.functions.portable import (
+    round_portable,
+    round_portable_sql,
+)
 from cdc_system_spark.queries.base import catalog, register
 
 # DuckDB twins of the shared building blocks; the MinHash-LSH CTE
@@ -830,6 +833,54 @@ def q_ann_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = shared_ann_index(spark, sf_dir)
     _, asg = AI.ann_index_load(spark, path)
     return asg.select("vec_id", "centroid_id")
+
+
+# -- cell-occupancy skew of the maintained ANN index -------------------------
+_ANN_CELL_SKEW_SQL = f"""WITH c AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               {_dot_sql('e.embedding', 'c.cv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('c.cv', 'c.cv')})) AS cos_sim
+        FROM embeddings e, c),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, cid DESC) AS rk
+            FROM scored) WHERE rk = 1),
+    counts AS (
+        SELECT c.cid, CAST(COUNT(a.vec_id) AS BIGINT) AS n_vecs
+        FROM c LEFT JOIN assign a ON a.cid = c.cid GROUP BY c.cid),
+    tot AS (SELECT SUM(n_vecs) AS total, COUNT(*) AS n_cells FROM counts)
+    SELECT CAST(cid AS BIGINT) AS centroid_id, n_vecs,
+           {round_portable_sql('n_vecs / total')} AS share,
+           {round_portable_sql('n_vecs * n_cells / total')} AS occ_ratio
+    FROM counts, tot"""
+
+
+@register(
+    "q_ann_cell_skew",
+    _ANN_CELL_SKEW_SQL,
+    doc="cell-occupancy skew of the maintained ANN index: per-centroid "
+    "vector counts (EMPTY cells included), corpus share, and "
+    "occupancy ratio vs perfect balance — the IVF recall/latency "
+    "health metric (a 10x hot cell makes every probe touching it scan "
+    "10x the candidates; starved cells hurt recall at fixed nprobe); "
+    "one C-group count over the assignment table + a window over the "
+    "bounded C-row profile, nothing corpus-sized moves; the oracle "
+    "recomputes assignment of the WHOLE corpus against the frozen "
+    "first-8 centroids and aggregates identically",
+)
+def q_ann_cell_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ann_cell_skew
+    from cdc_system_spark.queries._maintained import shared_ann_index
+
+    path = shared_ann_index(spark, sf_dir)
+    return ann_cell_skew(spark, path)
 
 
 # -- batch IVF top-k over the maintained index -------------------------------
@@ -2892,6 +2943,41 @@ def q_kmv_windowed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("day", "ts").alias("w_day"), "user_id"
     )
     return kmv_state_by(ev, ["event_type", "w_day"], "user_id")
+
+
+_HLL_WINDOWED_BY_SQL = """WITH v AS (
+        SELECT event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_day,
+               CAST(CONCAT('0x', SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT event_type, w_day, h % 64 AS bucket,
+           MAX(CASE WHEN h // 64 = 0 THEN 55
+                    ELSE 55 - length(bin(h // 64)) END) AS max_rank
+    FROM v GROUP BY event_type, w_day, h % 64"""
+
+
+@register(
+    "q_hll_windowed_by",
+    _HLL_WINDOWED_BY_SQL,
+    doc="per-(group, day) HLL distinct states (event_type, w_day, "
+    "bucket, max_rank): the batch twin of "
+    "streaming.windowed_hll_state_by — the grouped streamed operator "
+    "(a plain watermarked windowed groupBy, <=64 rows state per "
+    "group x window) is proven bit-for-bit equal to THIS shape in "
+    "tests/test_streaming.py, so a green row transitively pins the "
+    "grouped streaming HLL state under the oracle gate; closes the "
+    "KMV-vs-HLL asymmetry in the streaming sketch family",
+)
+def q_hll_windowed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import hll_state_by
+
+    ev = catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("w_day"),
+        F.col("user_id").cast("string").alias("user_id"),
+    )
+    return hll_state_by(ev, ["event_type", "w_day"], "user_id")
 
 
 @register(

@@ -445,23 +445,64 @@ def windowed_hll_state(
     bucket, max_rank)``, <= 64 rows per window — the streaming answer
     to "distinct users per window", which with an exact distinct
     explodes state linearly in cardinality (every seen key retained per
-    open window). The HLL projection (md5 bucket + rank, the
-    :func:`~cdc_system_spark.operators.sketch.hll_state` construction)
-    reduces each window's state to a bounded 64-row max table that the
-    watermark evicts on schedule; estimates come from
-    :func:`~cdc_system_spark.operators.sketch.hll_estimate` applied
-    per window on the sink (or any engine — the state is the portable
-    artifact, and states for the same window from different streams
-    merge by per-bucket max exactly as in batch).
-    """
+    open window). The ungrouped form of :func:`windowed_hll_state_by`
+    (see there for the construction and state-bound discussion)."""
+    return windowed_hll_state_by(
+        events, [], value_col, window=window, watermark=watermark,
+        ts_col=ts_col,
+    )
+
+
+def windowed_hll_state_by(
+    events: DataFrame,
+    group_cols: list[str],
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct-count HLL STATE per (group, event-time window):
+    ``(*group_cols, w_start, bucket, max_rank)``, <= 64 rows per
+    group×window — the streaming twin of
+    :func:`~cdc_system_spark.operators.sketch.hll_state_by`, exactly
+    as :func:`windowed_kmv_state_by` twins ``kmv_state_by`` ("distinct
+    users per event type per hour"). This closes the one asymmetry in
+    the streaming sketch family: KMV had scalar + grouped streaming
+    forms, HLL only scalar.
+
+    Unlike the KMV form, HLL needs no ``applyInPandasWithState``: the
+    per-bucket max IS a bounded built-in aggregation, so this is a
+    plain watermarked windowed ``groupBy`` — Spark's own streaming
+    aggregation state holds ≤ 64 (bucket, max_rank) rows per
+    group×window and evicts them when the watermark passes the window
+    (exact distinct under the same groupBy would retain every seen
+    key per open window instead). The md5 bucket/rank projection
+    (:func:`~cdc_system_spark.operators.sketch.hll_state`
+    construction) runs map-side before the aggregation, so a key's
+    final streamed state equals the batch ``hll_state_by`` over that
+    key's rows bit-for-bit; estimates come from
+    :func:`~cdc_system_spark.operators.sketch.hll_estimate` per
+    group×window on the sink, and same-window states from different
+    streams merge by per-bucket max exactly as in batch. Group-key
+    cardinality multiplies the state bound (G groups × open windows ×
+    64 rows) — group on bounded-cardinality dimensions, the same
+    contract as any streaming groupBy."""
+    by_type = {f.name for f in events.schema.fields}
+    missing = [g for g in group_cols if g not in by_type]
+    if missing:
+        raise ValueError(
+            f"group_cols {missing} not in the stream schema "
+            f"{sorted(by_type)}"
+        )
     src = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     hashed = src.filter(F.col(value_col).isNotNull()).select(
-        F.col(ts_col), h.alias("_h")
+        *group_cols, F.col(ts_col), h.alias("_h")
     )
     keyed = hashed.select(
+        *group_cols,
         F.col(ts_col),
         F.expr("_h % 64").alias("bucket"),
         F.when(F.expr("_h div 64") == 0, F.lit(55))
@@ -469,7 +510,14 @@ def windowed_hll_state(
         .alias("_rho"),
     )
     return (
-        keyed.groupBy(F.window(ts_col, window).alias("w"), F.col("bucket"))
+        keyed.groupBy(
+            F.window(ts_col, window).alias("w"),
+            *[F.col(g) for g in group_cols],
+            F.col("bucket"),
+        )
         .agg(F.max("_rho").alias("max_rank"))
-        .select(F.col("w.start").alias("w_start"), "bucket", "max_rank")
+        .select(
+            *group_cols, F.col("w.start").alias("w_start"), "bucket",
+            "max_rank",
+        )
     )

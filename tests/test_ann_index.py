@@ -302,3 +302,34 @@ def test_ann_index_staleness_metric(spark, emb, tmp_path):
     assert abs(row2["churn_est"] - true_churn) < 0.10
     AI.ann_index_compact(spark, path, live)
     assert AI.ann_index_staleness(spark, path, live).head() == row2
+
+
+def test_cell_skew_profile_counts_and_empty_cells(spark, emb, tmp_path):
+    # occupancy profile: per-cell counts sum to the corpus, shares sum
+    # to ~1, EMPTY cells appear with 0/0.0 rows (the starved-cell
+    # recall signal), and occ_ratio is count * C / total
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    prof = AI.ann_cell_skew(spark, path).collect()
+    assert len(prof) == 4  # every centroid has a row, occupied or not
+    total = emb.count()
+    assert sum(r["n_vecs"] for r in prof) == total
+    assert abs(sum(r["share"] for r in prof) - 1.0) < 1e-5
+    for r in prof:
+        assert r["occ_ratio"] == pytest.approx(
+            r["n_vecs"] * 4 / total, abs=1e-6
+        )
+    # assignments= override: a single-cell restriction skews the
+    # profile exactly as given (the probe_tables live-filter hookup)
+    _, asg = AI.ann_index_load(spark, path)
+    one_cell = asg.filter(F.col("centroid_id") == prof[0]["centroid_id"])
+    prof2 = {
+        r["centroid_id"]: r
+        for r in AI.ann_cell_skew(spark, path, assignments=one_cell).collect()
+    }
+    assert len(prof2) == 4
+    n0 = one_cell.count()
+    assert prof2[prof[0]["centroid_id"]]["n_vecs"] == n0
+    assert prof2[prof[0]["centroid_id"]]["occ_ratio"] == pytest.approx(4.0)
+    empties = [r for r in prof2.values() if r["n_vecs"] == 0]
+    assert len(empties) == 3 and all(r["share"] == 0.0 for r in empties)

@@ -328,3 +328,42 @@ def test_zone_pruned_between_rows_and_pushdown(spark, tmp_path):
         stored, st, "id", F.col("v"), 0.0, 99.0, 0, 999, num_zones=10
     )
     assert wide.count() == stored.count()
+
+
+def test_read_pending_pruned_matches_plain_poll_and_pushes(spark, tmp_path):
+    # the reference hot poll (WHERE synced=0 ORDER BY cdc_id LIMIT n)
+    # served by the maintained log zone state: rows == the plain poll,
+    # and the surviving tail zones reach the parquet scan as a pushed
+    # cdc_id range — the (synced, cdc_id) covering-index analogue
+    # (cdc_system.py:129-132) completing DDL2 on the CDC path itself
+    from cdc_system_spark.operators.maintenance import (
+        log_zone_state,
+        read_pending_pruned,
+    )
+
+    # drained log: ids 0..799 synced, the 800..999 tail pending
+    rows = [(i, "INSERT" if i % 3 else "UPDATE", i % 37, i < 800)
+            for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "cdc_id long, operation string, record_id long, synced boolean"
+    )
+    df.orderBy("cdc_id").coalesce(4).write.parquet(str(tmp_path / "log"))
+    stored = spark.read.parquet(str(tmp_path / "log"))
+    st = log_zone_state(stored, 0, 999, num_zones=10)
+    pruned = read_pending_pruned(stored, st, 0, 999, num_zones=10, limit=50)
+    plain = (
+        stored.filter(~F.col("synced")).orderBy("cdc_id").limit(50)
+    )
+    key = lambda d: [
+        (r["cdc_id"], r["operation"], r["record_id"]) for r in d.collect()
+    ]
+    assert key(pruned) == key(plain)
+    assert key(pruned)[0][0] == 800 and len(key(pruned)) == 50
+    # the tail-zone cdc_id range is pushed to the scan: row groups of
+    # the synced prefix never load (what the covering index buys SQLite)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "cdc_id" in plan.split("PushedFilters")[1][:200]
+    # unlimited form returns every pending row
+    all_pending = read_pending_pruned(stored, st, 0, 999, num_zones=10)
+    assert all_pending.count() == 200

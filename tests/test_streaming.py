@@ -768,6 +768,61 @@ def test_streaming_windowed_hll_matches_batch_distinct_estimate(spark, tmp_path)
         ), day
 
 
+def test_streaming_windowed_hll_by_group_matches_batch(spark, tmp_path):
+    # grouped HLL twin (the r8 verdict's asymmetry: KMV had scalar +
+    # grouped streaming forms, HLL only scalar): per-(event_type, day)
+    # streamed (bucket, max_rank) states == batch hll_state_by over
+    # the same rows BIT-FOR-BIT across a multi-file drain — a plain
+    # watermarked windowed groupBy, so the state bound (<=64 rows per
+    # group x window) is Spark's own aggregation state
+    from cdc_system_spark.operators.sketch import hll_state_by
+    from cdc_system_spark.sources.catalog import load_table
+    from cdc_system_spark.streaming.aggregations import windowed_hll_state_by
+
+    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_events.write.parquet(str(tmp_path / "ev"))
+    q = (
+        windowed_hll_state_by(
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "ev")),
+            ["event_type"],
+            "user_id",
+            window="1 day",
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("win_hll_by")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hkpt"))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r["event_type"], r["w_start"], r["bucket"], r["max_rank"])
+        for r in spark.sql("SELECT * FROM win_hll_by").collect()
+    )
+    expected = sorted(
+        (r["event_type"], r["w_day"], r["bucket"], r["max_rank"])
+        for r in hll_state_by(
+            batch_events.select(
+                "event_type",
+                F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+                    "w_day"
+                ),
+                F.col("user_id").cast("string").alias("u"),
+            ),
+            ["event_type", "w_day"],
+            "u",
+        ).collect()
+    )
+    assert len({k for k, _, _, _ in streamed}) >= 2  # multiple groups live
+    assert streamed == expected
+    with pytest.raises(ValueError, match="group_cols"):
+        windowed_hll_state_by(batch_events, ["no_such_col"], "user_id")
+
+
 def test_ingestor_maintained_zone_state(spark, tmp_path):
     # zone_stats_path: per-batch zone states (replay overwrites its own
     # subpath — additive counts forbid read-merge-rewrite), reader
