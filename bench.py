@@ -367,13 +367,16 @@ def main() -> None:
     # plus the changed-source evidence: files under cdc_system_spark/
     # touched since the baseline record's commit.
     #
-    # Material-delta floor: a flag also requires the ABSOLUTE min
-    # increase to exceed _MIN_FLAG_DELTA seconds. Sub-second queries
-    # trip a pure ratio gate on ~0.1 s of scheduler noise (observed
-    # r8: four 0.3-0.5 s sketch queries flagged 1.3-1.4x between two
-    # same-code solo runs two hours apart) — a 0.15 s wobble at sf0.1
-    # says nothing about 100 TB throughput, while a REAL 1.3x on any
-    # query that matters clears 0.25 s easily.
+    # Material-delta floor: a ratio trip whose ABSOLUTE min increase
+    # stays under _MIN_FLAG_DELTA seconds is still RECORDED, with
+    # adjudication "below-delta-floor" (r8 silently skipped these; the
+    # r8 advisor: a genuine 3x on a 0.2 s query must leave evidence in
+    # the artifact). It just never escalates to confirmed-regression
+    # and does not earn the retry pass — sub-second queries trip a
+    # pure ratio gate on ~0.1 s of scheduler noise (observed r8: four
+    # 0.3-0.5 s sketch queries flagged 1.3-1.4x between two same-code
+    # solo runs two hours apart), while a REAL 1.3x on any query that
+    # matters clears 0.25 s easily.
     prev_mins = dict(prev_rec.get("queries", {}))
     prev_mins.update(prev_rec.get("maintenance", {}))
     prev_meds = dict(prev_rec.get("queries_median", {}))
@@ -414,8 +417,6 @@ def main() -> None:
             continue
         if gated[name] <= 1.3 * prev_mins[name]:
             continue
-        if gated[name] - prev_mins[name] <= _MIN_FLAG_DELTA:
-            continue  # ratio-only wobble on a sub-second query
         med, pmed = meds_all.get(name), prev_meds.get(name)
         med_ratio = (
             round(med / pmed, 2) if med and pmed and pmed > 0 else None
@@ -433,7 +434,14 @@ def main() -> None:
             "drift_excluding_self": loo_drift,
             "drift_normalized_ratio": excess,
             "adjudication": (
-                "confirmed-regression"
+                # a sub-floor absolute delta is ratio-only wobble on a
+                # sub-second query — RECORDED with its own adjudication
+                # (not silently skipped: the r8 advisor's finding — a
+                # genuine 3x regression on a 0.2 s query must still
+                # leave evidence in the committed artifact)
+                "below-delta-floor"
+                if gated[name] - prev_mins[name] <= _MIN_FLAG_DELTA
+                else "confirmed-regression"
                 if med_ratio is not None and med_ratio > 1.3 and excess > 1.3
                 else "box-drift"
             ),

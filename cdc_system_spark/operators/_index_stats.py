@@ -56,7 +56,11 @@ def staleness_metric(state: DataFrame, live_keys: DataFrame) -> DataFrame:
     recombination anti-pattern the plan audit rejects). ``churn_est =
     max(0, 1 - n_live/n_ever_est)`` rounded half-up at 4 decimals;
     estimator error is the KMV budget (~13% at k=64) — an unchurned
-    saturated index reads a few % off zero, not exactly zero."""
+    saturated index reads a few % off zero, not exactly zero. An EMPTY
+    state (an index built over an empty corpus) defines ``churn_est``
+    as 0.0 — dividing by the 0.0 ever-estimate would otherwise emit
+    NaN/Infinity instead of a usable metric (the r8 advisor's
+    finding)."""
     from pyspark.sql import functions as F
 
     from cdc_system_spark.functions.portable import round_portable
@@ -78,10 +82,15 @@ def staleness_metric(state: DataFrame, live_keys: DataFrame) -> DataFrame:
     return agg.select(
         ever.alias("n_ever_est"),
         "n_live",
-        round_portable(
-            F.greatest(F.lit(0.0), F.lit(1.0) - F.col("n_live") / ever),
-            4,
-        ).alias("churn_est"),
+        F.when(
+            ever > 0,
+            round_portable(
+                F.greatest(F.lit(0.0), F.lit(1.0) - F.col("n_live") / ever),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("churn_est"),
     )
 
 

@@ -290,6 +290,7 @@ def incremental_ingest(
     incoming: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    survivors: DataFrame | None = None,
 ) -> DataFrame:
     """Incrementally admit a new document batch into a curated corpus:
     drop incoming docs whose content hash already exists in the corpus,
@@ -314,7 +315,36 @@ def incremental_ingest(
     so it broadcasts. A production deployment keeps the corpus hash set
     as a maintained table (the reference's audit-table pattern) instead
     of recomputing — the join shapes are identical.
+
+    ``survivors`` (optional) short-circuits the dedup stages with a
+    PRECOMPUTED :func:`ingest_survivors` frame — for callers that need
+    the surviving subset themselves before the merge (the streaming
+    ingestor indexes exactly the rows that LAND, so the maintained
+    index never holds a version the corpus dropped).
     """
+    deduped = (
+        ingest_survivors(corpus, incoming, text_col, id_col)
+        if survivors is None
+        else survivors
+    )
+    kept = corpus.join(deduped.select(id_col), id_col, "left_anti")
+    return kept.unionByName(deduped)
+
+
+def ingest_survivors(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The subset of ``incoming`` that :func:`incremental_ingest` will
+    actually land in the corpus: rows surviving the cross-id
+    content-hash anti join (content already in the corpus under ANY
+    id drops — even when an upstream fuzzy gate's degenerate LSH
+    bucket suppressed the candidate pair) and the within-batch exact
+    dedup (min-id survivor). Factored out so consumers that must act
+    on exactly-what-lands (index maintenance, per-batch stats) share
+    one definition with the merge instead of re-deriving it."""
     corpus_hashes = corpus.select(
         F.md5(F.col(text_col)).alias("_h")
     ).distinct()
@@ -324,9 +354,7 @@ def incremental_ingest(
         .drop("_h")
     )
     batch_ids = exact_dedup(fresh, text_col, id_col).select(id_col)
-    deduped = fresh.join(batch_ids, id_col, "left_semi")
-    kept = corpus.join(deduped.select(id_col), id_col, "left_anti")
-    return kept.unionByName(deduped)
+    return fresh.join(batch_ids, id_col, "left_semi")
 
 
 def substring_duplicate_passages(

@@ -166,30 +166,51 @@ def _interval_ms(s: str) -> int:
     the supported grammar (pre-r8 this parsed only single-part
     strings, so compound intervals Spark itself accepts crashed the
     plan build — the r7 advisor's finding)."""
-    mult = {
-        "millisecond": 1,
-        "second": 1_000,
-        "minute": 60_000,
-        "hour": 3_600_000,
-        "day": 86_400_000,
-        "week": 604_800_000,
+    # microseconds carried at 1/1000 ms so Spark-accepted forms like
+    # "100000 microseconds" parse; a sub-millisecond REMAINDER raises
+    # explicitly below (the eviction math is epoch-ms — silently
+    # truncating would misplace window ends)
+    mult_us = {
+        "microsecond": 1,
+        "millisecond": 1_000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 604_800_000_000,
     }
     # lower() BEFORE rstrip: "HOURS".rstrip("s") keeps its capital S
     toks = s.strip().lower().split()
     err = ValueError(
         f"unsupported interval {s!r}: expected one or more 'N unit' "
-        f"parts with unit in {sorted(mult)} (plural accepted), "
-        "e.g. '1 hour 30 minutes'"
+        f"parts with unit in {sorted(mult_us)} (plural accepted), "
+        "each unit at most once, e.g. '1 hour 30 minutes'"
     )
     if not toks or len(toks) % 2:
         raise err
-    total = 0
+    total_us = 0
+    seen: set[str] = set()
     for n, unit in zip(toks[::2], toks[1::2]):
         u = unit.rstrip("s")
-        if u not in mult or not n.lstrip("-").isdigit() or int(n) < 0:
+        # repeated units ("1 hour 2 hours") are rejected — Spark's
+        # CalendarInterval grammar treats them differently from the
+        # naive sum, so accepting them here would silently diverge
+        if (
+            u not in mult_us
+            or u in seen
+            or not n.lstrip("-").isdigit()
+            or int(n) < 0
+        ):
             raise err
-        total += int(n) * mult[u]
-    return total
+        seen.add(u)
+        total_us += int(n) * mult_us[u]
+    if total_us % 1_000:
+        raise ValueError(
+            f"interval {s!r} has a sub-millisecond remainder "
+            f"({total_us} us): window eviction runs on epoch "
+            "milliseconds — use a whole number of milliseconds"
+        )
+    return total_us // 1_000
 
 
 def _require_arrow_resolvable_tz(tz: str) -> None:

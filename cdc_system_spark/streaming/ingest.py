@@ -590,6 +590,7 @@ class StreamingCorpusIngestor:
             # materialize the batch-sized survivors once instead of
             # re-running the probe joins per consumer
             admitted = admitted.localCheckpoint(eager=True)
+        survivors = None
         if self.lsh_index_path is not None and (
             self.neardup_threshold is not None
             or self.containment_threshold is not None
@@ -599,27 +600,44 @@ class StreamingCorpusIngestor:
             # a replay re-runs this as a version-keyed no-op, and
             # rows indexed before a crashed flip stay invisible to
             # the replay's probe (their versions aren't live).
+            # Index the INGEST SURVIVORS, not the gate-admitted batch:
+            # incremental_ingest's cross-id content-hash anti join can
+            # still drop an admitted row (reachable when a >max_bucket
+            # degenerate LSH bucket suppressed the exact-duplicate
+            # candidate pair upstream) — indexing that row would leave
+            # a live version with no corpus row, silently breaking
+            # assume_covered's stored==live contract. The dropped
+            # row's text is identical to a corpus row that IS indexed,
+            # so probes lose nothing.
             from cdc_system_spark.operators import lsh_index as LI
+            from cdc_system_spark.operators.curation import ingest_survivors
 
+            survivors = ingest_survivors(
+                current, admitted, text_col=self.text_col, id_col=self.id_col
+            ).localCheckpoint(eager=True)
             LI.lsh_index_ingest(
-                admitted.select(self.id_col, self.text_col),
+                survivors.select(self.id_col, self.text_col),
                 self.lsh_index_path,
                 text_col=self.text_col,
                 id_col=self.id_col,
             )
             if trusted_for_batch:
                 # the trusted window survives only batches that leave
-                # no stale versions behind: any DELETE, or any admitted
+                # no stale versions behind: any DELETE, or any LANDING
                 # id already in the corpus (an overwrite strands the
-                # old version), drops back to the live filter. Both
-                # probes are tiny (limit-1 / id-column semi join).
-                if not delete_ids.isEmpty() or not admitted.join(
+                # old version), drops back to the live filter. Probing
+                # survivors (not admitted) keeps the window armed for
+                # same-id same-text redeliveries, whose hash-anti drop
+                # strands nothing. Both probes are tiny (limit-1 /
+                # id-column semi join).
+                if not delete_ids.isEmpty() or not survivors.join(
                     current.select(self.id_col), self.id_col, "left_semi"
                 ).isEmpty():
                     trusted_for_batch = False
 
         merged = incremental_ingest(
-            current, admitted, text_col=self.text_col, id_col=self.id_col
+            current, admitted, text_col=self.text_col, id_col=self.id_col,
+            survivors=survivors,
         )
         final = merged.join(delete_ids, self.id_col, "left_anti")
         # Stats BEFORE the marker commit: a crash between the two then

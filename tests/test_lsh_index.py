@@ -486,3 +486,67 @@ def test_index_staleness_metric(spark, docs, tmp_path):
     LI.lsh_index_compact(spark, path, live)
     row3 = LI.lsh_index_staleness(spark, path, live).head()
     assert row3 == row2  # EVER state survives compaction
+
+
+def test_index_never_holds_versions_the_corpus_drops(spark, tmp_path):
+    # r8 advisor: an admitted row that incremental_ingest's cross-id
+    # content-hash anti join drops — reachable when a >max_bucket
+    # degenerate LSH bucket suppresses the exact-duplicate candidate
+    # pair, so the containment gate never sees it — must NOT leave a
+    # live version in the maintained index; a stranded version would
+    # make the post-compact trusted window (assume_covered) read a
+    # superset index, silently breaking its stored==live contract.
+    # The ingestor now indexes the INGEST SURVIVORS, not the
+    # gate-admitted batch.
+    from cdc_system_spark.api import CDCSystem, SnapshotTable
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    base = tmp_path / "deg"
+    sys_ = CDCSystem(spark, str(base), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
+    boiler = "identical boilerplate page body repeated verbatim " * 5
+    # 1001 same-text docs: every band bucket for this text exceeds the
+    # max_bucket=1000 degeneracy cap, so the probe yields NO candidate
+    # pair for a same-text arrival and the gate passes it through
+    corpus.write(
+        spark.createDataFrame([(i, boiler) for i in range(1001)], DOC_SCHEMA)
+    )
+    idx = str(base / "lshidx")
+    ing = StreamingCorpusIngestor(
+        spark,
+        str(base / "log"),
+        corpus,
+        DOC_SCHEMA,
+        checkpoint_path=str(base / "ckpt"),
+        containment_threshold=0.8,
+        lsh_index_path=idx,
+    )
+    fresh = "a wholly different page about spark engines " * 6
+    cap.capture_insert(
+        spark.createDataFrame([(9999, boiler), (5000, fresh)], DOC_SCHEMA)
+    )
+    ing.apply_batch(cap.read_log(), 0)
+    landed = {r["doc_id"] for r in corpus.read().select("doc_id").collect()}
+    assert 5000 in landed
+    assert 9999 not in landed  # the hash anti join dropped it
+    # the index holds versions ONLY for rows the corpus landed:
+    # 9999's version must be absent, 5000's present
+    _, bands = LI.lsh_index_load(spark, idx, num_perms=16, rows_per_band=4)
+    stored_ids = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
+    assert 5000 in stored_ids
+    assert 9999 not in stored_ids
+
+
+def test_staleness_metric_empty_state_is_defined(spark):
+    # r8 advisor: zero stats rows made `ever` 0.0 and the churn
+    # division emitted NaN/Infinity — an index built over an empty
+    # corpus must read as a defined, unchurned 0.0
+    from cdc_system_spark.operators._index_stats import staleness_metric
+
+    state = spark.createDataFrame([], "h long")
+    row = staleness_metric(state, spark.createDataFrame([], "k string")).head()
+    assert (row["n_ever_est"], row["n_live"], row["churn_est"]) == (0.0, 0, 0.0)
+    live = spark.createDataFrame([("a",), ("b",)], "k string")
+    row2 = staleness_metric(state, live).head()
+    assert row2["n_live"] == 2 and row2["churn_est"] == 0.0

@@ -1024,9 +1024,16 @@ def test_interval_ms_compound_and_errors():
     assert _interval_ms("1 day 2 hours 3 seconds") == 93_603_000
     assert _interval_ms("500 milliseconds") == 500
     assert _interval_ms("  3 HOURS ") == 10_800_000
-    for bad in ("", "hour", "1", "1 fortnight", "-1 hour", "1 hour 30"):
+    # r8 advisor: microseconds are Spark-valid too (whole-ms totals);
+    # a sub-ms remainder and repeated units get their own clear errors
+    assert _interval_ms("100000 microseconds") == 100
+    assert _interval_ms("1 second 2000 microseconds") == 1_002
+    for bad in ("", "hour", "1", "1 fortnight", "-1 hour", "1 hour 30",
+                "1 hour 2 hours"):
         with _pytest.raises(ValueError, match="unsupported interval"):
             _interval_ms(bad)
+    with _pytest.raises(ValueError, match="sub-millisecond"):
+        _interval_ms("100 microseconds")
 
 
 def test_streaming_windowed_kmv_offset_timezone(spark, tmp_path):
