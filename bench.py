@@ -121,6 +121,11 @@ HEADLINE = [
     "q_leakage_split_maintained",
     "q_ann_topk_batch",
     "q_kmv_windowed",
+    # round-9 addition (r8 verdict task 6): the containment-admission
+    # ingest path next to q_neardup_ingest — correctness went green in
+    # r8 but it had no committed perf line; its gate is pinned in
+    # BENCH_NOTES_r09.md alongside q_neardup_ingest's
+    "q_containment_ingest",
 ]
 
 
@@ -286,6 +291,29 @@ def main() -> None:
 
     # one untimed warmup query to absorb JVM/codegen startup
     QUERY_REGISTRY["q_count"].fn(spark, sf_dir).collect()
+
+    # the maintained-index queries share ONE process-local build
+    # (queries/_maintained.py) that otherwise lands inside whichever
+    # maintained query's FIRST timed draw runs first — min-of-3 drops
+    # it from minima but it distorts that query's median and hides the
+    # amortized cost. Build it here, timed, and attribute it as its
+    # own m_* line (the r8 verdict: the shared-build cost must be
+    # visible in the artifact, not folded into a query's noise).
+    from cdc_system_spark.queries._maintained import (
+        shared_ann_index,
+        shared_lsh_index,
+    )
+
+    t0 = time.perf_counter()
+    shared_lsh_index(spark, sf_dir)
+    shared_query_builds = {
+        "m_shared_lsh_index_build": round(time.perf_counter() - t0, 3)
+    }
+    t0 = time.perf_counter()
+    shared_ann_index(spark, sf_dir)
+    shared_query_builds["m_shared_ann_index_build"] = round(
+        time.perf_counter() - t0, 3
+    )
 
     # three timed runs per query; report BOTH the min and the median.
     # min = steady-state engine throughput, not one-time plan
@@ -456,6 +484,9 @@ def main() -> None:
         "median_total": median_total,
         "maintenance": maint_mins,
         "maintenance_median": maint_meds,
+        # single-run (first-use amortized cost, not a steady-state
+        # trend line — excluded from the 1.3x gate for that reason)
+        "shared_index_builds": shared_query_builds,
         "sf": float(sf),
         "regression_baseline": prev_name,
         "retried_queries": retried,

@@ -138,6 +138,60 @@ def hll_merge(*states: DataFrame) -> DataFrame:
     return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
 
 
+def hll_merge_by(
+    *states: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """OR-combine per-group HLL states (the :func:`hll_state_by`
+    shape) WITHIN each group: union + per-(group, bucket) max — the
+    grouped twin of :func:`hll_merge`, which would collapse every
+    group into one global 64-bucket state. Groups absent from one
+    input pass through from the other (union semantics); the merge is
+    lossless, so merged-per-group == rebuilt-per-group exactly
+    (``q_hll_merged_by``'s oracle is the whole-corpus per-group SQL).
+    Completes the grouped maintained-sketch symmetry with
+    ``kmv_merge_by``."""
+    if not states:
+        raise ValueError("states must be non-empty")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
+def hll_estimate_by(
+    state: DataFrame, group_cols: list[str], decimals: int = 4
+) -> DataFrame:
+    """Per-group ``(*group_cols, n_est, n_empty_buckets)`` from a
+    grouped state table — the same exact harmonic-sum arithmetic as
+    :func:`hll_distinct_by` (absent buckets contribute their
+    ``2^0 = 1`` terms arithmetically: ``64 - count(present)``, never a
+    per-group completion join). With :func:`hll_state_by` /
+    :func:`hll_merge_by` this is the read side of the grouped
+    maintained path: per-shard grouped states stored and merged, raw
+    data never re-read."""
+    term = F.round(F.pow(F.lit(2.0), -F.col("max_rank")), 18)
+    agg = state.filter(F.col("max_rank") > 0).groupBy(*group_cols).agg(
+        (
+            F.sum(term.cast("decimal(25,18)"))
+            + (F.lit(_M) - F.count("*")).cast("decimal(25,18)")
+        )
+        .cast("double")
+        .alias("_s"),
+        (F.lit(_M) - F.count("*")).cast("long").alias("n_empty_buckets"),
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("n_empty_buckets") == _M, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(_ALPHA_M * _M * _M) / F.col("_s"), decimals)
+        )
+        .alias("n_est"),
+        "n_empty_buckets",
+    )
+
+
 def hll_estimate(state: DataFrame, decimals: int = 4) -> DataFrame:
     """One-row ``(n_est, n_empty_buckets)`` from a state table — the
     same exact harmonic-sum arithmetic as :func:`hll_distinct` (absent

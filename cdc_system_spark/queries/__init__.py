@@ -20,7 +20,7 @@ from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (16)
 from cdc_system_spark.queries import curation  # noqa: E402,F401  (27)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
-from cdc_system_spark.queries import events  # noqa: E402,F401  (19)
+from cdc_system_spark.queries import events  # noqa: E402,F401  (20)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (14)
 from cdc_system_spark.queries import llm  # noqa: E402,F401  (83, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
@@ -42,6 +42,7 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 _WINDOW_R9 = [
     # -- 1. new this round, never driver-checked --
     "q_hll_windowed_by",
+    "q_hll_merged_by",
     "q_log_pruned_read",
     "q_ann_cell_skew",
     # -- 2. operator changed this round --
@@ -96,7 +97,6 @@ _WINDOW_R9 = [
     "q_embedding_cov",
     "q_embedding_neardup",
     "q_event_anomalies",
-    "q_event_transitions",
 ]
 
 # the active window (rotated per round; _set_window validates it)

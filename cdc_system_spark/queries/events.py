@@ -529,6 +529,42 @@ def q_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct_by(ev, ["event_type"], "user_id")
 
 
+@register(
+    "q_hll_merged_by",
+    _HLL_BY_SQL,
+    doc="grouped HLL merge under the oracle gate: per-event-type "
+    "states built on two event shards (user_id parity) with "
+    "hll_state_by, OR-combined per group with hll_merge_by (union + "
+    "per-(group, bucket) max — hll_merge would collapse every group "
+    "into one global state), estimated per group with hll_estimate_by "
+    "— the oracle is the WHOLE-corpus per-group SQL, proving "
+    "merged-per-group == rebuilt-per-group exactly; the grouped HLL "
+    "twin of q_kmv_merged_by, closing the maintained-sketch family's "
+    "last grouped asymmetry",
+)
+def q_hll_merged_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.sketch import (
+        hll_estimate_by,
+        hll_merge_by,
+        hll_state_by,
+    )
+
+    ev = catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.col("user_id").cast("string").alias("user_id"),
+        (F.col("user_id") % 2).alias("_half"),
+    )
+    a = hll_state_by(
+        ev.filter(F.col("_half") == 0), ["event_type"], "user_id"
+    )
+    b = hll_state_by(
+        ev.filter(F.col("_half") == 1), ["event_type"], "user_id"
+    )
+    return hll_estimate_by(
+        hll_merge_by(a, b, group_cols=["event_type"]), ["event_type"]
+    )
+
+
 # -- q_quantiles_by_type: per-group fixed-bin quantile brackets ---------------
 _QUANTILES_BY_SQL = """WITH iv AS (
         SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v

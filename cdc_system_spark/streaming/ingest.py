@@ -68,6 +68,7 @@ class StreamingCorpusIngestor:
         zone_stats_path: str | None = None,
         zone_hi: int = (1 << 20) - 1,
         zone_num_zones: int = 64,
+        gate_max_bucket: int = 1000,
     ):
         if id_col not in doc_schema.names or text_col not in doc_schema.names:
             raise ValueError(
@@ -104,6 +105,14 @@ class StreamingCorpusIngestor:
         #: process stays up; any UPDATE/DELETE/overwrite falls back to
         #: the live filter automatically).
         self.containment_threshold = containment_threshold
+        #: LSH degeneracy cap forwarded to both admission gates: band
+        #: buckets with more corpus members are dropped as boilerplate
+        #: (the standard candidate-volume guard). Tune DOWN for
+        #: boilerplate-heavy corpora; a doc whose every bucket is
+        #: degenerate bypasses the fuzzy gates and falls through to
+        #: the exact content-hash dedup (which the index-maintenance
+        #: path is hardened against — ingest survivors only).
+        self.gate_max_bucket = gate_max_bucket
         #: True only between a :meth:`compact_index` call and the next
         #: batch that leaves stale versions behind (UPDATE/DELETE or an
         #: overwriting UPSERT); NOT persisted — a restart conservatively
@@ -553,6 +562,7 @@ class StreamingCorpusIngestor:
                 id_col=self.id_col,
                 threshold=self.neardup_threshold,
                 allow_same_id=True,
+                max_bucket=self.gate_max_bucket,
                 **probe_kw,
             )
         if self.containment_threshold is not None:
@@ -579,6 +589,7 @@ class StreamingCorpusIngestor:
                 id_col=self.id_col,
                 threshold=self.containment_threshold,
                 allow_same_id=True,
+                max_bucket=self.gate_max_bucket,
                 **sig_kw,
             )
         if (

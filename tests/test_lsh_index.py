@@ -240,10 +240,13 @@ def _ingestor(spark, base, corpus, idx_path=None):
 
 
 def test_streaming_ingestor_maintains_and_uses_index(spark, tmp_path):
-    # twin ingestors over the same capture stream — one probing inline,
-    # one via the maintained index (bootstrapped, then batch-updated):
-    # the resulting corpora must be IDENTICAL, and the index must end
-    # covering every live corpus version
+    # the indexed ingestor over a capture stream: the resulting corpus
+    # must equal the PINNED inline-gate outcome (the literal below was
+    # produced by an inline twin ingestor over the same stream — the
+    # r9 suite-budget trim replaced the live twin run with its pinned
+    # result; the containment twin test keeps the full two-ingestor
+    # methodology), and the index must end covering every live corpus
+    # version
     from cdc_system_spark.api import CDCSystem, SnapshotTable
 
     def run(tag, idx_path):
@@ -290,10 +293,16 @@ def test_streaming_ingestor_maintains_and_uses_index(spark, tmp_path):
         ing.apply_batch(cap.read_log().filter(F.col("cdc_id") > mx1), 2)
         return {r["doc_id"]: r["text"] for r in corpus.read().collect()}, corpus
 
-    inline_rows, _ = run("inline", None)
     idx_path = str(tmp_path / "indexed" / "lshidx")
     indexed_rows, corpus = run("indexed", idx_path)
-    assert indexed_rows == inline_rows
+    # the inline twin's outcome, pinned: doc 1 revised in place, 10
+    # rejected (near-dup of 1's original), 11 deleted, 12 kept with 13
+    # (its within-batch twin) dropped, 20 admitted post-delete
+    assert indexed_rows == {
+        1: "the quick brown fox jumps over the lazy dog, revised",
+        12: "pair twin text aa bb cc dd ee ff gg hh",
+        20: "completely different content about spark engine",
+    }
     assert 1 in indexed_rows and indexed_rows[1].endswith("revised")
     assert 12 in indexed_rows and 13 not in indexed_rows
     assert 10 not in indexed_rows
@@ -335,10 +344,13 @@ _TXT = st.text(alphabet="abcdefg ", min_size=0, max_size=20)
 _OP = st.tuples(st.integers(0, 1), st.integers(1, 6), _TXT)
 
 
+from tests.hyp_budget import examples as _hyp_examples
+
+
 @given(st.lists(st.tuples(st.integers(1, 6), _TXT), min_size=1, max_size=4),
        st.lists(_OP, min_size=0, max_size=6))
 @settings(
-    max_examples=3,
+    max_examples=_hyp_examples(2, 3),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
@@ -506,11 +518,13 @@ def test_index_never_holds_versions_the_corpus_drops(spark, tmp_path):
     cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
     corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
     boiler = "identical boilerplate page body repeated verbatim " * 5
-    # 1001 same-text docs: every band bucket for this text exceeds the
-    # max_bucket=1000 degeneracy cap, so the probe yields NO candidate
-    # pair for a same-text arrival and the gate passes it through
+    # 21 same-text docs against gate_max_bucket=20: every band bucket
+    # for this text exceeds the degeneracy cap, so the probe yields NO
+    # candidate pair for a same-text arrival and the gate passes it
+    # through (same mechanism as the default 1000-cap at 1001 docs,
+    # sized down to keep the fixture cheap)
     corpus.write(
-        spark.createDataFrame([(i, boiler) for i in range(1001)], DOC_SCHEMA)
+        spark.createDataFrame([(i, boiler) for i in range(21)], DOC_SCHEMA)
     )
     idx = str(base / "lshidx")
     ing = StreamingCorpusIngestor(
@@ -521,6 +535,7 @@ def test_index_never_holds_versions_the_corpus_drops(spark, tmp_path):
         checkpoint_path=str(base / "ckpt"),
         containment_threshold=0.8,
         lsh_index_path=idx,
+        gate_max_bucket=20,
     )
     fresh = "a wholly different page about spark engines " * 6
     cap.capture_insert(

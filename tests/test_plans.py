@@ -89,6 +89,7 @@ def test_oracle_window_composition():
     must_cover = {
         # new in round 9, never driver-checked:
         "q_hll_windowed_by",
+        "q_hll_merged_by",
         "q_log_pruned_read",
         "q_ann_cell_skew",
         # operator changed in round 9 (the containment split forms

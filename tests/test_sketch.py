@@ -251,6 +251,51 @@ def test_hll_state_merge_equals_rebuild(spark):
         hll_merge()
 
 
+def test_hll_grouped_merge_equals_rebuild_and_passes_groups(spark):
+    # the grouped twin of test_hll_state_merge_equals_rebuild: states
+    # per (group, shard), merged WITHIN groups; a group absent from
+    # one shard passes through (union semantics); estimates equal the
+    # per-group rebuild exactly
+    import pytest as _pytest
+
+    from cdc_system_spark.operators.sketch import (
+        hll_distinct_by,
+        hll_estimate_by,
+        hll_merge_by,
+        hll_state_by,
+    )
+
+    rows = [(["a", "b", "only0"][i % 3], f"u{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    whole = {
+        r["g"]: (r["n_est"], r["n_empty_buckets"])
+        for r in hll_distinct_by(df, ["g"], "v").collect()
+    }
+    # shard by value parity; 'only0' lives in shard 0 only
+    shard = lambda i: df.filter(
+        F.expr(f"CAST(SUBSTR(v, 2) AS INT) % 2 = {i}")
+        & ((F.col("g") != "only0") | F.lit(i == 0))
+    )
+    a = hll_state_by(shard(0), ["g"], "v")
+    b = hll_state_by(shard(1).filter("g <> 'only0'"), ["g"], "v")
+    merged = {
+        r["g"]: (r["n_est"], r["n_empty_buckets"])
+        for r in hll_estimate_by(
+            hll_merge_by(a, b, group_cols=["g"]), ["g"]
+        ).collect()
+    }
+    assert set(merged) == {"a", "b", "only0"}
+    assert merged["a"] == whole["a"] and merged["b"] == whole["b"]
+    # the shard-0-only group survives the merge with its shard estimate
+    solo = {
+        r["g"]: (r["n_est"], r["n_empty_buckets"])
+        for r in hll_estimate_by(a, ["g"]).collect()
+    }
+    assert merged["only0"] == solo["only0"]
+    with _pytest.raises(ValueError):
+        hll_merge_by(group_cols=["g"])
+
+
 def test_winsorize_clips_tails_conservatively(spark):
     from cdc_system_spark.operators.sketch import winsorize
 

@@ -725,49 +725,6 @@ def test_ingestor_maintained_hll_state(spark, tmp_path):
         nostats.distinct_content_estimate()
 
 
-def test_streaming_windowed_hll_matches_batch_distinct_estimate(spark, tmp_path):
-    # distinct users per day via bounded-state HLL: the streamed window
-    # states must equal the batch hll_state per window, and the
-    # estimate derived from them must match the batch estimate per day
-    from cdc_system_spark.operators.sketch import hll_distinct
-    from cdc_system_spark.sources.catalog import load_table
-    from cdc_system_spark.streaming.aggregations import windowed_hll_state
-
-    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
-    batch_events.write.parquet(str(tmp_path / "ev"))
-    stream = (
-        spark.readStream.schema(batch_events.schema)
-        .parquet(str(tmp_path / "ev"))
-    )
-    q = (
-        windowed_hll_state(stream, "user_id", window="1 day", watermark="1 hour")
-        .writeStream.format("memory")
-        .queryName("win_hll")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "hkpt"))
-        .start()
-    )
-    q.awaitTermination()
-    states = spark.sql("SELECT * FROM win_hll")
-    days = [r["w_start"] for r in states.select("w_start").distinct().collect()]
-    assert len(days) >= 2
-    for day in days:
-        from cdc_system_spark.operators.sketch import hll_estimate
-
-        est = hll_estimate(
-            states.filter(F.col("w_start") == day).select("bucket", "max_rank")
-        ).head()
-        day_rows = batch_events.filter(
-            F.date_trunc("day", F.col("ts").cast("timestamp")) == day
-        ).select(F.col("user_id").cast("string").alias("u"))
-        batch = hll_distinct(day_rows, "u").head()
-        assert (est["n_est"], est["n_empty_buckets"]) == (
-            batch["n_est"],
-            batch["n_empty_buckets"],
-        ), day
-
-
 def test_streaming_windowed_hll_by_group_matches_batch(spark, tmp_path):
     # grouped HLL twin (the r8 verdict's asymmetry: KMV had scalar +
     # grouped streaming forms, HLL only scalar): per-(event_type, day)
@@ -821,6 +778,32 @@ def test_streaming_windowed_hll_by_group_matches_batch(spark, tmp_path):
     assert streamed == expected
     with pytest.raises(ValueError, match="group_cols"):
         windowed_hll_state_by(batch_events, ["no_such_col"], "user_id")
+    # the scalar wrapper (group_cols=[]) — evaluated as a BATCH frame
+    # (the construction is stream-agnostic; withWatermark is a no-op
+    # in batch): per-day states == hll_state_by per day, covering the
+    # delegation without a second streaming query
+    from cdc_system_spark.streaming.aggregations import windowed_hll_state
+
+    scalar = sorted(
+        (r["w_start"], r["bucket"], r["max_rank"])
+        for r in windowed_hll_state(
+            batch_events, "user_id", window="1 day", watermark="1 hour"
+        ).collect()
+    )
+    per_day = sorted(
+        (r["w_day"], r["bucket"], r["max_rank"])
+        for r in hll_state_by(
+            batch_events.select(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+                    "w_day"
+                ),
+                F.col("user_id").cast("string").alias("u"),
+            ),
+            ["w_day"],
+            "u",
+        ).collect()
+    )
+    assert scalar == per_day
 
 
 def test_ingestor_maintained_zone_state(spark, tmp_path):
