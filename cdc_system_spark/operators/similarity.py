@@ -1691,3 +1691,189 @@ def pca_project(
             )
         )
     return spread(emb).select(*cols)
+
+
+# -- product quantization (PQ / ADC) -----------------------------------------
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 0,
+    sample_cap: int = 2048,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: the vector space split into ``m`` contiguous
+    subspaces, each with its own ``k``-centroid codebook —
+    ``books[j][c]`` is centroid ``c`` of subspace ``j`` (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search"). Where
+    scalar quantization (``quantize_embeddings``) compresses 4× and
+    IVF prunes the candidate set, PQ compresses a d-float vector to
+    ``m`` byte-sized codes (64 floats → 4 codes here = 64× smaller),
+    which is what makes exhaustive candidate scoring affordable at
+    100 TB: the ADC pass (:func:`pq_topk`) reads only the code table.
+
+    Base codebooks (``refine_iters=0``) are the subvectors of the
+    ``k`` smallest-id vectors — fully deterministic and reproducible
+    by the DuckDB oracle, the same convention every literal-centroid
+    query in this package pins. ``refine_iters > 0`` runs Lloyd
+    k-means per subspace in numpy over a driver-side sample of at
+    most ``sample_cap`` smallest-id vectors (model-artifact-sized
+    work, the ``pca_components`` convention; empty cells keep their
+    previous centroid) — the production path, verified by the
+    quantization-error test rather than an oracle (data-dependent
+    centroids preclude literal SQL, the ``q_knn_label_noise_auto``
+    precedent)."""
+    if m < 1 or k < 1:
+        raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
+    rows = (
+        emb.orderBy(id_col)
+        .limit(max(k, sample_cap if refine_iters else k))
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train codebooks on an empty frame")
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    d = len(vecs[0])
+    if d % m:
+        raise ValueError(f"vector dim {d} not divisible by m={m}")
+    sub = d // m
+    books = [
+        [v[j * sub:(j + 1) * sub] for v in vecs[:k]] for j in range(m)
+    ]
+    if refine_iters:
+        import numpy as np
+
+        data = np.asarray(vecs, dtype=np.float64)
+        for j in range(m):
+            pts = data[:, j * sub:(j + 1) * sub]
+            cents = np.asarray(books[j], dtype=np.float64)
+            for _ in range(refine_iters):
+                d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(len(cents)):
+                    mask = assign == c
+                    if mask.any():
+                        cents[c] = pts[mask].mean(axis=0)
+            books[j] = [[float(x) for x in c] for c in cents]
+    return books
+
+
+def _pq_dist(vec_col: str, j: int, sub: int, cent: list[float]) -> Column:
+    """Rounded squared L2 distance of subspace ``j`` of ``vec_col`` to
+    a literal centroid — sequential fold (the ``_dot`` parity
+    convention), rounded half-up-portable at 6 decimals so argmin ties
+    resolve identically in any engine."""
+    from cdc_system_spark.functions.portable import round_portable
+
+    lit_cent = F.array(*[F.lit(float(x)) for x in cent])
+    sl = F.slice(F.col(vec_col), j * sub + 1, sub)
+    diff2 = F.zip_with(
+        sl,
+        lit_cent,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return round_portable(
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its PQ codes: ``(id, code0..code{m-1})``,
+    ``code_j`` = index of subspace ``j``'s nearest codebook centroid
+    (rounded-L2 argmin, smaller index on ties). Map-only, zero shuffle,
+    zero join — the codebooks ride as literals inside whole-stage
+    codegen, exactly like the literal-centroid assignment family. The
+    code table is the 64×-compressed searchable representation; store
+    it columnar and the ADC scan reads m bytes per vector."""
+    m = len(books)
+    k = len(books[0])
+    sub = len(books[0][0])
+    cols = [F.col(id_col)]
+    for j in range(m):
+        ranked = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_dist(vec_col, j, sub, books[j][c]).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(k)
+                ]
+            )
+        )
+        cols.append(ranked[0]["c"].alias(f"code{j}"))
+    return emb.select(*cols)
+
+
+def pq_topk(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    rescore_factor: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ top-k with Asymmetric Distance Computation: the query stays
+    un-quantized; a per-subspace lookup table (LUT) of rounded
+    query→centroid squared distances is built DRIVER-side (m·k doubles
+    — model-artifact-sized), each row's approximate distance is the
+    m-term sum of its codes' LUT entries, the best ``k·rescore_factor``
+    candidates rank by that (TakeOrderedAndProject), and survivors are
+    exact-cosine rescored (the quantize-then-rescore discipline of
+    ``quantized_topk``). The ADC pass touches only the m-byte codes —
+    at 100 TB the float vectors are read for ``k·rescore_factor`` rows
+    instead of all of them.
+
+    The LUT entries use the same sequential-fold + portable-rounding
+    arithmetic as :func:`pq_encode`, so a DuckDB oracle reproduces
+    candidate choice and ranking bit-for-bit (``q_pq_topk``)."""
+    m = len(books)
+    sub = len(books[0][0])
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * sub}"
+        )
+
+    def _lut(j: int, c: int) -> float:
+        acc = 0.0
+        for t in range(sub):
+            diff = float(query_vec[j * sub + t]) - float(books[j][c][t])
+            acc = acc + diff * diff
+        import math
+
+        return math.floor(acc * 1e6 + 0.5) / 1e6  # round_portable, driver-side
+
+    codes = pq_encode(emb.select(id_col, vec_col), books, vec_col, id_col)
+    score = None
+    for j in range(m):
+        lut_j = F.array(*[F.lit(_lut(j, c)) for c in range(len(books[j]))])
+        term = F.element_at(lut_j, F.col(f"code{j}") + 1)
+        score = term if score is None else score + term
+    # rank on the CODES ONLY (the whole point: the ADC pass never
+    # touches the float vectors), then join just the k·factor
+    # survivors back for the exact rescore — candidate side is tiny,
+    # AQE broadcasts it
+    cand_ids = (
+        codes.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), id_col)
+        .limit(k * rescore_factor)
+    )
+    cand = cand_ids.join(emb.select(id_col, vec_col), id_col)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), qv).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -3139,3 +3139,128 @@ def q_lsh_probe_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, live, num_perms=16, rows_per_band=4
     )
     return bands.select("doc_id", "band_idx", "k0", "k1")
+
+
+# -- product quantization (PQ / ADC) under the oracle gate --------------------
+def _pq_d2_sql(a: str, b: str, j: int, sub: int = 16) -> str:
+    """Rounded squared L2 of subspace ``j`` (DuckDB twin of
+    operators.similarity._pq_dist: sequential list_sum fold + the
+    floor-form portable rounding)."""
+    off = j * sub
+    diff = (
+        f"(CAST({a}[{off} + t] AS DOUBLE) - CAST({b}[{off} + t] AS DOUBLE))"
+    )
+    return round_portable_sql(
+        f"list_sum(list_transform(range(1, {sub + 1}), t -> {diff} * {diff}))"
+    )
+
+
+def _pq_ctes() -> str:
+    """Shared CTE prefix: first-8-by-id codebooks, per-(vector,
+    centroid) subspace distances, argmin codes per subspace."""
+    d_cols = ",\n               ".join(
+        f"{_pq_d2_sql('e.embedding', 'cb.cv', j)} AS d{j}" for j in range(4)
+    )
+    code_ctes = ",\n    ".join(
+        f"c{j} AS (SELECT vec_id, CAST(cid AS INTEGER) AS code{j} FROM ("
+        f"SELECT vec_id, cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY vec_id ORDER BY d{j}, cid) AS rk FROM dists) "
+        f"WHERE rk = 1)"
+        for j in range(4)
+    )
+    return f"""cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+               embedding AS cv
+        FROM embeddings WHERE vec_id IN (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+    dists AS (
+        SELECT e.vec_id, cb.cid,
+               {d_cols}
+        FROM embeddings e, cb),
+    {code_ctes}"""
+
+
+_PQ_ENCODE_SQL = f"""WITH {_pq_ctes()}
+    SELECT c0.vec_id, code0, code1, code2, code3
+    FROM c0 JOIN c1 USING (vec_id) JOIN c2 USING (vec_id)
+            JOIN c3 USING (vec_id)"""
+
+
+@register(
+    "q_pq_encode",
+    _PQ_ENCODE_SQL,
+    doc="product-quantization encode (Jegou et al. 2011): every "
+    "64-float vector compressed to 4 byte-sized codes — per subspace, "
+    "the index of the nearest of 8 codebook centroids (rounded-L2 "
+    "argmin, smaller index on ties; codebooks = the deterministic "
+    "first-8-by-id subvectors, the package's literal-centroid "
+    "convention). Map-only, zero shuffle, codebooks ride as literals "
+    "inside codegen; the oracle recomputes codebooks, every "
+    "subspace distance, and every argmin — a green row pins the "
+    "whole 64x-compression path",
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.similarity import pq_codebooks, pq_encode
+
+    emb = catalog(spark, sf_dir).embeddings
+    books = pq_codebooks(emb, m=4, k=8)
+    return pq_encode(emb, books)
+
+
+_PQ_TOPK_SQL = f"""WITH {_pq_ctes()},
+    codes AS (
+        SELECT c0.vec_id, code0, code1, code2, code3
+        FROM c0 JOIN c1 USING (vec_id) JOIN c2 USING (vec_id)
+                JOIN c3 USING (vec_id)),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    lut AS (
+        SELECT cb.cid,
+               {_pq_d2_sql('q.qv', 'cb.cv', 0)} AS l0,
+               {_pq_d2_sql('q.qv', 'cb.cv', 1)} AS l1,
+               {_pq_d2_sql('q.qv', 'cb.cv', 2)} AS l2,
+               {_pq_d2_sql('q.qv', 'cb.cv', 3)} AS l3
+        FROM cb, q),
+    adc AS (
+        SELECT s.vec_id,
+               ((t0.l0 + t1.l1) + t2.l2) + t3.l3 AS adc_dist
+        FROM codes s
+        JOIN lut t0 ON t0.cid = s.code0
+        JOIN lut t1 ON t1.cid = s.code1
+        JOIN lut t2 ON t2.cid = s.code2
+        JOIN lut t3 ON t3.cid = s.code3),
+    cand AS (
+        SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 30),
+    scored AS (
+        SELECT cand.vec_id, cand.adc_dist,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM cand JOIN embeddings e USING (vec_id), q)
+    SELECT vec_id, adc_dist, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10"""
+
+
+@register(
+    "q_pq_topk",
+    _PQ_TOPK_SQL,
+    doc="PQ top-k with asymmetric distance computation: per-subspace "
+    "LUT of rounded query-to-centroid distances built driver-side "
+    "(m x k doubles, model-artifact-sized), candidates ranked by the "
+    "explicit left-associated 4-term LUT sum over their CODES ONLY "
+    "(the float vectors are read for the 30 survivors, not the "
+    "corpus — at 100 TB the ADC scan reads m bytes/vector), then "
+    "exact-cosine rescore of the survivors; both stages "
+    "TakeOrderedAndProject; the oracle reproduces codebooks, codes, "
+    "LUT, candidate choice, and final ranking",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.similarity import pq_codebooks, pq_topk
+
+    emb = catalog(spark, sf_dir).embeddings
+    books = pq_codebooks(emb, m=4, k=8)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    return pq_topk(emb, books, qv, k=10, rescore_factor=3)

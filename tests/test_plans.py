@@ -92,6 +92,8 @@ def test_oracle_window_composition():
         "q_hll_merged_by",
         "q_log_pruned_read",
         "q_ann_cell_skew",
+        "q_pq_encode",
+        "q_pq_topk",
         # operator changed in round 9 (the containment split forms
         # moved to the star-contraction closure; q_dup_clusters_star
         # re-confirmed because star contraction is newly load-bearing;

@@ -494,3 +494,62 @@ def test_pca_components_and_projection(spark):
         pca_components(cov, 3, dim=2)
     with _pytest.raises(ValueError):
         embedding_covariance(emb, dims=())
+
+
+def test_pq_encode_codes_and_errors(spark, emb):
+    # codes in [0, k), one per subspace, fully deterministic; the
+    # codebook source vectors encode to their own indexes (distance 0
+    # in every subspace); bad geometry raises
+    books = S.pq_codebooks(emb, m=4, k=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    codes = {r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+             for r in S.pq_encode(emb, books).collect()}
+    assert len(codes) == emb.count()
+    assert all(0 <= c < 8 for t in codes.values() for c in t)
+    # vec_id i < 8 IS centroid i of every subspace -> encodes to itself
+    for i in range(8):
+        assert codes[i] == (i, i, i, i)
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebooks(emb, m=7, k=8)
+    with pytest.raises(ValueError, match="empty"):
+        S.pq_codebooks(emb.filter("vec_id < 0"), m=4, k=8)
+
+
+def test_pq_refined_codebooks_reduce_quantization_error(spark, emb):
+    # Lloyd refinement must not increase total quantization error
+    # (k-means monotonicity) — the production-path check the oracle
+    # can't make (data-dependent centroids)
+    rows = emb.orderBy("vec_id").limit(200).select("embedding").collect()
+    data = np.asarray([[float(x) for x in r[0]] for r in rows])
+
+    def err(books):
+        total = 0.0
+        for j, cents in enumerate(books):
+            pts = data[:, j * 16:(j + 1) * 16]
+            c = np.asarray(cents)
+            d2 = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            total += d2.min(axis=1).sum()
+        return total
+
+    base = S.pq_codebooks(emb, m=4, k=8)
+    refined = S.pq_codebooks(emb, m=4, k=8, refine_iters=5, sample_cap=200)
+    assert err(refined) <= err(base) + 1e-9
+    assert refined != base  # the refinement actually moved centroids
+
+
+def test_pq_topk_returns_exact_match_first(spark, emb):
+    # the query vector is itself in the corpus: its codes are exactly
+    # the nearest-centroid indexes with LUT entries equal to its own
+    # encode distances, so it is always an ADC candidate and the exact
+    # rescore puts it first with cosine 1.0
+    from pyspark.sql import functions as F
+
+    books = S.pq_codebooks(emb, m=4, k=8)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 23).head()["embedding"]]
+    top = S.pq_topk(emb, books, qv, k=5, rescore_factor=3).collect()
+    assert top[0]["vec_id"] == 23 and top[0]["cos_sim"] == 1.0
+    assert len(top) == 5
+    # dim-mismatch guard
+    with pytest.raises(ValueError, match="query dim"):
+        S.pq_topk(emb, books, qv[:10])
