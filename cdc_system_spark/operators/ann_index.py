@@ -397,6 +397,84 @@ def ann_index_topk_many(
     )
 
 
+def ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    books: list,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rescore_factor: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × PQ — the production ANN stack (FAISS's IVFPQ): the
+    maintained cell index prunes WHICH rows are candidates (static
+    partition pruning, exactly :func:`ann_index_topk`'s probe), and
+    product quantization prunes WHAT is read per candidate (the
+    ``m``-code ADC ranking of
+    :func:`~cdc_system_spark.operators.similarity.pq_topk`). At
+    100 TB the two compose multiplicatively: nprobe/C of the corpus is
+    scanned, at m bytes per row instead of d floats, and the float
+    vectors are read only for the ``k·rescore_factor`` exact-rescore
+    survivors.
+
+    Stages: (1) probe cells chosen driver-side from the C-row frozen
+    centroid table (bounded collect, literal ``centroid_id IN (...)``
+    → partition pruning at file listing); (2) the probed cells' stored
+    assignments PQ-encoded and ADC-ranked on CODES ONLY
+    (TakeOrderedAndProject); (3) exact-cosine rescore of the
+    survivors via a broadcast-able join. In a deployment that stores
+    codes next to the assignment table (encode-at-ingest), stage 2
+    reads the stored codes; here they derive in-plan from the same
+    scan, which preserves the plan shape the oracle checks
+    (``q_ivfpq_topk`` reproduces centroid choice, cell assignment,
+    probe selection, codes, LUT, candidate choice, and final ranking).
+    """
+    import numpy as np
+
+    from cdc_system_spark.operators.similarity import (
+        cosine,
+        pq_adc_candidates,
+        pq_encode,
+    )
+
+    if k < 1 or nprobe < 1 or rescore_factor < 1:
+        raise ValueError(
+            f"k, nprobe, rescore_factor must be >= 1, got "
+            f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
+        )
+    cents = _load_cents(spark, path)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    sims = [
+        (float(np.asarray(v) @ q / ((np.linalg.norm(v) or 1.0) * qn)), cid)
+        for cid, v in cents
+    ]
+    probed = [
+        cid for _, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]
+    ]
+    _, assignments = ann_index_load(spark, path)
+    cell_rows = assignments.filter(F.col("centroid_id").isin(probed)).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    codes = pq_encode(cell_rows, books, vec_col, id_col)
+    cand_ids = pq_adc_candidates(
+        codes, books, query_vec, k * rescore_factor, id_col
+    )
+    cand = cand_ids.join(cell_rows, id_col)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), qv).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_index_probe_tables(
     spark: SparkSession,
     path: str,

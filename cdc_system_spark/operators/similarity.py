@@ -1812,6 +1812,47 @@ def pq_encode(
     return emb.select(*cols)
 
 
+def pq_adc_candidates(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    limit: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC-rank a PQ code table against a query: ``(id, adc_dist)``,
+    the ``limit`` smallest approximate distances (explicit
+    left-associated m-term LUT sum; TakeOrderedAndProject; id
+    tiebreak). The shared candidate stage of :func:`pq_topk` and
+    ``ivfpq_topk`` — it touches only the m code columns, never a
+    vector."""
+    m = len(books)
+    sub = len(books[0][0])
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebook dim {m * sub}"
+        )
+
+    def _lut(j: int, c: int) -> float:
+        acc = 0.0
+        for t in range(sub):
+            diff = float(query_vec[j * sub + t]) - float(books[j][c][t])
+            acc = acc + diff * diff
+        import math
+
+        return math.floor(acc * 1e6 + 0.5) / 1e6  # round_portable, driver-side
+
+    score = None
+    for j in range(m):
+        lut_j = F.array(*[F.lit(_lut(j, c)) for c in range(len(books[j]))])
+        term = F.element_at(lut_j, F.col(f"code{j}") + 1)
+        score = term if score is None else score + term
+    return (
+        codes.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), id_col)
+        .limit(limit)
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     books: list[list[list[float]]],
@@ -1835,36 +1876,13 @@ def pq_topk(
     The LUT entries use the same sequential-fold + portable-rounding
     arithmetic as :func:`pq_encode`, so a DuckDB oracle reproduces
     candidate choice and ranking bit-for-bit (``q_pq_topk``)."""
-    m = len(books)
-    sub = len(books[0][0])
-    if len(query_vec) != m * sub:
-        raise ValueError(
-            f"query dim {len(query_vec)} != codebook dim {m * sub}"
-        )
-
-    def _lut(j: int, c: int) -> float:
-        acc = 0.0
-        for t in range(sub):
-            diff = float(query_vec[j * sub + t]) - float(books[j][c][t])
-            acc = acc + diff * diff
-        import math
-
-        return math.floor(acc * 1e6 + 0.5) / 1e6  # round_portable, driver-side
-
     codes = pq_encode(emb.select(id_col, vec_col), books, vec_col, id_col)
-    score = None
-    for j in range(m):
-        lut_j = F.array(*[F.lit(_lut(j, c)) for c in range(len(books[j]))])
-        term = F.element_at(lut_j, F.col(f"code{j}") + 1)
-        score = term if score is None else score + term
     # rank on the CODES ONLY (the whole point: the ADC pass never
     # touches the float vectors), then join just the k·factor
     # survivors back for the exact rescore — candidate side is tiny,
     # AQE broadcasts it
-    cand_ids = (
-        codes.select(F.col(id_col), score.alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), id_col)
-        .limit(k * rescore_factor)
+    cand_ids = pq_adc_candidates(
+        codes, books, query_vec, k * rescore_factor, id_col
     )
     cand = cand_ids.join(emb.select(id_col, vec_col), id_col)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

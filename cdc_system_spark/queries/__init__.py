@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (20)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (14)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (85, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (86, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
@@ -47,6 +47,7 @@ _WINDOW_R9 = [
     "q_ann_cell_skew",
     "q_pq_encode",
     "q_pq_topk",
+    "q_ivfpq_topk",
     # -- 2. operator changed this round --
     "q_leakage_split_containment",  # split closure moved to star contraction
     "q_leakage_split_maintained",   # same closure change, trusted-path form
@@ -96,7 +97,6 @@ _WINDOW_R9 = [
     "q_curation_funnel",
     "q_curation_pipeline",
     "q_dup_source_matrix",
-    "q_embedding_cov",
 ]
 
 # the active window (rotated per round; _set_window validates it)

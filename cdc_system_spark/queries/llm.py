@@ -3155,9 +3155,11 @@ def _pq_d2_sql(a: str, b: str, j: int, sub: int = 16) -> str:
     )
 
 
-def _pq_ctes() -> str:
-    """Shared CTE prefix: first-8-by-id codebooks, per-(vector,
-    centroid) subspace distances, argmin codes per subspace."""
+def _pq_ctes(src: str = "embeddings") -> str:
+    """Shared CTE prefix: first-8-by-id codebooks (always trained on
+    the full ``embeddings`` corpus), per-(vector, centroid) subspace
+    distances over ``src`` (a restricted candidate relation for the
+    IVF×PQ composition), argmin codes per subspace."""
     d_cols = ",\n               ".join(
         f"{_pq_d2_sql('e.embedding', 'cb.cv', j)} AS d{j}" for j in range(4)
     )
@@ -3176,7 +3178,7 @@ def _pq_ctes() -> str:
     dists AS (
         SELECT e.vec_id, cb.cid,
                {d_cols}
-        FROM embeddings e, cb),
+        FROM {src} e, cb),
     {code_ctes}"""
 
 
@@ -3264,3 +3266,98 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
     ]
     return pq_topk(emb, books, qv, k=10, rescore_factor=3)
+
+
+# -- IVF x PQ composition under the oracle gate -------------------------------
+_IVFPQ_SQL = f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    qprobe AS (
+        SELECT icid FROM (
+            SELECT ic.icid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM ic, q) WHERE rk <= 2),
+    cell AS (
+        SELECT e.vec_id, e.embedding
+        FROM assign a JOIN embeddings e USING (vec_id)
+        WHERE a.centroid_id IN (SELECT icid FROM qprobe)),
+    {_pq_ctes(src='cell')},
+    codes AS (
+        SELECT c0.vec_id, code0, code1, code2, code3
+        FROM c0 JOIN c1 USING (vec_id) JOIN c2 USING (vec_id)
+                JOIN c3 USING (vec_id)),
+    lut AS (
+        SELECT cb.cid,
+               {_pq_d2_sql('q.qv', 'cb.cv', 0)} AS l0,
+               {_pq_d2_sql('q.qv', 'cb.cv', 1)} AS l1,
+               {_pq_d2_sql('q.qv', 'cb.cv', 2)} AS l2,
+               {_pq_d2_sql('q.qv', 'cb.cv', 3)} AS l3
+        FROM cb, q),
+    adc AS (
+        SELECT s.vec_id,
+               ((t0.l0 + t1.l1) + t2.l2) + t3.l3 AS adc_dist
+        FROM codes s
+        JOIN lut t0 ON t0.cid = s.code0
+        JOIN lut t1 ON t1.cid = s.code1
+        JOIN lut t2 ON t2.cid = s.code2
+        JOIN lut t3 ON t3.cid = s.code3),
+    cand AS (
+        SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 30),
+    scored AS (
+        SELECT cand.vec_id, cand.adc_dist,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM cand JOIN embeddings e USING (vec_id), q)
+    SELECT vec_id, adc_dist, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10"""
+
+
+@register(
+    "q_ivfpq_topk",
+    _IVFPQ_SQL,
+    doc="IVF x PQ, the production ANN stack (FAISS IVFPQ): the "
+    "maintained cell index prunes WHICH rows are candidates (static "
+    "nprobe=2 cell probe, partition-pruned scan) and product "
+    "quantization prunes WHAT is read per candidate (4-code ADC "
+    "ranking on codes only), exact-cosine rescore of the 30 "
+    "survivors; at 100 TB the two prune multiplicatively — "
+    "nprobe/C of the corpus at m bytes/row, floats only for "
+    "survivors; the oracle reproduces centroid choice, cell "
+    "assignment, probe selection, codebooks, codes, LUT, candidate "
+    "choice, and final ranking end-to-end",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_topk
+    from cdc_system_spark.operators.similarity import pq_codebooks
+    from cdc_system_spark.queries._maintained import shared_ann_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_index(spark, sf_dir)
+    books = pq_codebooks(emb, m=4, k=8)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    return ivfpq_topk(
+        spark, path, books, qv, k=10, nprobe=2, rescore_factor=3
+    )

@@ -333,3 +333,30 @@ def test_cell_skew_profile_counts_and_empty_cells(spark, emb, tmp_path):
     assert prof2[prof[0]["centroid_id"]]["occ_ratio"] == pytest.approx(4.0)
     empties = [r for r in prof2.values() if r["n_vecs"] == 0]
     assert len(empties) == 3 and all(r["share"] == 0.0 for r in empties)
+
+
+def test_ivfpq_full_probe_equals_pq_and_finds_exact_match(spark, emb, tmp_path):
+    # IVF x PQ composition: at nprobe = C (no cell pruning) the result
+    # must equal plain pq_topk over the whole corpus (the candidate
+    # relations coincide); at nprobe=2 a query vector present in the
+    # corpus lands in its own probed cell and rescores to cos 1.0 first
+    from cdc_system_spark.operators.similarity import pq_codebooks, pq_topk
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    books = pq_codebooks(emb, m=4, k=8)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    rows = lambda df: [
+        (r["vec_id"], r["adc_dist"], r["cos_sim"]) for r in df.collect()
+    ]
+    full = AI.ivfpq_topk(spark, path, books, qv, k=5, nprobe=4)
+    flat = pq_topk(emb, books, qv, k=5)
+    assert rows(full) == rows(flat)
+    pruned = AI.ivfpq_topk(spark, path, books, qv, k=5, nprobe=2)
+    got = rows(pruned)
+    assert got[0][0] == 7 and got[0][2] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        AI.ivfpq_topk(spark, path, books, qv, k=5, nprobe=0)
