@@ -383,14 +383,15 @@ def test_probe_parity_under_any_edit_sequence(spark, tmp_path_factory, initial, 
 
 
 def test_streaming_ingestor_containment_gate_parity(spark, tmp_path):
-    # twin ingestors with containment_threshold — one inline, one via
-    # the maintained signature table (live-filtered): identical corpora
-    # across inserts, a quoted-subset reject, an UPDATE (same-id must
+    # the indexed (live-filtered signature table) containment-gated
+    # ingestor over a capture stream must equal the PINNED inline-gate
+    # outcome: inserts, a quoted-subset reject, an UPDATE (same-id must
     # replace), and a post-DELETE re-admit (stale index versions must
     # not match). Then the TRUSTED window: after compact_index(), an
     # insert-only batch probes with zero corpus reads and stays
     # row-identical; the next overwriting batch drops back to the live
-    # filter automatically.
+    # filter automatically. (The live inline twin run was replaced by
+    # its pinned result in r9 — see the comment at the assertion.)
     from cdc_system_spark.api import CDCSystem, SnapshotTable
     from cdc_system_spark.streaming import StreamingCorpusIngestor
 
@@ -441,12 +442,17 @@ def test_streaming_ingestor_containment_gate_parity(spark, tmp_path):
         ing.apply_batch(cap.read_log().filter(F.col("cdc_id") > mx1), 2)
         return ing, cap, corpus, mk
 
-    ing_a, _, corpus_a, _ = run("inline", None)
     idx_path = str(tmp_path / "indexed" / "lshidx")
     ing_b, cap_b, corpus_b, mk = run("indexed", idx_path)
     snap = lambda c: {r["doc_id"]: r["text"] for r in c.read().collect()}
     rows = snap(corpus_b)
-    assert rows == snap(corpus_a)
+    # the inline twin's outcome, PINNED (r9 suite-budget trim: the
+    # live inline run cost ~22 s; inline == indexed parity is proven
+    # where it's strongest — the driver's DuckDB oracle gate, via
+    # q_containment_ingest / q_containment_maintained — and the
+    # Hypothesis probe-parity sweep covers arbitrary edit sequences)
+    page2 = " ".join(f"fresh{i} page{i} words{i}" for i in range(40))
+    assert rows == {1: page[:200], 12: page2, 20: unrelated[:110]}
     assert 10 not in rows and 13 not in rows  # subset rejects
     assert 11 not in rows and 20 in rows  # stale version didn't match
     assert rows[1] == rows[1][:200][:200] and len(rows[1]) == 200  # update
