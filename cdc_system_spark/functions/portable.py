@@ -170,3 +170,16 @@ def round_portable_sql(expr: str, decimals: int = 6) -> str:
     """DuckDB twin of :func:`round_portable`."""
     p = 10**decimals
     return f"FLOOR(({expr}) * {p}.0 + 0.5) / {p}.0"
+
+
+def round_portable_py(x: float, decimals: int = 6) -> float:
+    """Driver-side (pure Python) twin of :func:`round_portable` — the
+    same ``floor(x·10^d + 0.5)/10^d`` double arithmetic, for literals
+    computed on the driver that must compare equal to engine-rounded
+    values (e.g. the PQ ADC lookup table vs the encode distances).
+    Keeping all three twins (Column / SQL / Python) in one place means
+    a decimals change cannot silently diverge one of them."""
+    import math
+
+    p = float(10**decimals)
+    return math.floor(x * p + 0.5) / p

@@ -270,6 +270,28 @@ def ann_index_load(
     return centroids, assignments
 
 
+def _probe_cells(
+    spark: SparkSession, path: str, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side probe selection shared by :func:`ann_index_topk`
+    and :func:`ivfpq_topk`: the ``nprobe`` centroid ids nearest the
+    query by cosine (ties to the smaller cell id), from the C-row
+    centroid table — a bounded collect, so the assignment scan can
+    carry a literal ``centroid_id IN (...)`` partition filter. One
+    copy, so the probe tie-break convention cannot drift between the
+    single-query entry points."""
+    import numpy as np
+
+    cents = _load_cents(spark, path)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    sims = [
+        (float(np.asarray(v) @ q / ((np.linalg.norm(v) or 1.0) * qn)), cid)
+        for cid, v in cents
+    ]
+    return [cid for _, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+
 def ann_index_topk(
     spark: SparkSession,
     path: str,
@@ -286,18 +308,9 @@ def ann_index_topk(
     file-listing time, no join, no dynamic pruning dependency. At
     C = 10⁵ cells and nprobe = 4 the scan opens 4/10⁵ of the corpus.
     """
-    import numpy as np
-
     if k < 1 or nprobe < 1:
         raise ValueError(f"k and nprobe must be >= 1, got k={k} nprobe={nprobe}")
-    cents = _load_cents(spark, path)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q) or 1.0
-    sims = [
-        (float(np.asarray(v) @ q / ((np.linalg.norm(v) or 1.0) * qn)), cid)
-        for cid, v in cents
-    ]
-    probed = [cid for _, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    probed = _probe_cells(spark, path, query_vec, nprobe)
     _, assignments = ann_index_load(spark, path)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
@@ -431,12 +444,10 @@ def ivfpq_topk(
     (``q_ivfpq_topk`` reproduces centroid choice, cell assignment,
     probe selection, codes, LUT, candidate choice, and final ranking).
     """
-    import numpy as np
-
     from cdc_system_spark.operators.similarity import (
-        cosine,
         pq_adc_candidates,
         pq_encode,
+        pq_exact_rescore,
     )
 
     if k < 1 or nprobe < 1 or rescore_factor < 1:
@@ -444,16 +455,7 @@ def ivfpq_topk(
             f"k, nprobe, rescore_factor must be >= 1, got "
             f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
         )
-    cents = _load_cents(spark, path)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(q) or 1.0
-    sims = [
-        (float(np.asarray(v) @ q / ((np.linalg.norm(v) or 1.0) * qn)), cid)
-        for cid, v in cents
-    ]
-    probed = [
-        cid for _, cid in sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]
-    ]
+    probed = _probe_cells(spark, path, query_vec, nprobe)
     _, assignments = ann_index_load(spark, path)
     cell_rows = assignments.filter(F.col("centroid_id").isin(probed)).select(
         F.col(id_col), F.col(vec_col)
@@ -462,16 +464,8 @@ def ivfpq_topk(
     cand_ids = pq_adc_candidates(
         codes, books, query_vec, k * rescore_factor, id_col
     )
-    cand = cand_ids.join(cell_rows, id_col)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(
-            F.col(id_col),
-            F.col("adc_dist"),
-            cosine(F.col(vec_col), qv).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
-        .limit(k)
+    return pq_exact_rescore(
+        cand_ids, cell_rows, query_vec, k, vec_col, id_col
     )
 
 

@@ -1808,7 +1808,26 @@ def pq_encode(
                 ]
             )
         )
-        cols.append(ranked[0]["c"].alias(f"code{j}"))
+        code = ranked[0]["c"]
+        if j == 0:
+            # a short/long vector zips nulls into the distance fold and
+            # the NULL-distance struct sorts first — a silently
+            # arbitrary code; fail the row loudly instead (raise_error
+            # evaluates only on bad rows; one guard per row suffices)
+            code = F.when(
+                F.size(F.col(vec_col)) == m * sub, code
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pq_encode: vector dim != codebook dim "
+                            f"{m * sub}: got "
+                        ),
+                        F.size(F.col(vec_col)).cast("string"),
+                    )
+                ).cast("int")
+            )
+        cols.append(code.alias(f"code{j}"))
     return emb.select(*cols)
 
 
@@ -1833,13 +1852,15 @@ def pq_adc_candidates(
         )
 
     def _lut(j: int, c: int) -> float:
+        from cdc_system_spark.functions.portable import round_portable_py
+
         acc = 0.0
         for t in range(sub):
             diff = float(query_vec[j * sub + t]) - float(books[j][c][t])
             acc = acc + diff * diff
-        import math
-
-        return math.floor(acc * 1e6 + 0.5) / 1e6  # round_portable, driver-side
+        # the SAME decimals as _pq_dist's round_portable — shared twin,
+        # so the ADC LUT cannot silently diverge from encode distances
+        return round_portable_py(acc, 6)
 
     score = None
     for j in range(m):
@@ -1850,6 +1871,33 @@ def pq_adc_candidates(
         codes.select(F.col(id_col), score.alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), id_col)
         .limit(limit)
+    )
+
+
+def pq_exact_rescore(
+    cand_ids: DataFrame,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-cosine rescore of an ADC candidate frame ``(id,
+    adc_dist)``: join just the survivors back to their float vectors
+    (candidate side is tiny — AQE broadcasts it) and return the top
+    ``k`` by rounded cosine, id tiebreak. The shared final stage of
+    :func:`pq_topk` and ``ivfpq_topk`` — one copy, so the rescore
+    ordering convention cannot drift between them."""
+    cand = cand_ids.join(emb.select(id_col, vec_col), id_col)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), qv).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )
 
 
@@ -1876,22 +1924,15 @@ def pq_topk(
     The LUT entries use the same sequential-fold + portable-rounding
     arithmetic as :func:`pq_encode`, so a DuckDB oracle reproduces
     candidate choice and ranking bit-for-bit (``q_pq_topk``)."""
+    if k < 1 or rescore_factor < 1:
+        raise ValueError(
+            f"k and rescore_factor must be >= 1, got k={k} "
+            f"rescore_factor={rescore_factor}"
+        )
     codes = pq_encode(emb.select(id_col, vec_col), books, vec_col, id_col)
     # rank on the CODES ONLY (the whole point: the ADC pass never
-    # touches the float vectors), then join just the k·factor
-    # survivors back for the exact rescore — candidate side is tiny,
-    # AQE broadcasts it
+    # touches the float vectors)
     cand_ids = pq_adc_candidates(
         codes, books, query_vec, k * rescore_factor, id_col
     )
-    cand = cand_ids.join(emb.select(id_col, vec_col), id_col)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        cand.select(
-            F.col(id_col),
-            F.col("adc_dist"),
-            cosine(F.col(vec_col), qv).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), id_col)
-        .limit(k)
-    )
+    return pq_exact_rescore(cand_ids, emb, query_vec, k, vec_col, id_col)

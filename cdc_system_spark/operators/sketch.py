@@ -73,23 +73,12 @@ def hll_state(df: DataFrame, value_col: str) -> DataFrame:
     :func:`hll_merge`: the merge of states equals the state of the
     union (max is idempotent/commutative/associative), so a corpus
     sketch never rebuilds from raw data. Absent buckets are implicit
-    rank 0 (states stay sparse)."""
-    h = F.conv(F.substring(F.md5(F.col(value_col)), 1, 15), 16, 10).cast(
-        "long"
-    )
-    vals = df.select(h.alias("_h")).filter(F.col("_h").isNotNull())
-    bucket = F.expr("_h % 64").alias("bucket")
-    w = F.expr("_h div 64")
-    rho = (
-        F.when(w == 0, F.lit(_RANK_BITS + 1))
-        .otherwise(F.lit(_RANK_BITS + 1) - F.length(F.bin(w)))
-        .alias("_rho")
-    )
-    return (
-        vals.select(bucket, rho)
-        .groupBy("bucket")
-        .agg(F.max("_rho").alias("max_rank"))
-    )
+    rank 0 (states stay sparse). The ungrouped form of
+    :func:`hll_state_by` (one construction — the bit-for-bit
+    state-equality contract between the scalar, grouped, and streaming
+    forms is load-bearing for the oracle gate, so the md5/bucket/rank
+    math exists exactly once)."""
+    return hll_state_by(df, [], value_col)
 
 
 def hll_state_by(
@@ -129,13 +118,10 @@ def hll_merge(*states: DataFrame) -> DataFrame:
     """OR-combine HLL states (union + per-bucket max) — the lossless
     merge that makes the sketch incrementally maintainable: estimate
     (merge of shard states) == estimate(whole corpus), bit-for-bit,
-    proven by ``q_hll_merged``'s oracle being the WHOLE-corpus SQL."""
-    if not states:
-        raise ValueError("states must be non-empty")
-    out = states[0]
-    for s in states[1:]:
-        out = out.unionByName(s)
-    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+    proven by ``q_hll_merged``'s oracle being the WHOLE-corpus SQL.
+    The ungrouped form of :func:`hll_merge_by` (one copy of the merge,
+    same single-construction rule as :func:`hll_state`)."""
+    return hll_merge_by(*states, group_cols=[])
 
 
 def hll_merge_by(

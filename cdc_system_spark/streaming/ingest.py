@@ -537,6 +537,19 @@ class StreamingCorpusIngestor:
             .select("new.*")
             .join(current.select(self.id_col), self.id_col, "left_semi")
         )
+        # every admission decision below (fuzzy gates, content-hash
+        # dedup, the merge) runs against the POST-DELETE corpus: under
+        # net-effect semantics the batch's deletes are already decided,
+        # so a batch that deletes doc X and inserts doc Y carrying X's
+        # text must admit Y — gating against the pre-delete corpus
+        # dropped Y against the doomed X and then deleted X, losing
+        # the content entirely (r9 self-review finding; the
+        # forward-looking reading of a collapsed DELETE→INSERT, same
+        # family as net_effect_reduce's DELETE→UPSERT contract).
+        # cond_updates above intentionally still checks the PRE-delete
+        # corpus: a record has ONE net effect, so an UPDATE's own key
+        # is never in delete_ids, and existence is a per-key question.
+        current = current.join(delete_ids, self.id_col, "left_anti")
         admitted = upserts.unionByName(cond_updates)
         if self.admission_filter is not None:
             # content gate first: cheapest reject, and a gated-out row
@@ -650,7 +663,10 @@ class StreamingCorpusIngestor:
             current, admitted, text_col=self.text_col, id_col=self.id_col,
             survivors=survivors,
         )
-        final = merged.join(delete_ids, self.id_col, "left_anti")
+        # current is already delete-filtered above and a record has
+        # one net effect (no admitted row carries a delete id), so the
+        # merge output IS the final corpus — no second anti join
+        final = merged
         # Stats BEFORE the marker commit: a crash between the two then
         # replays the batch (marker not yet advanced) and the stats
         # merge re-runs — a no-op, because HLL merge is idempotent (max

@@ -1249,3 +1249,29 @@ def test_streaming_windowed_kmv_by_group_matches_batch(spark, tmp_path):
     )
     assert len({k for k, _, _ in streamed}) >= 2  # multiple groups live
     assert streamed == expected
+
+
+def test_delete_and_reinsert_same_text_in_one_batch(spark, tmp_path):
+    # net-effect semantics, forward-looking: a batch that DELETEs doc X
+    # and INSERTs doc Y carrying X's exact text must land Y — the r9
+    # self-review found the admission hash set (and the fuzzy gates)
+    # probing the PRE-delete corpus, so Y was dropped against the
+    # doomed X and X then deleted: the content vanished entirely
+    from cdc_system_spark.streaming import StreamingCorpusIngestor
+
+    for tag, gate_kw in (("plain", {}), ("gated", {"neardup_threshold": 0.9})):
+        base = tmp_path / tag
+        sys_ = CDCSystem(spark, str(base), "docs")
+        cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+        corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
+        text = "the exact same document body shared by old and new rows"
+        corpus.write(_doc_rows(spark, [(1, text), (2, "unrelated beta")]))
+        cap.capture_delete(_doc_rows(spark, [(1, text)]))
+        cap.capture_insert(_doc_rows(spark, [(10, text)]))
+        ing = StreamingCorpusIngestor(
+            spark, cap.path, corpus, DOC_SCHEMA,
+            checkpoint_path=str(base / "ckpt"), **gate_kw,
+        )
+        ing.apply_batch(cap.read_log(), 0)
+        rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+        assert rows == {2: "unrelated beta", 10: text}, tag
