@@ -233,3 +233,36 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     for f in filters[1:]:
         out = out.unionByName(f)
     return out.distinct()
+
+
+def bloom_build_by(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    num_bits: int = _BLOOM_BITS,
+    num_hashes: int = _BLOOM_K,
+) -> DataFrame:
+    """Per-group sparse Bloom filters: ``(*group_cols, bit)``, one row
+    per SET bit per group — the grouped twin of :func:`bloom_build`,
+    exactly as ``hll_state_by``/``kmv_state_by`` twin their scalar
+    forms (one filter per tenant/day/source in one pass). State is
+    ≤ ``num_bits`` rows PER GROUP after the distinct's map-side
+    partial; same-geometry groups merge by union + distinct (the
+    bitmap OR, per group automatically since the group columns ride
+    the row). Probe a single group by filtering its rows out and
+    passing them to :func:`bloom_probe`."""
+    if num_bits < 8:
+        raise ValueError(f"num_bits must be >= 8, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    c = F.col(key_col)
+    return (
+        df.filter(c.isNotNull())
+        .select(
+            *group_cols,
+            F.explode(
+                F.array(*[_bit(i, c, num_bits) for i in range(num_hashes)])
+            ).alias("bit"),
+        )
+        .distinct()
+    )

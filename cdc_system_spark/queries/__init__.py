@@ -15,7 +15,7 @@ from cdc_system_spark.queries.base import QUERY_REGISTRY, Query, register
 # tools/verify_local.py (report committed as VERIFY_LOCAL_r{N}.txt).
 # tests/test_plans.py pins the window composition.
 from cdc_system_spark.queries import windows  # noqa: E402,F401  (7)
-from cdc_system_spark.queries import analytics  # noqa: E402,F401  (29)
+from cdc_system_spark.queries import analytics  # noqa: E402,F401  (30)
 from cdc_system_spark.queries import tpch_extra  # noqa: E402,F401  (16)
 from cdc_system_spark.queries import curation  # noqa: E402,F401  (27)
 from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
@@ -48,6 +48,7 @@ _WINDOW_R9 = [
     "q_pq_encode",
     "q_pq_topk",
     "q_ivfpq_topk",
+    "q_bloom_windowed",
     # -- 2. operator changed this round --
     "q_leakage_split_containment",  # split closure moved to star contraction
     "q_leakage_split_maintained",   # same closure change, trusted-path form
@@ -96,7 +97,6 @@ _WINDOW_R9 = [
     "q_countmin_merged",
     "q_curation_funnel",
     "q_curation_pipeline",
-    "q_dup_source_matrix",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -749,3 +749,34 @@ def q_bloom_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bloom_build(dim.filter(F.col("c_custkey") % 2 == 0), "c_custkey")
     b = bloom_build(dim.filter(F.col("c_custkey") % 2 == 1), "c_custkey")
     return bloom_merge(a, b)
+
+
+_BLOOM_WINDOWED_SQL = f"""WITH v AS (
+        SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_day,
+               user_id
+        FROM events WHERE user_id IS NOT NULL)
+    SELECT DISTINCT w_day, CAST(bit AS INTEGER) AS bit FROM (
+        SELECT w_day, {_bf_bit_sql(0, 'user_id')} AS bit FROM v
+        UNION ALL SELECT w_day, {_bf_bit_sql(1, 'user_id')} FROM v
+        UNION ALL SELECT w_day, {_bf_bit_sql(2, 'user_id')} FROM v)"""
+
+
+@register(
+    "q_bloom_windowed",
+    _BLOOM_WINDOWED_SQL,
+    doc="per-day Bloom membership states (w_day, bit): the batch twin "
+    "of streaming.windowed_bloom_state_by — the streamed operator (a "
+    "plain watermarked windowed groupBy over the k-way md5 bit "
+    "explode, <=num_bits rows state per window) is proven equal to "
+    "THIS shape in tests/test_streaming.py, so a green row "
+    "transitively pins the streaming Bloom state under the oracle "
+    "gate; completes the streaming sketch family (HLL distinct, KMV "
+    "set algebra, Bloom membership)",
+)
+def q_bloom_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.bloom import bloom_build_by
+
+    ev = catalog(spark, sf_dir).events.select(
+        F.date_trunc("day", "ts").alias("w_day"), "user_id"
+    )
+    return bloom_build_by(ev, ["w_day"], "user_id")

@@ -542,3 +542,86 @@ def windowed_hll_state_by(
             "max_rank",
         )
     )
+
+
+def windowed_bloom_state(
+    events: DataFrame,
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Membership Bloom STATE per event-time window: the ungrouped
+    form of :func:`windowed_bloom_state_by` (see there)."""
+    return windowed_bloom_state_by(
+        events, [], value_col, window=window, watermark=watermark,
+        ts_col=ts_col, num_bits=num_bits, num_hashes=num_hashes,
+    )
+
+
+def windowed_bloom_state_by(
+    events: DataFrame,
+    group_cols: list[str],
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    num_bits: int = 8192,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Membership Bloom STATE per (group, event-time window):
+    ``(*group_cols, w_start, bit)``, ≤ ``num_bits`` rows per
+    group×window — completes the streaming sketch family (HLL and KMV
+    both have scalar + grouped windowed forms; Bloom answers the
+    MEMBERSHIP question the other two cannot: "did key k appear in
+    window w?", with no false negatives). Use cases: per-window
+    dedup/bounce probes, "seen this hour" gates, per-day join
+    pre-filters shipped to another pipeline.
+
+    Like the HLL form — and unlike KMV's order-sensitive bottom-k —
+    the set-bit table IS a bounded built-in aggregation (k-way bit
+    explode + per-(group, window, bit) first-seen), so this is a
+    plain watermarked windowed ``groupBy`` whose state Spark bounds
+    at ≤ num_bits rows per group×window and evicts on the watermark.
+    The md5 bit mapping is the batch :func:`~cdc_system_spark
+    .operators.bloom.bloom_build` construction computed map-side, so
+    a window's final streamed bit set equals the batch
+    ``bloom_build_by`` over that window's rows exactly; same-geometry
+    states merge by union + distinct (bitmap OR). In update mode a
+    bit row re-emits whenever re-touched — set-bit rows are
+    idempotent membership facts, so sinks dedupe by (group, w_start,
+    bit) or simply overwrite. Group-key cardinality multiplies the
+    state bound, the standard streaming-groupBy contract."""
+    from cdc_system_spark.operators.bloom import _bit
+
+    if num_bits < 8:
+        raise ValueError(f"num_bits must be >= 8, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    by_type = {f.name for f in events.schema.fields}
+    missing = [g for g in group_cols if g not in by_type]
+    if missing:
+        raise ValueError(
+            f"group_cols {missing} not in the stream schema "
+            f"{sorted(by_type)}"
+        )
+    src = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    c = F.col(value_col)
+    bits = src.filter(c.isNotNull()).select(
+        *group_cols,
+        F.col(ts_col),
+        F.explode(
+            F.array(*[_bit(i, c, num_bits) for i in range(num_hashes)])
+        ).alias("bit"),
+    )
+    return (
+        bits.groupBy(
+            F.window(ts_col, window).alias("w"),
+            *[F.col(g) for g in group_cols],
+            F.col("bit"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(*group_cols, F.col("w.start").alias("w_start"), "bit")
+    )

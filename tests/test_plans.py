@@ -95,6 +95,7 @@ def test_oracle_window_composition():
         "q_pq_encode",
         "q_pq_topk",
         "q_ivfpq_topk",
+        "q_bloom_windowed",
         # operator changed in round 9 (the containment split forms
         # moved to the star-contraction closure; q_dup_clusters_star
         # re-confirmed because star contraction is newly load-bearing;

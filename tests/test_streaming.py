@@ -1277,3 +1277,71 @@ def test_delete_and_reinsert_same_text_in_one_batch(spark, tmp_path):
     ing.apply_batch(cap.read_log(), 0)
     rows = {r["doc_id"]: r["text"] for r in corpus.read().collect()}
     assert rows == {2: "unrelated beta", 10: text}
+
+
+def test_streaming_windowed_bloom_matches_batch(spark, tmp_path):
+    # the membership member of the streaming sketch family: streamed
+    # per-(event_type, day) set-bit tables == batch bloom_build_by
+    # over the same rows exactly (same md5 bit mapping, computed
+    # map-side before the bounded windowed groupBy)
+    from cdc_system_spark.operators.bloom import bloom_build_by
+    from cdc_system_spark.sources.catalog import load_table
+    from cdc_system_spark.streaming.aggregations import (
+        windowed_bloom_state,
+        windowed_bloom_state_by,
+    )
+
+    batch_events = load_table(spark, "/root/testdata/sf0.001", "events")
+    batch_events.write.parquet(str(tmp_path / "ev"))
+    q = (
+        windowed_bloom_state_by(
+            spark.readStream.schema(batch_events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "ev")),
+            ["event_type"],
+            "user_id",
+            window="1 day",
+            watermark="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("win_bloom")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bkpt"))
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r["event_type"], r["w_start"], r["bit"])
+        for r in spark.sql("SELECT * FROM win_bloom").collect()
+    )
+    day_rows = batch_events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("w_day"),
+        "user_id",
+    )
+    expected = sorted(
+        (r["event_type"], r["w_day"], r["bit"])
+        for r in bloom_build_by(
+            day_rows, ["event_type", "w_day"], "user_id"
+        ).collect()
+    )
+    assert len({k for k, _, _ in streamed}) >= 2
+    assert streamed == expected
+    # the scalar wrapper, evaluated in batch form (stream-agnostic
+    # construction): per-day bits == grouped form without the group
+    scalar = sorted(
+        (r["w_start"], r["bit"])
+        for r in windowed_bloom_state(
+            batch_events, "user_id", window="1 day", watermark="1 hour"
+        ).collect()
+    )
+    per_day = sorted(
+        (r["w_day"], r["bit"])
+        for r in bloom_build_by(day_rows, ["w_day"], "user_id").collect()
+    )
+    assert scalar == per_day
+    with pytest.raises(ValueError, match="group_cols"):
+        windowed_bloom_state_by(batch_events, ["nope"], "user_id")
+    with pytest.raises(ValueError, match="num_bits"):
+        windowed_bloom_state(batch_events, "user_id", num_bits=4)
