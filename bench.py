@@ -126,6 +126,11 @@ HEADLINE = [
     # r8 but it had no committed perf line; its gate is pinned in
     # BENCH_NOTES_r09.md alongside q_neardup_ingest's
     "q_containment_ingest",
+    # round-9 late additions: the PQ ANN tier (ADC over codes only)
+    # and its IVF composition — the plans the 100 TB retrieval path
+    # actually runs; first committed solo lines in BENCH_NOTES_r09.md
+    "q_pq_topk",
+    "q_ivfpq_topk",
 ]
 
 
