@@ -288,6 +288,42 @@ def _maintenance_timings(spark, sf_dir: str) -> tuple[dict, dict]:
     return mins, meds
 
 
+def _cpu_calibration(spark) -> dict:
+    """Deterministic box-speed probes, recorded in every committed
+    record so cross-round drift is MEASURED, not inferred: rounds 8-10
+    each spent a verdict task adjudicating whether a 1.1-1.2x
+    round-over-round shift was box or code, via leave-one-out drift
+    over the shared query set — which works, but only relative to the
+    previous record's (unknown) box state. Two absolute references:
+
+    - ``python_sec``: fixed 2M-iteration pure-Python LCG+xor loop —
+      single-core interpreter/CPU-frequency speed;
+    - ``jvm_hash_sec``: min-of-2 of a fixed 200M-row whole-stage-
+      codegen xxhash64 aggregation on all cores — the JVM hash
+      throughput the minhash/shingle family (the queries that drift
+      the most) is actually bound by.
+
+    Same numbers on two boxes ⇒ a query delta is code. A family delta
+    tracking ``jvm_hash_sec`` ⇒ box. ~2 s total, untimed-path only.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    h = 0
+    for i in range(2_000_000):
+        h = (h * 6364136223846793005 + i) & ((1 << 64) - 1)
+        h ^= h >> 29
+    py_sec = round(time.perf_counter() - t0, 3)
+    jvm_runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.max("h")).collect()
+        jvm_runs.append(time.perf_counter() - t0)
+    return {"python_sec": py_sec, "jvm_hash_sec": round(min(jvm_runs), 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -296,6 +332,8 @@ def main() -> None:
 
     # one untimed warmup query to absorb JVM/codegen startup
     QUERY_REGISTRY["q_count"].fn(spark, sf_dir).collect()
+
+    cpu_cal = _cpu_calibration(spark)
 
     # the maintained-index queries share ONE process-local build
     # (queries/_maintained.py) that otherwise lands inside whichever
@@ -496,6 +534,7 @@ def main() -> None:
         "regression_baseline": prev_name,
         "retried_queries": retried,
         "global_drift_ratio": global_drift,
+        "cpu_calibration": cpu_cal,
         "git_head": _git("rev-parse", "HEAD") or None,
         "baseline_git_head": baseline_head or None,
         "source_files_changed_since_baseline": (

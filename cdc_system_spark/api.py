@@ -193,9 +193,30 @@ class CDCSystem:
         return self.capture.read_log()
 
     def get_pending_changes(self, limit: int | None = None) -> DataFrame:
-        """≅ cdc_system.py:199-231, decoded images included."""
+        """≅ cdc_system.py:199-231, decoded images included.
+
+        When the capture path's maintained ``(synced, cdc_id)`` zone
+        state exists (it does for any log captured by this package —
+        ``LogCapture`` merges it per batch, the replicators refresh it
+        per rewrite), the poll scan is PRUNED through
+        ``read_pending_pruned``: all-synced cdc_id zones convert to
+        pushed scan ranges, exactly what the reference's ``(synced,
+        cdc_id)`` covering index buys its hot poll (cdc_system.py:
+        209-216). Rows are identical to the plain filter (the
+        zone_pruned_between contract); a stateless log (external
+        writer) falls back to the unpruned scan.
+        """
         schema = self.registry.schema(self.table_name)
-        return pending_changes(self.read_log(), limit=limit, row_schema=schema)
+        log = self.read_log()
+        zs = self.capture.read_zone_state() if self.capture else None
+        if zs is not None:
+            from cdc_system_spark.operators.maintenance import (
+                read_pending_pruned,
+            )
+
+            state, geo_lo, geo_hi, num_zones = zs
+            log = read_pending_pruned(log, state, geo_lo, geo_hi, num_zones)
+        return pending_changes(log, limit=limit, row_schema=schema)
 
     def get_change_statistics(self) -> dict[str, dict[str, int]]:
         return _monitor.get_change_statistics(self.read_log())
@@ -259,6 +280,10 @@ class CDCReplicator:
         updated.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(cap.path, ignore_errors=True)
         os.replace(tmp, cap.path)
+        # re-pin the (synced, cdc_id) zone state over the rewritten log
+        # so the next poll prunes the freshly-drained zones (a crash
+        # before this line is safe: the old state only under-prunes)
+        cap.refresh_zone_state()
         batch.unpersist()
         return n
 
@@ -314,6 +339,7 @@ class SCD2Replicator:
         updated.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(cap.path, ignore_errors=True)
         os.replace(tmp, cap.path)
+        cap.refresh_zone_state()
         batch.unpersist()
         return n
 

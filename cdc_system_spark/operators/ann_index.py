@@ -47,6 +47,8 @@ from cdc_system_spark.operators.similarity import (
 )
 
 __all__ = [
+    "ann_cell_skew",
+    "ann_index_books",
     "ann_index_build",
     "ann_index_compact",
     "ann_index_ingest",
@@ -57,11 +59,17 @@ __all__ = [
     "ann_index_stats_state",
     "ann_index_topk",
     "ann_index_topk_many",
+    "ivfpq_recall",
+    "ivfpq_topk",
 ]
 
 
 def _cent_path(path: str) -> str:
     return f"{path}/centroids"
+
+
+def _books_path(path: str) -> str:
+    return f"{path}/codebooks"
 
 
 def _asg_path(path: str) -> str:
@@ -137,6 +145,55 @@ def _vkey(id_col: str, vec_col: str):
     ).alias("_vkey")
 
 
+def _write_books(
+    spark: SparkSession, path: str, books: list[list[list[float]]]
+) -> None:
+    """Persist PQ codebooks as the index's third table — m·k rows of
+    ``(j, c, cvec)``, a model artifact exactly like the centroid table
+    (frozen at attach time: re-training the books would invalidate
+    every stored code, the same reshuffle argument that freezes
+    centroids)."""
+    rows = [
+        (j, c, [float(x) for x in books[j][c]])
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    ]
+    spark.createDataFrame(
+        rows, "j int, c int, cvec array<double>"
+    ).write.mode("overwrite").parquet(_books_path(path))
+
+
+def ann_index_books(
+    spark: SparkSession, path: str
+) -> list[list[list[float]]] | None:
+    """The index's stored PQ codebooks (``books[j][c]``), or ``None``
+    for an index built without a PQ tier — the feature probe
+    :func:`ann_index_ingest` uses to decide whether to encode-at-ingest
+    and :func:`ivfpq_topk` uses to rank on stored codes. A bounded
+    m·k-row collect, same driver budget as :func:`_load_cents`."""
+    from pyspark.errors import AnalysisException
+
+    from cdc_system_spark.operators._index_stats import _is_path_not_found
+
+    try:
+        rows = spark.read.parquet(_books_path(path)).collect()
+    except AnalysisException as e:
+        # only an ABSENT tier reads as "no PQ": a present-but-broken
+        # books table (schema drift, corruption) must raise, not
+        # silently demote every stored-code query to the derive path
+        if _is_path_not_found(e):
+            return None
+        raise
+    by_j: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_j.setdefault(int(r["j"]), {})[int(r["c"])] = [
+            float(x) for x in r["cvec"]
+        ]
+    return [
+        [by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)
+    ]
+
+
 def _load_cents(spark: SparkSession, path: str) -> list[tuple[int, list[float]]]:
     """Centroid list from the frozen table — C rows, the only rows this
     module ever collects (same driver bound as ``auto_cells``)."""
@@ -153,11 +210,20 @@ def ann_index_build(
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_books: list[list[list[float]]] | None = None,
 ) -> int:
     """Build the index: freeze centroids (``C = max(4, ceil(sqrt(n)))``
     by default, optionally Lloyd-refined), assign the corpus once with
     the vectorized numpy pass, persist both tables. Returns the number
     of rows indexed.
+
+    With ``pq_books`` (from
+    :func:`~cdc_system_spark.operators.similarity.pq_codebooks`), the
+    index gains a PQ tier: the books persist as a third frozen model
+    table and every assignment row stores its ``code0..code{m-1}``
+    PQ codes, computed in the SAME map-only pass that assigns cells —
+    encode-at-ingest, so :func:`ivfpq_topk` stage 2 reads stored codes
+    (m bytes/row) instead of re-deriving them from the float vectors.
 
     One count job + one C-row collect + one map-only assignment pass +
     one partitioned write — the same work ``auto_cells`` spends on a
@@ -175,6 +241,11 @@ def ann_index_build(
         .withColumn("_vkey", _vkey(id_col, vec_col))
         .dropDuplicates(["_vkey"])
     )
+    if pq_books is not None:
+        from cdc_system_spark.operators.similarity import pq_code_columns
+
+        _write_books(spark, path, pq_books)
+        assigned = assigned.select("*", *pq_code_columns(pq_books, vec_col))
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _asg_path(path)
     )
@@ -225,6 +296,14 @@ def ann_index_ingest(
         .withColumnRenamed("cell_id", "centroid_id")
         .withColumn("_vkey", _vkey(id_col, vec_col))
     )
+    # an index with a PQ tier encodes the batch's codes in the same
+    # map pass (pq_code_columns — the ONE copy pq_encode uses, so
+    # stored codes cannot diverge from derived ones)
+    books = ann_index_books(spark, path)
+    if books is not None:
+        from cdc_system_spark.operators.similarity import pq_code_columns
+
+        assigned = assigned.select("*", *pq_code_columns(books, vec_col))
     # one pass to count + write: checkpoint the small batch so the
     # anti-join and assignment don't run twice
     assigned = assigned.localCheckpoint(eager=True)
@@ -413,7 +492,7 @@ def ann_index_topk_many(
 def ivfpq_topk(
     spark: SparkSession,
     path: str,
-    books: list,
+    books: list | None,
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
@@ -434,15 +513,22 @@ def ivfpq_topk(
 
     Stages: (1) probe cells chosen driver-side from the C-row frozen
     centroid table (bounded collect, literal ``centroid_id IN (...)``
-    → partition pruning at file listing); (2) the probed cells' stored
-    assignments PQ-encoded and ADC-ranked on CODES ONLY
-    (TakeOrderedAndProject); (3) exact-cosine rescore of the
-    survivors via a broadcast-able join. In a deployment that stores
-    codes next to the assignment table (encode-at-ingest), stage 2
-    reads the stored codes; here they derive in-plan from the same
-    scan, which preserves the plan shape the oracle checks
+    → partition pruning at file listing); (2) the probed cells'
+    assignments ADC-ranked on CODES ONLY (TakeOrderedAndProject);
+    (3) exact-cosine rescore of the survivors via a broadcast-able
+    join. With ``books=None`` the index's own PQ tier serves stage 2:
+    codebooks load from the stored model table and the ranking reads
+    the STORED ``code0..code{m-1}`` columns written encode-at-ingest
+    (``ann_index_build(pq_books=...)`` / :func:`ann_index_ingest`) —
+    the deployment shape: the ADC scan's projection is id + m codes,
+    so column pruning makes it truly m bytes/row and the float vectors
+    are never touched until the rescore join. With explicit ``books``
+    the codes derive in-plan from the same scan — the oracle twin
     (``q_ivfpq_topk`` reproduces centroid choice, cell assignment,
-    probe selection, codes, LUT, candidate choice, and final ranking).
+    probe selection, codes, LUT, candidate choice, and final ranking;
+    ``q_ivfpq_topk_stored`` pins the stored path against the SAME
+    oracle, and the stored==derived parity test pins the two forms to
+    each other).
     """
     from cdc_system_spark.operators.similarity import (
         pq_adc_candidates,
@@ -455,17 +541,149 @@ def ivfpq_topk(
             f"k, nprobe, rescore_factor must be >= 1, got "
             f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
         )
+    use_stored = books is None
+    if use_stored:
+        books = ann_index_books(spark, path)
+        if books is None:
+            raise ValueError(
+                "books=None requires an index with a PQ tier "
+                "(ann_index_build(pq_books=...)); this index has none"
+            )
     probed = _probe_cells(spark, path, query_vec, nprobe)
     _, assignments = ann_index_load(spark, path)
-    cell_rows = assignments.filter(F.col("centroid_id").isin(probed)).select(
-        F.col(id_col), F.col(vec_col)
-    )
-    codes = pq_encode(cell_rows, books, vec_col, id_col)
+    cell = assignments.filter(F.col("centroid_id").isin(probed))
+    cell_rows = cell.select(F.col(id_col), F.col(vec_col))
+    if use_stored:
+        code_cols = [f"code{j}" for j in range(len(books))]
+        missing = [c for c in code_cols if c not in assignments.columns]
+        if missing:
+            raise ValueError(
+                f"index PQ tier is inconsistent: codebooks stored but "
+                f"assignment columns {missing} absent"
+            )
+        codes = cell.select(F.col(id_col), *code_cols)
+    else:
+        codes = pq_encode(cell_rows, books, vec_col, id_col)
     cand_ids = pq_adc_candidates(
         codes, books, query_vec, k * rescore_factor, id_col
     )
     return pq_exact_rescore(
         cand_ids, cell_rows, query_vec, k, vec_col, id_col
+    )
+
+
+def ivfpq_recall(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    grid: list[tuple[int, int]],
+    k: int = 10,
+    books: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Measured recall@k of the IVF×PQ path against exact brute force,
+    across a ``(nprobe, rescore_factor)`` grid — the health readout
+    that tells an operator how to SET the two knobs (the
+    :func:`ann_cell_skew` counterpart for retrieval quality): one row
+    per ``(nprobe, rescore_factor, qid)`` with ``n_truth``, ``n_hit``,
+    and ``recall_at_k`` = ``|approx ∩ truth| / |truth|``.
+
+    Ground truth is the exact rounded-cosine top-k over the index's
+    LIVE content — :func:`ann_index_topk_many` probed at ``nprobe = C``
+    (a full probe degenerates to brute force), so truth and approx
+    rank under the identical rounded-6 + id-tiebreak convention and a
+    recall miss is attributable to the two knobs, never to float
+    formatting. ``books=None`` evaluates the stored-code tier
+    (:func:`ivfpq_topk`'s deployment path); explicit ``books``
+    evaluates the in-plan form.
+
+    Scale shape: the eval set is collected driver-side — recall
+    evaluation is MODEL-ARTIFACT work (a handful of held-out queries,
+    the ``pq_codebooks`` ``sample_cap`` convention), never corpus-
+    sized; pass tens of queries, not millions. Per grid config each
+    query contributes one partition-pruned TakeOrderedAndProject
+    subplan (the exact plan the production query runs — measuring a
+    different plan would measure the wrong recall), unioned into one
+    result; the brute-force pass runs ONCE across the whole grid.
+    Data-dependent centroid/candidate interplay makes this rows-only
+    under the driver gate (``q_pq_recall``); the arithmetic is pinned
+    by numpy parity in tests/test_ann_index.py."""
+    from cdc_system_spark.functions.portable import round_portable
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got k={k}")
+    if not grid:
+        raise ValueError("grid must be non-empty")
+    for nprobe, rf in grid:
+        if nprobe < 1 or rf < 1:
+            raise ValueError(
+                f"grid entries must be >= 1, got ({nprobe}, {rf})"
+            )
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    n_cells = len(_load_cents(spark, path))
+    truth = (
+        ann_index_topk_many(
+            spark,
+            path,
+            queries,
+            k=k,
+            nprobe=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            qid_col=qid_col,
+            qvec_col=qvec_col,
+        )
+        .select(F.col(qid_col), F.col(id_col), F.lit(1).alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for nprobe, rf in grid:
+        for r in qrows:
+            qv = [float(x) for x in r[qvec_col]]
+            parts.append(
+                ivfpq_topk(
+                    spark,
+                    path,
+                    books,
+                    qv,
+                    k=k,
+                    nprobe=nprobe,
+                    rescore_factor=rf,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                ).select(
+                    F.lit(nprobe).alias("nprobe"),
+                    F.lit(rf).alias("rescore_factor"),
+                    F.lit(r[qid_col]).alias(qid_col),
+                    F.col(id_col),
+                )
+            )
+    approx = parts[0]
+    for p in parts[1:]:
+        approx = approx.unionByName(p)
+    n_truth = truth.groupBy(qid_col).agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    return (
+        approx.join(truth, [qid_col, id_col], "left")
+        .groupBy("nprobe", "rescore_factor", qid_col)
+        .agg(F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_hit"))
+        .join(n_truth, qid_col)
+        .select(
+            "nprobe",
+            "rescore_factor",
+            qid_col,
+            "n_truth",
+            "n_hit",
+            round_portable(F.col("n_hit") / F.col("n_truth"), 6).alias(
+                "recall_at_k"
+            ),
+        )
     )
 
 

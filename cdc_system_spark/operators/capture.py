@@ -72,13 +72,30 @@ class LogCapture:
     same naming as the reference's ``{table}_cdc`` (cdc_system.py:103).
     At 100 TB the log would be partitioned by date(changed_at); appends
     are per-batch files, read via streaming file source (streaming/).
+
+    The capture path also MAINTAINS the ``(synced, cdc_id)`` zone state
+    (``operators/maintenance.py log_zone_state`` — the reference's
+    covering index, cdc_system.py:129-132) at ``{log}_zones``: each
+    capture merges its batch's zones in BEFORE appending (a crash
+    between the two leaves the state a conservative superset — extra
+    claimed-pending zones cost scan bytes, never correctness), and the
+    replicators call :meth:`refresh_zone_state` after their mark-synced
+    full-log rewrite (an unrefreshed state is equally safe: mark_synced
+    only flips 0→1, so stale ``v_min`` values only under-prune). The
+    production poll (``api.py CDCSystem.get_pending_changes``) routes
+    through ``read_pending_pruned`` whenever the state exists — the
+    all-synced prefix of the log converts to pushed cdc_id scan ranges.
     """
+
+    #: zone count of the maintained (synced, cdc_id) state
+    NUM_ZONES = 64
 
     def __init__(self, spark: SparkSession, root: str, table: str, key: str = "id"):
         self.spark = spark
         self.table = table
         self.key = key
         self.path = os.path.join(root, f"{table}_cdc")
+        self.zones_path = self.path + "_zones"
         self._epoch = 0
 
     def _next_base(self) -> int:
@@ -99,6 +116,10 @@ class LogCapture:
         self._append(as_changes(rows, "DELETE", self.key, base_cdc_id=self._next_base()))
 
     def _append(self, changes: DataFrame) -> None:
+        # state first, then data: the state must summarize a SUPERSET
+        # of the log for pruning to stay exact (maintenance.py
+        # read_pending_pruned's freshness contract)
+        self._merge_zone_state(changes)
         changes.write.mode("append").parquet(self.path)
 
     def read_log(self) -> DataFrame:
@@ -106,6 +127,94 @@ class LogCapture:
             return self.spark.read.parquet(self.path)
         except Exception:
             return self.spark.createDataFrame([], AUDIT_SCHEMA)
+
+    # -- maintained (synced, cdc_id) zone state ------------------------------
+
+    def _write_zone_state(
+        self, state: DataFrame, geo_lo: int, geo_hi: int
+    ) -> None:
+        # ≤ NUM_ZONES rows: materialize driver-side so the overwrite
+        # never reads the file it replaces; geometry rides as columns
+        rows = [
+            (int(r["zone"]), int(r["n_rows"]), float(r["v_min"]),
+             float(r["v_max"]), geo_lo, geo_hi, self.NUM_ZONES)
+            for r in state.collect()
+        ]
+        self.spark.createDataFrame(
+            rows,
+            "zone int, n_rows long, v_min double, v_max double, "
+            "geo_lo long, geo_hi long, num_zones int",
+        ).write.mode("overwrite").parquet(self.zones_path)
+
+    def read_zone_state(self):
+        """``(state_df, geo_lo, geo_hi, num_zones)`` of the maintained
+        zone state, or ``None`` for a log captured before this state
+        existed (the poll then falls back to the plain scan)."""
+        try:
+            df = self.spark.read.parquet(self.zones_path)
+        except Exception:
+            return None
+        head = df.head()
+        if head is None:
+            return None
+        return (
+            df.select("zone", "n_rows", "v_min", "v_max"),
+            int(head["geo_lo"]),
+            int(head["geo_hi"]),
+            int(head["num_zones"]),
+        )
+
+    def _merge_zone_state(self, batch: DataFrame) -> None:
+        from cdc_system_spark.operators.maintenance import (
+            log_zone_state,
+            zone_merge,
+        )
+
+        cur = self.read_zone_state()
+        if cur is None:
+            b = batch.agg(
+                F.min("cdc_id").alias("lo"), F.max("cdc_id").alias("hi")
+            ).collect()[0]
+            if b["lo"] is None:
+                return
+            # geometry pins at the first batch; later cdc_ids beyond
+            # geo_hi clamp into the top zone, whose scan span is
+            # unbounded above (zone_pruned_between's edge rule) — the
+            # tail just prunes less until a refresh re-pins
+            geo_lo = int(b["lo"])
+            geo_hi = max(int(b["hi"]), geo_lo + self.NUM_ZONES - 1)
+            state = log_zone_state(batch, geo_lo, geo_hi, self.NUM_ZONES)
+        else:
+            st, geo_lo, geo_hi, nz = cur
+            state = zone_merge(
+                st, log_zone_state(batch, geo_lo, geo_hi, nz)
+            )
+        self._write_zone_state(state, geo_lo, geo_hi)
+
+    def refresh_zone_state(self) -> None:
+        """Rebuild the zone state from the full log with FRESH geometry
+        — for callers that just rewrote the log wholesale (the
+        replicators' mark-synced rewrite): the rewrite scanned
+        everything anyway, and re-pinning the geometry restores full
+        pruning resolution over the drained prefix."""
+        from cdc_system_spark.operators.maintenance import log_zone_state
+
+        log = self.read_log()
+        b = log.agg(
+            F.min("cdc_id").alias("lo"), F.max("cdc_id").alias("hi")
+        ).collect()[0]
+        if b["lo"] is None:
+            import shutil
+
+            shutil.rmtree(self.zones_path, ignore_errors=True)
+            return
+        geo_lo = int(b["lo"])
+        geo_hi = max(int(b["hi"]), geo_lo + self.NUM_ZONES - 1)
+        self._write_zone_state(
+            log_zone_state(log, geo_lo, geo_hi, self.NUM_ZONES),
+            geo_lo,
+            geo_hi,
+        )
 
 
 def timestamp_capture(

@@ -1779,23 +1779,22 @@ def _pq_dist(vec_col: str, j: int, sub: int, cent: list[float]) -> Column:
     )
 
 
-def pq_encode(
-    emb: DataFrame,
+def pq_code_columns(
     books: list[list[list[float]]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Encode every vector to its PQ codes: ``(id, code0..code{m-1})``,
+) -> list[Column]:
+    """The ``m`` PQ code expressions ``code0..code{m-1}`` —
     ``code_j`` = index of subspace ``j``'s nearest codebook centroid
-    (rounded-L2 argmin, smaller index on ties). Map-only, zero shuffle,
-    zero join — the codebooks ride as literals inside whole-stage
-    codegen, exactly like the literal-centroid assignment family. The
-    code table is the 64×-compressed searchable representation; store
-    it columnar and the ADC scan reads m bytes per vector."""
+    (rounded-L2 argmin, smaller index on ties). ONE copy shared by
+    :func:`pq_encode` (the ad-hoc form) and the maintained index's
+    encode-at-ingest path (``ann_index_build``/``ann_index_ingest``
+    with a PQ tier), so stored codes can never diverge from derived
+    ones. Pure literal-centroid expressions inside whole-stage
+    codegen."""
     m = len(books)
     k = len(books[0])
     sub = len(books[0][0])
-    cols = [F.col(id_col)]
+    cols = []
     for j in range(m):
         ranked = F.sort_array(
             F.array(
@@ -1828,7 +1827,22 @@ def pq_encode(
                 ).cast("int")
             )
         cols.append(code.alias(f"code{j}"))
-    return emb.select(*cols)
+    return cols
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its PQ codes: ``(id, code0..code{m-1})``
+    via :func:`pq_code_columns`. Map-only, zero shuffle, zero join —
+    the codebooks ride as literals inside whole-stage codegen, exactly
+    like the literal-centroid assignment family. The code table is the
+    64×-compressed searchable representation; store it columnar and
+    the ADC scan reads m bytes per vector."""
+    return emb.select(F.col(id_col), *pq_code_columns(books, vec_col))
 
 
 def pq_adc_candidates(

@@ -26,81 +26,82 @@ from cdc_system_spark.queries import llm  # noqa: E402,F401  (86, all oracle-bac
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
 
-# Round-9 window: the driver's CORRECTNESS gate strong-checks the
+# Round-10 window: the driver's CORRECTNESS gate strong-checks the
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — the round-9 additions;
-#   2. every query whose operator or oracle CHANGED this round;
+#      CORRECTNESS row — round 10 adds one (the stored-codes IVF×PQ);
+#   2. every query whose operator or oracle CHANGED this round: the
+#      PQ encode family (pq_code_columns extraction shared with the
+#      index's encode-at-ingest path), ivfpq_topk (stored-codes
+#      branch), and the maintained-ANN family (ann_index_build/
+#      ingest/load gained the PQ tier probe);
 #   3. remaining slots re-confirm the queries with the OLDEST driver
-#      evidence: the COMPLETE 30-name r4-evidence pool (recomputed
-#      from the eight CORRECTNESS_r0[1-8] artifacts and pinned in
+#      evidence: the COMPLETE 26-name r5-evidence pool (recomputed
+#      from the nine CORRECTNESS_r0[1-9] artifacts and pinned in
 #      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
-#      moves the registry-wide evidence floor to r5, then r5-evidence
-#      names oldest-first (alphabetical within the round) in whatever
-#      slots remain.
-_WINDOW_R9 = [
+#      moves the registry-wide evidence floor to r6, then r6-evidence
+#      names oldest-first (alphabetical within the round) in the 16
+#      slots that remain.
+_WINDOW_R10 = [
     # -- 1. new this round, never driver-checked --
-    "q_hll_windowed_by",
-    "q_hll_merged_by",
-    "q_log_pruned_read",
-    "q_ann_cell_skew",
+    "q_ivfpq_topk_stored",
+    # -- 2. operator changed this round --
     "q_pq_encode",
     "q_pq_topk",
     "q_ivfpq_topk",
-    "q_bloom_windowed",
-    # -- 2. operator changed this round --
-    "q_leakage_split_containment",  # split closure moved to star contraction
-    "q_leakage_split_maintained",   # same closure change, trusted-path form
-    "q_dup_clusters_star",  # star contraction newly load-bearing (the
-    # split family's default closure) — re-confirm it alongside
-    "q_leakage_split",  # exact-group form, UNCHANGED (no closure) — an
-    # r5-evidence re-confirmation listed here so the split family's
-    # three driver rows land in the same artifact
-    # -- 3a. the COMPLETE r4-evidence pool (30) — floor moves to r5 --
-    "q_asof_lookup",
-    "q_audio_features",
-    "q_blocklist",
-    "q_boilerplate",
-    "q_centroid_assign",
-    "q_cluster_sizes",
-    "q_contamination_report",
-    "q_corpus_datacard",
-    "q_event_drift",
-    "q_event_trend",
-    "q_global_shuffle",
-    "q_incremental_ingest",
-    "q_ivf_topk_exact",
-    "q_norm_gate",
-    "q_oov_rate",
-    "q_packing_efficiency",
-    "q_quality_cut",
-    "q_quality_survivors",
-    "q_resize_images",
-    "q_scd2_history",
-    "q_shipmode_priority",
-    "q_simhash_neardup",
-    "q_split_assign",
-    "q_temperature_mix",
-    "q_temperature_sample",
-    "q_token_budget",
-    "q_token_histogram",
-    "q_topk_per_stratum",
-    "q_winnow_fingerprints",
-    "q_zorder_value",
-    # -- 3b. r5-evidence re-confirmations, oldest-first --
-    "q_auto_join",
-    "q_bm25",
-    "q_charset_quality",
-    "q_community_profile",
-    "q_countmin",
-    "q_countmin_merged",
-    "q_curation_funnel",
-    "q_curation_pipeline",
+    "q_ann_index_maintained",
+    "q_ann_cell_skew",
+    "q_ann_topk_batch",
+    "q_ann_probe_maintained",
+    # -- 3a. the COMPLETE r5-evidence pool (26) — floor moves to r6 --
+    "q_dup_source_matrix",
+    "q_embedding_cov",
+    "q_embedding_neardup",
+    "q_event_anomalies",
+    "q_event_transitions",
+    "q_fk_integrity",
+    "q_hll_by_type",
+    "q_hll_distinct",
+    "q_hll_merged",
+    "q_line_dedup",
+    "q_lpa_communities",
+    "q_lsh_recall",
+    "q_pagerank_seeded",
+    "q_profile_orders",
+    "q_quantized_ann",
+    "q_rrf_fuse",
+    "q_scene_changes",
+    "q_sequence_pack",
+    "q_skew_profile",
+    "q_strip_boilerplate",
+    "q_substring_dedup",
+    "q_vocab_coverage",
+    "q_winsorize",
+    "q_winsorize_by_type",
+    "q_zone_map",
+    "q_zone_merged",
+    # -- 3b. r6-evidence re-confirmations, oldest-first --
+    "q_asof_join",
+    "q_bloom_merged",
+    "q_bloom_prune",
+    "q_bloom_semi_join",
+    "q_change_stats",
+    "q_cluster_canonical",
+    "q_conflict_field_merge",
+    "q_conflict_fww",
+    "q_conflict_manual_queue",
+    "q_decontaminate",
+    "q_dedup_exact",
+    "q_dup_clusters",
+    "q_embedding_topk",
+    "q_equidepth_histogram",
+    "q_equidepth_sketch",
+    "q_event_enrichment",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R9
+_WINDOW = _WINDOW_R10
 
 
 def _set_window() -> None:

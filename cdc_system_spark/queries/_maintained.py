@@ -62,6 +62,32 @@ def shared_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def shared_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared 8-centroid ANN index WITH the PQ tier: base
+    codebooks (m=4, k=8 — deterministic first-8-by-id over the FULL
+    corpus, matching the oracle's ``cb`` CTE) attached at build, so
+    ``code0..code3`` are written encode-at-ingest for both the build
+    (``vec_id % 3 <> 0``) and ingest (``% 3 = 0``) portions. Serves
+    the stored-codes IVF×PQ query; kept separate from
+    :func:`shared_ann_index` so the PQ-less index queries keep their
+    exact assignment schema."""
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.operators.similarity import pq_codebooks
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/annidx_pq_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        emb = catalog(spark, sf_dir).embeddings
+        books = pq_codebooks(emb, m=4, k=8)
+        AI.ann_index_build(
+            emb.filter("vec_id % 3 <> 0"), path, num_centroids=8,
+            pq_books=books,
+        )
+        AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+        _BUILT.add(path)
+    return path
+
+
 def shared_lsh_slice_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Paths of two shared LSH indexes over OVERLAPPING corpus slices
     (A = even ids, B = ids divisible by 3 — overlap = multiples of 6),

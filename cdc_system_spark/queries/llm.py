@@ -3361,3 +3361,34 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         spark, path, books, qv, k=10, nprobe=2, rescore_factor=3
     )
+
+
+@register(
+    "q_ivfpq_topk_stored",
+    _IVFPQ_SQL,
+    doc="IVF x PQ over STORED codes — the deployment shape q_ivfpq_topk "
+    "derives in-plan: the index carries a PQ tier (codebooks persisted "
+    "as a frozen model table; code0..code3 written encode-at-ingest in "
+    "the same map pass that assigns cells, for both the build and the "
+    "incremental-ingest portions), and the ADC stage's scan projects "
+    "id + m code columns only — column pruning makes the candidate "
+    "pass truly m bytes/row; float vectors are first touched at the "
+    "30-survivor rescore join. Same oracle as q_ivfpq_topk (stored "
+    "codes are defined as pq_code_columns of the stored vectors — one "
+    "shared expression, pinned additionally by the stored==derived "
+    "parity test), so a green row proves encode-at-ingest wrote "
+    "exactly the codes the in-plan form computes",
+)
+def q_ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_topk
+    from cdc_system_spark.queries._maintained import shared_ann_pq_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_pq_index(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    return ivfpq_topk(
+        spark, path, None, qv, k=10, nprobe=2, rescore_factor=3
+    )

@@ -86,3 +86,32 @@ def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_label_noise_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_label_noise(catalog(spark, sf_dir).embeddings, k=5)
+
+
+# -- PQ recall diagnostic (rows-only) ----------------------------------------
+@register(
+    "q_pq_recall",
+    None,
+    doc="measured recall@10 of the IVF x PQ stored-code path vs exact "
+    "brute force over the index content, across a (nprobe, "
+    "rescore_factor) grid — the knob-setting health readout: one row "
+    "per (nprobe, rescore_factor, query); truth is a full probe "
+    "(nprobe=C degenerates to brute force) under the identical "
+    "rounded-cosine + id-tiebreak convention, so misses are "
+    "attributable to the knobs. Rows-only: the recall surface is a "
+    "data-dependent composition of the whole IVFPQ stack (a literal "
+    "oracle would be the IVFPQ SQL x grid x queries); the arithmetic "
+    "is pinned by numpy parity in tests/test_ann_index.py",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_recall
+    from cdc_system_spark.queries._maintained import shared_ann_pq_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_recall(
+        spark, path, queries, grid=[(1, 1), (2, 3), (8, 6)], k=10
+    )

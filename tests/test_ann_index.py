@@ -360,3 +360,124 @@ def test_ivfpq_full_probe_equals_pq_and_finds_exact_match(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError, match="nprobe"):
         AI.ivfpq_topk(spark, path, books, qv, k=5, nprobe=0)
+
+
+def test_pq_tier_stored_codes_equal_derived(spark, emb, tmp_path):
+    # encode-at-ingest: an index built with pq_books stores code0..3
+    # next to the assignments for BOTH the build and ingest portions,
+    # and they must equal pq_encode of the same vectors (one shared
+    # pq_code_columns expression — this pins that the two forms cannot
+    # drift); ivfpq_topk(books=None) over the stored codes must equal
+    # the in-plan derive form row for row
+    from cdc_system_spark.operators.similarity import pq_codebooks, pq_encode
+
+    path = str(tmp_path / "idx")
+    books = pq_codebooks(emb, m=4, k=8)
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    AI.ann_index_build(base, path, num_centroids=8, pq_books=books)
+    assert AI.ann_index_ingest(rest, path) == rest.count()
+    assert AI.ann_index_books(spark, path) == books
+    _, asg = AI.ann_index_load(spark, path)
+    code_cols = ["code0", "code1", "code2", "code3"]
+    assert all(c in asg.columns for c in code_cols)
+    stored = {
+        r["vec_id"]: tuple(r[c] for c in code_cols) for r in asg.collect()
+    }
+    derived = {
+        r["vec_id"]: tuple(r[c] for c in code_cols)
+        for r in pq_encode(emb, books).collect()
+    }
+    assert stored == derived
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    rows = lambda df: [
+        (r["vec_id"], r["adc_dist"], r["cos_sim"]) for r in df.collect()
+    ]
+    got_stored = AI.ivfpq_topk(spark, path, None, qv, k=5, nprobe=2)
+    got_derived = AI.ivfpq_topk(spark, path, books, qv, k=5, nprobe=2)
+    assert rows(got_stored) == rows(got_derived)
+    # the stored ADC stage never projects the vector column: the scan
+    # reads id + codes (+ the partition col) — the m-bytes/row claim
+    plan = (
+        got_stored._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema" in plan
+
+
+def test_ivfpq_topk_stored_requires_pq_tier(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    with pytest.raises(ValueError, match="PQ tier"):
+        AI.ivfpq_topk(spark, path, None, qv, k=5, nprobe=2)
+
+
+def test_ivfpq_recall_grid_matches_numpy_truth(spark, emb, tmp_path):
+    # the recall diagnostic's arithmetic, pinned against an independent
+    # numpy brute force: per (nprobe, rescore_factor, qid) the reported
+    # recall must equal |ivfpq_topk ids ∩ numpy exact top-k ids| / k,
+    # and a full-probe generous-rescore config must reach 1.0
+    import numpy as np
+
+    from cdc_system_spark.functions.portable import round_portable_py
+    from cdc_system_spark.operators.similarity import pq_codebooks
+
+    path = str(tmp_path / "idx")
+    books = pq_codebooks(emb, m=4, k=8)
+    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    k = 10
+    qids = [0, 7]
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # (4, 60): full probe + corpus-covering rescore (k*60 >= n) is
+    # guaranteed exact — the grid's sanity anchor
+    grid = [(1, 1), (2, 3), (4, 6), (4, 60)]
+    got = {
+        (r["nprobe"], r["rescore_factor"], r["qid"]): (
+            r["n_truth"], r["n_hit"], r["recall_at_k"]
+        )
+        for r in AI.ivfpq_recall(
+            spark, path, queries, grid=grid, k=k
+        ).collect()
+    }
+    assert len(got) == len(grid) * len(qids)
+    # numpy ground truth under the identical rounded-6 + id tiebreak
+    data = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for qid in qids:
+        q = data[qid]
+        qn = np.linalg.norm(q) or 1.0
+        sims = sorted(
+            (
+                (-round_portable_py(
+                    float(v @ q / ((np.linalg.norm(v) or 1.0) * qn)), 6
+                ), vid)
+                for vid, v in data.items()
+            )
+        )[:k]
+        truth_ids = {vid for _, vid in sims}
+        for nprobe, rf in grid:
+            approx_ids = {
+                r["vec_id"]
+                for r in AI.ivfpq_topk(
+                    spark, path, None, [float(x) for x in q],
+                    k=k, nprobe=nprobe, rescore_factor=rf,
+                ).collect()
+            }
+            n_truth, n_hit, recall = got[(nprobe, rf, qid)]
+            assert n_truth == k
+            assert n_hit == len(approx_ids & truth_ids)
+            assert recall == round_portable_py(n_hit / k, 6)
+        # recall is monotone in rescore_factor at fixed nprobe (the
+        # candidate set only grows and the rescore is exact over it);
+        # a corpus-covering rescore (k*60 >= n) is guaranteed exact —
+        # while the intermediate configs' sub-1.0 readings are the
+        # diagnostic's whole point: m=4/k=8 ADC at rf=6 measurably
+        # misses, and this query is what tells the operator that
+        assert got[(4, 60, qid)][2] >= got[(4, 6, qid)][2]
+        assert got[(4, 60, qid)][2] == 1.0
+    with pytest.raises(ValueError, match="grid"):
+        AI.ivfpq_recall(spark, path, queries, grid=[], k=k)

@@ -349,3 +349,52 @@ def test_replication_lag_metrics(spark, system, tmp_path):
     assert lag2["pending_changes"] == 0
     assert lag2["oldest_pending_age_s"] == 0.0
     assert lag2["last_sync_lag_s"] is not None
+
+
+def test_production_poll_is_pruned_by_maintained_zone_state(spark, system, tmp_path):
+    # r10: the replicator's micro-batch poll runs through the maintained
+    # (synced, cdc_id) zone state (capture merges it per batch, the
+    # replicate rewrite refreshes it) — after a full drain the poll
+    # skips every all-synced zone, a fresh capture re-arms only the
+    # tail, and rows stay identical to the plain unpruned poll
+    cap = system.capture
+    cap.capture_insert(_rows(spark, [(i, f"u{i}", i) for i in range(1, 9)]))
+    # the state exists from the FIRST capture and covers the log
+    zs = cap.read_zone_state()
+    assert zs is not None
+    state, geo_lo, geo_hi, nz = zs
+    assert nz == cap.NUM_ZONES and geo_lo <= geo_hi
+    assert state.agg(F.sum("n_rows")).collect()[0][0] == 8
+
+    target = SnapshotTable(spark, str(tmp_path / "replica"), TEST_SCHEMA)
+    rep = CDCReplicator(system, target)
+    assert rep.replicate_changes(batch_size=100) == 8
+    # fully drained: every zone is all-synced (v_min = 1), so the
+    # pruned poll returns empty WITHOUT scanning any log values
+    state, *_ = cap.read_zone_state()
+    assert state.filter(F.col("v_min") < 1).count() == 0
+    assert system.get_pending_changes().count() == 0
+
+    # a fresh capture re-arms only the tail zone(s)
+    cap.capture_insert(_rows(spark, [(21, "u21", 21), (22, "u22", 22)]))
+    state, *_ = cap.read_zone_state()
+    armed = state.filter(F.col("v_min") < 1)
+    assert 1 <= armed.count() <= 2
+    pruned = system.get_pending_changes()
+    plain = pending_changes(
+        system.read_log(), row_schema=system.registry.schema("test_table")
+    )
+    key = lambda d: [(r["cdc_id"], r["record_id"]) for r in d.collect()]
+    assert key(pruned) == key(plain)
+    assert [r[1] for r in key(pruned)] == [21, 22]
+    # the surviving tail-zone cdc_id range reaches the parquet scan as
+    # a pushed filter — the covering-index skip, now on the PRODUCTION
+    # poll path (r9 left it only on the registered query)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "cdc_id" in plan.split("PushedFilters")[1][:200]
+    # drain again: end-to-end rows flowed through the pruned poll
+    assert rep.replicate_changes(batch_size=100) == 2
+    assert {r["id"] for r in target.read().collect()} == set(
+        list(range(1, 9)) + [21, 22]
+    )

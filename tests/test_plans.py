@@ -23,38 +23,38 @@ def plans(spark, sf_dir):
 #: version of this test globbed ALL CORRECTNESS artifacts, so the pin
 #: self-expired the moment the driver delivered the next round's file
 #: (the r8 verdict's "What's wrong" #1). The pool is now pinned as of
-#: a NAMED artifact set — delivery of CORRECTNESS_r09.json (or later)
-#: cannot change the recompute; the r10 session re-pins from r1–r9.
-_POOL_ROUNDS = range(1, 9)
+#: a NAMED artifact set — delivery of CORRECTNESS_r10.json (or later)
+#: cannot change the recompute; the r11 session re-pins from r1-r10.
+_POOL_ROUNDS = range(1, 10)
 
-#: the oldest-evidence pool, RECOMPUTED from the eight committed
-#: CORRECTNESS_r0[1-8].json artifacts at round-9 start. Every name's
-#: latest driver-green row is round 4 (the r3 floor cleared in r8:
-#: all 39 r3-evidence names re-confirmed, 50/50 green). _WINDOW_R9
-#: re-confirms these oldest-first after the round-9 additions.
-R4_EVIDENCE_POOL = {
-    "q_asof_lookup", "q_audio_features", "q_blocklist", "q_boilerplate",
-    "q_centroid_assign", "q_cluster_sizes", "q_contamination_report",
-    "q_corpus_datacard", "q_event_drift", "q_event_trend",
-    "q_global_shuffle", "q_incremental_ingest", "q_ivf_topk_exact",
-    "q_norm_gate", "q_oov_rate", "q_packing_efficiency", "q_quality_cut",
-    "q_quality_survivors", "q_resize_images", "q_scd2_history",
-    "q_shipmode_priority", "q_simhash_neardup", "q_split_assign",
-    "q_temperature_mix", "q_temperature_sample", "q_token_budget",
-    "q_token_histogram", "q_topk_per_stratum", "q_winnow_fingerprints",
-    "q_zorder_value",
+#: the oldest-evidence pool, RECOMPUTED from the nine committed
+#: CORRECTNESS_r0[1-9].json artifacts at round-10 start (the r9
+#: verdict's recount: 26 names, not SURVEY's estimated ~23). Every
+#: name's latest driver-green row is round 5 (the r4 floor cleared in
+#: r9: all 30 r4-evidence names re-confirmed, 50/50 green).
+#: _WINDOW_R10 re-confirms these oldest-first after the round-10
+#: additions.
+R5_EVIDENCE_POOL = {
+    "q_dup_source_matrix", "q_embedding_cov", "q_embedding_neardup",
+    "q_event_anomalies", "q_event_transitions", "q_fk_integrity",
+    "q_hll_by_type", "q_hll_distinct", "q_hll_merged", "q_line_dedup",
+    "q_lpa_communities", "q_lsh_recall", "q_pagerank_seeded",
+    "q_profile_orders", "q_quantized_ann", "q_rrf_fuse",
+    "q_scene_changes", "q_sequence_pack", "q_skew_profile",
+    "q_strip_boilerplate", "q_substring_dedup", "q_vocab_coverage",
+    "q_winsorize", "q_winsorize_by_type", "q_zone_map", "q_zone_merged",
 }
 
 
 def test_oldest_evidence_pool_recorded():
     """The recorded pool matches the artifacts it is pinned against
-    (r1–r8 by name — NOT a bare glob, which made the r8 pin expire
+    (r1-r9 by name — NOT a bare glob, which made the r8 pin expire
     the moment the next driver artifact landed). A checkout missing
     any pinned artifact skips the recompute but still pins the size."""
     import json
     import os
 
-    assert len(R4_EVIDENCE_POOL) == 30
+    assert len(R5_EVIDENCE_POOL) == 26
     here = os.path.dirname(__file__)
     arts = [os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json")
             for r in _POOL_ROUNDS]
@@ -67,45 +67,42 @@ def test_oldest_evidence_pool_recorded():
                   and v.get("hash_match") and not v.get("err"))
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
-    assert not {n for n, r in latest.items() if r <= 3}, \
-        "r3 floor regressed — an artifact changed under the pin"
-    recomputed = {n for n, r in latest.items() if r == 4}
-    assert recomputed == R4_EVIDENCE_POOL
+    assert not {n for n, r in latest.items() if r <= 4}, \
+        "r4 floor regressed — an artifact changed under the pin"
+    recomputed = {n for n, r in latest.items() if r == 5}
+    assert recomputed == R5_EVIDENCE_POOL
 
 
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
     entries. The window is now an explicit list (queries/__init__.py
-    ``_WINDOW_R9``) whose invariants ``_set_window`` already enforces
+    ``_WINDOW_R10``) whose invariants ``_set_window`` already enforces
     at import; here we pin the POLICY content: everything never
     driver-checked sits inside, as does everything whose operator or
-    oracle changed this round, the COMPLETE recomputed r4-evidence
-    pool (30 names — the floor moves to r5), and no rows-only query
+    oracle changed this round, the COMPLETE recomputed r5-evidence
+    pool (26 names — the floor moves to r6), and no rows-only query
     wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # new in round 9, never driver-checked:
-        "q_hll_windowed_by",
-        "q_hll_merged_by",
-        "q_log_pruned_read",
-        "q_ann_cell_skew",
+        # new in round 10, never driver-checked:
+        "q_ivfpq_topk_stored",
+        # operator changed in round 10: the PQ code expressions moved
+        # to the shared pq_code_columns (consumed by pq_encode AND the
+        # index's encode-at-ingest path), ivfpq_topk grew the
+        # stored-codes branch, and ann_index build/ingest/load gained
+        # the PQ tier probe — re-confirm the whole maintained-ANN
+        # family alongside:
         "q_pq_encode",
         "q_pq_topk",
         "q_ivfpq_topk",
-        "q_bloom_windowed",
-        # operator changed in round 9 (the containment split forms
-        # moved to the star-contraction closure; q_dup_clusters_star
-        # re-confirmed because star contraction is newly load-bearing;
-        # q_leakage_split rides along so the whole split family lands
-        # in one artifact):
-        "q_leakage_split",
-        "q_leakage_split_containment",
-        "q_leakage_split_maintained",
-        "q_dup_clusters_star",
-    } | R4_EVIDENCE_POOL
+        "q_ann_index_maintained",
+        "q_ann_cell_skew",
+        "q_ann_topk_batch",
+        "q_ann_probe_maintained",
+    } | R5_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
 

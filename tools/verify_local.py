@@ -134,6 +134,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"ERROR: unknown query names: {sorted(unknown)}")
+            return 2
     failed, passed, rows_only = [], [], []
     for name, fn in qs.items():
         if only and name not in only:
@@ -162,9 +167,28 @@ def main() -> int:
         else:
             passed.append(name)
             print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+    # The summary must be supported by the body above it: a committed
+    # VERIFY_LOCAL artifact whose header claims N ok but lists fewer is
+    # exactly the drift r9's verdict flagged (VERIFY_LOCAL_r09 claimed
+    # 213 ok / listed 208 — assembled from partial only=-filtered runs).
+    # Two defenses: (1) the listed-line invariant is asserted, (2) a
+    # filtered run labels itself PARTIAL so it can never be committed as
+    # a complete sweep by accident.
+    listed = len(passed) + len(rows_only) + len(failed)
+    expected = len(only) if only else len(qs)
+    assert listed == expected, (
+        f"body/summary mismatch: {listed} result lines vs {expected} "
+        "queries swept — artifact would be self-contradictory"
+    )
+    scope = (
+        f"PARTIAL sweep ({listed} of {len(qs)} registered queries — "
+        "NOT a commit artifact)"
+        if only
+        else f"COMPLETE sweep ({listed} of {len(qs)} registered queries)"
+    )
     print(
-        f"\n{len(passed)} ok, {len(rows_only)} rows-only, {len(failed)} FAILED"
-        + (": " + ", ".join(failed) if failed else "")
+        f"\n{scope}: {len(passed)} ok, {len(rows_only)} rows-only, "
+        f"{len(failed)} FAILED" + (": " + ", ".join(failed) if failed else "")
     )
     spark.stop()
     return 1 if failed else 0
