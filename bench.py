@@ -131,6 +131,13 @@ HEADLINE = [
     # actually runs; first committed solo lines in BENCH_NOTES_r09.md
     "q_pq_topk",
     "q_ivfpq_topk",
+    # round-10 additions: the STORED-codes IVFPQ (encode-at-ingest —
+    # stage 2 reads code columns, never derives them) next to the
+    # in-plan q_ivfpq_topk twin, and the batched form (three queries,
+    # one plan, per-query in-plan LUTs) — the probe-time saving and
+    # the amortized-retrieval plan respectively
+    "q_ivfpq_topk_stored",
+    "q_ivfpq_batch",
 ]
 
 
@@ -344,6 +351,7 @@ def main() -> None:
     # visible in the artifact, not folded into a query's noise).
     from cdc_system_spark.queries._maintained import (
         shared_ann_index,
+        shared_ann_pq_index,
         shared_lsh_index,
     )
 
@@ -355,6 +363,11 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_ann_index(spark, sf_dir)
     shared_query_builds["m_shared_ann_index_build"] = round(
+        time.perf_counter() - t0, 3
+    )
+    t0 = time.perf_counter()
+    shared_ann_pq_index(spark, sf_dir)
+    shared_query_builds["m_shared_ann_pq_index_build"] = round(
         time.perf_counter() - t0, 3
     )
 

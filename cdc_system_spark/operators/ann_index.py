@@ -61,6 +61,7 @@ __all__ = [
     "ann_index_topk_many",
     "ivfpq_recall",
     "ivfpq_topk",
+    "ivfpq_topk_many",
 ]
 
 
@@ -400,6 +401,63 @@ def ann_index_topk(
     )
 
 
+def _probe_many(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """In-plan probe selection for a whole SET of query vectors:
+    ``(qid, qvec, centroid_id)``, the ``nprobe`` best cells per query
+    (cosine desc, ties to the SMALLER cell id — the ``_probe_cells``
+    convention). One vectorized-numpy Arrow pass: the C-row centroid
+    matrix rides the task closure, each query batch is one matmul.
+    ONE copy shared by :func:`ann_index_topk_many` and
+    :func:`ivfpq_topk_many`, so the batched probe convention cannot
+    drift from the single-query one. (A DataFrame formulation needs
+    every query joined to all C centroids — a literal-key broadcast
+    join Catalyst constant-folds into the audit-forbidden
+    BroadcastNestedLoopJoin; a per-query literal explode stops scaling
+    at C=√n.)"""
+    from pyspark.sql import types as T
+
+    q = queries.select(F.col(qid_col), F.col(qvec_col))
+    probe_schema = T.StructType(
+        [
+            q.schema[qid_col],
+            q.schema[qvec_col],
+            T.StructField("centroid_id", T.LongType()),
+        ]
+    )
+
+    def probe_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        srt = sorted(cents)  # cid ascending: stable argsort ties → smaller cid
+        cid_arr = np.array([cid for cid, _ in srt], dtype=np.int64)
+        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in srt])
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        take = min(nprobe, len(srt))
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[qvec_col]])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            order = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :take]
+            idx = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame(
+                {
+                    qid_col: pdf[qid_col].iloc[idx].values,
+                    qvec_col: pdf[qvec_col].iloc[idx].values,
+                    "centroid_id": cid_arr[order.ravel()],
+                }
+            )
+
+    return q.mapInPandas(probe_batches, probe_schema)
+
+
 def ann_index_topk_many(
     spark: SparkSession,
     path: str,
@@ -436,45 +494,12 @@ def ann_index_topk_many(
     centroid rule, stored argmax assignment, probe selection, ranking)
     under the driver's oracle gate.
     """
-    from pyspark.sql import Window, types as T
+    from pyspark.sql import Window
 
     if k < 1 or nprobe < 1:
         raise ValueError(f"k and nprobe must be >= 1, got k={k} nprobe={nprobe}")
     cents = _load_cents(spark, path)
-    q = queries.select(F.col(qid_col), F.col(qvec_col))
-    probe_schema = T.StructType(
-        [
-            q.schema[qid_col],
-            q.schema[qvec_col],
-            T.StructField("centroid_id", T.LongType()),
-        ]
-    )
-
-    def probe_batches(it):
-        import numpy as np
-        import pandas as pd
-
-        srt = sorted(cents)  # cid ascending: stable argsort ties → smaller cid
-        cid_arr = np.array([cid for cid, _ in srt], dtype=np.int64)
-        C = np.stack([np.asarray(v, dtype=np.float64) for _, v in srt])
-        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-        take = min(nprobe, len(srt))
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[qvec_col]])
-            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-            order = np.argsort(-(Mn @ Cn.T), axis=1, kind="stable")[:, :take]
-            idx = np.repeat(np.arange(len(pdf)), take)
-            yield pd.DataFrame(
-                {
-                    qid_col: pdf[qid_col].iloc[idx].values,
-                    qvec_col: pdf[qvec_col].iloc[idx].values,
-                    "centroid_id": cid_arr[order.ravel()],
-                }
-            )
-
-    probe = q.mapInPandas(probe_batches, probe_schema)
+    probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
     _, assignments = ann_index_load(spark, path)
     scored = probe.join(assignments, "centroid_id").select(
         F.col(qid_col),
@@ -569,6 +594,132 @@ def ivfpq_topk(
     )
     return pq_exact_rescore(
         cand_ids, cell_rows, query_vec, k, vec_col, id_col
+    )
+
+
+def ivfpq_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rescore_factor: int = 3,
+    books: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF×PQ: top-k for a whole SET of query vectors in one
+    plan — ``(qid, vec_id, adc_dist, cos_sim)``, ≤ k rows per query.
+    :func:`ivfpq_topk` is the single-query form (driver-side probe,
+    one job per query); a retrieval or kNN-eval workload asks
+    thousands, so here EVERY stage is in-plan:
+
+    1. **probe** — :func:`_probe_many` (the shared vectorized-numpy
+       Arrow pass): ``nprobe`` cells per query;
+    2. **per-query LUT** — the m·k rounded query→centroid subspace
+       distances computed as literal-codebook column expressions ON
+       the Q×nprobe probe rows (``_pq_dist``, the same expression
+       :func:`~cdc_system_spark.operators.similarity.pq_encode`
+       uses), so no driver-side LUT build and no collect of the
+       query set;
+    3. **ADC** — ONE equi-join of the narrow probe rows onto the
+       probed cells' assignments; with ``books=None`` the join
+       projects the STORED ``code0..code{m-1}`` (encode-at-ingest:
+       the scan reads id + m codes — m bytes/row — and float vectors
+       are never touched until rescore); per-(query, row) distance is
+       the left-associated m-term ``element_at`` sum; a per-query
+       window keeps the ``k·rescore_factor`` best (adc asc, id asc);
+    4. **exact rescore** — survivors join their float vectors and the
+       query vectors (both candidate-sized / Q-sized, AQE
+       broadcasts), rounded-cosine desc + id asc window keeps k.
+
+    Join volume is queries × nprobe × avg-cell-size at m bytes per
+    candidate — never queries × corpus, and never d floats per
+    candidate. ``q_ivfpq_batch`` pins the whole path (probe choice,
+    stored codes, LUT arithmetic, candidate choice, final ranking)
+    under the driver's oracle gate; with explicit ``books`` the codes
+    derive in-plan from the scanned vectors (the oracle-twin form,
+    row-identical — the stored==derived parity test)."""
+    from pyspark.sql import Window
+
+    from cdc_system_spark.operators.similarity import (
+        _pq_dist,
+        pq_code_columns,
+    )
+
+    if k < 1 or nprobe < 1 or rescore_factor < 1:
+        raise ValueError(
+            f"k, nprobe, rescore_factor must be >= 1, got "
+            f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
+        )
+    use_stored = books is None
+    if use_stored:
+        books = ann_index_books(spark, path)
+        if books is None:
+            raise ValueError(
+                "books=None requires an index with a PQ tier "
+                "(ann_index_build(pq_books=...)); this index has none"
+            )
+    m, kk, sub = len(books), len(books[0]), len(books[0][0])
+    code_cols = [f"code{j}" for j in range(m)]
+    cents = _load_cents(spark, path)
+    probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
+    # per-query LUT arrays ride the Q×nprobe probe rows — model-sized
+    # work, computed inside codegen, nothing collected
+    lut_cols = [
+        F.array(
+            *[_pq_dist(qvec_col, j, sub, books[j][c]) for c in range(kk)]
+        ).alias(f"_lut{j}")
+        for j in range(m)
+    ]
+    probe_l = probe.select(F.col(qid_col), "centroid_id", *lut_cols)
+    _, assignments = ann_index_load(spark, path)
+    if use_stored:
+        missing = [c for c in code_cols if c not in assignments.columns]
+        if missing:
+            raise ValueError(
+                f"index PQ tier is inconsistent: codebooks stored but "
+                f"assignment columns {missing} absent"
+            )
+        coded = assignments.select(F.col(id_col), "centroid_id", *code_cols)
+    else:
+        coded = assignments.select(
+            F.col(id_col), "centroid_id", *pq_code_columns(books, vec_col)
+        )
+    adc = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut{j}"), F.col(f"code{j}") + 1)
+        adc = term if adc is None else adc + term
+    cand = probe_l.join(coded, "centroid_id").select(
+        F.col(qid_col), F.col(id_col), adc.alias("adc_dist")
+    )
+    w_adc = Window.partitionBy(qid_col).orderBy(
+        F.asc("adc_dist"), F.asc(id_col)
+    )
+    sel = (
+        cand.withColumn("_rk", F.row_number().over(w_adc))
+        .filter(F.col("_rk") <= k * rescore_factor)
+        .drop("_rk")
+    )
+    scored = (
+        sel.join(assignments.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(queries.select(F.col(qid_col), F.col(qvec_col)), qid_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), F.col(qvec_col)).alias("cos_sim"),
+        )
+    )
+    w_cos = Window.partitionBy(qid_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w_cos))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
     )
 
 

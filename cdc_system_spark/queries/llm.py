@@ -3392,3 +3392,105 @@ def q_ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         spark, path, None, qv, k=10, nprobe=2, rescore_factor=3
     )
+
+
+# -- batched IVF x PQ: a whole query set in one plan --------------------------
+_IVFPQ_BATCH_SQL = f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 7, 23)),
+    qprobe AS (
+        SELECT qid, icid FROM (
+            SELECT q.qid, ic.icid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM q, ic) WHERE rk <= 2),
+    candidx AS (
+        SELECT p.qid, a.vec_id
+        FROM qprobe p JOIN assign a ON a.centroid_id = p.icid),
+    cellv AS (
+        SELECT DISTINCT e.vec_id, e.embedding
+        FROM candidx JOIN embeddings e USING (vec_id)),
+    {_pq_ctes(src='cellv')},
+    codes AS (
+        SELECT c0.vec_id, code0, code1, code2, code3
+        FROM c0 JOIN c1 USING (vec_id) JOIN c2 USING (vec_id)
+                JOIN c3 USING (vec_id)),
+    lut AS (
+        SELECT q.qid, cb.cid,
+               {_pq_d2_sql('q.qv', 'cb.cv', 0)} AS l0,
+               {_pq_d2_sql('q.qv', 'cb.cv', 1)} AS l1,
+               {_pq_d2_sql('q.qv', 'cb.cv', 2)} AS l2,
+               {_pq_d2_sql('q.qv', 'cb.cv', 3)} AS l3
+        FROM cb, q),
+    adc AS (
+        SELECT cd.qid, cd.vec_id,
+               ((t0.l0 + t1.l1) + t2.l2) + t3.l3 AS adc_dist
+        FROM candidx cd
+        JOIN codes s ON s.vec_id = cd.vec_id
+        JOIN lut t0 ON t0.qid = cd.qid AND t0.cid = s.code0
+        JOIN lut t1 ON t1.qid = cd.qid AND t1.cid = s.code1
+        JOIN lut t2 ON t2.qid = cd.qid AND t2.cid = s.code2
+        JOIN lut t3 ON t3.qid = cd.qid AND t3.cid = s.code3),
+    sel AS (
+        SELECT qid, vec_id, adc_dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+            FROM adc) WHERE rk <= 30),
+    scored AS (
+        SELECT sel.qid, sel.vec_id, sel.adc_dist,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM sel JOIN embeddings e USING (vec_id)
+                 JOIN q ON q.qid = sel.qid)
+    SELECT qid, vec_id, adc_dist, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10"""
+
+
+@register(
+    "q_ivfpq_batch",
+    _IVFPQ_BATCH_SQL,
+    doc="batched IVF x PQ over STORED codes: three query vectors "
+    "resolved in ONE plan — the shared vectorized probe picks nprobe=2 "
+    "cells per query, the per-query m x k ADC LUT is computed as "
+    "literal-codebook column expressions on the Qxnprobe probe rows "
+    "(no driver LUT build, no query collect), ONE equi-join lands "
+    "each query on its probed cells' stored code rows (the scan "
+    "projects id + 4 codes — m bytes per candidate), per-query ADC "
+    "window keeps k*rescore_factor, exact-cosine rescore window keeps "
+    "10; join volume is queries x nprobe x cell size at m bytes/row, "
+    "never queries x corpus; the oracle reproduces centroids, "
+    "assignment, per-query probes, codebooks, stored codes, LUT, "
+    "candidate choice, and both rankings end-to-end",
+)
+def q_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_topk_many
+    from cdc_system_spark.queries._maintained import shared_ann_pq_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk_many(
+        spark, path, queries, k=10, nprobe=2, rescore_factor=3
+    )

@@ -481,3 +481,51 @@ def test_ivfpq_recall_grid_matches_numpy_truth(spark, emb, tmp_path):
         assert got[(4, 60, qid)][2] == 1.0
     with pytest.raises(ValueError, match="grid"):
         AI.ivfpq_recall(spark, path, queries, grid=[], k=k)
+
+
+def test_ivfpq_topk_many_matches_single_query_form(spark, emb, tmp_path):
+    # the batched stored-code form must agree with the single-query
+    # ivfpq_topk per query (same probe convention via the shared
+    # _probe_many/_probe_cells tie-break, same LUT arithmetic, same
+    # rescore ordering), and stored == derived within the batch too
+    from cdc_system_spark.operators.similarity import pq_codebooks
+
+    path = str(tmp_path / "idx")
+    books = pq_codebooks(emb, m=4, k=8)
+    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = AI.ivfpq_topk_many(
+        spark, path, queries, k=5, nprobe=2, rescore_factor=3
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["vec_id"], r["adc_dist"], r["cos_sim"])
+        )
+    assert set(got) == set(qids)
+    for qid in qids:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = [
+            (r["vec_id"], r["adc_dist"], r["cos_sim"])
+            for r in AI.ivfpq_topk(
+                spark, path, None, qv, k=5, nprobe=2, rescore_factor=3
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+    derived = AI.ivfpq_topk_many(
+        spark, path, queries, k=5, nprobe=2, rescore_factor=3, books=books
+    )
+    got_d = {}
+    for r in derived.collect():
+        got_d.setdefault(r["qid"], []).append(
+            (r["vec_id"], r["adc_dist"], r["cos_sim"])
+        )
+    assert {q: sorted(v) for q, v in got_d.items()} == {
+        q: sorted(v) for q, v in got.items()
+    }
+    with pytest.raises(ValueError, match="rescore_factor"):
+        AI.ivfpq_topk_many(spark, path, queries, k=5, rescore_factor=0)
