@@ -138,6 +138,9 @@ HEADLINE = [
     # the amortized-retrieval plan respectively
     "q_ivfpq_topk_stored",
     "q_ivfpq_batch",
+    # and the residual-encoded IVFADC (per-cell LUTs over
+    # v - centroid(cell) codes) — the FAISS-shaped capstone
+    "q_ivfpq_residual",
 ]
 
 

@@ -30,7 +30,8 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 10 adds two (the stored-codes IVF×PQ and its batched form);
+#      CORRECTNESS row — round 10 adds three (the stored-codes IVF×PQ, its batched form,
+#      and the residual-encoded IVFADC);
 #   2. every query whose operator or oracle CHANGED this round: the
 #      PQ encode family (pq_code_columns extraction shared with the
 #      index's encode-at-ingest path), ivfpq_topk (stored-codes
@@ -41,12 +42,13 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 #      from the nine CORRECTNESS_r0[1-9] artifacts and pinned in
 #      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
 #      moves the registry-wide evidence floor to r6, then r6-evidence
-#      names oldest-first (alphabetical within the round) in the 15
+#      names oldest-first (alphabetical within the round) in the 14
 #      slots that remain.
 _WINDOW_R10 = [
     # -- 1. new this round, never driver-checked --
     "q_ivfpq_topk_stored",
     "q_ivfpq_batch",
+    "q_ivfpq_residual",
     # -- 2. operator changed this round --
     "q_pq_encode",
     "q_pq_topk",
@@ -97,7 +99,6 @@ _WINDOW_R10 = [
     "q_dup_clusters",
     "q_embedding_topk",
     "q_equidepth_histogram",
-    "q_equidepth_sketch",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -3394,6 +3394,143 @@ def q_ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- residual-encoded IVF x PQ (the FAISS IVFADC form) ------------------------
+_RES64 = (
+    "list_transform(range(1, 65), "
+    "i -> CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+)
+
+_IVFPQ_RES_SQL = f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    qprobe AS (
+        SELECT icid FROM (
+            SELECT ic.icid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM ic, q) WHERE rk <= 2),
+    rescell AS (
+        SELECT e.vec_id, a.centroid_id, e.embedding,
+               {_RES64.format(v='e.embedding', c='ic.icv')} AS rvec
+        FROM assign a
+        JOIN embeddings e USING (vec_id)
+        JOIN ic ON ic.icid = a.centroid_id
+        WHERE a.centroid_id IN (SELECT icid FROM qprobe)),
+    rbase AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS cid,
+               {_RES64.format(v='e.embedding', c='ic.icv')} AS cv
+        FROM embeddings e
+        JOIN assign a USING (vec_id)
+        JOIN ic ON ic.icid = a.centroid_id
+        WHERE e.vec_id IN (
+            SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+    rdists AS (
+        SELECT r.vec_id, b.cid,
+               {_pq_d2_sql('r.rvec', 'b.cv', 0)} AS d0,
+               {_pq_d2_sql('r.rvec', 'b.cv', 1)} AS d1,
+               {_pq_d2_sql('r.rvec', 'b.cv', 2)} AS d2,
+               {_pq_d2_sql('r.rvec', 'b.cv', 3)} AS d3
+        FROM rescell r, rbase b),
+    rc0 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code0 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d0, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rc1 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code1 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d1, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rc2 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code2 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rc3 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code3 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d3, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rcodes AS (
+        SELECT rc0.vec_id, code0, code1, code2, code3
+        FROM rc0 JOIN rc1 USING (vec_id) JOIN rc2 USING (vec_id)
+                 JOIN rc3 USING (vec_id)),
+    qres AS (
+        SELECT p.icid, {_RES64.format(v='q.qv', c='ic.icv')} AS qr
+        FROM qprobe p JOIN ic ON ic.icid = p.icid, q),
+    lut AS (
+        SELECT qres.icid, b.cid,
+               {_pq_d2_sql('qres.qr', 'b.cv', 0)} AS l0,
+               {_pq_d2_sql('qres.qr', 'b.cv', 1)} AS l1,
+               {_pq_d2_sql('qres.qr', 'b.cv', 2)} AS l2,
+               {_pq_d2_sql('qres.qr', 'b.cv', 3)} AS l3
+        FROM qres, rbase b),
+    adc AS (
+        SELECT r.vec_id, ((t0.l0 + t1.l1) + t2.l2) + t3.l3 AS adc_dist
+        FROM rcodes s
+        JOIN rescell r ON r.vec_id = s.vec_id
+        JOIN lut t0 ON t0.icid = r.centroid_id AND t0.cid = s.code0
+        JOIN lut t1 ON t1.icid = r.centroid_id AND t1.cid = s.code1
+        JOIN lut t2 ON t2.icid = r.centroid_id AND t2.cid = s.code2
+        JOIN lut t3 ON t3.icid = r.centroid_id AND t3.cid = s.code3),
+    cand AS (
+        SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 30),
+    scored AS (
+        SELECT cand.vec_id, cand.adc_dist,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM cand JOIN embeddings e USING (vec_id), q)
+    SELECT vec_id, adc_dist, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10"""
+
+
+@register(
+    "q_ivfpq_residual",
+    _IVFPQ_RES_SQL,
+    doc="residual-encoded IVF x PQ — the textbook FAISS IVFADC: each "
+    "candidate quantizes as (cell, PQ codes of v - centroid(cell)) "
+    "and the query compares through a PER-CELL LUT built from "
+    "q - centroid(cell); residuals carry only within-cell geometry, "
+    "so the same m x k code budget quantizes finer than raw-vector "
+    "codes (compare via ivfpq_recall). Plan physics identical to "
+    "q_ivfpq_topk: partition-pruned nprobe cells, map-only residual "
+    "+ encode (cell centroid and per-cell LUTs ride as nprobe-branch "
+    "literal CASEs inside codegen — no joins), ADC "
+    "TakeOrderedAndProject on codes, exact rescore of 30 survivors; "
+    "the oracle reproduces centroids, assignment, probes, residuals, "
+    "residual codebooks, codes, per-cell LUTs, candidate choice, and "
+    "final ranking end-to-end",
+)
+def q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_residual_topk
+    from cdc_system_spark.queries._maintained import shared_ann_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_index(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    return ivfpq_residual_topk(
+        spark, path, qv, k=10, nprobe=2, rescore_factor=3
+    )
+
+
 # -- batched IVF x PQ: a whole query set in one plan --------------------------
 _IVFPQ_BATCH_SQL = f"""WITH ic AS (
         SELECT vec_id AS icid, embedding AS icv FROM embeddings

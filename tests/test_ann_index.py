@@ -529,3 +529,53 @@ def test_ivfpq_topk_many_matches_single_query_form(spark, emb, tmp_path):
     }
     with pytest.raises(ValueError, match="rescore_factor"):
         AI.ivfpq_topk_many(spark, path, queries, k=5, rescore_factor=0)
+
+
+def test_ivfpq_residual_books_and_exactness(spark, emb, tmp_path):
+    # residual codebooks: deterministic base = the k smallest-id stored
+    # rows' (v - centroid(cell)) subvectors — pinned against an
+    # independent numpy recompute; at full probe + corpus-covering
+    # rescore the residual IVFADC degenerates to exact top-k
+    import numpy as np
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    books = AI.pq_residual_codebooks(spark, path, m=4, k=8)
+    cents = {cid: np.asarray(v) for cid, v in
+             [(r["cell_id"], [float(x) for x in r["cvec"]])
+              for r in spark.read.parquet(f"{path}/centroids").collect()]}
+    _, asg = AI.ann_index_load(spark, path)
+    rows = sorted(
+        ((r["vec_id"], np.asarray([float(x) for x in r["embedding"]]),
+          r["centroid_id"]) for r in asg.collect()),
+    )[:8]
+    for j in range(4):
+        for c, (_, vec, cid) in enumerate(rows):
+            res = vec - cents[cid]
+            expect = [float(x) for x in res[j * 16:(j + 1) * 16]]
+            assert books[j][c] == pytest.approx(expect, abs=0), (j, c)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    n = emb.count()
+    rf = -(-n // 10) + 1  # k*rf >= corpus: rescore covers everything
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in AI.ivfpq_residual_topk(
+            spark, path, qv, k=10, nprobe=4, rescore_factor=rf
+        ).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.cosine_topk(emb, qv, k=10).collect()
+    ]
+    assert got == exact
+    # residual ADC at the default budget still puts the query's own
+    # vector first (cos 1.0 — it encodes to its own codes' cell)
+    first = AI.ivfpq_residual_topk(
+        spark, path, qv, k=5, nprobe=2, rescore_factor=3
+    ).head()
+    assert first["vec_id"] == 7 and first["cos_sim"] == 1.0
+    with pytest.raises(ValueError, match="nprobe"):
+        AI.ivfpq_residual_topk(spark, path, qv, k=5, nprobe=0)
+    with pytest.raises(ValueError, match="query dim"):
+        AI.ivfpq_residual_topk(spark, path, qv[:10], k=5)

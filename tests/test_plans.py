@@ -90,6 +90,7 @@ def test_oracle_window_composition():
         # new in round 10, never driver-checked:
         "q_ivfpq_topk_stored",
         "q_ivfpq_batch",
+        "q_ivfpq_residual",
         # operator changed in round 10: the PQ code expressions moved
         # to the shared pq_code_columns (consumed by pq_encode AND the
         # index's encode-at-ingest path), ivfpq_topk grew the
