@@ -901,6 +901,7 @@ def ivfpq_recall(
     grid: list[tuple[int, int]],
     k: int = 10,
     books: list | None = None,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
@@ -920,7 +921,10 @@ def ivfpq_recall(
     recall miss is attributable to the two knobs, never to float
     formatting. ``books=None`` evaluates the stored-code tier
     (:func:`ivfpq_topk`'s deployment path); explicit ``books``
-    evaluates the in-plan form.
+    evaluates the in-plan form; ``residual=True`` evaluates
+    :func:`ivfpq_residual_topk` instead — run both and diff the
+    output to see what the residual encoding buys at the SAME
+    (nprobe, rescore_factor, m·k) budget.
 
     Scale shape: the eval set is collected driver-side — recall
     evaluation is MODEL-ARTIFACT work (a handful of held-out queries,
@@ -963,22 +967,28 @@ def ivfpq_recall(
         .select(F.col(qid_col), F.col(id_col), F.lit(1).alias("_t"))
         .localCheckpoint(eager=False)
     )
+    if residual:
+        # train the residual books ONCE for the whole grid (the
+        # per-call default would recompute the same deterministic
+        # books len(grid)·Q times)
+        res_books = books if books is not None else pq_residual_codebooks(
+            spark, path, id_col=id_col, vec_col=vec_col
+        )
+        topk = lambda qv, np_, rf_: ivfpq_residual_topk(  # noqa: E731
+            spark, path, qv, k=k, nprobe=np_, rescore_factor=rf_,
+            books=res_books, id_col=id_col, vec_col=vec_col,
+        )
+    else:
+        topk = lambda qv, np_, rf_: ivfpq_topk(  # noqa: E731
+            spark, path, books, qv, k=k, nprobe=np_, rescore_factor=rf_,
+            id_col=id_col, vec_col=vec_col,
+        )
     parts = []
     for nprobe, rf in grid:
         for r in qrows:
             qv = [float(x) for x in r[qvec_col]]
             parts.append(
-                ivfpq_topk(
-                    spark,
-                    path,
-                    books,
-                    qv,
-                    k=k,
-                    nprobe=nprobe,
-                    rescore_factor=rf,
-                    id_col=id_col,
-                    vec_col=vec_col,
-                ).select(
+                topk(qv, nprobe, rf).select(
                     F.lit(nprobe).alias("nprobe"),
                     F.lit(rf).alias("rescore_factor"),
                     F.lit(r[qid_col]).alias(qid_col),

@@ -96,6 +96,7 @@ class LogCapture:
         self.key = key
         self.path = os.path.join(root, f"{table}_cdc")
         self.zones_path = self.path + "_zones"
+        self._zone_cache: tuple | None = None
         self._epoch = 0
 
     def _next_base(self) -> int:
@@ -129,48 +130,95 @@ class LogCapture:
             return self.spark.createDataFrame([], AUDIT_SCHEMA)
 
     # -- maintained (synced, cdc_id) zone state ------------------------------
+    #
+    # The state is ≤ NUM_ZONES rows, so everything except the batch
+    # aggregation itself is DRIVER-side work: the merge runs in Python
+    # over the cached rows and the artifact is written with pyarrow as
+    # a single parquet file (Spark reads a single-file path
+    # transparently) — per-capture maintenance costs ONE Spark job
+    # (the batch zone aggregation), not a read-merge-collect-write
+    # chain of four. The in-memory cache mirrors the file; a fresh
+    # process bootstraps it from disk on first use (single-writer-per-
+    # table model, same as the log itself).
+
+    def _zone_rows_from_disk(self) -> tuple[dict, int, int, int] | None:
+        import pyarrow.parquet as pq
+
+        try:
+            t = pq.read_table(self.zones_path).to_pylist()
+        except Exception:
+            return None
+        if not t:
+            return None
+        zones = {
+            int(r["zone"]): (int(r["n_rows"]), float(r["v_min"]),
+                             float(r["v_max"]))
+            for r in t
+        }
+        r0 = t[0]
+        return zones, int(r0["geo_lo"]), int(r0["geo_hi"]), int(r0["num_zones"])
 
     def _write_zone_state(
-        self, state: DataFrame, geo_lo: int, geo_hi: int
+        self, zones: dict, geo_lo: int, geo_hi: int
     ) -> None:
-        # ≤ NUM_ZONES rows: materialize driver-side so the overwrite
-        # never reads the file it replaces; geometry rides as columns
-        rows = [
-            (int(r["zone"]), int(r["n_rows"]), float(r["v_min"]),
-             float(r["v_max"]), geo_lo, geo_hi, self.NUM_ZONES)
-            for r in state.collect()
-        ]
-        self.spark.createDataFrame(
-            rows,
-            "zone int, n_rows long, v_min double, v_max double, "
-            "geo_lo long, geo_hi long, num_zones int",
-        ).write.mode("overwrite").parquet(self.zones_path)
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ordered = sorted(zones.items())
+        table = pa.table(
+            {
+                "zone": pa.array([z for z, _ in ordered], pa.int32()),
+                "n_rows": pa.array([v[0] for _, v in ordered], pa.int64()),
+                "v_min": pa.array([v[1] for _, v in ordered], pa.float64()),
+                "v_max": pa.array([v[2] for _, v in ordered], pa.float64()),
+                "geo_lo": pa.array([geo_lo] * len(ordered), pa.int64()),
+                "geo_hi": pa.array([geo_hi] * len(ordered), pa.int64()),
+                "num_zones": pa.array(
+                    [self.NUM_ZONES] * len(ordered), pa.int32()
+                ),
+            }
+        )
+        if os.path.isdir(self.zones_path):  # legacy directory-form state
+            shutil.rmtree(self.zones_path, ignore_errors=True)
+        # the state lands BEFORE the first log append, so the table
+        # root may not exist yet
+        os.makedirs(os.path.dirname(self.zones_path), exist_ok=True)
+        tmp = self.zones_path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self.zones_path)
+        self._zone_cache = (zones, geo_lo, geo_hi, self.NUM_ZONES)
 
     def read_zone_state(self):
         """``(state_df, geo_lo, geo_hi, num_zones)`` of the maintained
         zone state, or ``None`` for a log captured before this state
-        existed (the poll then falls back to the plain scan)."""
-        try:
-            df = self.spark.read.parquet(self.zones_path)
-        except Exception:
-            return None
-        head = df.head()
-        if head is None:
-            return None
-        return (
-            df.select("zone", "n_rows", "v_min", "v_max"),
-            int(head["geo_lo"]),
-            int(head["geo_hi"]),
-            int(head["num_zones"]),
+        existed (the poll then falls back to the plain scan). The
+        ≤ NUM_ZONES-row frame materializes from the driver-side cache/
+        file — reading it costs no scan job."""
+        cached = (
+            self._zone_cache
+            if self._zone_cache is not None
+            else self._zone_rows_from_disk()
         )
+        if cached is None:
+            return None
+        zones, geo_lo, geo_hi, nz = cached
+        self._zone_cache = cached
+        df = self.spark.createDataFrame(
+            [(z, v[0], v[1], v[2]) for z, v in sorted(zones.items())],
+            "zone int, n_rows long, v_min double, v_max double",
+        )
+        return df, geo_lo, geo_hi, nz
 
     def _merge_zone_state(self, batch: DataFrame) -> None:
-        from cdc_system_spark.operators.maintenance import (
-            log_zone_state,
-            zone_merge,
-        )
+        from cdc_system_spark.operators.maintenance import log_zone_state
 
-        cur = self.read_zone_state()
+        cur = (
+            self._zone_cache
+            if self._zone_cache is not None
+            else self._zone_rows_from_disk()
+        )
         if cur is None:
             b = batch.agg(
                 F.min("cdc_id").alias("lo"), F.max("cdc_id").alias("hi")
@@ -183,13 +231,22 @@ class LogCapture:
             # tail just prunes less until a refresh re-pins
             geo_lo = int(b["lo"])
             geo_hi = max(int(b["hi"]), geo_lo + self.NUM_ZONES - 1)
-            state = log_zone_state(batch, geo_lo, geo_hi, self.NUM_ZONES)
+            zones: dict = {}
         else:
-            st, geo_lo, geo_hi, nz = cur
-            state = zone_merge(
-                st, log_zone_state(batch, geo_lo, geo_hi, nz)
-            )
-        self._write_zone_state(state, geo_lo, geo_hi)
+            zones, geo_lo, geo_hi, _ = cur
+            zones = dict(zones)
+        brows = log_zone_state(
+            batch, geo_lo, geo_hi, self.NUM_ZONES
+        ).collect()
+        for r in brows:
+            z = int(r["zone"])
+            n, lo, hi = int(r["n_rows"]), float(r["v_min"]), float(r["v_max"])
+            if z in zones:
+                on, olo, ohi = zones[z]
+                zones[z] = (on + n, min(olo, lo), max(ohi, hi))
+            else:
+                zones[z] = (n, lo, hi)
+        self._write_zone_state(zones, geo_lo, geo_hi)
 
     def refresh_zone_state(self) -> None:
         """Rebuild the zone state from the full log with FRESH geometry
@@ -206,15 +263,20 @@ class LogCapture:
         if b["lo"] is None:
             import shutil
 
+            self._zone_cache = None
             shutil.rmtree(self.zones_path, ignore_errors=True)
+            if os.path.exists(self.zones_path):
+                os.remove(self.zones_path)
             return
         geo_lo = int(b["lo"])
         geo_hi = max(int(b["hi"]), geo_lo + self.NUM_ZONES - 1)
-        self._write_zone_state(
-            log_zone_state(log, geo_lo, geo_hi, self.NUM_ZONES),
-            geo_lo,
-            geo_hi,
-        )
+        rows = log_zone_state(log, geo_lo, geo_hi, self.NUM_ZONES).collect()
+        zones = {
+            int(r["zone"]): (int(r["n_rows"]), float(r["v_min"]),
+                             float(r["v_max"]))
+            for r in rows
+        }
+        self._write_zone_state(zones, geo_lo, geo_hi)
 
 
 def timestamp_capture(

@@ -115,3 +115,31 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_recall(
         spark, path, queries, grid=[(1, 1), (2, 3), (8, 6)], k=10
     )
+
+
+@register(
+    "q_pq_recall_residual",
+    None,
+    doc="the q_pq_recall grid evaluated through the RESIDUAL-encoded "
+    "IVFADC (ivfpq_residual_topk) on the same index, same queries, "
+    "same (nprobe, rescore_factor) budgets — diff against q_pq_recall "
+    "to read exactly what residual encoding buys at identical m x k "
+    "byte cost; rows-only for the same reason as its twin",
+)
+def q_pq_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_recall
+    from cdc_system_spark.queries._maintained import shared_ann_pq_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_pq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_recall(
+        spark,
+        path,
+        queries,
+        grid=[(1, 1), (2, 3), (8, 6)],
+        k=10,
+        residual=True,
+    )

@@ -579,3 +579,51 @@ def test_ivfpq_residual_books_and_exactness(spark, emb, tmp_path):
         AI.ivfpq_residual_topk(spark, path, qv, k=5, nprobe=0)
     with pytest.raises(ValueError, match="query dim"):
         AI.ivfpq_residual_topk(spark, path, qv[:10], k=5)
+
+
+def test_ivfpq_recall_residual_mode_parity(spark, emb, tmp_path):
+    # residual=True evaluates ivfpq_residual_topk under the same truth
+    # and arithmetic: reported n_hit must equal the direct
+    # intersection for each config, and a full-probe corpus-covering
+    # config reads 1.0 exactly as in the raw tier
+    from cdc_system_spark.operators.similarity import pq_codebooks
+
+    path = str(tmp_path / "idx")
+    books = pq_codebooks(emb, m=4, k=8)
+    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    k = 10
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    n = emb.count()
+    rf_full = -(-n // k) + 1
+    grid = [(2, 3), (4, rf_full)]
+    got = {
+        (r["nprobe"], r["rescore_factor"], r["qid"]): (
+            r["n_hit"], r["recall_at_k"]
+        )
+        for r in AI.ivfpq_recall(
+            spark, path, queries, grid=grid, k=k, residual=True
+        ).collect()
+    }
+    assert len(got) == 4
+    res_books = AI.pq_residual_codebooks(spark, path, m=4, k=8)
+    truth = {
+        r["qid"]: {x["vec_id"] for x in AI.ann_index_topk_many(
+            spark, path, queries.filter(F.col("qid") == r["qid"]),
+            k=k, nprobe=4,
+        ).collect()}
+        for r in queries.select("qid").collect()
+    }
+    for qid in (0, 7):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        direct = {
+            r["vec_id"]
+            for r in AI.ivfpq_residual_topk(
+                spark, path, qv, k=k, nprobe=2, rescore_factor=3,
+                books=res_books,
+            ).collect()
+        }
+        assert got[(2, 3, qid)][0] == len(direct & truth[qid])
+        assert got[(4, rf_full, qid)][1] == 1.0
