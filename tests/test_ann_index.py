@@ -17,6 +17,20 @@ def emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
+@pytest.fixture(scope="module")
+def pq_idx(spark, emb, tmp_path_factory):
+    """Shared READ-ONLY 4-cell PQ-tier index over the full corpus —
+    one build serves the round-10 IVFPQ tests (suite-budget
+    consolidation: five separate builds cost ~40 s; tests that mutate
+    or need a build/ingest split still build their own)."""
+    from cdc_system_spark.operators.similarity import pq_codebooks
+
+    path = str(tmp_path_factory.mktemp("pqidx") / "idx")
+    books = pq_codebooks(emb, m=4, k=8)
+    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    return path, books
+
+
 def _asg_map(df):
     return {r["vec_id"]: r["centroid_id"] for r in df.collect()}
 
@@ -414,7 +428,7 @@ def test_ivfpq_topk_stored_requires_pq_tier(spark, emb, tmp_path):
         AI.ivfpq_topk(spark, path, None, qv, k=5, nprobe=2)
 
 
-def test_ivfpq_recall_grid_matches_numpy_truth(spark, emb, tmp_path):
+def test_ivfpq_recall_grid_matches_numpy_truth(spark, emb, pq_idx):
     # the recall diagnostic's arithmetic, pinned against an independent
     # numpy brute force: per (nprobe, rescore_factor, qid) the reported
     # recall must equal |ivfpq_topk ids ∩ numpy exact top-k ids| / k,
@@ -422,11 +436,8 @@ def test_ivfpq_recall_grid_matches_numpy_truth(spark, emb, tmp_path):
     import numpy as np
 
     from cdc_system_spark.functions.portable import round_portable_py
-    from cdc_system_spark.operators.similarity import pq_codebooks
 
-    path = str(tmp_path / "idx")
-    books = pq_codebooks(emb, m=4, k=8)
-    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    path, _ = pq_idx
     k = 10
     qids = [0, 7]
     queries = emb.filter(F.col("vec_id").isin(*qids)).select(
@@ -483,16 +494,12 @@ def test_ivfpq_recall_grid_matches_numpy_truth(spark, emb, tmp_path):
         AI.ivfpq_recall(spark, path, queries, grid=[], k=k)
 
 
-def test_ivfpq_topk_many_matches_single_query_form(spark, emb, tmp_path):
+def test_ivfpq_topk_many_matches_single_query_form(spark, emb, pq_idx):
     # the batched stored-code form must agree with the single-query
     # ivfpq_topk per query (same probe convention via the shared
     # _probe_many/_probe_cells tie-break, same LUT arithmetic, same
     # rescore ordering), and stored == derived within the batch too
-    from cdc_system_spark.operators.similarity import pq_codebooks
-
-    path = str(tmp_path / "idx")
-    books = pq_codebooks(emb, m=4, k=8)
-    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    path, books = pq_idx
     qids = [0, 7, 23]
     queries = emb.filter(F.col("vec_id").isin(*qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -531,15 +538,14 @@ def test_ivfpq_topk_many_matches_single_query_form(spark, emb, tmp_path):
         AI.ivfpq_topk_many(spark, path, queries, k=5, rescore_factor=0)
 
 
-def test_ivfpq_residual_books_and_exactness(spark, emb, tmp_path):
+def test_ivfpq_residual_books_and_exactness(spark, emb, pq_idx):
     # residual codebooks: deterministic base = the k smallest-id stored
     # rows' (v - centroid(cell)) subvectors — pinned against an
     # independent numpy recompute; at full probe + corpus-covering
     # rescore the residual IVFADC degenerates to exact top-k
     import numpy as np
 
-    path = str(tmp_path / "idx")
-    AI.ann_index_build(emb, path, num_centroids=4)
+    path, _ = pq_idx
     books = AI.pq_residual_codebooks(spark, path, m=4, k=8)
     cents = {cid: np.asarray(v) for cid, v in
              [(r["cell_id"], [float(x) for x in r["cvec"]])
@@ -581,16 +587,12 @@ def test_ivfpq_residual_books_and_exactness(spark, emb, tmp_path):
         AI.ivfpq_residual_topk(spark, path, qv[:10], k=5)
 
 
-def test_ivfpq_recall_residual_mode_parity(spark, emb, tmp_path):
+def test_ivfpq_recall_residual_mode_parity(spark, emb, pq_idx):
     # residual=True evaluates ivfpq_residual_topk under the same truth
     # and arithmetic: reported n_hit must equal the direct
     # intersection for each config, and a full-probe corpus-covering
     # config reads 1.0 exactly as in the raw tier
-    from cdc_system_spark.operators.similarity import pq_codebooks
-
-    path = str(tmp_path / "idx")
-    books = pq_codebooks(emb, m=4, k=8)
-    AI.ann_index_build(emb, path, num_centroids=4, pq_books=books)
+    path, _ = pq_idx
     k = 10
     queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -50,5 +50,11 @@ def test_oracle_count_matches_registry():
         # round 5: the corpus-scaled label-noise path — centroids are
         # data-dependent, so no literal-SQL oracle is possible
         "q_knn_label_noise_auto",
+        # round 10: the IVFPQ recall diagnostics — the recall surface
+        # is a data-dependent composition of the whole stack (a
+        # literal oracle would be the IVFPQ SQL x grid x queries);
+        # arithmetic numpy-pinned in tests/test_ann_index.py
+        "q_pq_recall",
+        "q_pq_recall_residual",
     ]
     assert len(oracle_backed) + len(rows_only) == len(QUERY_REGISTRY)
