@@ -139,8 +139,10 @@ HEADLINE = [
     "q_ivfpq_topk_stored",
     "q_ivfpq_batch",
     # and the residual-encoded IVFADC (per-cell LUTs over
-    # v - centroid(cell) codes) — the FAISS-shaped capstone
+    # v - centroid(cell) codes) — the FAISS-shaped capstone, plus its
+    # encode-at-attach/ingest stored form
     "q_ivfpq_residual",
+    "q_ivfpq_residual_stored",
 ]
 
 
@@ -355,6 +357,7 @@ def main() -> None:
     from cdc_system_spark.queries._maintained import (
         shared_ann_index,
         shared_ann_pq_index,
+        shared_ann_rpq_index,
         shared_lsh_index,
     )
 
@@ -371,6 +374,11 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_ann_pq_index(spark, sf_dir)
     shared_query_builds["m_shared_ann_pq_index_build"] = round(
+        time.perf_counter() - t0, 3
+    )
+    t0 = time.perf_counter()
+    shared_ann_rpq_index(spark, sf_dir)
+    shared_query_builds["m_shared_ann_rpq_index_build"] = round(
         time.perf_counter() - t0, 3
     )
 

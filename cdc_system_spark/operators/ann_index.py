@@ -49,6 +49,7 @@ from cdc_system_spark.operators.similarity import (
 __all__ = [
     "ann_cell_skew",
     "ann_index_books",
+    "ann_index_attach_residual_pq",
     "ann_index_build",
     "ann_index_compact",
     "ann_index_ingest",
@@ -73,6 +74,10 @@ def _cent_path(path: str) -> str:
 
 def _books_path(path: str) -> str:
     return f"{path}/codebooks"
+
+
+def _books_res_path(path: str) -> str:
+    return f"{path}/codebooks_res"
 
 
 def _asg_path(path: str) -> str:
@@ -149,13 +154,14 @@ def _vkey(id_col: str, vec_col: str):
 
 
 def _write_books(
-    spark: SparkSession, path: str, books: list[list[list[float]]]
+    spark: SparkSession, dest: str, books: list[list[list[float]]]
 ) -> None:
-    """Persist PQ codebooks as the index's third table — m·k rows of
+    """Persist PQ codebooks as an index model table — m·k rows of
     ``(j, c, cvec)``, a model artifact exactly like the centroid table
     (frozen at attach time: re-training the books would invalidate
     every stored code, the same reshuffle argument that freezes
-    centroids)."""
+    centroids). ``dest`` is the raw-codes or residual-codes books
+    path."""
     rows = [
         (j, c, [float(x) for x in books[j][c]])
         for j in range(len(books))
@@ -163,23 +169,25 @@ def _write_books(
     ]
     spark.createDataFrame(
         rows, "j int, c int, cvec array<double>"
-    ).write.mode("overwrite").parquet(_books_path(path))
+    ).write.mode("overwrite").parquet(dest)
 
 
 def ann_index_books(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, residual: bool = False
 ) -> list[list[list[float]]] | None:
-    """The index's stored PQ codebooks (``books[j][c]``), or ``None``
-    for an index built without a PQ tier — the feature probe
+    """The index's stored PQ codebooks (``books[j][c]``) — the raw
+    tier's by default, the residual tier's with ``residual=True`` —
+    or ``None`` when that tier is absent: the feature probe
     :func:`ann_index_ingest` uses to decide whether to encode-at-ingest
-    and :func:`ivfpq_topk` uses to rank on stored codes. A bounded
+    and the stored-code rankers use to load their model. A bounded
     m·k-row collect, same driver budget as :func:`_load_cents`."""
     from pyspark.errors import AnalysisException
 
     from cdc_system_spark.operators._index_stats import _is_path_not_found
 
+    src = _books_res_path(path) if residual else _books_path(path)
     try:
-        rows = spark.read.parquet(_books_path(path)).collect()
+        rows = spark.read.parquet(src).collect()
     except AnalysisException as e:
         # only an ABSENT tier reads as "no PQ": a present-but-broken
         # books table (schema drift, corruption) must raise, not
@@ -247,7 +255,7 @@ def ann_index_build(
     if pq_books is not None:
         from cdc_system_spark.operators.similarity import pq_code_columns
 
-        _write_books(spark, path, pq_books)
+        _write_books(spark, _books_path(path), pq_books)
         assigned = assigned.select("*", *pq_code_columns(pq_books, vec_col))
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _asg_path(path)
@@ -301,12 +309,19 @@ def ann_index_ingest(
     )
     # an index with a PQ tier encodes the batch's codes in the same
     # map pass (pq_code_columns — the ONE copy pq_encode uses, so
-    # stored codes cannot diverge from derived ones)
+    # stored codes cannot diverge from derived ones); a residual tier
+    # (ann_index_attach_residual_pq) additionally encodes
+    # v − centroid(cell) codes through the broadcast centroid join
     books = ann_index_books(spark, path)
     if books is not None:
         from cdc_system_spark.operators.similarity import pq_code_columns
 
         assigned = assigned.select("*", *pq_code_columns(books, vec_col))
+    res_books = ann_index_books(spark, path, residual=True)
+    if res_books is not None:
+        assigned = _with_residual_codes(
+            spark, path, assigned, res_books, vec_col
+        )
     # one pass to count + write: checkpoint the small batch so the
     # anti-join and assignment don't run twice
     assigned = assigned.localCheckpoint(eager=True)
@@ -640,6 +655,80 @@ def pq_residual_codebooks(
     return [[v[j * sub:(j + 1) * sub] for v in res] for j in range(m)]
 
 
+def _with_residual_codes(
+    spark: SparkSession,
+    path: str,
+    rows: DataFrame,
+    res_books: list,
+    vec_col: str,
+) -> DataFrame:
+    """``rows`` (which carry ``centroid_id``) extended with
+    ``rcode0..rcode{m-1}`` — the PQ codes of ``v − centroid(cell)``.
+    The residual derives through a BROADCAST join with the C-row
+    centroid table (scale-correct at any C, unlike the nprobe-branch
+    literal CASE the query path uses for its handful of probed cells),
+    then the shared ``pq_code_columns`` expression encodes it — one
+    copy, so stored residual codes cannot drift from the derive
+    path."""
+    from cdc_system_spark.operators.similarity import pq_code_columns
+
+    cdf = spark.read.parquet(_cent_path(path)).select(
+        F.col("cell_id").alias("centroid_id"), F.col("cvec").alias("_cvec")
+    )
+    keep = rows.columns
+    return (
+        rows.join(F.broadcast(cdf), "centroid_id")
+        .withColumn(
+            "_res",
+            F.zip_with(
+                F.col(vec_col), F.col("_cvec"), lambda x, y: x.cast("double") - y
+            ),
+        )
+        .select(
+            *keep, *pq_code_columns(res_books, "_res", prefix="rcode")
+        )
+    )
+
+
+def ann_index_attach_residual_pq(
+    spark: SparkSession,
+    path: str,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Attach the RESIDUAL-PQ tier to an existing index: train the
+    deterministic residual base codebooks
+    (:func:`pq_residual_codebooks`), persist them as a model table
+    (``{path}/codebooks_res``), and rewrite the assignment table with
+    ``rcode0..rcode{m-1}`` next to each row — encode-at-ingest for the
+    IVFADC exactly as ``pq_books=`` is for the raw-code tier. From
+    then on :func:`ann_index_ingest` encodes residual codes for every
+    new batch in its map pass, and
+    :func:`ivfpq_residual_topk(stored=True)` ranks on the stored
+    columns (m bytes/candidate, no derive). Returns the books.
+
+    One full-scan rewrite (the :func:`ann_index_compact` pattern —
+    materialize, then overwrite; at larger-than-memory scale write to
+    a fresh root and swap the pointer instead). Idempotent in effect:
+    re-attaching retrains the same deterministic books and rewrites
+    the same codes."""
+    res_books = pq_residual_codebooks(spark, path, m, k, id_col, vec_col)
+    _write_books(spark, _books_res_path(path), res_books)
+    stored = spark.read.parquet(_asg_path(path)).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+    base_cols = [c for c in stored.columns if not c.startswith("rcode")]
+    coded = _with_residual_codes(
+        spark, path, stored.select(*base_cols), res_books, vec_col
+    ).localCheckpoint(eager=True)
+    coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        _asg_path(path)
+    )
+    return res_books
+
+
 def ivfpq_residual_topk(
     spark: SparkSession,
     path: str,
@@ -650,6 +739,7 @@ def ivfpq_residual_topk(
     m: int = 4,
     num_codes: int = 8,
     books: list | None = None,
+    stored: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -678,9 +768,16 @@ def ivfpq_residual_topk(
 
     ``books=None`` trains the deterministic residual base codebooks
     (:func:`pq_residual_codebooks`) — fully oracle-reproducible;
-    ``q_ivfpq_residual`` pins centroid choice, assignment, probes,
-    residuals, codebooks, codes, per-cell LUTs, candidate choice, and
-    final ranking end-to-end."""
+    ``stored=True`` instead loads the books the index persisted at
+    :func:`ann_index_attach_residual_pq` time and ranks on the STORED
+    ``rcode0..rcode{m-1}`` columns — the deployment shape: no residual
+    derive, no encode; the ADC scan projects id + m ints.
+    ``q_ivfpq_residual`` pins the derive form's centroid choice,
+    assignment, probes, residuals, codebooks, codes, per-cell LUTs,
+    candidate choice, and final ranking end-to-end;
+    ``q_ivfpq_residual_stored`` pins the stored form against the same
+    oracle shape (books trained on the build portion), plus the
+    stored==derived parity test."""
     from cdc_system_spark.functions.portable import round_portable_py
     from cdc_system_spark.operators.similarity import (
         pq_code_columns,
@@ -692,7 +789,16 @@ def ivfpq_residual_topk(
             f"k, nprobe, rescore_factor must be >= 1, got "
             f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
         )
-    if books is None:
+    if stored:
+        if books is not None:
+            raise ValueError("pass books=None with stored=True")
+        books = ann_index_books(spark, path, residual=True)
+        if books is None:
+            raise ValueError(
+                "stored=True requires a residual-PQ tier "
+                "(ann_index_attach_residual_pq); this index has none"
+            )
+    elif books is None:
         books = pq_residual_codebooks(spark, path, m, num_codes, id_col, vec_col)
     m = len(books)
     sub = len(books[0][0])
@@ -703,28 +809,43 @@ def ivfpq_residual_topk(
     cents = dict(_load_cents(spark, path))
     probed = _probe_cells(spark, path, query_vec, nprobe)
     _, assignments = ann_index_load(spark, path)
-    cell = assignments.filter(F.col("centroid_id").isin(probed)).select(
+    cell_all = assignments.filter(F.col("centroid_id").isin(probed))
+    cell = cell_all.select(
         F.col(id_col), F.col(vec_col), F.col("centroid_id")
     )
-    # the row's own cell centroid as an nprobe-branch literal CASE —
-    # codegen-resident, no join; rows are pre-filtered to the probed
-    # cells so the branches are exhaustive
-    cvec_expr = None
-    for cid in probed:
-        arr = F.array(*[F.lit(float(x)) for x in cents[cid]])
-        cvec_expr = (
-            F.when(F.col("centroid_id") == cid, arr)
-            if cvec_expr is None
-            else cvec_expr.when(F.col("centroid_id") == cid, arr)
+    if stored:
+        rcode_cols = [f"rcode{j}" for j in range(m)]
+        missing = [c for c in rcode_cols if c not in assignments.columns]
+        if missing:
+            raise ValueError(
+                f"index residual-PQ tier is inconsistent: codebooks "
+                f"stored but assignment columns {missing} absent"
+            )
+        coded = cell_all.select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            *[F.col(f"rcode{j}").alias(f"code{j}") for j in range(m)],
         )
-    residual = F.zip_with(
-        F.col(vec_col), cvec_expr, lambda x, y: x.cast("double") - y
-    )
-    coded = cell.withColumn("_res", residual).select(
-        F.col(id_col),
-        F.col("centroid_id"),
-        *pq_code_columns(books, "_res"),
-    )
+    else:
+        # the row's own cell centroid as an nprobe-branch literal CASE
+        # — codegen-resident, no join; rows are pre-filtered to the
+        # probed cells so the branches are exhaustive
+        cvec_expr = None
+        for cid in probed:
+            arr = F.array(*[F.lit(float(x)) for x in cents[cid]])
+            cvec_expr = (
+                F.when(F.col("centroid_id") == cid, arr)
+                if cvec_expr is None
+                else cvec_expr.when(F.col("centroid_id") == cid, arr)
+            )
+        residual = F.zip_with(
+            F.col(vec_col), cvec_expr, lambda x, y: x.cast("double") - y
+        )
+        coded = cell.withColumn("_res", residual).select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            *pq_code_columns(books, "_res"),
+        )
     # per-cell LUT: rounded d2 of (q − centroid(cell))'s subspaces to
     # the residual codebooks — nprobe·m·k doubles, driver-built with
     # the same floor-portable rounding the encode expressions use

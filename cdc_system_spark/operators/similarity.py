@@ -1782,8 +1782,9 @@ def _pq_dist(vec_col: str, j: int, sub: int, cent: list[float]) -> Column:
 def pq_code_columns(
     books: list[list[list[float]]],
     vec_col: str = "embedding",
+    prefix: str = "code",
 ) -> list[Column]:
-    """The ``m`` PQ code expressions ``code0..code{m-1}`` —
+    """The ``m`` PQ code expressions ``{prefix}0..{prefix}{m-1}`` —
     ``code_j`` = index of subspace ``j``'s nearest codebook centroid
     (rounded-L2 argmin, smaller index on ties). ONE copy shared by
     :func:`pq_encode` (the ad-hoc form) and the maintained index's
@@ -1826,7 +1827,7 @@ def pq_code_columns(
                     )
                 ).cast("int")
             )
-        cols.append(code.alias(f"code{j}"))
+        cols.append(code.alias(f"{prefix}{j}"))
     return cols
 
 

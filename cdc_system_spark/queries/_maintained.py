@@ -88,6 +88,27 @@ def shared_ann_pq_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def shared_ann_rpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared 8-centroid ANN index with the RESIDUAL-PQ
+    tier: built on ``vec_id % 3 <> 0``, residual codebooks attached
+    (deterministic base = the build portion's 8 smallest-id rows'
+    ``v − centroid(cell)`` subvectors — trained at attach time, so on
+    the data indexed so far, matching the oracle's build-portion
+    ``rbase``), then ``% 3 = 0`` ingested WITH residual codes encoded
+    in the ingest map pass. Serves the stored-codes IVFADC query."""
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/annidx_rpq_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        emb = catalog(spark, sf_dir).embeddings
+        AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+        AI.ann_index_attach_residual_pq(spark, path, m=4, k=8)
+        AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+        _BUILT.add(path)
+    return path
+
+
 def shared_lsh_slice_indexes(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Paths of two shared LSH indexes over OVERLAPPING corpus slices
     (A = even ids, B = ids divisible by 3 — overlap = multiples of 6),

@@ -3531,6 +3531,48 @@ def q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stored-form twin: identical oracle shape, except the residual
+# codebooks train on the BUILD portion's smallest-8 ids (they are
+# attached before the ingest portion exists — encode-at-attach/ingest
+# semantics, not retrain-on-read)
+_IVFPQ_RES_STORED_SQL = _IVFPQ_RES_SQL.replace(
+    "SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8",
+    "SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0 "
+    "ORDER BY vec_id LIMIT 8",
+)
+
+
+@register(
+    "q_ivfpq_residual_stored",
+    _IVFPQ_RES_STORED_SQL,
+    doc="residual IVFADC over STORED codes — the deployment shape of "
+    "q_ivfpq_residual: ann_index_attach_residual_pq persists the "
+    "residual codebooks as a frozen model table and rewrites the "
+    "assignments with rcode0..3 (broadcast centroid join + the shared "
+    "pq_code_columns expression); ann_index_ingest then encodes every "
+    "new batch's residual codes in its map pass, so the query's ADC "
+    "stage projects id + m ints only — no residual derive, no encode "
+    "at probe time. Oracle identical to q_ivfpq_residual except the "
+    "residual codebooks train on the build portion's smallest-8 ids "
+    "(attached before the ingest portion existed); a green row proves "
+    "attach-time AND ingest-time residual codes both equal the "
+    "recompute",
+)
+def q_ivfpq_residual_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_residual_topk
+    from cdc_system_spark.queries._maintained import shared_ann_rpq_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_rpq_index(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    return ivfpq_residual_topk(
+        spark, path, qv, k=10, nprobe=2, rescore_factor=3, stored=True
+    )
+
+
 # -- batched IVF x PQ: a whole query set in one plan --------------------------
 _IVFPQ_BATCH_SQL = f"""WITH ic AS (
         SELECT vec_id AS icid, embedding AS icv FROM embeddings

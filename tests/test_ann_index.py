@@ -629,3 +629,69 @@ def test_ivfpq_recall_residual_mode_parity(spark, emb, pq_idx):
         }
         assert got[(2, 3, qid)][0] == len(direct & truth[qid])
         assert got[(4, rf_full, qid)][1] == 1.0
+
+
+def test_residual_stored_codes_equal_derived(spark, emb, tmp_path):
+    # encode-at-attach/ingest for the residual tier: attach rewrites
+    # the build portion with rcode0..3 and ingest encodes the batch's
+    # — both must equal the derive path (same books), pinned by the
+    # stored==derived query parity and a numpy spot check
+    import numpy as np
+
+    path = str(tmp_path / "idx")
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    AI.ann_index_build(base, path, num_centroids=8)
+    res_books = AI.ann_index_attach_residual_pq(spark, path, m=4, k=8)
+    assert AI.ann_index_books(spark, path, residual=True) == res_books
+    assert AI.ann_index_ingest(rest, path) == rest.count()
+    _, asg = AI.ann_index_load(spark, path)
+    rcode_cols = [f"rcode{j}" for j in range(4)]
+    assert all(c in asg.columns for c in rcode_cols)
+    assert asg.count() == emb.count()
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    rows = lambda df: [
+        (r["vec_id"], r["adc_dist"], r["cos_sim"]) for r in df.collect()
+    ]
+    got_stored = AI.ivfpq_residual_topk(
+        spark, path, qv, k=5, nprobe=2, rescore_factor=3, stored=True
+    )
+    got_derived = AI.ivfpq_residual_topk(
+        spark, path, qv, k=5, nprobe=2, rescore_factor=3, books=res_books
+    )
+    assert rows(got_stored) == rows(got_derived)
+    # numpy spot check on 5 rows spanning both portions: stored rcodes
+    # == argmin over rounded residual subspace distances
+    from cdc_system_spark.functions.portable import round_portable_py
+
+    cents = {r["cell_id"]: [float(x) for x in r["cvec"]]
+             for r in spark.read.parquet(f"{path}/centroids").collect()}
+    sample = asg.filter(F.col("vec_id").isin(1, 2, 3, 6, 9)).collect()
+    assert len(sample) == 5
+    for r in sample:
+        res = np.asarray([float(x) for x in r["embedding"]]) - np.asarray(
+            cents[r["centroid_id"]]
+        )
+        for j in range(4):
+            dists = [
+                (round_portable_py(
+                    float(((res[j * 16:(j + 1) * 16]
+                            - np.asarray(res_books[j][c])) ** 2).sum()), 6
+                ), c)
+                for c in range(8)
+            ]
+            assert r[f"rcode{j}"] == min(dists)[1], (r["vec_id"], j)
+    with pytest.raises(ValueError, match="books=None"):
+        AI.ivfpq_residual_topk(
+            spark, path, qv, k=5, stored=True, books=res_books
+        )
+
+
+def test_residual_stored_requires_tier(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    with pytest.raises(ValueError, match="residual-PQ tier"):
+        AI.ivfpq_residual_topk(spark, path, qv, k=5, stored=True)

@@ -398,3 +398,53 @@ def test_production_poll_is_pruned_by_maintained_zone_state(spark, system, tmp_p
     assert {r["id"] for r in target.read().collect()} == set(
         list(range(1, 9)) + [21, 22]
     )
+
+
+def test_pruned_poll_invariant_under_random_op_sequences(spark, system, tmp_path):
+    # property: after ANY interleaving of captures (insert/update/
+    # delete) and partial replications, the pruned production poll
+    # returns exactly the plain poll's rows — the zone state is
+    # maintained by capture (superset-before-append) and refreshed by
+    # replicate, so no sequence may leave it under-covering. Fixed
+    # seed, bounded ops (suite budget); drives the REAL api path.
+    import random
+
+    rng = random.Random(20260816)
+    target = SnapshotTable(spark, str(tmp_path / "replica"), TEST_SCHEMA)
+    rep = CDCReplicator(system, target)
+    live = {}
+    next_id = 1
+    for step in range(7):
+        op = rng.choice(["insert", "insert", "update", "delete", "replicate"])
+        if op == "insert":
+            rows = [(next_id + i, f"u{next_id + i}", (next_id + i) * 3)
+                    for i in range(rng.randint(1, 4))]
+            next_id += len(rows)
+            system.capture.capture_insert(_rows(spark, rows))
+            live.update({r[0]: r for r in rows})
+        elif op == "update" and live:
+            k = rng.choice(sorted(live))
+            old = live[k]
+            new = (k, old[1], old[2] + 1000)
+            system.capture.capture_update(_rows(spark, [new]), _rows(spark, [old]))
+            live[k] = new
+        elif op == "delete" and live:
+            k = rng.choice(sorted(live))
+            system.capture.capture_delete(_rows(spark, [live.pop(k)]))
+        elif op == "replicate":
+            rep.replicate_changes(batch_size=rng.randint(1, 5))
+        pruned = system.get_pending_changes()
+        plain = pending_changes(
+            system.read_log(),
+            row_schema=system.registry.schema("test_table"),
+        )
+        key = lambda d: [(r["cdc_id"], r["operation"], r["record_id"])
+                         for r in d.collect()]
+        assert key(pruned) == key(plain), f"step {step} ({op})"
+    # drain fully: the replica must equal the surviving net state
+    while rep.replicate_changes(batch_size=100):
+        pass
+    assert {r["id"]: r["value"] for r in target.read().collect()} == {
+        k: v[2] for k, v in live.items()
+    }
+    assert system.get_pending_changes().count() == 0
