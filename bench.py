@@ -143,6 +143,7 @@ HEADLINE = [
     # encode-at-attach/ingest stored form
     "q_ivfpq_residual",
     "q_ivfpq_residual_stored",
+    "q_ivfpq_residual_batch",
 ]
 
 

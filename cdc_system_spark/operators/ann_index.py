@@ -897,6 +897,7 @@ def ivfpq_topk_many(
     nprobe: int = 2,
     rescore_factor: int = 3,
     books: list | None = None,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
@@ -933,7 +934,16 @@ def ivfpq_topk_many(
     stored codes, LUT arithmetic, candidate choice, final ranking)
     under the driver's oracle gate; with explicit ``books`` the codes
     derive in-plan from the scanned vectors (the oracle-twin form,
-    row-identical — the stored==derived parity test)."""
+    row-identical — the stored==derived parity test).
+
+    ``residual=True`` runs the batched IVFADC over the index's STORED
+    residual tier (:func:`ann_index_attach_residual_pq`): the per-query
+    LUTs compute from ``qvec − centroid(cell)`` — the probe rows join
+    the C-row centroid table (broadcast) so each (query, probed-cell)
+    row derives its own query residual in-plan — and the ADC join
+    projects the stored ``rcode`` columns. ``q_ivfpq_residual_batch``
+    pins it end-to-end; parity with the single-query
+    ``ivfpq_residual_topk(stored=True)`` is pytest-pinned."""
     from pyspark.sql import Window
 
     from cdc_system_spark.operators.similarity import (
@@ -947,7 +957,16 @@ def ivfpq_topk_many(
             f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
         )
     use_stored = books is None
-    if use_stored:
+    if residual:
+        if books is not None:
+            raise ValueError("pass books=None with residual=True")
+        books = ann_index_books(spark, path, residual=True)
+        if books is None:
+            raise ValueError(
+                "residual=True requires a residual-PQ tier "
+                "(ann_index_attach_residual_pq); this index has none"
+            )
+    elif use_stored:
         books = ann_index_books(spark, path)
         if books is None:
             raise ValueError(
@@ -959,16 +978,47 @@ def ivfpq_topk_many(
     cents = _load_cents(spark, path)
     probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
     # per-query LUT arrays ride the Q×nprobe probe rows — model-sized
-    # work, computed inside codegen, nothing collected
+    # work, computed inside codegen, nothing collected. In residual
+    # mode the LUT source is the QUERY RESIDUAL against the row's own
+    # probed cell — the broadcast centroid join gives each
+    # (query, cell) row its centroid, scale-correct at any C
+    if residual:
+        cdf = spark.read.parquet(_cent_path(path)).select(
+            F.col("cell_id").alias("centroid_id"),
+            F.col("cvec").alias("_cvec"),
+        )
+        probe = probe.join(F.broadcast(cdf), "centroid_id").withColumn(
+            "_qres",
+            F.zip_with(
+                F.col(qvec_col), F.col("_cvec"),
+                lambda x, y: x.cast("double") - y,
+            ),
+        )
+        lut_src = "_qres"
+    else:
+        lut_src = qvec_col
     lut_cols = [
         F.array(
-            *[_pq_dist(qvec_col, j, sub, books[j][c]) for c in range(kk)]
+            *[_pq_dist(lut_src, j, sub, books[j][c]) for c in range(kk)]
         ).alias(f"_lut{j}")
         for j in range(m)
     ]
     probe_l = probe.select(F.col(qid_col), "centroid_id", *lut_cols)
     _, assignments = ann_index_load(spark, path)
-    if use_stored:
+    if residual:
+        rcode_cols = [f"rcode{j}" for j in range(m)]
+        missing = [c for c in rcode_cols if c not in assignments.columns]
+        if missing:
+            raise ValueError(
+                f"index residual-PQ tier is inconsistent: codebooks "
+                f"stored but assignment columns {missing} absent"
+            )
+        coded = assignments.select(
+            F.col(id_col),
+            "centroid_id",
+            *[F.col(f"rcode{j}").alias(f"code{j}") for j in range(m)],
+        )
+    elif use_stored:
         missing = [c for c in code_cols if c not in assignments.columns]
         if missing:
             raise ValueError(

@@ -30,8 +30,9 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 10 adds four (the stored-codes IVF×PQ, its batched form,
-#      the residual-encoded IVFADC, and the IVFADC's stored form);
+#      CORRECTNESS row — round 10 adds five (the stored-codes IVF×PQ, its batched form,
+#      the residual-encoded IVFADC, and the IVFADC's stored +
+#      batched-stored forms);
 #   2. every query whose operator or oracle CHANGED this round: the
 #      PQ encode family (pq_code_columns extraction shared with the
 #      index's encode-at-ingest path), ivfpq_topk (stored-codes
@@ -42,7 +43,7 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no ora
 #      from the nine CORRECTNESS_r0[1-9] artifacts and pinned in
 #      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
 #      moves the registry-wide evidence floor to r6, then r6-evidence
-#      names oldest-first (alphabetical within the round) in the 13
+#      names oldest-first (alphabetical within the round) in the 12
 #      slots that remain.
 _WINDOW_R10 = [
     # -- 1. new this round, never driver-checked --
@@ -50,6 +51,7 @@ _WINDOW_R10 = [
     "q_ivfpq_batch",
     "q_ivfpq_residual",
     "q_ivfpq_residual_stored",
+    "q_ivfpq_residual_batch",
     # -- 2. operator changed this round --
     "q_pq_encode",
     "q_pq_topk",
@@ -98,7 +100,6 @@ _WINDOW_R10 = [
     "q_decontaminate",
     "q_dedup_exact",
     "q_dup_clusters",
-    "q_embedding_topk",
 ]
 
 # the active window (rotated per round; _set_window validates it)

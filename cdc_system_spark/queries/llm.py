@@ -3673,3 +3673,151 @@ def q_ivfpq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_many(
         spark, path, queries, k=10, nprobe=2, rescore_factor=3
     )
+
+
+# -- batched residual IVFADC over stored rcodes --------------------------------
+_IVFPQ_RES_BATCH_SQL = f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 7, 23)),
+    qprobe AS (
+        SELECT qid, icid FROM (
+            SELECT q.qid, ic.icid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM q, ic) WHERE rk <= 2),
+    candidx AS (
+        SELECT p.qid, a.vec_id
+        FROM qprobe p JOIN assign a ON a.centroid_id = p.icid),
+    rescell AS (
+        SELECT e.vec_id, a.centroid_id,
+               {_RES64.format(v='e.embedding', c='ic.icv')} AS rvec
+        FROM (SELECT DISTINCT vec_id FROM candidx) cd
+        JOIN assign a USING (vec_id)
+        JOIN embeddings e USING (vec_id)
+        JOIN ic ON ic.icid = a.centroid_id),
+    rbase AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS cid,
+               {_RES64.format(v='e.embedding', c='ic.icv')} AS cv
+        FROM embeddings e
+        JOIN assign a USING (vec_id)
+        JOIN ic ON ic.icid = a.centroid_id
+        WHERE e.vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    rdists AS (
+        SELECT r.vec_id, b.cid,
+               {_pq_d2_sql('r.rvec', 'b.cv', 0)} AS d0,
+               {_pq_d2_sql('r.rvec', 'b.cv', 1)} AS d1,
+               {_pq_d2_sql('r.rvec', 'b.cv', 2)} AS d2,
+               {_pq_d2_sql('r.rvec', 'b.cv', 3)} AS d3
+        FROM rescell r, rbase b),
+    rc0 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code0 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d0, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rc1 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code1 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d1, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rc2 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code2 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rc3 AS (SELECT vec_id, CAST(cid AS INTEGER) AS code3 FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY d3, cid) AS rk FROM rdists)
+        WHERE rk = 1),
+    rcodes AS (
+        SELECT rc0.vec_id, code0, code1, code2, code3
+        FROM rc0 JOIN rc1 USING (vec_id) JOIN rc2 USING (vec_id)
+                 JOIN rc3 USING (vec_id)),
+    qres AS (
+        SELECT p.qid, p.icid,
+               {_RES64.format(v='q.qv', c='ic.icv')} AS qr
+        FROM qprobe p
+        JOIN ic ON ic.icid = p.icid
+        JOIN q ON q.qid = p.qid),
+    lut AS (
+        SELECT qres.qid, qres.icid, b.cid,
+               {_pq_d2_sql('qres.qr', 'b.cv', 0)} AS l0,
+               {_pq_d2_sql('qres.qr', 'b.cv', 1)} AS l1,
+               {_pq_d2_sql('qres.qr', 'b.cv', 2)} AS l2,
+               {_pq_d2_sql('qres.qr', 'b.cv', 3)} AS l3
+        FROM qres, rbase b),
+    adc AS (
+        SELECT cd.qid, cd.vec_id,
+               ((t0.l0 + t1.l1) + t2.l2) + t3.l3 AS adc_dist
+        FROM candidx cd
+        JOIN rescell r ON r.vec_id = cd.vec_id
+        JOIN rcodes s ON s.vec_id = cd.vec_id
+        JOIN lut t0 ON t0.qid = cd.qid AND t0.icid = r.centroid_id
+                   AND t0.cid = s.code0
+        JOIN lut t1 ON t1.qid = cd.qid AND t1.icid = r.centroid_id
+                   AND t1.cid = s.code1
+        JOIN lut t2 ON t2.qid = cd.qid AND t2.icid = r.centroid_id
+                   AND t2.cid = s.code2
+        JOIN lut t3 ON t3.qid = cd.qid AND t3.icid = r.centroid_id
+                   AND t3.cid = s.code3),
+    sel AS (
+        SELECT qid, vec_id, adc_dist FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+            FROM adc) WHERE rk <= 30),
+    scored AS (
+        SELECT sel.qid, sel.vec_id, sel.adc_dist,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM sel JOIN embeddings e USING (vec_id)
+                 JOIN q ON q.qid = sel.qid)
+    SELECT qid, vec_id, adc_dist, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 10"""
+
+
+@register(
+    "q_ivfpq_residual_batch",
+    _IVFPQ_RES_BATCH_SQL,
+    doc="batched residual IVFADC over STORED rcodes — the last cell of "
+    "the ANN matrix (single/batched x raw/residual x stored/derive): "
+    "three query vectors in ONE plan where each (query, probed-cell) "
+    "probe row derives its own query residual through the broadcast "
+    "centroid join and carries its per-cell LUT as literal-codebook "
+    "expressions; the ADC join projects the stored rcode columns (m "
+    "bytes/candidate, encoded at attach/ingest time, never at probe "
+    "time); per-query ADC and rescore windows as in q_ivfpq_batch. "
+    "The oracle reproduces centroids, assignment, per-query probes, "
+    "build-portion residual codebooks, stored residual codes, "
+    "per-(query, cell) LUTs, candidate choice, and both rankings",
+)
+def q_ivfpq_residual_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_topk_many
+    from cdc_system_spark.queries._maintained import shared_ann_rpq_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_rpq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk_many(
+        spark, path, queries, k=10, nprobe=2, rescore_factor=3,
+        residual=True,
+    )

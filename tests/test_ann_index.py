@@ -695,3 +695,47 @@ def test_residual_stored_requires_tier(spark, emb, tmp_path):
           emb.filter(F.col("vec_id") == 0).head()["embedding"]]
     with pytest.raises(ValueError, match="residual-PQ tier"):
         AI.ivfpq_residual_topk(spark, path, qv, k=5, stored=True)
+
+
+def test_ivfpq_residual_batch_matches_single(spark, emb, tmp_path):
+    # the batched residual form (per-(query, cell) in-plan LUTs over
+    # stored rcodes) must agree with the single-query stored form per
+    # query, and reject misuse
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    AI.ann_index_attach_residual_pq(spark, path, m=4, k=8)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(*qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = AI.ivfpq_topk_many(
+        spark, path, queries, k=5, nprobe=2, rescore_factor=3,
+        residual=True,
+    )
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["vec_id"], r["adc_dist"], r["cos_sim"])
+        )
+    assert set(got) == set(qids)
+    for qid in qids:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = [
+            (r["vec_id"], r["adc_dist"], r["cos_sim"])
+            for r in AI.ivfpq_residual_topk(
+                spark, path, qv, k=5, nprobe=2, rescore_factor=3,
+                stored=True,
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+    with pytest.raises(ValueError, match="books=None"):
+        AI.ivfpq_topk_many(
+            spark, path, queries, k=5, residual=True,
+            books=[[[0.0] * 16] * 8] * 4,
+        )
+    # an index without the tier refuses loudly
+    bare = str(tmp_path / "bare")
+    AI.ann_index_build(emb, bare, num_centroids=4)
+    with pytest.raises(ValueError, match="residual-PQ tier"):
+        AI.ivfpq_topk_many(spark, bare, queries, k=5, residual=True)

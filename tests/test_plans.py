@@ -92,6 +92,7 @@ def test_oracle_window_composition():
         "q_ivfpq_batch",
         "q_ivfpq_residual",
         "q_ivfpq_residual_stored",
+        "q_ivfpq_residual_batch",
         # operator changed in round 10: the PQ code expressions moved
         # to the shared pq_code_columns (consumed by pq_encode AND the
         # index's encode-at-ingest path), ivfpq_topk grew the
