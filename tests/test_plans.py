@@ -185,9 +185,10 @@ def test_python_only_where_intended(plans):
         # vectorized numpy pass — the plan carries that Arrow branch
         # (empty at runtime in a well-maintained pipeline)
         "q_ann_probe_maintained",
-        # the batched IVFPQ rides the same shared _probe_many Arrow
-        # probe stage (round 10)
+        # the batched IVFPQ forms ride the same shared _probe_many
+        # Arrow probe stage (round 10)
         "q_ivfpq_batch",
+        "q_ivfpq_residual_batch",
         # batch IVF probe selection is the same vectorized-numpy Arrow
         # pass as the assignment side (literal-key DataFrame joins
         # constant-fold into the forbidden BNLJ; literal explode stops
