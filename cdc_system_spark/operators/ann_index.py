@@ -295,6 +295,7 @@ def ann_index_ingest(
     cents = _load_cents(spark, path)
     # membership test on the 32-char version key only — parquet prunes
     # the stored vector bytes; within-batch re-deliveries collapse too
+    stored_cols = spark.read.parquet(_asg_path(path)).columns
     existing = spark.read.parquet(_asg_path(path)).select("_vkey")
     fresh = (
         new_emb.select(_vkey(id_col, vec_col), F.col(id_col), F.col(vec_col))
@@ -311,13 +312,31 @@ def ann_index_ingest(
     # map pass (pq_code_columns — the ONE copy pq_encode uses, so
     # stored codes cannot diverge from derived ones); a residual tier
     # (ann_index_attach_residual_pq) additionally encodes
-    # v − centroid(cell) codes through the broadcast centroid join
+    # v − centroid(cell) codes through the broadcast centroid join.
+    # Each tier's books and its assignment columns must AGREE (r10
+    # advisor): appending code-bearing rows into a code-less table (or
+    # vice versa) mixes parquet footers that read as silently-null
+    # codes — a half-attached index must fail loudly here instead.
     books = ann_index_books(spark, path)
+    if (books is not None) != ("code0" in stored_cols):
+        raise ValueError(
+            "inconsistent PQ tier: codebooks "
+            f"{'present' if books is not None else 'absent'} but stored "
+            f"code columns {'present' if 'code0' in stored_cols else 'absent'}"
+            " — rebuild the index or re-attach the tier"
+        )
     if books is not None:
         from cdc_system_spark.operators.similarity import pq_code_columns
 
         assigned = assigned.select("*", *pq_code_columns(books, vec_col))
     res_books = ann_index_books(spark, path, residual=True)
+    if (res_books is not None) != ("rcode0" in stored_cols):
+        raise ValueError(
+            "inconsistent residual-PQ tier: residual codebooks "
+            f"{'present' if res_books is not None else 'absent'} but stored "
+            f"rcode columns {'present' if 'rcode0' in stored_cols else 'absent'}"
+            " — re-run ann_index_attach_residual_pq"
+        )
     if res_books is not None:
         assigned = _with_residual_codes(
             spark, path, assigned, res_books, vec_col
@@ -621,17 +640,29 @@ def pq_residual_codebooks(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
+    sample_cap: int = 2048,
 ) -> list[list[list[float]]]:
-    """Deterministic base PQ codebooks over RESIDUALS ``r = v −
-    centroid(cell(v))``: the ``k`` smallest-id stored rows' residual
-    subvectors — the package's literal-centroid convention
-    (:func:`~cdc_system_spark.operators.similarity.pq_codebooks`'s
-    ``refine_iters=0`` base) applied to the residual space. Residuals
-    cluster around the origin with far less variance than raw vectors
-    (every vector's cell-mean component is already carried by its
-    ``centroid_id``), so the same m·k code budget quantizes finer —
-    the reason FAISS's IVFADC encodes residuals. Bounded driver work:
-    a k-row collect + the C-row centroid table."""
+    """PQ codebooks over RESIDUALS ``r = v − centroid(cell(v))``.
+
+    Base books (``refine_iters=0``) are the ``k`` smallest-id stored
+    rows' residual subvectors — the package's literal-centroid
+    convention (:func:`~cdc_system_spark.operators.similarity.
+    pq_codebooks`'s ``refine_iters=0`` base) applied to the residual
+    space. Residuals cluster around the origin with far less variance
+    than raw vectors (every vector's cell-mean component is already
+    carried by its ``centroid_id``), so the same m·k code budget
+    quantizes finer — the reason FAISS's IVFADC encodes residuals.
+
+    ``refine_iters > 0`` runs Lloyd k-means per subspace in numpy over
+    a driver-side sample of at most ``sample_cap`` smallest-id
+    residuals, seeded from the base books (empty cells keep their
+    previous centroid — the ``pq_codebooks`` convention, mirrored here
+    per the r10 verdict's recall task: base first-k-by-id books read
+    recall 0.5 at (nprobe=8, rescore=6) on sf0.001; refined books are
+    the production answer, A/B'd by :func:`ivfpq_recall` with
+    ``books=``). Bounded driver work either way: a ≤ sample_cap-row
+    collect + the C-row centroid table."""
     if m < 1 or k < 1:
         raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
     cents = dict(_load_cents(spark, path))
@@ -639,7 +670,7 @@ def pq_residual_codebooks(
     rows = (
         assignments.select(id_col, vec_col, "centroid_id")
         .orderBy(id_col)
-        .limit(k)
+        .limit(max(k, sample_cap if refine_iters else k))
         .collect()
     )
     if not rows:
@@ -652,7 +683,23 @@ def pq_residual_codebooks(
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m}")
     sub = d // m
-    return [[v[j * sub:(j + 1) * sub] for v in res] for j in range(m)]
+    books = [[v[j * sub:(j + 1) * sub] for v in res[:k]] for j in range(m)]
+    if refine_iters:
+        import numpy as np
+
+        data = np.asarray(res, dtype=np.float64)
+        for j in range(m):
+            pts = data[:, j * sub:(j + 1) * sub]
+            bcents = np.asarray(books[j], dtype=np.float64)
+            for _ in range(refine_iters):
+                d2 = ((pts[:, None, :] - bcents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(len(bcents)):
+                    mask = assign == c
+                    if mask.any():
+                        bcents[c] = pts[mask].mean(axis=0)
+            books[j] = [[float(x) for x in c] for c in bcents]
+    return books
 
 
 def _with_residual_codes(
@@ -697,25 +744,32 @@ def ann_index_attach_residual_pq(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[list[float]]]:
     """Attach the RESIDUAL-PQ tier to an existing index: train the
-    deterministic residual base codebooks
-    (:func:`pq_residual_codebooks`), persist them as a model table
-    (``{path}/codebooks_res``), and rewrite the assignment table with
-    ``rcode0..rcode{m-1}`` next to each row — encode-at-ingest for the
-    IVFADC exactly as ``pq_books=`` is for the raw-code tier. From
-    then on :func:`ann_index_ingest` encodes residual codes for every
-    new batch in its map pass, and
+    residual codebooks (:func:`pq_residual_codebooks` — deterministic
+    base books, or Lloyd-refined with ``refine_iters``), rewrite the
+    assignment table with ``rcode0..rcode{m-1}`` next to each row, and
+    persist the books as a model table (``{path}/codebooks_res``) —
+    encode-at-ingest for the IVFADC exactly as ``pq_books=`` is for
+    the raw-code tier. From then on :func:`ann_index_ingest` encodes
+    residual codes for every new batch in its map pass, and
     :func:`ivfpq_residual_topk(stored=True)` ranks on the stored
     columns (m bytes/candidate, no derive). Returns the books.
 
     One full-scan rewrite (the :func:`ann_index_compact` pattern —
     materialize, then overwrite; at larger-than-memory scale write to
     a fresh root and swap the pointer instead). Idempotent in effect:
-    re-attaching retrains the same deterministic books and rewrites
-    the same codes."""
-    res_books = pq_residual_codebooks(spark, path, m, k, id_col, vec_col)
-    _write_books(spark, _books_res_path(path), res_books)
+    re-attaching retrains the same books and rewrites the same codes.
+    The books table lands LAST (r10 advisor): a crash mid-attach
+    leaves rcode columns without books — which
+    :func:`ann_index_ingest`'s tier-consistency check turns into a
+    loud "re-run attach" error — never books without rcode columns,
+    which would let ingest append rcode-bearing files into an
+    rcode-less table (mixed footers silently read as null rcodes)."""
+    res_books = pq_residual_codebooks(
+        spark, path, m, k, id_col, vec_col, refine_iters=refine_iters
+    )
     stored = spark.read.parquet(_asg_path(path)).withColumn(
         "centroid_id", F.col("centroid_id").cast("long")
     )
@@ -726,6 +780,7 @@ def ann_index_attach_residual_pq(
     coded.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _asg_path(path)
     )
+    _write_books(spark, _books_res_path(path), res_books)
     return res_books
 
 
@@ -1090,11 +1145,15 @@ def ivfpq_recall(
     (a full probe degenerates to brute force), so truth and approx
     rank under the identical rounded-6 + id-tiebreak convention and a
     recall miss is attributable to the two knobs, never to float
-    formatting. ``books=None`` evaluates the stored-code tier
-    (:func:`ivfpq_topk`'s deployment path); explicit ``books``
-    evaluates the in-plan form; ``residual=True`` evaluates
-    :func:`ivfpq_residual_topk` instead — run both and diff the
-    output to see what the residual encoding buys at the SAME
+    formatting. ``books=None`` evaluates the DEPLOYED tier — stored
+    codes and stored books, raw (:func:`ivfpq_topk`) or, with
+    ``residual=True``, stored-residual
+    (:func:`ivfpq_residual_topk(stored=True)`); a residual-tier-less
+    index falls back to the deterministic derive-form base books.
+    Explicit ``books`` evaluates the in-plan form with exactly those
+    books — the A/B hook: pass base vs Lloyd-refined books
+    (``pq_residual_codebooks(refine_iters=)``) to read what refinement
+    buys, or diff raw vs ``residual=True`` at the SAME
     (nprobe, rescore_factor, m·k) budget.
 
     Scale shape: the eval set is collected driver-side — recall
@@ -1139,16 +1198,31 @@ def ivfpq_recall(
         .localCheckpoint(eager=False)
     )
     if residual:
-        # train the residual books ONCE for the whole grid (the
-        # per-call default would recompute the same deterministic
-        # books len(grid)·Q times)
-        res_books = books if books is not None else pq_residual_codebooks(
-            spark, path, id_col=id_col, vec_col=vec_col
+        # books=None mirrors the raw path's contract (r10 advisor): an
+        # index with a STORED residual tier is evaluated through the
+        # stored books and ivfpq_residual_topk(stored=True) — the
+        # deployed query path, not freshly retrained derive-form books
+        # that production never serves. Only a tier-less index trains
+        # the deterministic base books, ONCE for the whole grid (the
+        # per-call default would recompute them len(grid)·Q times).
+        stored_books = (
+            ann_index_books(spark, path, residual=True)
+            if books is None
+            else None
         )
-        topk = lambda qv, np_, rf_: ivfpq_residual_topk(  # noqa: E731
-            spark, path, qv, k=k, nprobe=np_, rescore_factor=rf_,
-            books=res_books, id_col=id_col, vec_col=vec_col,
-        )
+        if stored_books is not None:
+            topk = lambda qv, np_, rf_: ivfpq_residual_topk(  # noqa: E731
+                spark, path, qv, k=k, nprobe=np_, rescore_factor=rf_,
+                stored=True, id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            res_books = books if books is not None else (
+                pq_residual_codebooks(spark, path, id_col=id_col, vec_col=vec_col)
+            )
+            topk = lambda qv, np_, rf_: ivfpq_residual_topk(  # noqa: E731
+                spark, path, qv, k=k, nprobe=np_, rescore_factor=rf_,
+                books=res_books, id_col=id_col, vec_col=vec_col,
+            )
     else:
         topk = lambda qv, np_, rf_: ivfpq_topk(  # noqa: E731
             spark, path, books, qv, k=k, nprobe=np_, rescore_factor=rf_,

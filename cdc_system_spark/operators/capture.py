@@ -97,6 +97,12 @@ class LogCapture:
         self.path = os.path.join(root, f"{table}_cdc")
         self.zones_path = self.path + "_zones"
         self._zone_cache: tuple | None = None
+        #: mtime of the zones file the cache mirrors — a SECOND
+        #: LogCapture over the same path (two CDCSystem handles in one
+        #: process) invalidates a reader's cache when the writer's
+        #: os.replace bumps the mtime, so a stale cache can never
+        #: prune rows another instance appended
+        self._zone_mtime: float | None = None
         self._epoch = 0
 
     def _next_base(self) -> int:
@@ -117,6 +123,13 @@ class LogCapture:
         self._append(as_changes(rows, "DELETE", self.key, base_cdc_id=self._next_base()))
 
     def _append(self, changes: DataFrame) -> None:
+        # ONE materialization feeds both the zone-state merge and the
+        # data write: recomputing a non-deterministic source between
+        # the two (a sample, a limit, a changing view) could persist a
+        # state that under-covers the rows actually appended, breaking
+        # read_pending_pruned's superset contract — so pin the batch
+        # first (the replicators already persist their batches).
+        changes = changes.localCheckpoint(eager=True)
         # state first, then data: the state must summarize a SUPERSET
         # of the log for pruning to stay exact (maintenance.py
         # read_pending_pruned's freshness contract)
@@ -137,9 +150,31 @@ class LogCapture:
     # a single parquet file (Spark reads a single-file path
     # transparently) — per-capture maintenance costs ONE Spark job
     # (the batch zone aggregation), not a read-merge-collect-write
-    # chain of four. The in-memory cache mirrors the file; a fresh
-    # process bootstraps it from disk on first use (single-writer-per-
-    # table model, same as the log itself).
+    # chain of four. The in-memory cache mirrors the file keyed by its
+    # mtime: a fresh process bootstraps from disk on first use, and a
+    # SECOND instance over the same path re-reads whenever another
+    # writer's os.replace moved the file — stale-cache pruning cannot
+    # skip rows a concurrent instance appended. (Concurrent WRITERS
+    # remain single-writer-per-table, same as the log itself.)
+
+    def _zones_mtime(self) -> float | None:
+        try:
+            return os.path.getmtime(self.zones_path)
+        except OSError:
+            return None
+
+    def _current_zone_state(self) -> tuple[dict, int, int, int] | None:
+        """The cached state, re-read from disk whenever the zones
+        file's mtime moved past the cached copy — the cross-instance
+        staleness guard (every write lands via os.replace, so mtime
+        tracks content)."""
+        mt = self._zones_mtime()
+        if self._zone_cache is not None and mt == self._zone_mtime:
+            return self._zone_cache
+        state = self._zone_rows_from_disk()
+        self._zone_cache = state
+        self._zone_mtime = mt
+        return state
 
     def _zone_rows_from_disk(self) -> tuple[dict, int, int, int] | None:
         import pyarrow.parquet as pq
@@ -189,6 +224,7 @@ class LogCapture:
         pq.write_table(table, tmp)
         os.replace(tmp, self.zones_path)
         self._zone_cache = (zones, geo_lo, geo_hi, self.NUM_ZONES)
+        self._zone_mtime = self._zones_mtime()
 
     def read_zone_state(self):
         """``(state_df, geo_lo, geo_hi, num_zones)`` of the maintained
@@ -196,15 +232,10 @@ class LogCapture:
         existed (the poll then falls back to the plain scan). The
         ≤ NUM_ZONES-row frame materializes from the driver-side cache/
         file — reading it costs no scan job."""
-        cached = (
-            self._zone_cache
-            if self._zone_cache is not None
-            else self._zone_rows_from_disk()
-        )
+        cached = self._current_zone_state()
         if cached is None:
             return None
         zones, geo_lo, geo_hi, nz = cached
-        self._zone_cache = cached
         df = self.spark.createDataFrame(
             [(z, v[0], v[1], v[2]) for z, v in sorted(zones.items())],
             "zone int, n_rows long, v_min double, v_max double",
@@ -214,11 +245,7 @@ class LogCapture:
     def _merge_zone_state(self, batch: DataFrame) -> None:
         from cdc_system_spark.operators.maintenance import log_zone_state
 
-        cur = (
-            self._zone_cache
-            if self._zone_cache is not None
-            else self._zone_rows_from_disk()
-        )
+        cur = self._current_zone_state()
         if cur is None:
             b = batch.agg(
                 F.min("cdc_id").alias("lo"), F.max("cdc_id").alias("hi")
@@ -264,6 +291,7 @@ class LogCapture:
             import shutil
 
             self._zone_cache = None
+            self._zone_mtime = None
             shutil.rmtree(self.zones_path, ignore_errors=True)
             if os.path.exists(self.zones_path):
                 os.remove(self.zones_path)

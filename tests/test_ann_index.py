@@ -739,3 +739,126 @@ def test_ivfpq_residual_batch_matches_single(spark, emb, tmp_path):
     AI.ann_index_build(emb, bare, num_centroids=4)
     with pytest.raises(ValueError, match="residual-PQ tier"):
         AI.ivfpq_topk_many(spark, bare, queries, k=5, residual=True)
+
+
+def test_residual_refined_codebooks_reduce_quantization_error(
+    spark, emb, tmp_path
+):
+    # r10 verdict task 5: Lloyd refinement for the RESIDUAL books must
+    # not increase total residual quantization error (k-means
+    # monotonicity) — the production-path check the oracle can't make,
+    # mirroring test_pq_refined_codebooks_reduce_quantization_error
+    import numpy as np
+
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=8)
+    cents = {r["cell_id"]: np.asarray([float(x) for x in r["cvec"]])
+             for r in spark.read.parquet(f"{path}/centroids").collect()}
+    _, asg = AI.ann_index_load(spark, path)
+    rows = (
+        asg.orderBy("vec_id")
+        .limit(200)
+        .select("embedding", "centroid_id")
+        .collect()
+    )
+    data = np.asarray([
+        [float(x) for x in r["embedding"]] - cents[r["centroid_id"]]
+        for r in rows
+    ])
+
+    def err(books):
+        total = 0.0
+        for j, bcents in enumerate(books):
+            pts = data[:, j * 16:(j + 1) * 16]
+            c = np.asarray(bcents)
+            d2 = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            total += float(d2.min(axis=1).sum())
+        return total
+
+    base = AI.pq_residual_codebooks(spark, path, m=4, k=8)
+    refined = AI.pq_residual_codebooks(
+        spark, path, m=4, k=8, refine_iters=5, sample_cap=200
+    )
+    assert err(refined) <= err(base) + 1e-9
+    assert refined != base  # the refinement actually moved centroids
+
+
+def test_recall_residual_books_none_evaluates_stored_tier(
+    spark, emb, tmp_path
+):
+    # r10 advisor: on an index WITH a stored residual tier,
+    # ivfpq_recall(residual=True, books=None) must measure the books
+    # production serves (stored=True path), not freshly retrained
+    # derive-form books — pin it with REFINED stored books, whose
+    # codes differ from the base derive-form ones
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=8)
+    AI.ann_index_attach_residual_pq(spark, path, m=4, k=8, refine_iters=3)
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["nprobe"], r["rescore_factor"], r["qid"]): r["n_hit"]
+        for r in AI.ivfpq_recall(
+            spark, path, queries, grid=[(2, 3)], k=10, residual=True
+        ).collect()
+    }
+    truth = {
+        qid: {x["vec_id"] for x in AI.ann_index_topk_many(
+            spark, path, queries.filter(F.col("qid") == qid),
+            k=10, nprobe=8,
+        ).collect()}
+        for qid in (0, 7)
+    }
+    for qid in (0, 7):
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        stored_hits = {
+            r["vec_id"]
+            for r in AI.ivfpq_residual_topk(
+                spark, path, qv, k=10, nprobe=2, rescore_factor=3,
+                stored=True,
+            ).collect()
+        }
+        assert got[(2, 3, qid)] == len(stored_hits & truth[qid])
+
+
+def test_ingest_rejects_half_attached_tier(spark, emb, tmp_path):
+    # r10 advisor: a crash mid-attach (rcode columns without books —
+    # the only order the books-last attach can leave) must make the
+    # next ingest fail LOUDLY, not append mixed-schema files
+    import shutil
+
+    path = str(tmp_path / "idx")
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    AI.ann_index_build(base, path, num_centroids=4)
+    AI.ann_index_attach_residual_pq(spark, path, m=4, k=8)
+    # simulate the crash window: assignments carry rcodes, books gone
+    shutil.rmtree(f"{path}/codebooks_res")
+    with pytest.raises(ValueError, match="residual-PQ tier"):
+        AI.ann_index_ingest(rest, path)
+    # re-running attach repairs the index; ingest proceeds
+    AI.ann_index_attach_residual_pq(spark, path, m=4, k=8)
+    assert AI.ann_index_ingest(rest, path) == rest.count()
+
+
+def test_ingest_rejects_books_without_code_columns(spark, emb, tmp_path):
+    # the raw-tier mirror: books present but a code-less assignment
+    # table (a crashed build) must also fail loudly at ingest
+    import shutil
+
+    from cdc_system_spark.operators.similarity import pq_codebooks
+
+    path = str(tmp_path / "idx")
+    plain = str(tmp_path / "plain")
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    AI.ann_index_build(base, path, num_centroids=4,
+                       pq_books=pq_codebooks(base, m=4, k=8))
+    AI.ann_index_build(base, plain, num_centroids=4)
+    # simulate: books written, assignment rewrite never landed
+    shutil.rmtree(f"{path}/assignments")
+    shutil.copytree(f"{plain}/assignments", f"{path}/assignments")
+    with pytest.raises(ValueError, match="PQ tier"):
+        AI.ann_index_ingest(rest, path)

@@ -448,3 +448,27 @@ def test_pruned_poll_invariant_under_random_op_sequences(spark, system, tmp_path
         k: v[2] for k, v in live.items()
     }
     assert system.get_pending_changes().count() == 0
+
+
+def test_second_instance_sees_fresh_zone_state(spark, tmp_path):
+    # r10 advisor: a reader instance whose zone cache was bootstrapped
+    # BEFORE another instance appended must not prune with the stale
+    # state (zones missing for the new rows) — the cache is keyed by
+    # the zones file's mtime, so the writer's os.replace invalidates it
+    writer = CDCSystem(spark, str(tmp_path), "test_table")
+    writer.setup_cdc(TEST_SCHEMA, key="id")
+    reader = CDCSystem(spark, str(tmp_path), "test_table")
+    reader.setup_cdc(TEST_SCHEMA, key="id")
+
+    writer.capture.capture_insert(_rows(spark, [(1, "a", 10)]))
+    # bootstrap the reader's cache from the current state
+    assert reader.get_pending_changes().count() == 1
+    # another instance appends; the reader's cached state is now stale
+    writer.capture.capture_insert(_rows(spark, [(2, "b", 20), (3, "c", 30)]))
+    pruned = reader.get_pending_changes()
+    plain = pending_changes(
+        reader.read_log(), row_schema=reader.registry.schema("test_table")
+    )
+    key = lambda d: [(r["cdc_id"], r["record_id"]) for r in d.collect()]
+    assert key(pruned) == key(plain)
+    assert [r[1] for r in key(pruned)] == [1, 2, 3]
