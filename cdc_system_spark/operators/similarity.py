@@ -60,6 +60,95 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def filtered_cosine_topk(
+    emb: DataFrame,
+    allowed: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k restricted to the ids in ``allowed`` — the
+    metadata-filtered retrieval primitive (RAG's "only English docs",
+    "only post-2024", "only this tenant"): ``allowed`` is a one-column
+    id frame, typically a filtered projection of a metadata table, so
+    its predicate pushes down to THAT table's scan and only ids travel.
+
+    Plan shape: a LEFT SEMI join on the id (ids only — never the
+    vector bytes; Catalyst broadcasts a small allowed side, AQE
+    handles a large one), then the same per-partition k-heap as
+    :func:`cosine_topk` — no global sort, no shuffle of vectors. At
+    100 TB a selective filter does most of the work before a single
+    dot product runs."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    keep = allowed.selectExpr(f"{allowed.columns[0]} AS {id_col}")
+    scored = (
+        spread(emb)
+        .join(keep, id_col, "left_semi")
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def prefix_rescore_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix: int = 16,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style adaptive retrieval (Kusupati et al. 2022,
+    "Matryoshka Representation Learning"): rank EVERY row by cosine
+    over only the first ``prefix`` dimensions (MRL-trained embeddings
+    front-load information, so a short prefix preserves ranking),
+    keep the top ``k·rescore_factor`` coarse survivors, then rescore
+    exactly those with the FULL-dimension cosine — output columns
+    ``(id, prefix_sim, cos_sim)``, final order (cos_sim desc, id).
+
+    Scale shape: the coarse pass costs ``prefix/d`` of the flops and
+    — with the prefix stored as its own column at ingest — ``prefix/d``
+    of the scan bytes; the full vectors are read for only ``k·f``
+    survivor rows. Both stages are per-partition k-heaps
+    (TakeOrderedAndProject): no shuffle, no collect. Fully
+    deterministic (rounded cosine + id tiebreaks at both stages), so
+    the whole two-stage cascade is oracle-checkable — unlike PQ/IVF,
+    the approximation here is a literal truncation, not a trained
+    model."""
+    if prefix < 1 or len(query_vec) < prefix:
+        raise ValueError(
+            f"prefix must be in [1, {len(query_vec)}], got {prefix}"
+        )
+    if k < 1 or rescore_factor < 1:
+        raise ValueError(
+            f"k and rescore_factor must be >= 1, got k={k} f={rescore_factor}"
+        )
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:prefix]])
+    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    coarse = (
+        spread(emb)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine(F.slice(F.col(vec_col), 1, prefix), qp).alias(
+                "prefix_sim"
+            ),
+        )
+        .orderBy(F.desc("prefix_sim"), id_col)
+        .limit(k * rescore_factor)
+    )
+    return (
+        coarse.select(
+            F.col(id_col),
+            "prefix_sim",
+            cosine(F.col(vec_col), qf).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
 def nearest_centroid(
     emb: DataFrame,
     centroid_ids: tuple[int, ...] = (0, 1, 2, 3),

@@ -24,86 +24,85 @@ from cdc_system_spark.queries import events  # noqa: E402,F401  (20)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (14)
 from cdc_system_spark.queries import llm  # noqa: E402,F401  (86, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
-from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (5, no oracle)
+from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no oracle)
 
-# Round-10 window: the driver's CORRECTNESS gate strong-checks the
+# Round-11 window: the driver's CORRECTNESS gate strong-checks the
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 10 adds five (the stored-codes IVF×PQ, its batched form,
-#      the residual-encoded IVFADC, and the IVFADC's stored +
-#      batched-stored forms);
-#   2. every query whose operator or oracle CHANGED this round: the
-#      PQ encode family (pq_code_columns extraction shared with the
-#      index's encode-at-ingest path), ivfpq_topk (stored-codes
-#      branch), and the maintained-ANN family (ann_index_build/
-#      ingest/load gained the PQ tier probe);
+#      CORRECTNESS row — round 11 adds two (metadata-filtered
+#      retrieval and the Matryoshka prefix-rescore cascade);
+#   2. every query whose operator or oracle CHANGED this round, and
+#      any r10 driver flags — round 11 has NONE (CORRECTNESS_r10 was
+#      50/50 green; the round's residual-codebook refinement work is
+#      rows-only by construction);
 #   3. remaining slots re-confirm the queries with the OLDEST driver
-#      evidence: the COMPLETE 26-name r5-evidence pool (recomputed
-#      from the nine CORRECTNESS_r0[1-9] artifacts and pinned in
-#      tests/test_plans.py::test_oldest_evidence_pool_recorded), which
-#      moves the registry-wide evidence floor to r6, then r6-evidence
-#      names oldest-first (alphabetical within the round) in the 12
-#      slots that remain.
-_WINDOW_R10 = [
+#      evidence: the COMPLETE 29-name r6-evidence pool (recomputed
+#      from the ten CORRECTNESS_r01-r10 artifacts, the r10 verdict's
+#      pinned list, re-pinned in tests/test_plans.py::
+#      test_oldest_evidence_pool_recorded), which moves the
+#      registry-wide evidence floor to r7, then r7-evidence names
+#      oldest-first (alphabetical within the round) in the 19 slots
+#      that remain.
+_WINDOW_R11 = [
     # -- 1. new this round, never driver-checked --
-    "q_ivfpq_topk_stored",
-    "q_ivfpq_batch",
-    "q_ivfpq_residual",
-    "q_ivfpq_residual_stored",
-    "q_ivfpq_residual_batch",
-    # -- 2. operator changed this round --
-    "q_pq_encode",
-    "q_pq_topk",
-    "q_ivfpq_topk",
-    "q_ann_index_maintained",
-    "q_ann_cell_skew",
-    "q_ann_topk_batch",
-    "q_ann_probe_maintained",
-    # -- 3a. the COMPLETE r5-evidence pool (26) — floor moves to r6 --
-    "q_dup_source_matrix",
-    "q_embedding_cov",
-    "q_embedding_neardup",
-    "q_event_anomalies",
-    "q_event_transitions",
-    "q_fk_integrity",
-    "q_hll_by_type",
-    "q_hll_distinct",
-    "q_hll_merged",
-    "q_line_dedup",
-    "q_lpa_communities",
-    "q_lsh_recall",
-    "q_pagerank_seeded",
-    "q_profile_orders",
-    "q_quantized_ann",
-    "q_rrf_fuse",
-    "q_scene_changes",
-    "q_sequence_pack",
-    "q_skew_profile",
-    "q_strip_boilerplate",
-    "q_substring_dedup",
-    "q_vocab_coverage",
-    "q_winsorize",
-    "q_winsorize_by_type",
-    "q_zone_map",
-    "q_zone_merged",
-    # -- 3b. r6-evidence re-confirmations, oldest-first --
-    "q_asof_join",
-    "q_bloom_merged",
-    "q_bloom_prune",
-    "q_bloom_semi_join",
-    "q_change_stats",
-    "q_cluster_canonical",
-    "q_conflict_field_merge",
-    "q_conflict_fww",
-    "q_conflict_manual_queue",
-    "q_decontaminate",
-    "q_dedup_exact",
-    "q_dup_clusters",
+    "q_ann_filtered",
+    "q_matryoshka_topk",
+    # -- 2. operator/oracle changed or r10-flagged: none --
+    # -- 3a. the COMPLETE r6-evidence pool (29) — floor moves to r7 --
+    "q_embedding_topk",
+    "q_equidepth_histogram",
+    "q_equidepth_sketch",
+    "q_event_enrichment",
+    "q_funnel",
+    "q_fuzzy_dedup",
+    "q_gap_fill",
+    "q_kmv_by_type",
+    "q_kmv_distinct",
+    "q_kmv_merged",
+    "q_knn_graph",
+    "q_merge_apply",
+    "q_minhash_lsh_pairs",
+    "q_minhash_signature",
+    "q_ngram_jaccard",
+    "q_pending_changes",
+    "q_quantile_sketch",
+    "q_quantiles_by_type",
+    "q_quantiles_merged",
+    "q_range_join",
+    "q_retention_cohorts",
+    "q_rollup",
+    "q_sample_merged",
+    "q_selectivity_merged",
+    "q_semantic_decontaminate",
+    "q_semantic_dedup",
+    "q_simhash",
+    "q_snapshot_diff",
+    "q_srp_lsh_pairs",
+    # -- 3b. r7-evidence re-confirmations, oldest-first --
+    "q_array_ops",
+    "q_bigram_surprisal",
+    "q_bpe_token_count",
+    "q_containment_maintained",
+    "q_containment_pairs",
+    "q_count",
+    "q_cube",
+    "q_drop_contained",
+    "q_filter_eq",
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_from_json",
+    "q_hash_sample",
+    "q_ingest_dup_report",
+    "q_isin_semijoin",
+    "q_kmv_merged_by",
+    "q_kmv_windowed",
+    "q_lang_id",
+    "q_lsh_index_maintained",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R10
+_WINDOW = _WINDOW_R11
 
 
 def _set_window() -> None:

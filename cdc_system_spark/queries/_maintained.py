@@ -169,3 +169,23 @@ def churned_corpus(spark: SparkSession, sf_dir: str):
         .otherwise(F.col("text"))
         .alias("text"),
     )
+
+
+def shared_ann_rpq_refined_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared residual-PQ index with LLOYD-REFINED books
+    (``refine_iters=5`` over a ≤2048-row residual sample) — the
+    production counterpart of :func:`shared_ann_rpq_index`'s
+    deterministic base books: same geometry, same stored-codes probe
+    plan, better codebooks. Serves the refined-probe bench line and
+    the base-vs-refined recall A/B (r10 verdict task 5/6)."""
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/annidx_rpqr_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        emb = catalog(spark, sf_dir).embeddings
+        AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+        AI.ann_index_attach_residual_pq(spark, path, m=4, k=8, refine_iters=5)
+        AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+        _BUILT.add(path)
+    return path

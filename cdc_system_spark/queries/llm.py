@@ -389,6 +389,86 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, list(qv), k=20)
 
 
+# -- metadata-filtered retrieval (RAG's predicate + top-k) --------------------
+_FILTERED_TOPK_SQL = f"""WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT vec_id,
+               ROUND({_dot_sql('embedding', 'qv')}
+                     / (SQRT({_dot_sql('embedding', 'embedding')})
+                        * SQRT({_dot_sql('qv', 'qv')})), 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id IN (SELECT doc_id FROM documents
+                         WHERE lang = 'en' AND n_chars >= 200))
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 20"""
+
+
+@register(
+    "q_ann_filtered",
+    _FILTERED_TOPK_SQL,
+    doc="metadata-filtered exact retrieval (filtered_cosine_topk): "
+    "cosine top-20 restricted to embeddings whose paired document is "
+    "English with n_chars >= 200 — the RAG predicate+similarity "
+    "primitive. The predicate pushes down to the DOCUMENTS scan, only "
+    "ids cross the left-semi join (never vector bytes), then the "
+    "cosine_topk per-partition k-heap; at 100 TB a selective filter "
+    "does most of the work before a single dot product runs",
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = catalog(spark, sf_dir)
+    emb = cat.embeddings
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    allowed = cat.documents.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select("doc_id")
+    return S.filtered_cosine_topk(emb, allowed, qv, k=20)
+
+
+# -- Matryoshka prefix-dimension cascade (truncate -> rescore) ----------------
+_MRL_PREFIX, _MRL_K, _MRL_F = 16, 10, 4
+
+_MRL_TOPK_SQL = f"""WITH q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    coarse AS (
+        SELECT vec_id, embedding,
+               ROUND({_dot_sql(f'embedding[1:{_MRL_PREFIX}]', f'qv[1:{_MRL_PREFIX}]')}
+                     / (SQRT({_dot_sql(f'embedding[1:{_MRL_PREFIX}]', f'embedding[1:{_MRL_PREFIX}]')})
+                        * SQRT({_dot_sql(f'qv[1:{_MRL_PREFIX}]', f'qv[1:{_MRL_PREFIX}]')})), 6)
+                   AS prefix_sim
+        FROM embeddings, q),
+    cand AS (
+        SELECT vec_id, embedding, prefix_sim FROM coarse
+        ORDER BY prefix_sim DESC, vec_id LIMIT {_MRL_K * _MRL_F}),
+    rescored AS (
+        SELECT c.vec_id, c.prefix_sim,
+               ROUND({_dot_sql('c.embedding', 'q.qv')}
+                     / (SQRT({_dot_sql('c.embedding', 'c.embedding')})
+                        * SQRT({_dot_sql('q.qv', 'q.qv')})), 6) AS cos_sim
+        FROM cand c, q)
+    SELECT vec_id, prefix_sim, cos_sim FROM rescored
+    ORDER BY cos_sim DESC, vec_id LIMIT {_MRL_K}"""
+
+
+@register(
+    "q_matryoshka_topk",
+    _MRL_TOPK_SQL,
+    doc="Matryoshka-style adaptive retrieval (prefix_rescore_topk, "
+    "Kusupati et al. 2022): coarse-rank every row on the FIRST 16 of "
+    "64 dimensions (prefix/d of the flops — and of the scan bytes "
+    "once the prefix is stored as its own column), exact-rescore only "
+    "the top 40 survivors on full dimension, emit top-10. Both stages "
+    "are per-partition k-heaps (TakeOrderedAndProject) — no shuffle; "
+    "unlike PQ/IVF the approximation is a literal truncation, so the "
+    "whole cascade is oracle-checkable end to end",
+)
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.prefix_rescore_topk(
+        emb, qv, k=_MRL_K, prefix=_MRL_PREFIX, rescore_factor=_MRL_F
+    )
+
+
 # -- embedding near-dup pairs (label-blocked) --------------------------------
 _NEARDUP_SQL = f"""WITH e AS (
         SELECT vec_id, label, embedding,

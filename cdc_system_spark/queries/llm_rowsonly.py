@@ -143,3 +143,97 @@ def q_pq_recall_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         residual=True,
     )
+
+
+@register(
+    "q_pq_recall_refined",
+    None,
+    doc="base-vs-Lloyd-refined codebook recall A/B on BOTH code tiers "
+    "(r10 verdict task 5: base books read recall 0.5 at (8,6) on "
+    "sf0.001 — the number to beat): one row per (tier, books, nprobe, "
+    "rescore_factor, qid), raw tier through the stored-base vs "
+    "refined in-plan books, residual tier through the stored-base vs "
+    "refined-stored index — the readout that justifies attaching "
+    "refine_iters books in production. Rows-only: Lloyd-refined "
+    "centroids are data-dependent (the q_knn_label_noise_auto "
+    "precedent); the refinement arithmetic is pinned by the k-means "
+    "monotonicity tests in tests/test_ann_index.py",
+)
+def q_pq_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_recall
+    from cdc_system_spark.operators.similarity import pq_codebooks
+    from cdc_system_spark.queries._maintained import (
+        shared_ann_pq_index,
+        shared_ann_rpq_index,
+        shared_ann_rpq_refined_index,
+    )
+
+    emb = catalog(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    grid = [(2, 3), (8, 6)]
+    raw_path = shared_ann_pq_index(spark, sf_dir)
+    variants = [
+        ("raw", "base", ivfpq_recall(spark, raw_path, queries, grid, k=10)),
+        (
+            "raw",
+            "refined",
+            ivfpq_recall(
+                spark, raw_path, queries, grid, k=10,
+                books=pq_codebooks(emb, m=4, k=8, refine_iters=5),
+            ),
+        ),
+        (
+            "residual",
+            "base",
+            ivfpq_recall(
+                spark, shared_ann_rpq_index(spark, sf_dir), queries, grid,
+                k=10, residual=True,
+            ),
+        ),
+        (
+            "residual",
+            "refined",
+            ivfpq_recall(
+                spark, shared_ann_rpq_refined_index(spark, sf_dir), queries,
+                grid, k=10, residual=True,
+            ),
+        ),
+    ]
+    out = None
+    for tier, books, df in variants:
+        lab = df.select(
+            F.lit(tier).alias("tier"), F.lit(books).alias("books"), "*"
+        )
+        out = lab if out is None else out.unionByName(lab)
+    return out
+
+
+@register(
+    "q_ivfpq_residual_refined",
+    None,
+    doc="stored-codes residual IVFADC probe on the LLOYD-REFINED-books "
+    "index (shared_ann_rpq_refined_index) — the production probe once "
+    "refined books are attached: plan physics identical to "
+    "q_ivfpq_residual_stored (partition-pruned ADC over id + m ints, "
+    "nprobe-branch per-cell LUTs, exact rescore of survivors), so its "
+    "bench line next to the stored-base line shows refinement costs "
+    "nothing at probe time while q_pq_recall_refined shows what it "
+    "buys in recall. Rows-only: refined centroids are data-dependent",
+)
+def q_ivfpq_residual_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ivfpq_residual_topk
+    from cdc_system_spark.queries._maintained import (
+        shared_ann_rpq_refined_index,
+    )
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_rpq_refined_index(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    return ivfpq_residual_topk(
+        spark, path, qv, k=10, nprobe=2, rescore_factor=3, stored=True
+    )

@@ -56,5 +56,11 @@ def test_oracle_count_matches_registry():
         # arithmetic numpy-pinned in tests/test_ann_index.py
         "q_pq_recall",
         "q_pq_recall_residual",
+        # round 11: base-vs-Lloyd-refined books A/B and the refined-
+        # books stored probe — refined centroids are data-dependent
+        # (the q_knn_label_noise_auto precedent); monotonicity and
+        # stored-tier parity pinned in tests/test_ann_index.py
+        "q_pq_recall_refined",
+        "q_ivfpq_residual_refined",
     ]
     assert len(oracle_backed) + len(rows_only) == len(QUERY_REGISTRY)

@@ -23,38 +23,40 @@ def plans(spark, sf_dir):
 #: version of this test globbed ALL CORRECTNESS artifacts, so the pin
 #: self-expired the moment the driver delivered the next round's file
 #: (the r8 verdict's "What's wrong" #1). The pool is now pinned as of
-#: a NAMED artifact set — delivery of CORRECTNESS_r10.json (or later)
-#: cannot change the recompute; the r11 session re-pins from r1-r10.
-_POOL_ROUNDS = range(1, 10)
+#: a NAMED artifact set — delivery of CORRECTNESS_r11.json (or later)
+#: cannot change the recompute; the r12 session re-pins from r1-r11.
+_POOL_ROUNDS = range(1, 11)
 
-#: the oldest-evidence pool, RECOMPUTED from the nine committed
-#: CORRECTNESS_r0[1-9].json artifacts at round-10 start (the r9
-#: verdict's recount: 26 names, not SURVEY's estimated ~23). Every
-#: name's latest driver-green row is round 5 (the r4 floor cleared in
-#: r9: all 30 r4-evidence names re-confirmed, 50/50 green).
-#: _WINDOW_R10 re-confirms these oldest-first after the round-10
-#: additions.
-R5_EVIDENCE_POOL = {
-    "q_dup_source_matrix", "q_embedding_cov", "q_embedding_neardup",
-    "q_event_anomalies", "q_event_transitions", "q_fk_integrity",
-    "q_hll_by_type", "q_hll_distinct", "q_hll_merged", "q_line_dedup",
-    "q_lpa_communities", "q_lsh_recall", "q_pagerank_seeded",
-    "q_profile_orders", "q_quantized_ann", "q_rrf_fuse",
-    "q_scene_changes", "q_sequence_pack", "q_skew_profile",
-    "q_strip_boilerplate", "q_substring_dedup", "q_vocab_coverage",
-    "q_winsorize", "q_winsorize_by_type", "q_zone_map", "q_zone_merged",
+#: the oldest-evidence pool, RECOMPUTED from the ten committed
+#: CORRECTNESS_r01-r10.json artifacts at round-11 start — 29 names,
+#: matching the r10 verdict task 4's authoritative pinned list exactly.
+#: Every name's latest driver-green row is round 6 (the r5 floor
+#: cleared in r10: all 26 r5-evidence names re-confirmed, 50/50
+#: green). _WINDOW_R11 re-confirms these oldest-first after the
+#: round-11 additions.
+R6_EVIDENCE_POOL = {
+    "q_embedding_topk", "q_equidepth_histogram", "q_equidepth_sketch",
+    "q_event_enrichment", "q_funnel", "q_fuzzy_dedup", "q_gap_fill",
+    "q_kmv_by_type", "q_kmv_distinct", "q_kmv_merged", "q_knn_graph",
+    "q_merge_apply", "q_minhash_lsh_pairs", "q_minhash_signature",
+    "q_ngram_jaccard", "q_pending_changes", "q_quantile_sketch",
+    "q_quantiles_by_type", "q_quantiles_merged", "q_range_join",
+    "q_retention_cohorts", "q_rollup", "q_sample_merged",
+    "q_selectivity_merged", "q_semantic_decontaminate",
+    "q_semantic_dedup", "q_simhash", "q_snapshot_diff",
+    "q_srp_lsh_pairs",
 }
 
 
 def test_oldest_evidence_pool_recorded():
     """The recorded pool matches the artifacts it is pinned against
-    (r1-r9 by name — NOT a bare glob, which made the r8 pin expire
+    (r1-r10 by name — NOT a bare glob, which made the r8 pin expire
     the moment the next driver artifact landed). A checkout missing
     any pinned artifact skips the recompute but still pins the size."""
     import json
     import os
 
-    assert len(R5_EVIDENCE_POOL) == 26
+    assert len(R6_EVIDENCE_POOL) == 29
     here = os.path.dirname(__file__)
     arts = [os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json")
             for r in _POOL_ROUNDS]
@@ -67,10 +69,10 @@ def test_oldest_evidence_pool_recorded():
                   and v.get("hash_match") and not v.get("err"))
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
-    assert not {n for n, r in latest.items() if r <= 4}, \
-        "r4 floor regressed — an artifact changed under the pin"
-    recomputed = {n for n, r in latest.items() if r == 5}
-    assert recomputed == R5_EVIDENCE_POOL
+    assert not {n for n, r in latest.items() if r <= 5}, \
+        "r5 floor regressed — an artifact changed under the pin"
+    recomputed = {n for n, r in latest.items() if r == 6}
+    assert recomputed == R6_EVIDENCE_POOL
 
 
 def test_oracle_window_composition():
@@ -79,34 +81,19 @@ def test_oracle_window_composition():
     ``_WINDOW_R10``) whose invariants ``_set_window`` already enforces
     at import; here we pin the POLICY content: everything never
     driver-checked sits inside, as does everything whose operator or
-    oracle changed this round, the COMPLETE recomputed r5-evidence
-    pool (26 names — the floor moves to r6), and no rows-only query
-    wastes a strong-check slot."""
+    oracle changed this round (round 11: none — CORRECTNESS_r10 was
+    50/50 green and the refinement work is rows-only), the COMPLETE
+    recomputed r6-evidence pool (29 names — the floor moves to r7),
+    and no rows-only query wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # new in round 10, never driver-checked:
-        "q_ivfpq_topk_stored",
-        "q_ivfpq_batch",
-        "q_ivfpq_residual",
-        "q_ivfpq_residual_stored",
-        "q_ivfpq_residual_batch",
-        # operator changed in round 10: the PQ code expressions moved
-        # to the shared pq_code_columns (consumed by pq_encode AND the
-        # index's encode-at-ingest path), ivfpq_topk grew the
-        # stored-codes branch, and ann_index build/ingest/load gained
-        # the PQ tier probe — re-confirm the whole maintained-ANN
-        # family alongside:
-        "q_pq_encode",
-        "q_pq_topk",
-        "q_ivfpq_topk",
-        "q_ann_index_maintained",
-        "q_ann_cell_skew",
-        "q_ann_topk_batch",
-        "q_ann_probe_maintained",
-    } | R5_EVIDENCE_POOL
+        # new in round 11, never driver-checked:
+        "q_ann_filtered",
+        "q_matryoshka_topk",
+    } | R6_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
 

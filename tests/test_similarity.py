@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from cdc_system_spark.operators import similarity as S
 from cdc_system_spark.sources.catalog import load_table
@@ -553,3 +554,60 @@ def test_pq_topk_returns_exact_match_first(spark, emb):
     # dim-mismatch guard
     with pytest.raises(ValueError, match="query dim"):
         S.pq_topk(emb, books, qv[:10])
+
+
+def test_filtered_cosine_topk_matches_post_filter(spark, emb):
+    # the semi-join path must equal "filter the corpus, then cosine_topk"
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    allowed = emb.filter(F.col("label") == 2).select("vec_id")
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.filtered_cosine_topk(emb, allowed, qv, k=15).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.cosine_topk(
+            emb.filter(F.col("label") == 2), qv, k=15
+        ).collect()
+    ]
+    assert got == want and len(got) == 15
+
+
+def test_prefix_rescore_topk_degenerates_to_exact(spark, emb):
+    # a rescore window covering the whole corpus makes the cascade
+    # exact: final ranking == brute-force cosine_topk (prefix only
+    # decides which rows ENTER the window, full-dim cosine ranks)
+    import math
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    n = emb.count()
+    k = 10
+    got = S.prefix_rescore_topk(
+        emb, qv, k=k, prefix=16, rescore_factor=math.ceil(n / k)
+    )
+    exact = S.cosine_topk(emb, qv, k=k)
+    assert [(r["vec_id"], r["cos_sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact.collect()
+    ]
+    # a TIGHT window is the approximation: still k rows, each row's
+    # full cosine correct (subset of the exact scoring), prefix_sim
+    # bounded to [-1, 1]
+    tight = S.prefix_rescore_topk(emb, qv, k=k, prefix=16, rescore_factor=2)
+    rows = tight.collect()
+    assert len(rows) == k
+    full = {r["vec_id"]: r["cos_sim"] for r in S.cosine_topk(emb, qv, k=n).collect()}
+    for r in rows:
+        assert r["cos_sim"] == full[r["vec_id"]]
+        assert -1.0 <= r["prefix_sim"] <= 1.0
+
+
+def test_prefix_rescore_topk_validations(spark, emb):
+    qv = [0.1] * 64
+    with pytest.raises(ValueError, match="prefix"):
+        S.prefix_rescore_topk(emb, qv, prefix=0)
+    with pytest.raises(ValueError, match="prefix"):
+        S.prefix_rescore_topk(emb, qv, prefix=65)
+    with pytest.raises(ValueError, match="rescore_factor"):
+        S.prefix_rescore_topk(emb, qv, k=0)
