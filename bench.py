@@ -144,6 +144,16 @@ HEADLINE = [
     "q_ivfpq_residual",
     "q_ivfpq_residual_stored",
     "q_ivfpq_residual_batch",
+    # round-11 additions: the stored-codes probe on the LLOYD-REFINED
+    # residual books (same plan physics as q_ivfpq_residual_stored —
+    # the line proves refinement is free at probe time, while
+    # q_pq_recall_refined shows what it buys in recall), plus the two
+    # new retrieval primitives: metadata-filtered top-k and the
+    # Matryoshka prefix-rescore cascade
+    "q_ivfpq_residual_refined",
+    "q_ann_filtered",
+    "q_matryoshka_topk",
+    "q_mmr_topk",
 ]
 
 
@@ -156,6 +166,20 @@ _LINE_CAP = 1800
 #: in main) — sub-second queries wobble past a pure ratio gate on
 #: scheduler noise alone
 _MIN_FLAG_DELTA = 0.25
+
+#: pinned ABSOLUTE gates for the two hash-kernel-bound ingest-admission
+#: queries (committed-record form; the driver form adds the same ~1.1x
+#: headroom as always: 4.0 and 5.0). The gates are CALIBRATION-RELATIVE
+#: (r10 verdict task 1): they were derived on a box whose jvm_hash
+#: probe read _GATE_REF_JVM_HASH, and these queries track JVM hash
+#: throughput almost exactly, so the check scales the gate by this
+#: run's measured jvm_hash ratio — the r10 driver read q_neardup_ingest
+#: 4.47 > the absolute 4.0 on a measured 1.26x-slower-JVM box
+#: (4.0 x 1.26 ≈ 5.0: inside the gate the box actually implies). An
+#: absolute gate false-alarms every round the box drifts; the scaled
+#: form moves the gate, not the verdict.
+_INGEST_GATE_BASE = {"q_neardup_ingest": 3.6, "q_containment_ingest": 4.5}
+_GATE_REF_JVM_HASH = 0.271
 
 
 def _load_prev() -> tuple[str | None, dict]:
@@ -196,9 +220,14 @@ def _git(*args: str) -> str:
 
 
 def _compact_line(total: float, timings: dict[str, float],
-                  median_total: float, sf: float) -> str:
+                  median_total: float, sf: float,
+                  cpu_cal: dict | None = None) -> str:
     """The driver-parsed final line: minima at 2 decimals, hard-capped
-    at _LINE_CAP chars by folding the SMALLEST minima into "other"."""
+    at _LINE_CAP chars by folding the SMALLEST minima into "other".
+    Carries the cpu_calibration floats (r10 verdict task 3: the whole
+    drift-adjudication framework hinges on them, and BENCH_r10's
+    2000-char tail lost the full record's copy — two floats fit the
+    budget, so the DRIVER-ARCHIVED line self-adjudicates)."""
     mins2 = {k: round(v, 2) for k, v in timings.items()}
     omitted = 0
     while True:
@@ -210,6 +239,9 @@ def _compact_line(total: float, timings: dict[str, float],
             "median_total": round(median_total, 2),
             "sf": sf,
         }
+        if cpu_cal:
+            rec["cal_py"] = cpu_cal.get("python_sec")
+            rec["cal_jvm"] = cpu_cal.get("jvm_hash_sec")
         if omitted:
             rec["queries_omitted"] = omitted
         line = json.dumps(rec, separators=(",", ":"))
@@ -251,6 +283,22 @@ def _maintenance_timings(spark, sf_dir: str) -> tuple[dict, dict]:
     def ann_setup_part(p):
         AI.ann_index_build(emb.filter("vec_id % 10 <> 0"), p)
 
+    def ann_pq_setup_part(p):
+        # the FULL-tier index (raw PQ codes at build + residual codes
+        # at attach): its ingest encodes code0..3 AND rcode0..3 in the
+        # batch map pass — the deliberate encode-at-ingest cost the r10
+        # driver record flagged as a regression ON THE TIER-FREE LINE
+        # (same name, heavier index). Splitting the lines makes the
+        # trade adjudicable: m_ann_index_ingest stays comparable to the
+        # r9 baseline, THIS line carries the tier cost, and the
+        # q_ivfpq_topk_stored / q_ivfpq_residual_stored headline lines
+        # next to it show the ~3x probe-side payback.
+        from cdc_system_spark.operators.similarity import pq_codebooks
+
+        part = emb.filter("vec_id % 10 <> 0")
+        AI.ann_index_build(part, p, pq_books=pq_codebooks(part, m=4, k=8))
+        AI.ann_index_attach_residual_pq(spark, p, m=4, k=8)
+
     actions = [
         ("m_lsh_index_build", None, lambda p: LI.lsh_index_build(docs, p)),
         (
@@ -270,6 +318,11 @@ def _maintenance_timings(spark, sf_dir: str) -> tuple[dict, dict]:
         (
             "m_ann_index_ingest",
             ann_setup_part,
+            lambda p: AI.ann_index_ingest(emb.filter("vec_id % 10 = 0"), p),
+        ),
+        (
+            "m_ann_pq_index_ingest",
+            ann_pq_setup_part,
             lambda p: AI.ann_index_ingest(emb.filter("vec_id % 10 = 0"), p),
         ),
         (
@@ -346,7 +399,7 @@ def main() -> None:
     # one untimed warmup query to absorb JVM/codegen startup
     QUERY_REGISTRY["q_count"].fn(spark, sf_dir).collect()
 
-    cpu_cal = _cpu_calibration(spark)
+    cal_start = _cpu_calibration(spark)
 
     # the maintained-index queries share ONE process-local build
     # (queries/_maintained.py) that otherwise lands inside whichever
@@ -543,6 +596,44 @@ def main() -> None:
             ),
         }
 
+    # calibration is probed at START and END and the record keeps the
+    # per-probe MIN: the box's demonstrated capability. The first r11
+    # run read jvm_hash 1.192 at start while the very queries it was
+    # meant to adjudicate ran at 0.967x of baseline — a transient at
+    # startup (JIT/neighbor load) poisoning a 0.3 s kernel; the
+    # end-of-run probe catches it, and a box that is GENUINELY slow is
+    # slow at both ends. Both raw probes stay in the record so a
+    # start/end disagreement is itself visible evidence.
+    cal_end = _cpu_calibration(spark)
+    cpu_cal = {
+        "python_sec": min(cal_start["python_sec"], cal_end["python_sec"]),
+        "jvm_hash_sec": min(
+            cal_start["jvm_hash_sec"], cal_end["jvm_hash_sec"]
+        ),
+        "start": cal_start,
+        "end": cal_end,
+    }
+
+    # the calibration-relative ingest-gate check, adjudicated IN the
+    # artifact (r10 verdict task 1): effective gate = pinned base x
+    # (this box's demonstrated jvm_hash / the gate-derivation box's)
+    jvm_ratio = round(
+        cpu_cal["jvm_hash_sec"] / _GATE_REF_JVM_HASH, 3
+    )
+    ingest_gates = {
+        name: {
+            "min": timings.get(name),
+            "base_gate": base,
+            "jvm_hash_ratio": jvm_ratio,
+            "effective_gate": round(base * jvm_ratio, 3),
+            "pass": (
+                timings.get(name) is not None
+                and timings[name] <= round(base * jvm_ratio, 3)
+            ),
+        }
+        for name, base in _INGEST_GATE_BASE.items()
+    }
+
     full = {
         "metric": "headline_queries_total",
         "value": total,
@@ -560,6 +651,7 @@ def main() -> None:
         "retried_queries": retried,
         "global_drift_ratio": global_drift,
         "cpu_calibration": cpu_cal,
+        "ingest_gates": ingest_gates,
         "git_head": _git("rev-parse", "HEAD") or None,
         "baseline_git_head": baseline_head or None,
         "source_files_changed_since_baseline": (
@@ -576,7 +668,7 @@ def main() -> None:
         json.dump(full, f, indent=1)
     # full record above, compact driver-parsed line LAST
     print(json.dumps(full))
-    print(_compact_line(total, timings, median_total, float(sf)))
+    print(_compact_line(total, timings, median_total, float(sf), cpu_cal))
     spark.stop()
 
 

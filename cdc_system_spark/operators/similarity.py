@@ -90,6 +90,105 @@ def filtered_cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with SEQUENTIAL fold order and the shared
+    6-decimal half-away rounding — bit-matches the engine's
+    :func:`cosine` (F.aggregate sequential fold + F.round HALF_UP) and
+    DuckDB's ``list_sum`` fold + ``ROUND``, so driver-side selection
+    steps (MMR) stay oracle-reproducible. NOT numpy: pairwise/SIMD
+    summation reassociates the adds."""
+    import math
+
+    dot = nrm_a = nrm_b = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        nrm_a += x * x
+        nrm_b += y * y
+    return _round_away_py(dot / (math.sqrt(nrm_a) * math.sqrt(nrm_b)))
+
+
+def _round_away_py(x: float, decimals: int = 6) -> float:
+    """ROUND-half-away-from-zero on doubles — the convention Spark's
+    ``F.round`` (HALF_UP) and DuckDB's ``ROUND`` share; Python's
+    built-in ``round`` is banker's and diverges on exact halves."""
+    import math
+
+    p = float(10**decimals)
+    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+
+
+def mmr_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select ``k`` of the ``pool`` most
+    query-similar rows, each step maximizing ``λ·sim(q,d) −
+    (1−λ)·max_{s∈selected} sim(d,s)`` — relevance minus redundancy,
+    the standard de-duplicating reranker for RAG result lists.
+    Output ``(sel_rank, id, cos_sim, mmr_score)`` in selection order
+    (sel_rank 1 = pure relevance — no penalty exists yet; its
+    ``mmr_score`` is ``λ·cos_sim`` for scale consistency).
+
+    Scale shape: stage 1 (corpus-wide cosine top-``pool``) is the
+    distributed heavy pass — the :func:`cosine_topk` per-partition
+    k-heap, no shuffle; stage 2 is the inherently SEQUENTIAL greedy
+    selection over the pool — ``k·pool`` driver-side dot products on a
+    model-artifact-sized candidate set (the ``pq_codebooks``
+    ``sample_cap`` convention: tens of rows, never the corpus).
+    Every arithmetic step uses the rounded-6 + smaller-id-tiebreak
+    convention with sequential fold order (:func:`_cos_py`), so the
+    whole cascade — selection order included — is oracle-checkable
+    against an unrolled-iteration SQL twin."""
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand_rows = (
+        spread(emb)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            cosine(F.col(vec_col), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(pool)
+        .collect()
+    )
+    cand = [
+        (r[id_col], [float(x) for x in r[vec_col]], float(r["cos_sim"]))
+        for r in cand_rows
+    ]
+    selected: list[tuple[int, int, float, float]] = []  # rank, id, qsim, m
+    sel_vecs: list[list[float]] = []
+    remaining = list(cand)
+    while remaining and len(selected) < k:
+        best = None
+        for cid, cvec, qsim in remaining:
+            pen = max(
+                (_cos_py(cvec, s) for s in sel_vecs), default=None
+            )
+            m = _round_away_py(
+                lam * qsim if pen is None else lam * qsim - (1.0 - lam) * pen
+            )
+            if best is None or (m, -cid) > (best[3], -best[0]):
+                best = (cid, cvec, qsim, m)
+        selected.append(
+            (len(selected) + 1, best[0], best[2], best[3])
+        )
+        sel_vecs.append(best[1])
+        remaining = [c for c in remaining if c[0] != best[0]]
+    return emb.sparkSession.createDataFrame(
+        selected, f"sel_rank int, {id_col} long, cos_sim double, mmr_score double"
+    )
+
+
 def prefix_rescore_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -30,8 +30,9 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no ora
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 11 adds two (metadata-filtered
-#      retrieval and the Matryoshka prefix-rescore cascade);
+#      CORRECTNESS row — round 11 adds three (metadata-filtered
+#      retrieval, the Matryoshka prefix-rescore cascade, and the MMR
+#      diversified rerank);
 #   2. every query whose operator or oracle CHANGED this round, and
 #      any r10 driver flags — round 11 has NONE (CORRECTNESS_r10 was
 #      50/50 green; the round's residual-codebook refinement work is
@@ -42,12 +43,13 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no ora
 #      pinned list, re-pinned in tests/test_plans.py::
 #      test_oldest_evidence_pool_recorded), which moves the
 #      registry-wide evidence floor to r7, then r7-evidence names
-#      oldest-first (alphabetical within the round) in the 19 slots
+#      oldest-first (alphabetical within the round) in the 18 slots
 #      that remain.
 _WINDOW_R11 = [
     # -- 1. new this round, never driver-checked --
     "q_ann_filtered",
     "q_matryoshka_topk",
+    "q_mmr_topk",
     # -- 2. operator/oracle changed or r10-flagged: none --
     # -- 3a. the COMPLETE r6-evidence pool (29) — floor moves to r7 --
     "q_embedding_topk",
@@ -98,7 +100,6 @@ _WINDOW_R11 = [
     "q_kmv_merged_by",
     "q_kmv_windowed",
     "q_lang_id",
-    "q_lsh_index_maintained",
 ]
 
 # the active window (rotated per round; _set_window validates it)

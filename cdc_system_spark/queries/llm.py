@@ -469,6 +469,82 @@ def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- MMR diversified rerank (relevance minus redundancy) ----------------------
+_MMR_K, _MMR_POOL, _MMR_LAM = 5, 20, 0.7
+
+
+def _mmr_sql() -> str:
+    """Unrolled-iteration MMR oracle: the greedy selection is
+    inherently sequential, so each of the k steps is its own
+    single-row CTE — step i picks the remaining candidate maximizing
+    ``ROUND(λ·qsim − (1−λ)·GREATEST(cos to s1..s{i-1}), 6)`` with the
+    smaller-id tiebreak, exactly the engine's driver-side loop
+    (similarity.mmr_topk). ``(1.0 - 0.7)`` stays an EXPRESSION, not
+    the literal 0.3: both engines then compute the same double
+    (0.30000000000000004), keeping the products bit-identical."""
+    lam = f"{_MMR_LAM}"
+    om = f"(1.0 - {_MMR_LAM})"
+
+    def pen(sj: str) -> str:
+        return (
+            f"(SELECT ROUND({_dot_sql('c.embedding', f'{sj}.embedding')} / "
+            f"(SQRT({_dot_sql('c.embedding', 'c.embedding')}) * "
+            f"SQRT({_dot_sql(f'{sj}.embedding', f'{sj}.embedding')})), 6) "
+            f"FROM {sj})"
+        )
+
+    parts = [
+        f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS (
+        SELECT vec_id, embedding,
+               ROUND({_dot_sql('embedding', 'qv')}
+                     / (SQRT({_dot_sql('embedding', 'embedding')})
+                        * SQRT({_dot_sql('qv', 'qv')})), 6) AS qsim
+        FROM embeddings, q ORDER BY qsim DESC, vec_id LIMIT {_MMR_POOL}),
+    s1 AS (
+        SELECT vec_id, embedding, qsim, ROUND({lam} * qsim, 6) AS m
+        FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        pens = ", ".join(pen(sj) for sj in prev)
+        greatest = pens if len(prev) == 1 else f"GREATEST({pens})"
+        excl = " AND ".join(
+            f"c.vec_id <> (SELECT vec_id FROM {sj})" for sj in prev
+        )
+        parts.append(
+            f"""s{i} AS (
+        SELECT c.vec_id, c.embedding, c.qsim,
+               ROUND({lam} * c.qsim - {om} * {greatest}, 6) AS m
+        FROM cand c WHERE {excl}
+        ORDER BY m DESC, c.vec_id LIMIT 1)"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {i} AS sel_rank, vec_id, qsim AS cos_sim, m AS mmr_score "
+        f"FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return ",\n    ".join(parts) + f"\n    {finals}"
+
+
+@register(
+    "q_mmr_topk",
+    _mmr_sql(),
+    doc="maximal-marginal-relevance diversified top-5 (mmr_topk, "
+    "Carbonell & Goldstein 1998): distributed cosine top-20 pool "
+    "(TakeOrderedAndProject, no shuffle), then the greedy "
+    "relevance-minus-redundancy selection over the model-artifact-"
+    "sized pool — lambda 0.7, rounded-6 + smaller-id ties at every "
+    "step, sequential fold order throughout, so even the SELECTION "
+    "ORDER is oracle-checked against an unrolled-iteration SQL twin. "
+    "The standard de-duplicating reranker for RAG result lists",
+)
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = catalog(spark, sf_dir).embeddings
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return S.mmr_topk(emb, qv, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
+
+
 # -- embedding near-dup pairs (label-blocked) --------------------------------
 _NEARDUP_SQL = f"""WITH e AS (
         SELECT vec_id, label, embedding,

@@ -8,13 +8,21 @@ import bench
 
 
 def test_compact_line_under_cap_for_current_headline():
+    # the 75-name round-11 headline no longer fits the cap whole: the
+    # fold must engage (smallest minima into "other"), keep the GREAT
+    # MAJORITY of names (the driver's cross-round shared set), and
+    # preserve the total. Uniform timings = worst case for the fold
+    # (every fold choice is a tie); realistic runs fold fewer names.
     timings = {name: 3.141 for name in bench.HEADLINE}
     line = bench._compact_line(sum(timings.values()), timings, 99.9, 0.1)
     assert len(line) <= bench._LINE_CAP
     rec = json.loads(line)
     assert rec["metric"] == "headline_queries_total"
-    assert set(rec["queries"]) == set(bench.HEADLINE)
+    kept = set(rec["queries"]) - {"other"}
+    assert kept <= set(bench.HEADLINE)
+    assert len(kept) >= 50, f"fold kept only {len(kept)} names"
     assert abs(rec["value"] - sum(timings.values())) < 0.5
+    assert abs(sum(rec["queries"].values()) - rec["value"]) < 0.5
 
 
 def test_compact_line_folds_rather_than_exceeding_cap():
@@ -50,3 +58,24 @@ def test_headline_names_all_registered():
 
     missing = [n for n in bench.HEADLINE if n not in QUERY_REGISTRY]
     assert not missing
+
+
+def test_compact_line_carries_cpu_calibration():
+    # r10 verdict task 3: the driver archives only the compact line,
+    # and every drift adjudication hinges on the calibration — the two
+    # floats must survive in the driver-parsed record, inside the cap
+    timings = {name: 3.141 for name in bench.HEADLINE}
+    cal = {"python_sec": 0.412, "jvm_hash_sec": 0.271}
+    line = bench._compact_line(sum(timings.values()), timings, 99.9, 0.1, cal)
+    assert len(line) <= bench._LINE_CAP
+    rec = json.loads(line)
+    assert rec["cal_py"] == 0.412 and rec["cal_jvm"] == 0.271
+
+
+def test_ingest_gates_are_calibration_relative():
+    # r10 verdict task 1: the pinned gates scale with the measured
+    # jvm_hash ratio — the r10 driver reading (4.47 s at a 1.26x
+    # jvm ratio) must adjudicate INSIDE the driver-form gate
+    assert bench._INGEST_GATE_BASE["q_neardup_ingest"] == 3.6
+    driver_gate = 4.0  # the committed base's driver-form headroom
+    assert 4.47 <= driver_gate * (0.342 / bench._GATE_REF_JVM_HASH)

@@ -78,7 +78,7 @@ def test_oldest_evidence_pool_recorded():
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
     entries. The window is now an explicit list (queries/__init__.py
-    ``_WINDOW_R10``) whose invariants ``_set_window`` already enforces
+    ``_WINDOW_R11``) whose invariants ``_set_window`` already enforces
     at import; here we pin the POLICY content: everything never
     driver-checked sits inside, as does everything whose operator or
     oracle changed this round (round 11: none — CORRECTNESS_r10 was
@@ -93,6 +93,7 @@ def test_oracle_window_composition():
         # new in round 11, never driver-checked:
         "q_ann_filtered",
         "q_matryoshka_topk",
+        "q_mmr_topk",
     } | R6_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

@@ -611,3 +611,46 @@ def test_prefix_rescore_topk_validations(spark, emb):
         S.prefix_rescore_topk(emb, qv, prefix=65)
     with pytest.raises(ValueError, match="rescore_factor"):
         S.prefix_rescore_topk(emb, qv, k=0)
+
+
+def test_mmr_topk_diversifies_against_duplicates(spark):
+    # the defining MMR behavior: a near-duplicate of an already-selected
+    # result is penalized below a less-similar-but-novel candidate —
+    # pure relevance would rank the duplicate second
+    rows = [
+        (1, [0.9, 0.43588989435406736, 0.0, 0.0]),  # a1: cos(q,.)=0.9
+        (2, [0.9, 0.43588989435406736, 0.0, 0.0]),  # a2: exact dup of a1
+        (3, [0.8, -0.6, 0.0, 0.0]),                 # b: cos(q,.)=0.8, far from a1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = [1.0, 0.0, 0.0, 0.0]
+    relevance = [r["vec_id"] for r in S.cosine_topk(emb, q, k=3).collect()]
+    assert relevance == [1, 2, 3]
+    got = S.mmr_topk(emb, q, k=3, pool=3, lam=0.7).collect()
+    assert [r["sel_rank"] for r in got] == [1, 2, 3]
+    assert [r["vec_id"] for r in got] == [1, 3, 2]
+    # rank 1 is pure relevance: mmr_score = lambda * cos_sim
+    assert got[0]["mmr_score"] == S._round_away_py(0.7 * got[0]["cos_sim"])
+    # the duplicate's final score carries the full redundancy penalty
+    assert got[2]["mmr_score"] == S._round_away_py(0.7 * 0.9 - 0.3 * 1.0)
+
+
+def test_mmr_topk_lambda_one_is_pure_relevance(spark, emb):
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    got = S.mmr_topk(emb, qv, k=5, pool=20, lam=1.0).collect()
+    exact = S.cosine_topk(emb, qv, k=5).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
+    assert [r["sel_rank"] for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_mmr_topk_validations(spark, emb):
+    qv = [0.1] * 64
+    with pytest.raises(ValueError, match="pool"):
+        S.mmr_topk(emb, qv, k=10, pool=5)
+    with pytest.raises(ValueError, match="lam"):
+        S.mmr_topk(emb, qv, lam=1.5)
