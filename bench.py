@@ -167,19 +167,34 @@ _LINE_CAP = 1800
 #: scheduler noise alone
 _MIN_FLAG_DELTA = 0.25
 
-#: pinned ABSOLUTE gates for the two hash-kernel-bound ingest-admission
-#: queries (committed-record form; the driver form adds the same ~1.1x
-#: headroom as always: 4.0 and 5.0). The gates are CALIBRATION-RELATIVE
-#: (r10 verdict task 1): they were derived on a box whose jvm_hash
-#: probe read _GATE_REF_JVM_HASH, and these queries track JVM hash
-#: throughput almost exactly, so the check scales the gate by this
-#: run's measured jvm_hash ratio — the r10 driver read q_neardup_ingest
-#: 4.47 > the absolute 4.0 on a measured 1.26x-slower-JVM box
-#: (4.0 x 1.26 ≈ 5.0: inside the gate the box actually implies). An
-#: absolute gate false-alarms every round the box drifts; the scaled
-#: form moves the gate, not the verdict.
+#: pinned gates for the two hash-kernel-bound ingest-admission queries
+#: (committed-record form; the driver form adds the same ~1.1x headroom
+#: as always: 4.0 and 5.0). The gates are DRIFT-RELATIVE (r10 verdict
+#: task 1): the r10 driver read q_neardup_ingest 4.47 > the absolute
+#: 4.0 gate on a measurably 1.26x-slower box — an absolute gate
+#: false-alarms every round the box drifts. The scaler is the SAME
+#: RUN's measured drift over the pinned same-kernel family below
+#: (min-sum ratio vs the committed baseline, gated queries excluded),
+#: not the cpu_calibration probe: round 11 measured the 0.3 s jvm_hash
+#: probe swinging 0.131-1.192 s across one idle day on this
+#: virtualized box while 20-minute query aggregates moved ±10% — an
+#: instantaneous probe cannot represent the window the gated queries
+#: ran in, but their own family can. The probes stay in the record as
+#: box-state evidence.
 _INGEST_GATE_BASE = {"q_neardup_ingest": 3.6, "q_containment_ingest": 4.5}
-_GATE_REF_JVM_HASH = 0.271
+
+#: the gate-scaling family: hash/shingle-kernel-bound headline queries,
+#: all present since r4 (stable cross-round), excluding the gated
+#: queries themselves — the r10 NOTES' family-split analysis, automated
+_INGEST_GATE_FAMILY = [
+    "q_minhash_lsh_pairs",
+    "q_srp_lsh_pairs",
+    "q_tfidf",
+    "q_substring_dedup",
+    "q_curation_pipeline",
+    "q_semantic_dedup",
+    "q_winnow_fingerprints",
+]
 
 
 def _load_prev() -> tuple[str | None, dict]:
@@ -364,7 +379,7 @@ def _cpu_calibration(spark) -> dict:
 
     - ``python_sec``: fixed 2M-iteration pure-Python LCG+xor loop —
       single-core interpreter/CPU-frequency speed;
-    - ``jvm_hash_sec``: min-of-2 of a fixed 200M-row whole-stage-
+    - ``jvm_hash_sec``: min-of-3 of a fixed 200M-row whole-stage-
       codegen xxhash64 aggregation on all cores — the JVM hash
       throughput the minhash/shingle family (the queries that drift
       the most) is actually bound by.
@@ -381,7 +396,7 @@ def _cpu_calibration(spark) -> dict:
         h ^= h >> 29
     py_sec = round(time.perf_counter() - t0, 3)
     jvm_runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         spark.range(0, 200_000_000, 1, 32).select(
             F.xxhash64("id").alias("h")
@@ -487,6 +502,34 @@ def main() -> None:
             # LOWER median ((n-1)//2) — the same rule the 3-run path
             # applies (runs[1]), so retried and non-retried queries
             # feed the next round's med_ratio input consistently
+            medians[name] = round(runs[(len(runs) - 1) // 2], 3)
+            retried.append(name)
+
+    # the gated ingest queries get the same benefit-of-the-doubt pass
+    # against their DRIFT-SCALED gate: these two are orchestration-
+    # heavy (streaming foreachBatch cycles), measurably noisier than
+    # their hash-kernel family on a throttled box (r11 first runs:
+    # 3.23 s and 5.12 s for the same code four hours apart), so a
+    # breach must survive 6 runs exactly as a regression flag must
+    def _family_drift() -> float:
+        shared_f = [
+            n for n in _INGEST_GATE_FAMILY
+            if timings.get(n) and probe_mins.get(n)
+        ]
+        if not shared_f:
+            return 1.0
+        return round(
+            sum(timings[n] for n in shared_f)
+            / sum(probe_mins[n] for n in shared_f),
+            3,
+        )
+
+    gate_drift = _family_drift()
+    for name, base in _INGEST_GATE_BASE.items():
+        if name in timings and timings[name] > round(base * gate_drift, 3):
+            runs = sorted(all_runs[name] + _time_runs(name, 3))
+            all_runs[name] = runs
+            timings[name] = round(runs[0], 3)
             medians[name] = round(runs[(len(runs) - 1) // 2], 3)
             retried.append(name)
 
@@ -614,21 +657,20 @@ def main() -> None:
         "end": cal_end,
     }
 
-    # the calibration-relative ingest-gate check, adjudicated IN the
+    # the drift-relative ingest-gate check, adjudicated IN the
     # artifact (r10 verdict task 1): effective gate = pinned base x
-    # (this box's demonstrated jvm_hash / the gate-derivation box's)
-    jvm_ratio = round(
-        cpu_cal["jvm_hash_sec"] / _GATE_REF_JVM_HASH, 3
-    )
+    # this run's measured same-kernel family drift vs the committed
+    # baseline (see _INGEST_GATE_FAMILY). A breach survived the 6-run
+    # retry pass above.
     ingest_gates = {
         name: {
             "min": timings.get(name),
             "base_gate": base,
-            "jvm_hash_ratio": jvm_ratio,
-            "effective_gate": round(base * jvm_ratio, 3),
+            "family_drift": gate_drift,
+            "effective_gate": round(base * gate_drift, 3),
             "pass": (
                 timings.get(name) is not None
-                and timings[name] <= round(base * jvm_ratio, 3)
+                and timings[name] <= round(base * gate_drift, 3)
             ),
         }
         for name, base in _INGEST_GATE_BASE.items()

@@ -22,7 +22,7 @@ from cdc_system_spark.queries import temporal  # noqa: E402,F401  (2)
 from cdc_system_spark.queries import conflicts  # noqa: E402,F401  (3)
 from cdc_system_spark.queries import events  # noqa: E402,F401  (20)
 from cdc_system_spark.queries import cdc_queries  # noqa: E402,F401  (14)
-from cdc_system_spark.queries import llm  # noqa: E402,F401  (86, all oracle-backed)
+from cdc_system_spark.queries import llm  # noqa: E402,F401  (94, all oracle-backed)
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no oracle)
 
