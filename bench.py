@@ -154,6 +154,10 @@ HEADLINE = [
     "q_ann_filtered",
     "q_matryoshka_topk",
     "q_mmr_topk",
+    # and the stored-prefix IVF cascade over the maintained index (the
+    # Matryoshka saving made real at the storage layer: the coarse scan
+    # reads vec_id + pvec only — ReadSchema pinned in tests)
+    "q_ann_prefix_topk",
 ]
 
 
@@ -426,6 +430,7 @@ def main() -> None:
     from cdc_system_spark.queries._maintained import (
         shared_ann_index,
         shared_ann_pq_index,
+        shared_ann_prefix_index,
         shared_ann_rpq_index,
         shared_lsh_index,
     )
@@ -448,6 +453,11 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_ann_rpq_index(spark, sf_dir)
     shared_query_builds["m_shared_ann_rpq_index_build"] = round(
+        time.perf_counter() - t0, 3
+    )
+    t0 = time.perf_counter()
+    shared_ann_prefix_index(spark, sf_dir)
+    shared_query_builds["m_shared_ann_prefix_index_build"] = round(
         time.perf_counter() - t0, 3
     )
 

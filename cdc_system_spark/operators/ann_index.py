@@ -58,8 +58,10 @@ __all__ = [
     "ann_index_staleness",
     "ann_index_stats",
     "ann_index_stats_state",
+    "ann_index_prefix_dims",
     "ann_index_topk",
     "ann_index_topk_many",
+    "ann_prefix_topk",
     "pq_residual_codebooks",
     "ivfpq_recall",
     "ivfpq_residual_topk",
@@ -78,6 +80,10 @@ def _books_path(path: str) -> str:
 
 def _books_res_path(path: str) -> str:
     return f"{path}/codebooks_res"
+
+
+def _prefix_meta_path(path: str) -> str:
+    return f"{path}/prefix_meta"
 
 
 def _asg_path(path: str) -> str:
@@ -205,6 +211,26 @@ def ann_index_books(
     ]
 
 
+def ann_index_prefix_dims(spark: SparkSession, path: str) -> int | None:
+    """The index's stored Matryoshka-prefix width, or ``None`` when the
+    prefix tier is absent — the feature probe :func:`ann_index_ingest`
+    uses to decide whether to materialize ``pvec`` for new batches and
+    :func:`ann_prefix_topk` uses to truncate the query. Same
+    absent-vs-broken contract as :func:`ann_index_books`: only a
+    path-not-found reads as "no tier"."""
+    from pyspark.errors import AnalysisException
+
+    from cdc_system_spark.operators._index_stats import _is_path_not_found
+
+    try:
+        rows = spark.read.parquet(_prefix_meta_path(path)).collect()
+    except AnalysisException as e:
+        if _is_path_not_found(e):
+            return None
+        raise
+    return int(rows[0]["prefix_dims"])
+
+
 def _load_cents(spark: SparkSession, path: str) -> list[tuple[int, list[float]]]:
     """Centroid list from the frozen table — C rows, the only rows this
     module ever collects (same driver bound as ``auto_cells``)."""
@@ -222,6 +248,7 @@ def ann_index_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq_books: list[list[list[float]]] | None = None,
+    prefix_dims: int | None = None,
 ) -> int:
     """Build the index: freeze centroids (``C = max(4, ceil(sqrt(n)))``
     by default, optionally Lloyd-refined), assign the corpus once with
@@ -236,10 +263,22 @@ def ann_index_build(
     encode-at-ingest, so :func:`ivfpq_topk` stage 2 reads stored codes
     (m bytes/row) instead of re-deriving them from the float vectors.
 
+    With ``prefix_dims``, the index gains a Matryoshka-prefix tier: a
+    ``pvec`` column (the vector's first ``prefix_dims`` components)
+    materializes in the same pass, so :func:`ann_prefix_topk`'s coarse
+    stage scans ``prefix_dims/d`` of the vector bytes via plain column
+    pruning — the prefix-cascade saving
+    (:func:`~cdc_system_spark.operators.similarity.prefix_rescore_topk`)
+    made real at the storage layer. The width persists as a one-row
+    model table, written LAST (the residual-attach crash convention:
+    pvec-without-meta fails loudly at ingest, never the reverse).
+
     One count job + one C-row collect + one map-only assignment pass +
     one partitioned write — the same work ``auto_cells`` spends on a
     SINGLE query, spent once.
     """
+    if prefix_dims is not None and prefix_dims < 1:
+        raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
     cents = _auto_cents(emb, id_col, vec_col, num_centroids, refine_iters)
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
@@ -257,9 +296,17 @@ def ann_index_build(
 
         _write_books(spark, _books_path(path), pq_books)
         assigned = assigned.select("*", *pq_code_columns(pq_books, vec_col))
+    if prefix_dims is not None:
+        assigned = assigned.withColumn(
+            "pvec", F.slice(F.col(vec_col), 1, prefix_dims)
+        )
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
         _asg_path(path)
     )
+    if prefix_dims is not None:
+        spark.createDataFrame(
+            [(int(prefix_dims),)], "prefix_dims int"
+        ).write.mode("overwrite").parquet(_prefix_meta_path(path))
     from cdc_system_spark.operators.sketch import kmv_state
 
     stored = spark.read.parquet(_asg_path(path))
@@ -340,6 +387,18 @@ def ann_index_ingest(
     if res_books is not None:
         assigned = _with_residual_codes(
             spark, path, assigned, res_books, vec_col
+        )
+    pdims = ann_index_prefix_dims(spark, path)
+    if (pdims is not None) != ("pvec" in stored_cols):
+        raise ValueError(
+            "inconsistent prefix tier: prefix_meta "
+            f"{'present' if pdims is not None else 'absent'} but stored "
+            f"pvec column {'present' if 'pvec' in stored_cols else 'absent'}"
+            " — rebuild the index with prefix_dims="
+        )
+    if pdims is not None:
+        assigned = assigned.withColumn(
+            "pvec", F.slice(F.col(vec_col), 1, pdims)
         )
     # one pass to count + write: checkpoint the small batch so the
     # anti-join and assignment don't run twice
@@ -432,6 +491,74 @@ def ann_index_topk(
     return (
         assignments.filter(F.col("centroid_id").isin(probed))
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+def ann_prefix_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF × Matryoshka-prefix cascade over the persisted index: the
+    in-plan :func:`~cdc_system_spark.operators.similarity
+    .prefix_rescore_topk` composed with the maintained index's STORED
+    ``pvec`` column (``ann_index_build(prefix_dims=)``). Output
+    ``(id, prefix_sim, cos_sim)``, final order (cos_sim desc, id).
+
+    Plan shape: (1) driver-side probe → literal partition-pruned scan
+    of nprobe cells; (2) coarse rank on ``cosine(pvec, q[:p])`` —
+    column pruning means this scan reads ``prefix_dims/d`` of the
+    vector bytes, which is what storing the prefix as its OWN column
+    buys over slicing the full vector at probe time; (3) the top
+    ``k·rescore_factor`` survivors (TakeOrderedAndProject) join back
+    to the pruned cells' full vectors (tiny side — AQE broadcasts it,
+    the :func:`~cdc_system_spark.operators.similarity
+    .pq_exact_rescore` pattern) for the exact-cosine final ranking.
+    At 100 TB: nprobe/C of the corpus at prefix_dims/d bytes per row
+    for the coarse pass, full floats for k·f survivors only. Fully
+    deterministic (rounded-6 + id ties at both stages — the
+    approximation is a literal truncation), so oracle-checkable end
+    to end, unlike the trained-codebook tiers."""
+    pdims = ann_index_prefix_dims(spark, path)
+    if pdims is None:
+        raise ValueError(
+            "index has no prefix tier — ann_index_build(prefix_dims=) first"
+        )
+    if k < 1 or nprobe < 1 or rescore_factor < 1:
+        raise ValueError(
+            "k, nprobe and rescore_factor must be >= 1, got "
+            f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
+        )
+    if len(query_vec) < pdims:
+        raise ValueError(
+            f"query dim {len(query_vec)} shorter than prefix tier {pdims}"
+        )
+    probed = _probe_cells(spark, path, query_vec, nprobe)
+    _, assignments = ann_index_load(spark, path)
+    pruned = assignments.filter(F.col("centroid_id").isin(probed))
+    qp = F.array(*[F.lit(float(x)) for x in query_vec[:pdims]])
+    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        pruned.select(
+            F.col(id_col), cosine(F.col("pvec"), qp).alias("prefix_sim")
+        )
+        .orderBy(F.desc("prefix_sim"), id_col)
+        .limit(k * rescore_factor)
+    )
+    return (
+        cand.join(pruned.select(id_col, vec_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col("prefix_sim"),
+            cosine(F.col(vec_col), qf).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )

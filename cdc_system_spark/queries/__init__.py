@@ -30,9 +30,10 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no ora
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 11 adds three (metadata-filtered
-#      retrieval, the Matryoshka prefix-rescore cascade, and the MMR
-#      diversified rerank);
+#      CORRECTNESS row — round 11 adds four (metadata-filtered
+#      retrieval, the Matryoshka prefix-rescore cascade, the MMR
+#      diversified rerank, and the stored-prefix IVF cascade over the
+#      maintained index);
 #   2. every query whose operator or oracle CHANGED this round, and
 #      any r10 driver flags — round 11 has NONE (CORRECTNESS_r10 was
 #      50/50 green; the round's residual-codebook refinement work is
@@ -43,13 +44,14 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no ora
 #      pinned list, re-pinned in tests/test_plans.py::
 #      test_oldest_evidence_pool_recorded), which moves the
 #      registry-wide evidence floor to r7, then r7-evidence names
-#      oldest-first (alphabetical within the round) in the 18 slots
+#      oldest-first (alphabetical within the round) in the 17 slots
 #      that remain.
 _WINDOW_R11 = [
     # -- 1. new this round, never driver-checked --
     "q_ann_filtered",
     "q_matryoshka_topk",
     "q_mmr_topk",
+    "q_ann_prefix_topk",
     # -- 2. operator/oracle changed or r10-flagged: none --
     # -- 3a. the COMPLETE r6-evidence pool (29) — floor moves to r7 --
     "q_embedding_topk",
@@ -99,7 +101,6 @@ _WINDOW_R11 = [
     "q_isin_semijoin",
     "q_kmv_merged_by",
     "q_kmv_windowed",
-    "q_lang_id",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -189,3 +189,24 @@ def shared_ann_rpq_refined_index(spark: SparkSession, sf_dir: str) -> str:
         AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
         _BUILT.add(path)
     return path
+
+
+def shared_ann_prefix_index(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the shared 8-centroid ANN index with the MATRYOSHKA
+    prefix tier (``prefix_dims=16``): built on ``vec_id % 3 <> 0``,
+    ``% 3 = 0`` ingested WITH the stored ``pvec`` column materialized
+    in the ingest map pass. Serves the prefix-cascade probe query —
+    build- and ingest-written prefixes both under the oracle."""
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.queries.base import catalog
+
+    path = f"{tempfile.gettempdir()}/annidx_pfx_{_tag(sf_dir)}"
+    if path not in _BUILT:
+        emb = catalog(spark, sf_dir).embeddings
+        AI.ann_index_build(
+            emb.filter("vec_id % 3 <> 0"), path, num_centroids=8,
+            prefix_dims=16,
+        )
+        AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+        _BUILT.add(path)
+    return path

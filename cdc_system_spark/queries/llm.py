@@ -3424,6 +3424,87 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, books, qv, k=10, rescore_factor=3)
 
 
+# -- IVF x Matryoshka-prefix cascade over the maintained index ----------------
+_PFX_P, _PFX_K, _PFX_F = 16, 10, 4
+
+_ANN_PREFIX_SQL = f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    qprobe AS (
+        SELECT icid FROM (
+            SELECT ic.icid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM ic, q) WHERE rk <= 2),
+    cell AS (
+        SELECT e.vec_id, e.embedding
+        FROM assign a JOIN embeddings e USING (vec_id)
+        WHERE a.centroid_id IN (SELECT icid FROM qprobe)),
+    cand AS (
+        SELECT c.vec_id,
+               ROUND({_dot_sql(f'c.embedding[1:{_PFX_P}]', f'q.qv[1:{_PFX_P}]')}
+                     / (SQRT({_dot_sql(f'c.embedding[1:{_PFX_P}]', f'c.embedding[1:{_PFX_P}]')})
+                        * SQRT({_dot_sql(f'q.qv[1:{_PFX_P}]', f'q.qv[1:{_PFX_P}]')})), 6)
+                   AS prefix_sim
+        FROM cell c, q
+        ORDER BY prefix_sim DESC, c.vec_id LIMIT {_PFX_K * _PFX_F}),
+    scored AS (
+        SELECT cand.vec_id, cand.prefix_sim,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM cand JOIN cell e USING (vec_id), q)
+    SELECT vec_id, prefix_sim, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= {_PFX_K}"""
+
+
+@register(
+    "q_ann_prefix_topk",
+    _ANN_PREFIX_SQL,
+    doc="IVF x Matryoshka-prefix cascade over the maintained index "
+    "(ann_prefix_topk on shared_ann_prefix_index, prefix_dims=16 "
+    "STORED as its own pvec column at build AND ingest): driver-side "
+    "probe -> partition-pruned scan reading (id, pvec) only — 16/64 "
+    "of the vector bytes via plain column pruning — coarse top-40 by "
+    "prefix cosine, exact rescore of survivors from the pruned "
+    "cells' full vectors (broadcast join, the pq_exact_rescore "
+    "pattern). A green row proves build-written AND ingest-written "
+    "pvec columns equal the literal truncation, plus the whole "
+    "two-stage ranking. Unlike the PQ tiers the approximation is a "
+    "slice, so the full cascade sits under the oracle",
+)
+def q_ann_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ann_prefix_topk
+    from cdc_system_spark.queries._maintained import shared_ann_prefix_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_prefix_index(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    return ann_prefix_topk(
+        spark, path, qv, k=_PFX_K, nprobe=2, rescore_factor=_PFX_F
+    )
+
+
 # -- IVF x PQ composition under the oracle gate -------------------------------
 _IVFPQ_SQL = f"""WITH ic AS (
         SELECT vec_id AS icid, embedding AS icv FROM embeddings

@@ -862,3 +862,72 @@ def test_ingest_rejects_books_without_code_columns(spark, emb, tmp_path):
     shutil.copytree(f"{plain}/assignments", f"{path}/assignments")
     with pytest.raises(ValueError, match="PQ tier"):
         AI.ann_index_ingest(rest, path)
+
+
+def test_prefix_tier_build_ingest_and_probe(spark, emb, tmp_path):
+    # the Matryoshka prefix tier: pvec materializes at build AND ingest
+    # (literal truncation of the stored vector), the coarse probe scan
+    # reads ONLY (vec_id, pvec) — the prefix/d scan-bytes saving — and
+    # a corpus-covering rescore window degenerates to the exact IVF
+    # top-k (prefix only gates entry to the rescore)
+    path = str(tmp_path / "idx")
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    AI.ann_index_build(base, path, num_centroids=4, prefix_dims=16)
+    assert AI.ann_index_prefix_dims(spark, path) == 16
+    assert AI.ann_index_ingest(rest, path) == rest.count()
+    _, asg = AI.ann_index_load(spark, path)
+    rows = asg.filter(F.col("vec_id").isin(1, 3, 6)).collect()
+    assert len(rows) == 3  # spans build (1) and ingest (3, 6) portions
+    for r in rows:
+        assert [float(x) for x in r["pvec"]] == [
+            float(x) for x in r["embedding"][:16]
+        ]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    n_cell = asg.count()
+    full = AI.ann_prefix_topk(
+        spark, path, qv, k=10, nprobe=4, rescore_factor=-(-n_cell // 10)
+    )
+    exact = AI.ann_index_topk(spark, path, qv, k=10, nprobe=4)
+    assert [(r["vec_id"], r["cos_sim"]) for r in full.collect()] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact.collect()
+    ]
+    # the coarse stage's scan projects id + pvec, never the floats
+    tight = AI.ann_prefix_topk(spark, path, qv, k=5, nprobe=2)
+    plan = tight._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any("pvec" in s and "embedding" not in s for s in schemas), schemas
+    assert len(tight.collect()) == 5
+
+
+def test_prefix_tier_consistency_and_validations(spark, emb, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "idx")
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    AI.ann_index_build(base, path, num_centroids=4, prefix_dims=16)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    # crash window: pvec columns present, meta table gone -> loud
+    shutil.rmtree(f"{path}/prefix_meta")
+    with pytest.raises(ValueError, match="prefix tier"):
+        AI.ann_index_ingest(rest, path)
+    with pytest.raises(ValueError, match="no prefix tier"):
+        AI.ann_prefix_topk(spark, path, qv, k=5)
+    # a tier-less index rejects the probe; bad params reject loudly
+    plain = str(tmp_path / "plain")
+    AI.ann_index_build(base, plain, num_centroids=4)
+    with pytest.raises(ValueError, match="no prefix tier"):
+        AI.ann_prefix_topk(spark, plain, qv, k=5)
+    with pytest.raises(ValueError, match="prefix_dims"):
+        AI.ann_index_build(base, str(tmp_path / "bad"), prefix_dims=0)
+    pfx = str(tmp_path / "pfx2")
+    AI.ann_index_build(base, pfx, num_centroids=4, prefix_dims=16)
+    with pytest.raises(ValueError, match="k, nprobe"):
+        AI.ann_prefix_topk(spark, pfx, qv, k=0)
+    with pytest.raises(ValueError, match="query dim"):
+        AI.ann_prefix_topk(spark, pfx, qv[:8], k=5)

@@ -94,6 +94,7 @@ def test_oracle_window_composition():
         "q_ann_filtered",
         "q_matryoshka_topk",
         "q_mmr_topk",
+        "q_ann_prefix_topk",
     } | R6_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
