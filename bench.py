@@ -178,7 +178,8 @@ _MIN_FLAG_DELTA = 0.25
 #: 4.0 gate on a measurably 1.26x-slower box — an absolute gate
 #: false-alarms every round the box drifts. The scaler is the SAME
 #: RUN's measured drift over the pinned same-kernel family below
-#: (min-sum ratio vs the committed baseline, gated queries excluded),
+#: (min-sum ratio vs the pinned gate-frame minima, gated queries
+#: excluded),
 #: not the cpu_calibration probe: round 11 measured the 0.3 s jvm_hash
 #: probe swinging 0.131-1.192 s across one idle day on this
 #: virtualized box while 20-minute query aggregates moved ±10% — an
@@ -189,16 +190,22 @@ _INGEST_GATE_BASE = {"q_neardup_ingest": 3.6, "q_containment_ingest": 4.5}
 
 #: the gate-scaling family: hash/shingle-kernel-bound headline queries,
 #: all present since r4 (stable cross-round), excluding the gated
-#: queries themselves — the r10 NOTES' family-split analysis, automated
-_INGEST_GATE_FAMILY = [
-    "q_minhash_lsh_pairs",
-    "q_srp_lsh_pairs",
-    "q_tfidf",
-    "q_substring_dedup",
-    "q_curation_pipeline",
-    "q_semantic_dedup",
-    "q_winnow_fingerprints",
-]
+#: queries themselves — the r10 NOTES' family-split analysis, automated.
+#: Values = each query's min in the GATE-DERIVATION record
+#: (BENCH_LOCAL_r10, the frame the 3.6/4.5 bases were pinned in): the
+#: drift scaler divides this run's family minima by THESE constants,
+#: not by whatever BENCH_LOCAL is latest — otherwise every committed
+#: baseline rotation would silently re-anchor the gates to a new box
+#: frame and the pinned bases would mean something different each round
+_INGEST_GATE_FAMILY = {
+    "q_minhash_lsh_pairs": 1.460,
+    "q_srp_lsh_pairs": 1.208,
+    "q_tfidf": 1.051,
+    "q_substring_dedup": 1.044,
+    "q_curation_pipeline": 4.692,
+    "q_semantic_dedup": 1.743,
+    "q_winnow_fingerprints": 0.458,
+}
 
 
 def _load_prev() -> tuple[str | None, dict]:
@@ -432,6 +439,7 @@ def main() -> None:
         shared_ann_pq_index,
         shared_ann_prefix_index,
         shared_ann_rpq_index,
+        shared_ann_rpq_refined_index,
         shared_lsh_index,
     )
 
@@ -453,6 +461,11 @@ def main() -> None:
     t0 = time.perf_counter()
     shared_ann_rpq_index(spark, sf_dir)
     shared_query_builds["m_shared_ann_rpq_index_build"] = round(
+        time.perf_counter() - t0, 3
+    )
+    t0 = time.perf_counter()
+    shared_ann_rpq_refined_index(spark, sf_dir)
+    shared_query_builds["m_shared_ann_rpq_refined_index_build"] = round(
         time.perf_counter() - t0, 3
     )
     t0 = time.perf_counter()
@@ -522,26 +535,26 @@ def main() -> None:
     # 3.23 s and 5.12 s for the same code four hours apart), so a
     # breach must survive 6 runs exactly as a regression flag must
     def _family_drift() -> float:
-        shared_f = [
-            n for n in _INGEST_GATE_FAMILY
-            if timings.get(n) and probe_mins.get(n)
-        ]
+        shared_f = [n for n in _INGEST_GATE_FAMILY if timings.get(n)]
         if not shared_f:
             return 1.0
         return round(
             sum(timings[n] for n in shared_f)
-            / sum(probe_mins[n] for n in shared_f),
+            / sum(_INGEST_GATE_FAMILY[n] for n in shared_f),
             3,
         )
 
     gate_drift = _family_drift()
     for name, base in _INGEST_GATE_BASE.items():
+        if float(sf) != 0.1:
+            break  # gates (and their retry) are pinned at sf0.1 only
         if name in timings and timings[name] > round(base * gate_drift, 3):
             runs = sorted(all_runs[name] + _time_runs(name, 3))
             all_runs[name] = runs
             timings[name] = round(runs[0], 3)
             medians[name] = round(runs[(len(runs) - 1) // 2], 3)
-            retried.append(name)
+            if name not in retried:
+                retried.append(name)
 
     total = round(sum(timings.values()), 3)
     median_total = round(sum(medians.values()), 3)
@@ -669,22 +682,28 @@ def main() -> None:
 
     # the drift-relative ingest-gate check, adjudicated IN the
     # artifact (r10 verdict task 1): effective gate = pinned base x
-    # this run's measured same-kernel family drift vs the committed
-    # baseline (see _INGEST_GATE_FAMILY). A breach survived the 6-run
-    # retry pass above.
-    ingest_gates = {
-        name: {
-            "min": timings.get(name),
-            "base_gate": base,
-            "family_drift": gate_drift,
-            "effective_gate": round(base * gate_drift, 3),
-            "pass": (
-                timings.get(name) is not None
-                and timings[name] <= round(base * gate_drift, 3)
-            ),
+    # this run's measured same-kernel family drift vs the pinned
+    # gate-frame minima (see _INGEST_GATE_FAMILY). A breach survived
+    # the 6-run retry pass above. Bases and frame are sf0.1 numbers:
+    # at any other SF the family drift conflates scale with box (the
+    # gated queries carry fixed orchestration cost the family lacks),
+    # so off-frame runs record "skipped", never a fake verdict.
+    if float(sf) == 0.1:
+        ingest_gates = {
+            name: {
+                "min": timings.get(name),
+                "base_gate": base,
+                "family_drift": gate_drift,
+                "effective_gate": round(base * gate_drift, 3),
+                "pass": (
+                    timings.get(name) is not None
+                    and timings[name] <= round(base * gate_drift, 3)
+                ),
+            }
+            for name, base in _INGEST_GATE_BASE.items()
         }
-        for name, base in _INGEST_GATE_BASE.items()
-    }
+    else:
+        ingest_gates = {"skipped": f"gates pinned at sf=0.1, run is sf={sf}"}
 
     full = {
         "metric": "headline_queries_total",

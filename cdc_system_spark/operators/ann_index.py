@@ -342,8 +342,9 @@ def ann_index_ingest(
     cents = _load_cents(spark, path)
     # membership test on the 32-char version key only — parquet prunes
     # the stored vector bytes; within-batch re-deliveries collapse too
-    stored_cols = spark.read.parquet(_asg_path(path)).columns
-    existing = spark.read.parquet(_asg_path(path)).select("_vkey")
+    stored = spark.read.parquet(_asg_path(path))
+    stored_cols = stored.columns
+    existing = stored.select("_vkey")
     fresh = (
         new_emb.select(_vkey(id_col, vec_col), F.col(id_col), F.col(vec_col))
         .dropDuplicates(["_vkey"])

@@ -97,12 +97,12 @@ class LogCapture:
         self.path = os.path.join(root, f"{table}_cdc")
         self.zones_path = self.path + "_zones"
         self._zone_cache: tuple | None = None
-        #: mtime of the zones file the cache mirrors — a SECOND
-        #: LogCapture over the same path (two CDCSystem handles in one
-        #: process) invalidates a reader's cache when the writer's
-        #: os.replace bumps the mtime, so a stale cache can never
-        #: prune rows another instance appended
-        self._zone_mtime: float | None = None
+        #: stat stamp (inode, mtime_ns, size) of the zones file the
+        #: cache mirrors — a SECOND LogCapture over the same path (two
+        #: CDCSystem handles in one process) invalidates a reader's
+        #: cache when the writer's os.replace lands a new file, so a
+        #: stale cache can never prune rows another instance appended
+        self._zone_mtime: tuple[int, int, int] | None = None
         self._epoch = 0
 
     def _next_base(self) -> int:
@@ -157,18 +157,23 @@ class LogCapture:
     # skip rows a concurrent instance appended. (Concurrent WRITERS
     # remain single-writer-per-table, same as the log itself.)
 
-    def _zones_mtime(self) -> float | None:
+    def _zones_stamp(self) -> tuple[int, int, int] | None:
+        """(inode, mtime_ns, size) of the zones file — the cache key.
+        mtime alone is NOT enough: Linux file timestamps can be
+        jiffy-coarse, so two os.replace writes inside one tick would
+        leave a stale cache looking fresh; every replace lands a NEW
+        inode, so the triple changes on every write in practice."""
         try:
-            return os.path.getmtime(self.zones_path)
+            st = os.stat(self.zones_path)
         except OSError:
             return None
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
 
     def _current_zone_state(self) -> tuple[dict, int, int, int] | None:
         """The cached state, re-read from disk whenever the zones
-        file's mtime moved past the cached copy — the cross-instance
-        staleness guard (every write lands via os.replace, so mtime
-        tracks content)."""
-        mt = self._zones_mtime()
+        file's stat stamp moved past the cached copy — the
+        cross-instance staleness guard."""
+        mt = self._zones_stamp()
         if self._zone_cache is not None and mt == self._zone_mtime:
             return self._zone_cache
         state = self._zone_rows_from_disk()
@@ -224,7 +229,7 @@ class LogCapture:
         pq.write_table(table, tmp)
         os.replace(tmp, self.zones_path)
         self._zone_cache = (zones, geo_lo, geo_hi, self.NUM_ZONES)
-        self._zone_mtime = self._zones_mtime()
+        self._zone_mtime = self._zones_stamp()
 
     def read_zone_state(self):
         """``(state_df, geo_lo, geo_hi, num_zones)`` of the maintained

@@ -165,28 +165,47 @@ def mmr_topk(
         (r[id_col], [float(x) for x in r[vec_col]], float(r["cos_sim"]))
         for r in cand_rows
     ]
-    selected: list[tuple[int, int, float, float]] = []  # rank, id, qsim, m
+    selected: list[tuple] = []  # sel_rank, id, qsim, m
     sel_vecs: list[list[float]] = []
     remaining = list(cand)
     while remaining and len(selected) < k:
         best = None
         for cid, cvec, qsim in remaining:
-            pen = max(
-                (_cos_py(cvec, s) for s in sel_vecs), default=None
-            )
-            m = _round_away_py(
-                lam * qsim if pen is None else lam * qsim - (1.0 - lam) * pen
-            )
-            if best is None or (m, -cid) > (best[3], -best[0]):
-                best = (cid, cvec, qsim, m)
+            if not sel_vecs:
+                # rank 1 is PURE relevance: rank by the (already
+                # rounded) qsim itself, not the rounded λ·qsim —
+                # distinct qsims one ulp-of-rounding apart can collapse
+                # after the λ multiply, and the SQL twin's s1 CTE
+                # orders by qsim, so tiebreaking on the collapsed
+                # score would diverge from the oracle
+                rank_score = qsim
+                m = _round_away_py(lam * qsim)
+            else:
+                pen = max(_cos_py(cvec, s) for s in sel_vecs)
+                m = _round_away_py(lam * qsim - (1.0 - lam) * pen)
+                rank_score = m
+            # (score desc, id asc) without negating the id — ids may
+            # be strings, so the tiebreak compares ids directly
+            if best is None or rank_score > best[4] or (
+                rank_score == best[4] and cid < best[0]
+            ):
+                best = (cid, cvec, qsim, m, rank_score)
         selected.append(
             (len(selected) + 1, best[0], best[2], best[3])
         )
         sel_vecs.append(best[1])
         remaining = [c for c in remaining if c[0] != best[0]]
-    return emb.sparkSession.createDataFrame(
-        selected, f"sel_rank int, {id_col} long, cos_sim double, mmr_score double"
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.IntegerType()),
+            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
+    return emb.sparkSession.createDataFrame(selected, schema)
 
 
 def prefix_rescore_topk(

@@ -34,17 +34,19 @@ from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no ora
 #      retrieval, the Matryoshka prefix-rescore cascade, the MMR
 #      diversified rerank, and the stored-prefix IVF cascade over the
 #      maintained index);
-#   2. every query whose operator or oracle CHANGED this round, and
-#      any r10 driver flags — round 11 has NONE (CORRECTNESS_r10 was
-#      50/50 green; the round's residual-codebook refinement work is
-#      rows-only by construction);
+#   2. every query whose operator CHANGED this round (r10 flags: none
+#      — CORRECTNESS_r10 was 50/50 green): ann_index build/ingest/
+#      attach gained the prefix tier, the tier-consistency checks and
+#      the books-last attach ordering, so the whole maintained-ANN
+#      family that exercises build+ingest(+attach) re-confirms — the
+#      r10 precedent for the PQ-tier probe;
 #   3. remaining slots re-confirm the queries with the OLDEST driver
 #      evidence: the COMPLETE 29-name r6-evidence pool (recomputed
 #      from the ten CORRECTNESS_r01-r10 artifacts, the r10 verdict's
 #      pinned list, re-pinned in tests/test_plans.py::
 #      test_oldest_evidence_pool_recorded), which moves the
 #      registry-wide evidence floor to r7, then r7-evidence names
-#      oldest-first (alphabetical within the round) in the 17 slots
+#      oldest-first (alphabetical within the round) in the 9 slots
 #      that remain.
 _WINDOW_R11 = [
     # -- 1. new this round, never driver-checked --
@@ -52,7 +54,15 @@ _WINDOW_R11 = [
     "q_matryoshka_topk",
     "q_mmr_topk",
     "q_ann_prefix_topk",
-    # -- 2. operator/oracle changed or r10-flagged: none --
+    # -- 2. operator changed this round (maintained-ANN ingest/attach) --
+    "q_ann_index_maintained",
+    "q_ann_probe_maintained",
+    "q_ann_topk_batch",
+    "q_ann_cell_skew",
+    "q_ivfpq_topk_stored",
+    "q_ivfpq_batch",
+    "q_ivfpq_residual_stored",
+    "q_ivfpq_residual_batch",
     # -- 3a. the COMPLETE r6-evidence pool (29) — floor moves to r7 --
     "q_embedding_topk",
     "q_equidepth_histogram",
@@ -93,14 +103,6 @@ _WINDOW_R11 = [
     "q_cube",
     "q_drop_contained",
     "q_filter_eq",
-    "q_fingerprint",
-    "q_frame_sample",
-    "q_from_json",
-    "q_hash_sample",
-    "q_ingest_dup_report",
-    "q_isin_semijoin",
-    "q_kmv_merged_by",
-    "q_kmv_windowed",
 ]
 
 # the active window (rotated per round; _set_window validates it)

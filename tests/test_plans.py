@@ -95,6 +95,18 @@ def test_oracle_window_composition():
         "q_matryoshka_topk",
         "q_mmr_topk",
         "q_ann_prefix_topk",
+        # operator changed in round 11: ann_index build/ingest/attach
+        # gained the prefix tier, tier-consistency checks and the
+        # books-last attach — re-confirm the maintained-ANN family
+        # that exercises those paths (the r10 PQ-tier precedent):
+        "q_ann_index_maintained",
+        "q_ann_probe_maintained",
+        "q_ann_topk_batch",
+        "q_ann_cell_skew",
+        "q_ivfpq_topk_stored",
+        "q_ivfpq_batch",
+        "q_ivfpq_residual_stored",
+        "q_ivfpq_residual_batch",
     } | R6_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"

@@ -654,3 +654,22 @@ def test_mmr_topk_validations(spark, emb):
         S.mmr_topk(emb, qv, k=10, pool=5)
     with pytest.raises(ValueError, match="lam"):
         S.mmr_topk(emb, qv, lam=1.5)
+
+
+def test_mmr_topk_preserves_id_type(spark):
+    # id_col is caller-generic (string ids here): the output schema
+    # must carry the input id type, not hardcode long
+    rows = [
+        ("a", [1.0, 0.0, 0.0, 0.0]),
+        ("b", [0.9, 0.43588989435406736, 0.0, 0.0]),
+        ("c", [0.8, -0.6, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    got = S.mmr_topk(
+        emb, [1.0, 0.0, 0.0, 0.0], k=2, pool=3,
+        id_col="doc", vec_col="embedding",
+    )
+    assert dict(got.dtypes)["doc"] == "string"
+    # a is the query itself; b beats c on λ·qsim − (1−λ)·pen
+    # (0.7·0.9 − 0.3·0.9 = 0.36 vs 0.7·0.8 − 0.3·0.8 = 0.32)
+    assert [r["doc"] for r in got.collect()] == ["a", "b"]
