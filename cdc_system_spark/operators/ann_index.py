@@ -280,6 +280,15 @@ def ann_index_build(
     if prefix_dims is not None and prefix_dims < 1:
         raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
     cents = _auto_cents(emb, id_col, vec_col, num_centroids, refine_iters)
+    # prefix_dims must fit the vector dim (known from the collected
+    # centroid rows — free): an oversized width would silently store a
+    # d-wide pvec (F.slice truncates) while prefix_meta recorded the
+    # larger width, making ann_prefix_topk reject every legitimate
+    # d-dim query (r11 advisor)
+    if prefix_dims is not None and cents and prefix_dims > len(cents[0][1]):
+        raise ValueError(
+            f"prefix_dims {prefix_dims} exceeds vector dim {len(cents[0][1])}"
+        )
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in cents], "cell_id long, cvec array<double>"
@@ -398,6 +407,13 @@ def ann_index_ingest(
             " — rebuild the index with prefix_dims="
         )
     if pdims is not None:
+        # the build-side width check mirrored (r11 advisor): a meta
+        # table recording a width beyond the vector dim would slice a
+        # truncated pvec here and poison the stored tier silently
+        if cents and pdims > len(cents[0][1]):
+            raise ValueError(
+                f"prefix_dims {pdims} exceeds vector dim {len(cents[0][1])}"
+            )
         assigned = assigned.withColumn(
             "pvec", F.slice(F.col(vec_col), 1, pdims)
         )
@@ -526,7 +542,13 @@ def ann_prefix_topk(
     for the coarse pass, full floats for k·f survivors only. Fully
     deterministic (rounded-6 + id ties at both stages — the
     approximation is a literal truncation), so oracle-checkable end
-    to end, unlike the trained-codebook tiers."""
+    to end, unlike the trained-codebook tiers.
+
+    Pre-compaction, a re-ingested id coexists with its stale version
+    (:func:`ann_index_ingest` dedups on (id, vector), not id); the
+    final ranking collapses versions per id on the tiny rescored
+    frame (max over versions), so output ids are unique and the
+    result deterministic regardless of version count."""
     pdims = ann_index_prefix_dims(spark, path)
     if pdims is None:
         raise ValueError(
@@ -553,12 +575,25 @@ def ann_prefix_topk(
         .orderBy(F.desc("prefix_sim"), id_col)
         .limit(k * rescore_factor)
     )
+    rescored = cand.join(pruned.select(id_col, vec_col), id_col).select(
+        F.col(id_col),
+        F.col("prefix_sim"),
+        cosine(F.col(vec_col), qf).alias("cos_sim"),
+    )
+    # pre-compaction, a re-ingested id coexists with its stale version
+    # (ingest dedups on (id, vector), not id — the lsh_index version
+    # contract), so the rescore join emits one row per (coarse-survivor
+    # instance × stored version). Collapse per id on the TINY joined
+    # frame (≤ k·f·v rows — never the cells, whose scan stays
+    # shuffle-free): max over versions, so a duplicated id can never
+    # crowd distinct ids out of the final top-k (r11 advisor) and the
+    # output is deterministic regardless of version count;
+    # single-version indexes pass through value-identical.
     return (
-        cand.join(pruned.select(id_col, vec_col), id_col)
-        .select(
-            F.col(id_col),
-            F.col("prefix_sim"),
-            cosine(F.col(vec_col), qf).alias("cos_sim"),
+        rescored.groupBy(id_col)
+        .agg(
+            F.max("prefix_sim").alias("prefix_sim"),
+            F.max("cos_sim").alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)

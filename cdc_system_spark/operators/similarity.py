@@ -81,7 +81,12 @@ def filtered_cosine_topk(
     100 TB a selective filter does most of the work before a single
     dot product runs."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    keep = allowed.selectExpr(f"{allowed.columns[0]} AS {id_col}")
+    # positional rename (toDF), not an interpolated selectExpr string
+    # or a by-name Column lookup: the allowed side is a one-column id
+    # frame by contract, and a source column needing backticks
+    # (spaces, hyphens, dots — common in metadata tables) would break
+    # SQL parsing or resolve the dot as a struct accessor (r11 advisor)
+    keep = allowed.toDF(id_col)
     scored = (
         spread(emb)
         .join(keep, id_col, "left_semi")

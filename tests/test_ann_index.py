@@ -931,3 +931,56 @@ def test_prefix_tier_consistency_and_validations(spark, emb, tmp_path):
         AI.ann_prefix_topk(spark, pfx, qv, k=0)
     with pytest.raises(ValueError, match="query dim"):
         AI.ann_prefix_topk(spark, pfx, qv[:8], k=5)
+
+
+def test_prefix_dims_wider_than_vectors_rejected(spark, emb, tmp_path):
+    # r11 advisor: an oversized prefix_dims would silently store a
+    # d-wide pvec (F.slice truncates) while prefix_meta recorded the
+    # larger width — every legitimate d-dim query then rejects with a
+    # confusing "query dim shorter than prefix tier". Build validates
+    # against the vector dim (free, from the collected centroid rows);
+    # ingest mirrors the check against a corrupted meta table.
+    base = emb.filter("vec_id % 3 <> 0")
+    rest = emb.filter("vec_id % 3 = 0")
+    with pytest.raises(ValueError, match="exceeds vector dim"):
+        AI.ann_index_build(base, str(tmp_path / "bad"), num_centroids=4,
+                           prefix_dims=70)
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(base, path, num_centroids=4, prefix_dims=16)
+    # corrupt the meta to claim a wider tier than the vectors carry
+    spark.createDataFrame([(70,)], "prefix_dims int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/prefix_meta")
+    with pytest.raises(ValueError, match="exceeds vector dim"):
+        AI.ann_index_ingest(rest, path)
+
+
+def test_prefix_topk_multiversion_ids_collapse(spark, emb, tmp_path):
+    # r11 advisor: ingest dedups on (id, vector) — a re-embedded id
+    # coexists with its stale version until compaction, so the prefix
+    # cascade's rescore join could emit v² rows per id and duplicated
+    # ids could crowd distinct results out of the final top-k. The
+    # per-id collapse keeps the output unique and deterministic.
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4, prefix_dims=16)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    base_top = AI.ann_prefix_topk(spark, path, qv, k=10, nprobe=4).collect()
+    # re-embed the current top hits: same ids, perturbed vectors — the
+    # old versions stay behind as stale rows in the same cells
+    hot = [r["vec_id"] for r in base_top[:3]]
+    re_emb = (
+        emb.filter(F.col("vec_id").isin(hot))
+        .select("vec_id",
+                F.transform("embedding", lambda x: x * F.lit(1.1))
+                .cast("array<float>").alias("embedding"))
+    )
+    assert AI.ann_index_ingest(re_emb, path) == 3
+    rows = AI.ann_prefix_topk(spark, path, qv, k=10, nprobe=4).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 10
+    # deterministic across repeated probes even with versions live
+    again = AI.ann_prefix_topk(spark, path, qv, k=10, nprobe=4).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
+        (r["vec_id"], r["cos_sim"]) for r in again
+    ]

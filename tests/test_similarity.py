@@ -673,3 +673,26 @@ def test_mmr_topk_preserves_id_type(spark):
     # a is the query itself; b beats c on λ·qsim − (1−λ)·pen
     # (0.7·0.9 − 0.3·0.9 = 0.36 vs 0.7·0.8 − 0.3·0.8 = 0.32)
     assert [r["doc"] for r in got.collect()] == ["a", "b"]
+
+
+def test_filtered_cosine_topk_handles_awkward_allowed_column(spark, emb):
+    # r11 advisor: the allowed frame's id column often comes from a
+    # metadata table with a name needing backticks (spaces, hyphens,
+    # dots); the rename must go through the Column API, not an
+    # interpolated selectExpr string
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    allowed = emb.filter(F.col("label") == 2).select(
+        F.col("vec_id").alias("doc id.v1")
+    )
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.filtered_cosine_topk(emb, allowed, qv, k=15).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.cosine_topk(
+            emb.filter(F.col("label") == 2), qv, k=15
+        ).collect()
+    ]
+    assert got == want and len(got) == 15
