@@ -600,6 +600,115 @@ def ann_prefix_topk(
     )
 
 
+def ann_prefix_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF × Matryoshka-prefix cascade: top-k for a whole SET
+    of query vectors in one plan — ``(qid, id, prefix_sim, cos_sim)``,
+    ≤ k rows per query. :func:`ann_prefix_topk` is the single-query
+    form (driver-side probe, one job per call); a retrieval workload
+    asks thousands, so here every stage is in-plan, composed exactly
+    the way :func:`ivfpq_topk_many` batches :func:`ivfpq_topk`:
+
+    1. **probe** — :func:`_probe_many` (the shared vectorized-numpy
+       Arrow pass): ``nprobe`` cells per query, ties to the smaller
+       cell id — the single-query convention, one copy;
+    2. **coarse** — ONE equi-join of the narrow probe rows (each
+       carrying only the query's ``prefix_dims``-wide slice) onto the
+       probed cells' STORED ``(id, pvec)`` columns: column pruning
+       makes the assignment scan read ``prefix_dims/d`` of the vector
+       bytes — the stored-tier saving, per batch instead of per
+       query; a per-query window keeps the ``k·rescore_factor`` best
+       (rounded prefix cosine desc, id asc);
+    3. **rescore** — survivors join their full float vectors and the
+       query vectors (candidate-/Q-sized sides, AQE broadcasts),
+       exact rounded cosine, per-(query, id) version collapse (max —
+       the :func:`ann_prefix_topk` pre-compaction contract), per-query
+       window keeps k.
+
+    Join volume is queries × nprobe × avg-cell-size at prefix_dims/d
+    bytes per candidate — never queries × corpus, and never full
+    floats before the rescore. Query vectors shorter than the prefix
+    tier are a caller error (the single-query form raises; here the
+    width is per-row, so the contract is documented: all ``qvec``
+    must be ≥ prefix_dims wide — F.slice would silently truncate).
+    ``q_ann_prefix_batch`` pins the whole path (frozen centroids,
+    stored build- AND ingest-written pvec, probe choice, both
+    rankings) under the driver's oracle gate."""
+    from pyspark.sql import Window
+
+    if k < 1 or nprobe < 1 or rescore_factor < 1:
+        raise ValueError(
+            "k, nprobe and rescore_factor must be >= 1, got "
+            f"k={k} nprobe={nprobe} rescore_factor={rescore_factor}"
+        )
+    pdims = ann_index_prefix_dims(spark, path)
+    if pdims is None:
+        raise ValueError(
+            "index has no prefix tier — ann_index_build(prefix_dims=) first"
+        )
+    cents = _load_cents(spark, path)
+    _, assignments = ann_index_load(spark, path)
+    if "pvec" not in assignments.columns:
+        raise ValueError(
+            "inconsistent prefix tier: prefix_meta present but stored "
+            "pvec column absent — rebuild the index with prefix_dims="
+        )
+    probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
+    # the probe rows carry only the prefix slice into the coarse join —
+    # the wide qvec floats stay out of the candidate-sized stream
+    probe_p = probe.select(
+        F.col(qid_col),
+        F.col("centroid_id"),
+        F.slice(F.col(qvec_col), 1, pdims).alias("_qp"),
+    )
+    coarse = probe_p.join(
+        assignments.select(F.col(id_col), F.col("pvec"), F.col("centroid_id")),
+        "centroid_id",
+    ).select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col("pvec"), F.col("_qp")).alias("prefix_sim"),
+    )
+    w_p = Window.partitionBy(qid_col).orderBy(
+        F.desc("prefix_sim"), F.asc(id_col)
+    )
+    sel = (
+        coarse.withColumn("_rk", F.row_number().over(w_p))
+        .filter(F.col("_rk") <= k * rescore_factor)
+        .drop("_rk")
+    )
+    scored = (
+        sel.join(assignments.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(queries.select(F.col(qid_col), F.col(qvec_col)), qid_col)
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.col("prefix_sim"),
+            cosine(F.col(vec_col), F.col(qvec_col)).alias("cos_sim"),
+        )
+    )
+    collapsed = scored.groupBy(qid_col, id_col).agg(
+        F.max("prefix_sim").alias("prefix_sim"),
+        F.max("cos_sim").alias("cos_sim"),
+    )
+    w_c = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        collapsed.withColumn("_rk", F.row_number().over(w_c))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def _probe_many(
     queries: DataFrame,
     cents: list[tuple[int, list[float]]],

@@ -3505,6 +3505,91 @@ def q_ann_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- batched stored-prefix cascade: a whole query set in one plan -------------
+_PFX_BATCH_SQL = f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id IN (0, 7, 23)),
+    qprobe AS (
+        SELECT qid, icid FROM (
+            SELECT q.qid, ic.icid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM q, ic) WHERE rk <= 2),
+    cellrows AS (
+        SELECT p.qid, e.vec_id, e.embedding
+        FROM qprobe p JOIN assign a ON a.centroid_id = p.icid
+        JOIN embeddings e USING (vec_id)),
+    cand AS (
+        SELECT qid, vec_id, prefix_sim FROM (
+            SELECT s.qid, s.vec_id, s.prefix_sim,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid
+                       ORDER BY s.prefix_sim DESC, s.vec_id ASC) AS rk
+            FROM (
+                SELECT c.qid, c.vec_id,
+                       ROUND({_dot_sql(f'c.embedding[1:{_PFX_P}]', f'q.qv[1:{_PFX_P}]')}
+                             / (SQRT({_dot_sql(f'c.embedding[1:{_PFX_P}]', f'c.embedding[1:{_PFX_P}]')})
+                                * SQRT({_dot_sql(f'q.qv[1:{_PFX_P}]', f'q.qv[1:{_PFX_P}]')})), 6)
+                           AS prefix_sim
+                FROM cellrows c JOIN q USING (qid)) s)
+        WHERE rk <= {_PFX_K * _PFX_F}),
+    scored AS (
+        SELECT cand.qid, cand.vec_id, cand.prefix_sim,
+               {_cos_sql('e.embedding', 'q.qv')} AS cos_sim
+        FROM cand JOIN embeddings e USING (vec_id)
+                  JOIN q ON q.qid = cand.qid)
+    SELECT qid, vec_id, prefix_sim, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= {_PFX_K}"""
+
+
+@register(
+    "q_ann_prefix_batch",
+    _PFX_BATCH_SQL,
+    doc="batched stored-prefix cascade (ann_prefix_topk_many on "
+    "shared_ann_prefix_index): three query vectors resolved in ONE "
+    "plan — the shared vectorized probe picks nprobe=2 cells per "
+    "query, ONE equi-join lands each query's 16-wide prefix slice on "
+    "its probed cells' STORED (id, pvec) columns (16/64 of the vector "
+    "bytes by column pruning, paid once per batch instead of once per "
+    "query), per-query coarse window keeps 40, exact-cosine rescore "
+    "window keeps 10. Covers build- AND ingest-written pvec in the "
+    "same result; the oracle reproduces centroids, assignment, "
+    "per-query probes, both rankings end-to-end",
+)
+def q_ann_prefix_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ann_prefix_topk_many
+    from cdc_system_spark.queries._maintained import shared_ann_prefix_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_prefix_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_prefix_topk_many(
+        spark, path, queries, k=_PFX_K, nprobe=2, rescore_factor=_PFX_F
+    )
+
+
 # -- IVF x PQ composition under the oracle gate -------------------------------
 _IVFPQ_SQL = f"""WITH ic AS (
         SELECT vec_id AS icid, embedding AS icv FROM embeddings

@@ -984,3 +984,44 @@ def test_prefix_topk_multiversion_ids_collapse(spark, emb, tmp_path):
     assert [(r["vec_id"], r["cos_sim"]) for r in rows] == [
         (r["vec_id"], r["cos_sim"]) for r in again
     ]
+
+
+def test_ann_prefix_topk_many_matches_single_query_form(spark, emb, tmp_path):
+    # the batched cascade must be ROW-IDENTICAL per query to the
+    # single-query ann_prefix_topk on the same index — probe ties,
+    # coarse prefix ranking, rescore and version collapse all shared
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path,
+                       num_centroids=8, prefix_dims=16)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = AI.ann_prefix_topk_many(
+        spark, path, queries, k=10, nprobe=2, rescore_factor=4
+    ).collect()
+    got: dict[int, list] = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append(
+            (r["vec_id"], r["prefix_sim"], r["cos_sim"])
+        )
+    for rows in got.values():
+        rows.sort(key=lambda t: (-t[2], t[0]))
+    for qid in qids:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = [
+            (r["vec_id"], r["prefix_sim"], r["cos_sim"])
+            for r in AI.ann_prefix_topk(
+                spark, path, qv, k=10, nprobe=2, rescore_factor=4
+            ).collect()
+        ]
+        assert got[qid] == single, qid
+    # guards: tier-less index and bad params reject loudly
+    plain = str(tmp_path / "plain")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), plain, num_centroids=4)
+    with pytest.raises(ValueError, match="no prefix tier"):
+        AI.ann_prefix_topk_many(spark, plain, queries)
+    with pytest.raises(ValueError, match="k, nprobe"):
+        AI.ann_prefix_topk_many(spark, path, queries, k=0)
