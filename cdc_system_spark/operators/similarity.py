@@ -170,6 +170,25 @@ def mmr_topk(
         (r[id_col], [float(x) for x in r[vec_col]], float(r["cos_sim"]))
         for r in cand_rows
     ]
+    selected = _mmr_greedy(cand, k, lam)
+    return _mmr_frame(
+        emb.sparkSession, selected, emb.schema[id_col].dataType, id_col
+    )
+
+
+def _mmr_greedy(
+    cand: list[tuple], k: int, lam: float
+) -> list[tuple]:
+    """The inherently sequential MMR greedy step over a collected
+    model-artifact-sized pool of ``(id, vec, qsim)`` rows: k rounds,
+    each picking the remaining candidate maximizing ``λ·qsim −
+    (1−λ)·max_sel cos``, rounded-6 with the smaller-id tiebreak and
+    sequential fold order (:func:`_cos_py`) throughout — ONE copy
+    shared by :func:`mmr_topk` and the IVF-pooled
+    :func:`~cdc_system_spark.operators.ann_index.ann_mmr_topk`, so
+    the oracle-pinned selection convention cannot drift between the
+    brute-force and index-pruned pool stages. Returns
+    ``(sel_rank, id, qsim, mmr_score)`` tuples in selection order."""
     selected: list[tuple] = []  # sel_rank, id, qsim, m
     sel_vecs: list[list[float]] = []
     remaining = list(cand)
@@ -200,17 +219,23 @@ def mmr_topk(
         )
         sel_vecs.append(best[1])
         remaining = [c for c in remaining if c[0] != best[0]]
+    return selected
+
+
+def _mmr_frame(spark, selected: list[tuple], id_dtype, id_col: str):
+    """The shared MMR output frame: selection-order rows as
+    ``(sel_rank, id, cos_sim, mmr_score)``."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
             T.StructField("sel_rank", T.IntegerType()),
-            T.StructField(id_col, emb.schema[id_col].dataType),
+            T.StructField(id_col, id_dtype),
             T.StructField("cos_sim", T.DoubleType()),
             T.StructField("mmr_score", T.DoubleType()),
         ]
     )
-    return emb.sparkSession.createDataFrame(selected, schema)
+    return spark.createDataFrame(selected, schema)
 
 
 def prefix_rescore_topk(

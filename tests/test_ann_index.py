@@ -1025,3 +1025,49 @@ def test_ann_prefix_topk_many_matches_single_query_form(spark, emb, tmp_path):
         AI.ann_prefix_topk_many(spark, plain, queries)
     with pytest.raises(ValueError, match="k, nprobe"):
         AI.ann_prefix_topk_many(spark, path, queries, k=0)
+
+
+def test_ann_mmr_topk_full_probe_equals_brute_mmr(spark, emb, tmp_path):
+    # probing every cell degenerates the IVF pool to the corpus-wide
+    # cosine top-pool, so the whole cascade — selection order included
+    # — must equal the brute-force mmr_topk (shared _mmr_greedy)
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    got = AI.ann_mmr_topk(
+        spark, path, qv, k=5, pool=20, nprobe=8, lam=0.7
+    ).collect()
+    want = S.mmr_topk(emb, qv, k=5, pool=20, lam=0.7).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # pruned probe still returns k rows in selection order
+    pruned = AI.ann_mmr_topk(spark, path, qv, k=5, pool=20, nprobe=2).collect()
+    assert [r["sel_rank"] for r in pruned] == [1, 2, 3, 4, 5]
+    # the rank-1 pick is pure relevance: the probed cells' best hit
+    assert pruned[0]["vec_id"] == 7 and pruned[0]["cos_sim"] == 1.0
+    with pytest.raises(ValueError, match="pool >= k"):
+        AI.ann_mmr_topk(spark, path, qv, k=6, pool=5)
+    with pytest.raises(ValueError, match="nprobe"):
+        AI.ann_mmr_topk(spark, path, qv, k=2, pool=5, nprobe=0)
+
+
+def test_ann_mmr_topk_multiversion_pool_dedup(spark, emb, tmp_path):
+    # a re-ingested id (stale version alive pre-compaction) must not
+    # occupy two pool slots or be selected twice
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb, path, num_centroids=4)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    base = AI.ann_mmr_topk(spark, path, qv, k=5, pool=10, nprobe=4).collect()
+    hot = [r["vec_id"] for r in base[:2]]
+    re_emb = (
+        emb.filter(F.col("vec_id").isin(hot))
+        .select("vec_id",
+                F.transform("embedding", lambda x: x * F.lit(1.05))
+                .cast("array<float>").alias("embedding"))
+    )
+    assert AI.ann_index_ingest(re_emb, path) == 2
+    rows = AI.ann_mmr_topk(spark, path, qv, k=5, pool=10, nprobe=4).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 5
