@@ -158,6 +158,20 @@ HEADLINE = [
     # Matryoshka saving made real at the storage layer: the coarse scan
     # reads vec_id + pvec only — ReadSchema pinned in tests)
     "q_ann_prefix_topk",
+    # round-12 additions (r11 verdict tasks 1-2): the BATCHED
+    # stored-prefix cascade (three queries share one probe/coarse/
+    # rescore plan — amortization vs 3x q_ann_prefix_topk) and MMR
+    # with its pool stage pruned by the maintained IVF index (the last
+    # retrieval path that read every vector byte, removed)
+    "q_ann_prefix_batch",
+    "q_mmr_ivf_topk",
+    # round-12 additions (r11 verdict task 6): the weighted/temperature
+    # sampling family's sf0.1 lines next to the stratified form's —
+    # driver-green since r7/r9 but never benched
+    "q_weighted_sample",
+    "q_temperature_mix",
+    "q_temperature_sample",
+    "q_quality_cut",
 ]
 
 
@@ -380,6 +394,112 @@ def _maintenance_timings(spark, sf_dir: str) -> tuple[dict, dict]:
     return mins, meds
 
 
+def _wide_crossover_timings(spark) -> tuple[dict, dict]:
+    """The compressed-tier SCAN-BYTE crossover, measured (r11 verdict
+    task 3): at sf0.1 the 2000×64-float embeddings table is far too
+    small for IO to matter — the stored-prefix cascade's extra stage
+    costs more than its 16/64 byte saving buys
+    (BENCH_NOTES_r11: q_ann_prefix_topk 1.22 s vs 0.51 s full-vector),
+    so the 100 TB posture rested on a ReadSchema argument alone. This
+    fixture makes the regime where vectors dominate IO: a
+    deterministic pseudo-random ``SPARK_GRAFT_WIDE_N`` (default
+    400 000) × d=512-float corpus (xxhash64-derived, synthesized like
+    the multimodal fixtures — no RNG, same bytes every round),
+    ONE maintained index carrying the prefix (16 dims) AND PQ (m=4
+    stored codes) tiers, and the three probe plans on the SAME cells:
+
+    - ``m_wide_full_probe`` — ann_index_topk: nprobe/C of the corpus
+      at 512 floats/row;
+    - ``m_wide_prefix_probe`` — ann_prefix_topk: the coarse pass reads
+      (id, pvec) = 16/512 of the vector bytes, full floats for the
+      k·f survivors only;
+    - ``m_wide_pq_probe`` — ivfpq_topk over stored codes: 4 ints/row
+      for the ADC ranking, floats for survivors.
+
+    Same 3-run min+median discipline as the headline queries; the
+    one-time corpus synth + build is reported as
+    ``m_wide_index_build`` (single-run, like shared_index_builds).
+    Set SPARK_GRAFT_WIDE_N=0 to skip (local iteration)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdc_system_spark.operators import ann_index as AI
+    from cdc_system_spark.operators.similarity import pq_codebooks
+
+    n = int(os.environ.get("SPARK_GRAFT_WIDE_N", "400000"))
+    if n <= 0:
+        return {}, {}
+    d, cells, nprobe, k = 512, 16, 4, 10
+    base = tempfile.mkdtemp(prefix="bench_wide_")
+    corpus_path = os.path.join(base, "corpus")
+    idx = os.path.join(base, "idx")
+    try:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, n, 1, 32)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda j: (
+                        ((F.xxhash64(F.col("id") * d + j) % 2001) + 2001)
+                        % 2001
+                        - 1000
+                    ).cast("float")
+                    / 1000.0,
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+            .write.mode("overwrite")
+            .parquet(corpus_path)
+        )
+        emb = spark.read.parquet(corpus_path)
+        books = pq_codebooks(emb, m=4, k=8)
+        AI.ann_index_build(
+            emb, idx, num_centroids=cells, pq_books=books, prefix_dims=16
+        )
+        build_s = round(time.perf_counter() - t0, 3)
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
+        ]
+        probes = [
+            (
+                "m_wide_full_probe",
+                lambda: AI.ann_index_topk(spark, idx, qv, k=k, nprobe=nprobe),
+            ),
+            (
+                "m_wide_prefix_probe",
+                lambda: AI.ann_prefix_topk(
+                    spark, idx, qv, k=k, nprobe=nprobe, rescore_factor=4
+                ),
+            ),
+            (
+                "m_wide_pq_probe",
+                lambda: AI.ivfpq_topk(
+                    spark, idx, None, qv, k=k, nprobe=nprobe, rescore_factor=4
+                ),
+            ),
+        ]
+        mins = {"m_wide_index_build": build_s}
+        meds = {"m_wide_index_build": build_s}
+        for name, fn in probes:
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            mins[name] = round(runs[0], 3)
+            meds[name] = round(runs[1], 3)
+        return mins, meds
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _cpu_calibration(spark) -> dict:
     """Deterministic box-speed probes, recorded in every committed
     record so cross-round drift is MEASURED, not inferred: rounds 8-10
@@ -560,6 +680,11 @@ def main() -> None:
     median_total = round(sum(medians.values()), 3)
 
     maint_mins, maint_meds = _maintenance_timings(spark, sf_dir)
+    # the wide-embedding crossover lines ride the maintenance dicts so
+    # next round's 1.3x gate covers them automatically
+    wide_mins, wide_meds = _wide_crossover_timings(spark)
+    maint_mins.update(wide_mins)
+    maint_meds.update(wide_meds)
 
     # machine-checkable regression gate vs the last committed
     # same-box record: new min > 1.3x old min -> flagged (headline

@@ -513,6 +513,25 @@ def ann_index_topk(
     )
 
 
+def _prefix_coarse(
+    pruned: DataFrame, qp, limit: int, id_col: str
+) -> DataFrame:
+    """The prefix cascade's coarse stage as a frame: rounded cosine of
+    the STORED ``pvec`` column vs the query's prefix slice over the
+    probed cells, top ``limit`` (prefix_sim desc, id asc). Split out so
+    the plan-shape test can pin its ReadSchema — (id, pvec) only,
+    never the float vectors — now that :func:`ann_prefix_topk`
+    executes it eagerly (bounded collect) before the survivor-literal
+    rescore."""
+    return (
+        pruned.select(
+            F.col(id_col), cosine(F.col("pvec"), qp).alias("prefix_sim")
+        )
+        .orderBy(F.desc("prefix_sim"), id_col)
+        .limit(limit)
+    )
+
+
 def ann_prefix_topk(
     spark: SparkSession,
     path: str,
@@ -534,9 +553,11 @@ def ann_prefix_topk(
     column pruning means this scan reads ``prefix_dims/d`` of the
     vector bytes, which is what storing the prefix as its OWN column
     buys over slicing the full vector at probe time; (3) the top
-    ``k·rescore_factor`` survivors (TakeOrderedAndProject) join back
-    to the pruned cells' full vectors (tiny side — AQE broadcasts it,
-    the :func:`~cdc_system_spark.operators.similarity
+    ``k·rescore_factor`` survivors (TakeOrderedAndProject, bounded —
+    a model-artifact-sized collect) rescore through a pushed-down
+    ``id IN (...)`` scan of the pruned cells' full vectors, so the
+    float read is row-group-skipped to the survivors' neighborhoods
+    (the :func:`~cdc_system_spark.operators.similarity
     .pq_exact_rescore` pattern) for the exact-cosine final ranking.
     At 100 TB: nprobe/C of the corpus at prefix_dims/d bytes per row
     for the coarse pass, full floats for k·f survivors only. Fully
@@ -568,27 +589,46 @@ def ann_prefix_topk(
     pruned = assignments.filter(F.col("centroid_id").isin(probed))
     qp = F.array(*[F.lit(float(x)) for x in query_vec[:pdims]])
     qf = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = (
-        pruned.select(
-            F.col(id_col), cosine(F.col("pvec"), qp).alias("prefix_sim")
+    # coarse survivors are BOUNDED (k·rescore_factor — model-artifact-
+    # sized), so they collect to a literal id→prefix_sim map and the
+    # exact rescore reads the floats through a pushed-down
+    # ``id IN (...)`` filter: parquet row-group stats skip everything
+    # but the survivors' neighborhoods. The join formulation this
+    # replaces re-scanned the probed cells' FULL float vectors for the
+    # rescore side — (p+d)/d of the full-probe bytes, strictly worse;
+    # the r12 wide-embedding fixture measured it slower than the plain
+    # probe at d=512, inverting the very saving the stored tier makes.
+    # A duplicated survivor id (pre-compaction re-ingest: versions
+    # coexist until compaction) keeps its best prefix_sim in the map
+    # (r11 advisor — one pool slot per id)...
+    best: dict = {}
+    for r in _prefix_coarse(pruned, qp, k * rescore_factor, id_col).collect():
+        rid, sim = r[id_col], float(r["prefix_sim"])
+        if rid not in best or sim > best[rid]:
+            best[rid] = sim
+    if not best:
+        return (
+            pruned.select(
+                F.col(id_col),
+                F.lit(0.0).alias("prefix_sim"),
+                F.lit(0.0).alias("cos_sim"),
+            )
+            .limit(0)
         )
-        .orderBy(F.desc("prefix_sim"), id_col)
-        .limit(k * rescore_factor)
-    )
-    rescored = cand.join(pruned.select(id_col, vec_col), id_col).select(
+    pairs = []
+    for rid, sim in best.items():
+        pairs.extend([F.lit(rid), F.lit(sim)])
+    sim_map = F.create_map(*pairs)
+    rescored = pruned.filter(F.col(id_col).isin(list(best))).select(
         F.col(id_col),
-        F.col("prefix_sim"),
+        sim_map[F.col(id_col)].alias("prefix_sim"),
         cosine(F.col(vec_col), qf).alias("cos_sim"),
     )
-    # pre-compaction, a re-ingested id coexists with its stale version
-    # (ingest dedups on (id, vector), not id — the lsh_index version
-    # contract), so the rescore join emits one row per (coarse-survivor
-    # instance × stored version). Collapse per id on the TINY joined
-    # frame (≤ k·f·v rows — never the cells, whose scan stays
-    # shuffle-free): max over versions, so a duplicated id can never
-    # crowd distinct ids out of the final top-k (r11 advisor) and the
-    # output is deterministic regardless of version count;
-    # single-version indexes pass through value-identical.
+    # ...and the per-id collapse on the tiny rescored frame (≤ k·f·v
+    # rows) folds its versions' exact cosines to the best one, so a
+    # re-ingested id can never crowd distinct ids out of the final
+    # top-k and the output is deterministic regardless of version
+    # count; single-version indexes pass through value-identical.
     return (
         rescored.groupBy(id_col)
         .agg(

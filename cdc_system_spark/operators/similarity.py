@@ -2135,17 +2135,48 @@ def pq_exact_rescore(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact-cosine rescore of an ADC candidate frame ``(id,
-    adc_dist)``: join just the survivors back to their float vectors
-    (candidate side is tiny — AQE broadcasts it) and return the top
-    ``k`` by rounded cosine, id tiebreak. The shared final stage of
-    :func:`pq_topk` and ``ivfpq_topk`` — one copy, so the rescore
-    ordering convention cannot drift between them."""
-    cand = cand_ids.join(emb.select(id_col, vec_col), id_col)
+    adc_dist)``. The candidate frame is BOUNDED by construction
+    (``k·rescore_factor`` rows — a model-artifact-sized parameter,
+    the nprobe·m·k LUT convention), so it collapses to a literal
+    id→adc map driver-side and the float read happens through a
+    pushed-down ``id IN (...)`` filter: parquet row-group statistics
+    skip everything but the survivors' neighborhoods, making the
+    rescore's scan bytes proportional to SURVIVORS, not to the corpus
+    (or probed cells) being rescored. The r12 wide-embedding fixture
+    measured the join formulation this replaces re-scanning every
+    candidate-relation float vector — at d=512 that re-scan cost more
+    than the ADC stage saved, inverting the compression payback the
+    tier exists for. Shared final stage of :func:`pq_topk`,
+    ``ivfpq_topk`` and ``ivfpq_residual_topk`` — one copy, so the
+    rescore ordering convention (rounded cosine desc, id asc) cannot
+    drift between them. A candidate id with several live versions
+    (pre-compaction re-ingest) keeps its BEST adc_dist; its versions'
+    float rows all pass the IN filter and rank by their own exact
+    cosine."""
+    best: dict = {}
+    for r in cand_ids.collect():
+        rid, dist = r[id_col], float(r["adc_dist"])
+        if rid not in best or dist < best[rid]:
+            best[rid] = dist
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    if not best:
+        return (
+            emb.select(
+                F.col(id_col),
+                F.lit(0.0).alias("adc_dist"),
+                F.lit(0.0).alias("cos_sim"),
+            )
+            .limit(0)
+        )
+    pairs = []
+    for rid, dist in best.items():
+        pairs.extend([F.lit(rid), F.lit(dist)])
+    adc_map = F.create_map(*pairs)
     return (
-        cand.select(
+        emb.filter(F.col(id_col).isin(list(best)))
+        .select(
             F.col(id_col),
-            F.col("adc_dist"),
+            adc_map[F.col(id_col)].alias("adc_dist"),
             cosine(F.col(vec_col), qv).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))

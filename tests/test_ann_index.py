@@ -894,12 +894,31 @@ def test_prefix_tier_build_ingest_and_probe(spark, emb, tmp_path):
         (r["vec_id"], r["cos_sim"]) for r in exact.collect()
     ]
     # the coarse stage's scan projects id + pvec, never the floats
-    tight = AI.ann_prefix_topk(spark, path, qv, k=5, nprobe=2)
-    plan = tight._jdf.queryExecution().executedPlan().toString()
+    # (pinned on the split-out coarse frame — ann_prefix_topk executes
+    # it eagerly before the survivor-literal rescore)
     import re
 
-    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    from pyspark.sql import functions as SF
+
+    probed = AI._probe_cells(spark, path, qv, 2)
+    pruned = AI.ann_index_load(spark, path)[1].filter(
+        F.col("centroid_id").isin(probed)
+    )
+    qp = SF.array(*[SF.lit(float(x)) for x in qv[:16]])
+    coarse_plan = (
+        AI._prefix_coarse(pruned, qp, 20, "vec_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    schemas = re.findall(r"ReadSchema: (\S+)", coarse_plan)
     assert any("pvec" in s and "embedding" not in s for s in schemas), schemas
+    # the rescore scan reads floats through a pushed-down id IN filter
+    # (row-group skipping: survivor-proportional bytes, never the
+    # cells'), and never touches pvec
+    tight = AI.ann_prefix_topk(spark, path, qv, k=5, nprobe=2)
+    plan = tight._jdf.queryExecution().executedPlan().toString()
+    rschemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert any("embedding" in s and "pvec" not in s for s in rschemas), rschemas
+    assert re.search(r"PushedFilters: \[.*In\(vec_id", plan), plan
     assert len(tight.collect()) == 5
 
 
