@@ -26,87 +26,87 @@ from cdc_system_spark.queries import llm  # noqa: E402,F401  (94, all oracle-bac
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no oracle)
 
-# Round-11 window: the driver's CORRECTNESS gate strong-checks the
+# Round-12 window: the driver's CORRECTNESS gate strong-checks the
 # FIRST 50 registry entries only; the window is an EXPLICIT 50-name
 # list. Composition policy (standing since r4), in priority order:
 #   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 11 adds four (metadata-filtered
-#      retrieval, the Matryoshka prefix-rescore cascade, the MMR
-#      diversified rerank, and the stored-prefix IVF cascade over the
-#      maintained index);
-#   2. every query whose operator CHANGED this round (r10 flags: none
-#      — CORRECTNESS_r10 was 50/50 green): ann_index build/ingest/
-#      attach gained the prefix tier, the tier-consistency checks and
-#      the books-last attach ordering, so the whole maintained-ANN
-#      family that exercises build+ingest(+attach) re-confirms — the
-#      r10 precedent for the PQ-tier probe;
+#      CORRECTNESS row — round 12 adds two (the batched stored-prefix
+#      cascade and MMR over the IVF-pruned pool, the r11 verdict's
+#      tasks 1-2);
+#   2. every query whose operator CHANGED this round: the shared
+#      pq_exact_rescore now rescores through a survivor-literal
+#      pushed-down IN scan (every single-query PQ/IVFPQ form),
+#      ann_prefix_topk gained the same rescore plus the per-id
+#      version collapse (r11 advisor), filtered_cosine_topk's rename
+#      went positional, and mmr_topk's greedy step was factored into
+#      the shared _mmr_greedy — each covering query re-confirms;
 #   3. remaining slots re-confirm the queries with the OLDEST driver
-#      evidence: the COMPLETE 29-name r6-evidence pool (recomputed
-#      from the ten CORRECTNESS_r01-r10 artifacts, the r10 verdict's
-#      pinned list, re-pinned in tests/test_plans.py::
-#      test_oldest_evidence_pool_recorded), which moves the
-#      registry-wide evidence floor to r7, then r7-evidence names
-#      oldest-first (alphabetical within the round) in the 9 slots
-#      that remain.
-_WINDOW_R11 = [
+#      evidence: the COMPLETE 35-name r7-evidence pool (recomputed
+#      from the eleven CORRECTNESS_r01-r11 artifacts, re-pinned in
+#      tests/test_plans.py::test_oldest_evidence_pool_recorded),
+#      which moves the registry-wide evidence floor to r8, then
+#      r8-evidence names oldest-first (alphabetical within the round)
+#      in the 5 slots that remain.
+_WINDOW_R12 = [
     # -- 1. new this round, never driver-checked --
+    "q_ann_prefix_batch",
+    "q_mmr_ivf_topk",
+    # -- 2. operator changed this round (survivor-literal rescore /
+    #       positional rename / shared greedy step) --
     "q_ann_filtered",
-    "q_matryoshka_topk",
-    "q_mmr_topk",
     "q_ann_prefix_topk",
-    # -- 2. operator changed this round (maintained-ANN ingest/attach) --
-    "q_ann_index_maintained",
-    "q_ann_probe_maintained",
-    "q_ann_topk_batch",
-    "q_ann_cell_skew",
+    "q_mmr_topk",
+    "q_pq_topk",
+    "q_ivfpq_topk",
     "q_ivfpq_topk_stored",
-    "q_ivfpq_batch",
+    "q_ivfpq_residual",
     "q_ivfpq_residual_stored",
-    "q_ivfpq_residual_batch",
-    # -- 3a. the COMPLETE r6-evidence pool (29) — floor moves to r7 --
-    "q_embedding_topk",
-    "q_equidepth_histogram",
-    "q_equidepth_sketch",
-    "q_event_enrichment",
-    "q_funnel",
-    "q_fuzzy_dedup",
-    "q_gap_fill",
-    "q_kmv_by_type",
-    "q_kmv_distinct",
-    "q_kmv_merged",
-    "q_knn_graph",
-    "q_merge_apply",
-    "q_minhash_lsh_pairs",
-    "q_minhash_signature",
-    "q_ngram_jaccard",
-    "q_pending_changes",
-    "q_quantile_sketch",
-    "q_quantiles_by_type",
-    "q_quantiles_merged",
-    "q_range_join",
-    "q_retention_cohorts",
-    "q_rollup",
-    "q_sample_merged",
-    "q_selectivity_merged",
-    "q_semantic_decontaminate",
-    "q_semantic_dedup",
-    "q_simhash",
-    "q_snapshot_diff",
-    "q_srp_lsh_pairs",
-    # -- 3b. r7-evidence re-confirmations, oldest-first --
-    "q_array_ops",
-    "q_bigram_surprisal",
-    "q_bpe_token_count",
-    "q_containment_maintained",
-    "q_containment_pairs",
-    "q_count",
-    "q_cube",
-    "q_drop_contained",
-    "q_filter_eq",
+    # -- 3a. the COMPLETE r7-evidence pool (35) — floor moves to r8 --
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_from_json",
+    "q_hash_sample",
+    "q_ingest_dup_report",
+    "q_isin_semijoin",
+    "q_kmv_merged_by",
+    "q_kmv_windowed",
+    "q_lang_id",
+    "q_lsh_index_maintained",
+    "q_lsh_index_stats",
+    "q_lsh_probe_maintained",
+    "q_media_byte_histogram",
+    "q_media_catalog",
+    "q_media_decode",
+    "q_neardup_ingest",
+    "q_pricing_summary",
+    "q_project_limit",
+    "q_quality_filter",
+    "q_rarity_score",
+    "q_redact_pii",
+    "q_regex_extract",
+    "q_repetition_filter",
+    "q_salted_join",
+    "q_session_window",
+    "q_shipping_priority",
+    "q_stratified_sample",
+    "q_term_frequency",
+    "q_text_quality",
+    "q_tfidf",
+    "q_to_json",
+    "q_token_count",
+    "q_tumbling_window",
+    "q_weighted_sample",
+    "q_window_rank",
+    # -- 3b. r8-evidence re-confirmations, oldest-first --
+    "q_agg_groupby",
+    "q_anti_join",
+    "q_case_when",
+    "q_chunk_documents",
+    "q_containment_ingest",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R11
+_WINDOW = _WINDOW_R12
 
 
 def _set_window() -> None:

@@ -22,41 +22,65 @@ def plans(spark, sf_dir):
 #: the rounds the oldest-evidence pool is pinned AGAINST. The r8
 #: version of this test globbed ALL CORRECTNESS artifacts, so the pin
 #: self-expired the moment the driver delivered the next round's file
-#: (the r8 verdict's "What's wrong" #1). The pool is now pinned as of
-#: a NAMED artifact set — delivery of CORRECTNESS_r11.json (or later)
-#: cannot change the recompute; the r12 session re-pins from r1-r11.
-_POOL_ROUNDS = range(1, 11)
+#: (the r8 verdict's "What's wrong" #1). The pool is pinned as of a
+#: NAMED artifact set — delivery of CORRECTNESS_r12.json (or later)
+#: cannot change the recompute; the r13 session re-pins from r1-r12.
+_POOL_ROUNDS = range(1, 12)
 
-#: the oldest-evidence pool, RECOMPUTED from the ten committed
-#: CORRECTNESS_r01-r10.json artifacts at round-11 start — 29 names,
-#: matching the r10 verdict task 4's authoritative pinned list exactly.
-#: Every name's latest driver-green row is round 6 (the r5 floor
-#: cleared in r10: all 26 r5-evidence names re-confirmed, 50/50
-#: green). _WINDOW_R11 re-confirms these oldest-first after the
-#: round-11 additions.
-R6_EVIDENCE_POOL = {
-    "q_embedding_topk", "q_equidepth_histogram", "q_equidepth_sketch",
-    "q_event_enrichment", "q_funnel", "q_fuzzy_dedup", "q_gap_fill",
-    "q_kmv_by_type", "q_kmv_distinct", "q_kmv_merged", "q_knn_graph",
-    "q_merge_apply", "q_minhash_lsh_pairs", "q_minhash_signature",
-    "q_ngram_jaccard", "q_pending_changes", "q_quantile_sketch",
-    "q_quantiles_by_type", "q_quantiles_merged", "q_range_join",
-    "q_retention_cohorts", "q_rollup", "q_sample_merged",
-    "q_selectivity_merged", "q_semantic_decontaminate",
-    "q_semantic_dedup", "q_simhash", "q_snapshot_diff",
-    "q_srp_lsh_pairs",
+#: the oldest-evidence pool, RECOMPUTED from the eleven committed
+#: CORRECTNESS_r01-r11.json artifacts at round-12 start — 35 names
+#: whose latest driver-green row is round 7 (the r6 floor cleared in
+#: r11: the complete 29-name r6 pool re-confirmed, 50/50 green).
+#: _WINDOW_R12 re-confirms these oldest-first after the round-12
+#: additions and changed-operator re-confirmations.
+R7_EVIDENCE_POOL = {
+    "q_fingerprint",
+    "q_frame_sample",
+    "q_from_json",
+    "q_hash_sample",
+    "q_ingest_dup_report",
+    "q_isin_semijoin",
+    "q_kmv_merged_by",
+    "q_kmv_windowed",
+    "q_lang_id",
+    "q_lsh_index_maintained",
+    "q_lsh_index_stats",
+    "q_lsh_probe_maintained",
+    "q_media_byte_histogram",
+    "q_media_catalog",
+    "q_media_decode",
+    "q_neardup_ingest",
+    "q_pricing_summary",
+    "q_project_limit",
+    "q_quality_filter",
+    "q_rarity_score",
+    "q_redact_pii",
+    "q_regex_extract",
+    "q_repetition_filter",
+    "q_salted_join",
+    "q_session_window",
+    "q_shipping_priority",
+    "q_stratified_sample",
+    "q_term_frequency",
+    "q_text_quality",
+    "q_tfidf",
+    "q_to_json",
+    "q_token_count",
+    "q_tumbling_window",
+    "q_weighted_sample",
+    "q_window_rank",
 }
 
 
 def test_oldest_evidence_pool_recorded():
     """The recorded pool matches the artifacts it is pinned against
-    (r1-r10 by name — NOT a bare glob, which made the r8 pin expire
+    (r1-r11 by name — NOT a bare glob, which made the r8 pin expire
     the moment the next driver artifact landed). A checkout missing
     any pinned artifact skips the recompute but still pins the size."""
     import json
     import os
 
-    assert len(R6_EVIDENCE_POOL) == 29
+    assert len(R7_EVIDENCE_POOL) == 35
     here = os.path.dirname(__file__)
     arts = [os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json")
             for r in _POOL_ROUNDS]
@@ -69,45 +93,44 @@ def test_oldest_evidence_pool_recorded():
                   and v.get("hash_match") and not v.get("err"))
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
-    assert not {n for n, r in latest.items() if r <= 5}, \
-        "r5 floor regressed — an artifact changed under the pin"
-    recomputed = {n for n, r in latest.items() if r == 6}
-    assert recomputed == R6_EVIDENCE_POOL
+    assert not {n for n, r in latest.items() if r <= 6}, \
+        "r6 floor regressed — an artifact changed under the pin"
+    recomputed = {n for n, r in latest.items() if r == 7}
+    assert recomputed == R7_EVIDENCE_POOL
 
 
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
     entries. The window is now an explicit list (queries/__init__.py
-    ``_WINDOW_R11``) whose invariants ``_set_window`` already enforces
+    ``_WINDOW_R12``) whose invariants ``_set_window`` already enforces
     at import; here we pin the POLICY content: everything never
     driver-checked sits inside, as does everything whose operator or
     oracle changed this round (round 11: none — CORRECTNESS_r10 was
     50/50 green and the refinement work is rows-only), the COMPLETE
-    recomputed r6-evidence pool (29 names — the floor moves to r7),
+    recomputed r7-evidence pool (35 names — the floor moves to r8),
     and no rows-only query wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
     must_cover = {
-        # new in round 11, never driver-checked:
+        # new in round 12, never driver-checked:
+        "q_ann_prefix_batch",
+        "q_mmr_ivf_topk",
+        # operator changed in round 12: pq_exact_rescore went
+        # survivor-literal (every single-query PQ/IVFPQ form),
+        # ann_prefix_topk gained the same rescore + per-id version
+        # collapse, filtered_cosine_topk's rename went positional,
+        # mmr_topk's greedy step was factored into _mmr_greedy:
         "q_ann_filtered",
-        "q_matryoshka_topk",
-        "q_mmr_topk",
         "q_ann_prefix_topk",
-        # operator changed in round 11: ann_index build/ingest/attach
-        # gained the prefix tier, tier-consistency checks and the
-        # books-last attach — re-confirm the maintained-ANN family
-        # that exercises those paths (the r10 PQ-tier precedent):
-        "q_ann_index_maintained",
-        "q_ann_probe_maintained",
-        "q_ann_topk_batch",
-        "q_ann_cell_skew",
+        "q_mmr_topk",
+        "q_pq_topk",
+        "q_ivfpq_topk",
         "q_ivfpq_topk_stored",
-        "q_ivfpq_batch",
+        "q_ivfpq_residual",
         "q_ivfpq_residual_stored",
-        "q_ivfpq_residual_batch",
-    } | R6_EVIDENCE_POOL
+    } | R7_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
 
