@@ -218,6 +218,9 @@ def test_python_only_where_intended(plans):
         # constant-fold into the forbidden BNLJ; literal explode stops
         # scaling at C = sqrt(n))
         "q_ann_topk_batch",
+        # the batched stored-prefix cascade rides the same shared
+        # _probe_many Arrow probe stage (round 12)
+        "q_ann_prefix_batch",
     }
     for name, df in plans.items():
         f = plan_features(df)
