@@ -703,7 +703,10 @@ def ann_prefix_topk_many(
             "inconsistent prefix tier: prefix_meta present but stored "
             "pvec column absent — rebuild the index with prefix_dims="
         )
-    probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
+    probe, probed_cells = _probe_many_pinned(
+        queries, cents, nprobe, qid_col, qvec_col
+    )
+    pruned = assignments.filter(F.col("centroid_id").isin(probed_cells))
     # the probe rows carry only the prefix slice into the coarse join —
     # the wide qvec floats stay out of the candidate-sized stream
     probe_p = probe.select(
@@ -712,7 +715,7 @@ def ann_prefix_topk_many(
         F.slice(F.col(qvec_col), 1, pdims).alias("_qp"),
     )
     coarse = probe_p.join(
-        assignments.select(F.col(id_col), F.col("pvec"), F.col("centroid_id")),
+        pruned.select(F.col(id_col), F.col("pvec"), F.col("centroid_id")),
         "centroid_id",
     ).select(
         F.col(qid_col),
@@ -728,7 +731,7 @@ def ann_prefix_topk_many(
         .drop("_rk")
     )
     scored = (
-        sel.join(assignments.select(F.col(id_col), F.col(vec_col)), id_col)
+        sel.join(pruned.select(F.col(id_col), F.col(vec_col)), id_col)
         .join(queries.select(F.col(qid_col), F.col(qvec_col)), qid_col)
         .select(
             F.col(qid_col),
@@ -874,6 +877,34 @@ def _probe_many(
     return q.mapInPandas(probe_batches, probe_schema)
 
 
+def _probe_many_pinned(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    qid_col: str,
+    qvec_col: str,
+) -> tuple[DataFrame, list[int]]:
+    """:func:`_probe_many` MATERIALIZED (localCheckpoint of the
+    Q×nprobe probe rows) plus the distinct probed-cell list — so every
+    batch plan filters the assignment scan to the probed partitions
+    with a literal ``centroid_id IN (...)`` (partition pruning at file
+    listing, the single-query forms' physics) instead of scanning
+    EVERY cell just to feed the equi-join: without this, a 3-query
+    batch against a 10⁵-cell index read the whole corpus to discard
+    all but 6 cells at the join. The collect is bounded by
+    ``min(Q·nprobe, C)`` cell ids; a batch large enough to probe most
+    cells degenerates the filter to a no-op, which is then also the
+    correct plan (most of the corpus genuinely is a candidate)."""
+    probe = _probe_many(
+        queries, cents, nprobe, qid_col, qvec_col
+    ).localCheckpoint(eager=True)
+    cells = [
+        r["centroid_id"]
+        for r in probe.select("centroid_id").distinct().collect()
+    ]
+    return probe, cells
+
+
 def ann_index_topk_many(
     spark: SparkSession,
     path: str,
@@ -915,8 +946,14 @@ def ann_index_topk_many(
     if k < 1 or nprobe < 1:
         raise ValueError(f"k and nprobe must be >= 1, got k={k} nprobe={nprobe}")
     cents = _load_cents(spark, path)
-    probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
+    probe, probed_cells = _probe_many_pinned(
+        queries, cents, nprobe, qid_col, qvec_col
+    )
     _, assignments = ann_index_load(spark, path)
+    # scan ONLY the probed partitions (literal pruning at file listing
+    # — the single-query form's physics); the equi-join alone would
+    # scan every cell just to discard the unprobed ones
+    assignments = assignments.filter(F.col("centroid_id").isin(probed_cells))
     scored = probe.join(assignments, "centroid_id").select(
         F.col(qid_col),
         F.col(id_col),
@@ -1411,7 +1448,9 @@ def ivfpq_topk_many(
     m, kk, sub = len(books), len(books[0]), len(books[0][0])
     code_cols = [f"code{j}" for j in range(m)]
     cents = _load_cents(spark, path)
-    probe = _probe_many(queries, cents, nprobe, qid_col, qvec_col)
+    probe, probed_cells = _probe_many_pinned(
+        queries, cents, nprobe, qid_col, qvec_col
+    )
     # per-query LUT arrays ride the Q×nprobe probe rows — model-sized
     # work, computed inside codegen, nothing collected. In residual
     # mode the LUT source is the QUERY RESIDUAL against the row's own
@@ -1440,6 +1479,12 @@ def ivfpq_topk_many(
     ]
     probe_l = probe.select(F.col(qid_col), "centroid_id", *lut_cols)
     _, assignments = ann_index_load(spark, path)
+    # both the ADC join and the rescore join read ONLY the probed
+    # partitions (literal pruning at file listing — the single-query
+    # form's physics); the equi-join alone would scan every cell's
+    # codes, and the rescore every cell's floats, to discard all but
+    # the probed ones
+    assignments = assignments.filter(F.col("centroid_id").isin(probed_cells))
     if residual:
         rcode_cols = [f"rcode{j}" for j in range(m)]
         missing = [c for c in rcode_cols if c not in assignments.columns]

@@ -61,6 +61,12 @@ _WINDOW_R12 = [
     "q_ivfpq_topk_stored",
     "q_ivfpq_residual",
     "q_ivfpq_residual_stored",
+    # the batch forms now pin their assignment scans to the probed
+    # partitions via the materialized probe's distinct cell list
+    # (_probe_many_pinned) — the equi-join alone scanned every cell
+    "q_ann_topk_batch",
+    "q_ivfpq_batch",
+    "q_ivfpq_residual_batch",
     # -- 3a. the COMPLETE r7-evidence pool (35) — floor moves to r8 --
     "q_fingerprint",
     "q_frame_sample",
@@ -100,9 +106,6 @@ _WINDOW_R12 = [
     # -- 3b. r8-evidence re-confirmations, oldest-first --
     "q_agg_groupby",
     "q_anti_join",
-    "q_case_when",
-    "q_chunk_documents",
-    "q_containment_ingest",
 ]
 
 # the active window (rotated per round; _set_window validates it)

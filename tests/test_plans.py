@@ -104,11 +104,11 @@ def test_oracle_window_composition():
     entries. The window is now an explicit list (queries/__init__.py
     ``_WINDOW_R12``) whose invariants ``_set_window`` already enforces
     at import; here we pin the POLICY content: everything never
-    driver-checked sits inside, as does everything whose operator or
-    oracle changed this round (round 11: none — CORRECTNESS_r10 was
-    50/50 green and the refinement work is rows-only), the COMPLETE
-    recomputed r7-evidence pool (35 names — the floor moves to r8),
-    and no rows-only query wastes a strong-check slot."""
+    driver-checked sits inside, as does everything whose operator
+    changed this round (the survivor-literal rescore, the positional
+    rename, the shared greedy step, the batch partition pruning), the
+    COMPLETE recomputed r7-evidence pool (35 names — the floor moves
+    to r8), and no rows-only query wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
@@ -130,6 +130,11 @@ def test_oracle_window_composition():
         "q_ivfpq_topk_stored",
         "q_ivfpq_residual",
         "q_ivfpq_residual_stored",
+        # and the batch forms gained probed-cell partition pruning
+        # (_probe_many_pinned):
+        "q_ann_topk_batch",
+        "q_ivfpq_batch",
+        "q_ivfpq_residual_batch",
     } | R7_EVIDENCE_POOL
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
