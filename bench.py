@@ -165,6 +165,7 @@ HEADLINE = [
     # retrieval path that read every vector byte, removed)
     "q_ann_prefix_batch",
     "q_mmr_ivf_topk",
+    "q_mmr_ivf_batch",
     # round-12 additions (r11 verdict task 6): the weighted/temperature
     # sampling family's sf0.1 lines next to the stratified form's —
     # driver-green since r7/r9 but never benched

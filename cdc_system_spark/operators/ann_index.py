@@ -820,6 +820,108 @@ def ann_mmr_topk(
     )
 
 
+def ann_mmr_topk_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    nprobe: int = 2,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched MMR over the IVF-pruned pool: diversified top-k for a
+    whole SET of query vectors in one plan — ``(qid, sel_rank, id,
+    cos_sim, mmr_score)``, ≤ k rows per query in selection order.
+    :func:`ann_mmr_topk` is the single-query form (one probe job +
+    one driver-side greedy per call); here the pool stage is ONE plan
+    — :func:`_probe_many_pinned` probe, partition-pruned scan of the
+    probed cells, per-query rounded-cosine window keeps each query's
+    ``pool`` best WITH their vectors — and the inherently sequential
+    greedy step runs DISTRIBUTED: ``applyInPandas`` over the qid
+    groups, each group a model-artifact-sized pool (``pool`` rows)
+    worked by the SAME pure-Python loop the single-query form uses
+    (:func:`~cdc_system_spark.operators.similarity._mmr_greedy` —
+    sequential fold, rounded-6, smaller-id ties), so selection order
+    stays oracle-identical per query and the driver never holds
+    Q×pool vectors. At 100 TB: Q queries parallelize across
+    executors; per-query work is nprobe/C of the corpus for the pool
+    plus k·pool dot products in the greedy.
+
+    Pre-compaction multi-version ids collapse to their best-scoring
+    pool row per query (the :func:`ann_mmr_topk` contract)."""
+    from pyspark.sql import Window
+
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    from pyspark.sql import types as T
+
+    cents = _load_cents(spark, path)
+    probe, probed_cells = _probe_many_pinned(
+        queries, cents, nprobe, qid_col, qvec_col
+    )
+    _, assignments = ann_index_load(spark, path)
+    pruned = assignments.filter(F.col("centroid_id").isin(probed_cells))
+    scored = probe.join(pruned, "centroid_id").select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.col(vec_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    pool_rows = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= pool)
+        .drop("_rk")
+    )
+    out_schema = T.StructType(
+        [
+            queries.schema[qid_col],
+            T.StructField("sel_rank", T.IntegerType()),
+            pruned.schema[id_col],
+            T.StructField("cos_sim", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+
+    def greedy_group(pdf):
+        import pandas as pd
+
+        from cdc_system_spark.operators.similarity import _mmr_greedy
+
+        pdf = pdf.sort_values(
+            ["cos_sim", id_col], ascending=[False, True], kind="mergesort"
+        )
+        cand, seen = [], set()
+        for _, r in pdf.iterrows():
+            if r[id_col] in seen:  # stale version of an already-pooled id
+                continue
+            seen.add(r[id_col])
+            cand.append(
+                (r[id_col], [float(x) for x in r[vec_col]], float(r["cos_sim"]))
+            )
+        sel = _mmr_greedy(cand, k, lam)
+        qid = pdf[qid_col].iloc[0]
+        return pd.DataFrame(
+            {
+                qid_col: [qid] * len(sel),
+                "sel_rank": [s[0] for s in sel],
+                id_col: [s[1] for s in sel],
+                "cos_sim": [s[2] for s in sel],
+                "mmr_score": [s[3] for s in sel],
+            }
+        )
+
+    return pool_rows.groupBy(qid_col).applyInPandas(greedy_group, out_schema)
+
+
 def _probe_many(
     queries: DataFrame,
     cents: list[tuple[int, list[float]]],

@@ -51,6 +51,7 @@ _WINDOW_R12 = [
     # -- 1. new this round, never driver-checked --
     "q_ann_prefix_batch",
     "q_mmr_ivf_topk",
+    "q_mmr_ivf_batch",
     # -- 2. operator changed this round (survivor-literal rescore /
     #       positional rename / shared greedy step) --
     "q_ann_filtered",
@@ -105,7 +106,6 @@ _WINDOW_R12 = [
     "q_window_rank",
     # -- 3b. r8-evidence re-confirmations, oldest-first --
     "q_agg_groupby",
-    "q_anti_join",
 ]
 
 # the active window (rotated per round; _set_window validates it)

@@ -486,8 +486,19 @@ def _mmr_unrolled(prefix: str) -> str:
     ``cand(vec_id, embedding, qsim)`` — the brute-force and
     IVF-pruned pool variants differ ONLY there, exactly as the engine
     forms share ``_mmr_greedy`` and differ only in the pool stage."""
+    ctes, finals = _mmr_steps()
+    return ",\n    ".join([prefix, *ctes]) + f"\n    {finals}"
+
+
+def _mmr_steps(tag: str = "", qid_lit: int | None = None) -> tuple[list[str], str]:
+    """The s1..sk greedy-step CTE chain plus its UNION-ALL finals for
+    ONE query, over CTEs named ``cand{tag}`` / ``s{i}{tag}`` — the
+    suffix lets the BATCH oracle unroll several queries' selections in
+    one statement without CTE-name collisions. With ``qid_lit`` the
+    finals carry a literal ``qid`` column (the batch output shape)."""
     lam = f"{_MMR_LAM}"
     om = f"(1.0 - {_MMR_LAM})"
+    cand = f"cand{tag}"
 
     def pen(sj: str) -> str:
         return (
@@ -497,32 +508,32 @@ def _mmr_unrolled(prefix: str) -> str:
             f"FROM {sj})"
         )
 
-    parts = [
-        f"""{prefix},
-    s1 AS (
+    ctes = [
+        f"""s1{tag} AS (
         SELECT vec_id, embedding, qsim, ROUND({lam} * qsim, 6) AS m
-        FROM cand ORDER BY qsim DESC, vec_id LIMIT 1)"""
+        FROM {cand} ORDER BY qsim DESC, vec_id LIMIT 1)"""
     ]
     for i in range(2, _MMR_K + 1):
-        prev = [f"s{j}" for j in range(1, i)]
+        prev = [f"s{j}{tag}" for j in range(1, i)]
         pens = ", ".join(pen(sj) for sj in prev)
         greatest = pens if len(prev) == 1 else f"GREATEST({pens})"
         excl = " AND ".join(
             f"c.vec_id <> (SELECT vec_id FROM {sj})" for sj in prev
         )
-        parts.append(
-            f"""s{i} AS (
+        ctes.append(
+            f"""s{i}{tag} AS (
         SELECT c.vec_id, c.embedding, c.qsim,
                ROUND({lam} * c.qsim - {om} * {greatest}, 6) AS m
-        FROM cand c WHERE {excl}
+        FROM {cand} c WHERE {excl}
         ORDER BY m DESC, c.vec_id LIMIT 1)"""
         )
+    qcol = f"{qid_lit} AS qid, " if qid_lit is not None else ""
     finals = "\n    UNION ALL ".join(
-        f"SELECT {i} AS sel_rank, vec_id, qsim AS cos_sim, m AS mmr_score "
-        f"FROM s{i}"
+        f"SELECT {qcol}{i} AS sel_rank, vec_id, qsim AS cos_sim, "
+        f"m AS mmr_score FROM s{i}{tag}"
         for i in range(1, _MMR_K + 1)
     )
-    return ",\n    ".join(parts) + f"\n    {finals}"
+    return ctes, finals
 
 
 def _mmr_sql() -> str:
@@ -584,6 +595,66 @@ def _mmr_ivf_sql() -> str:
     return _mmr_unrolled(prefix)
 
 
+def _mmr_ivf_batch_sql() -> str:
+    """Batched IVF-pooled MMR twin: the shared centroid/assignment
+    CTEs once, then per query its own probe/cell/pool CTEs and the
+    tagged unrolled greedy chain (``_mmr_steps``) — three queries'
+    selection orders in one statement, matching the engine's one-plan
+    pool + distributed per-group greedy."""
+    qids = (0, 7, 23)
+    parts = [
+        f"""WITH ic AS (
+        SELECT vec_id AS icid, embedding AS icv FROM embeddings
+        WHERE vec_id IN (
+            SELECT vec_id FROM embeddings WHERE vec_id % 3 <> 0
+            ORDER BY vec_id LIMIT 8)),
+    cscored AS (
+        SELECT e.vec_id, ic.icid,
+               {_dot_sql('e.embedding', 'ic.icv')}
+                   / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
+                      * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
+        FROM embeddings e, ic),
+    assign AS (
+        SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
+            FROM cscored) WHERE rk = 1)"""
+    ]
+    all_finals = []
+    for qid in qids:
+        t = f"_q{qid}"
+        parts.append(
+            f"""q{t} AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {qid}),
+    qprobe{t} AS (
+        SELECT icid FROM (
+            SELECT ic.icid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_dot_sql('q.qv', 'ic.icv')}
+                           / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                              * SQRT({_dot_sql('ic.icv', 'ic.icv')})) DESC,
+                           ic.icid ASC) AS rk
+            FROM ic, q{t} q) WHERE rk <= 2),
+    cell{t} AS (
+        SELECT e.vec_id, e.embedding
+        FROM assign a JOIN embeddings e USING (vec_id)
+        WHERE a.centroid_id IN (SELECT icid FROM qprobe{t})),
+    cand{t} AS (
+        SELECT c.vec_id, c.embedding,
+               ROUND({_dot_sql('c.embedding', 'q.qv')}
+                     / (SQRT({_dot_sql('c.embedding', 'c.embedding')})
+                        * SQRT({_dot_sql('q.qv', 'q.qv')})), 6) AS qsim
+        FROM cell{t} c, q{t} q
+        ORDER BY qsim DESC, c.vec_id LIMIT {_MMR_POOL})"""
+        )
+        # the greedy pen() subqueries reference cand{t} rows as "c" and
+        # the per-step CTEs by name — tag them with this query's suffix
+        ctes, finals = _mmr_steps(tag=t, qid_lit=qid)
+        parts.extend(ctes)
+        all_finals.append(finals)
+    return ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(all_finals)
+
+
 @register(
     "q_mmr_topk",
     _mmr_sql(),
@@ -629,6 +700,35 @@ def q_mmr_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return ann_mmr_topk(
         spark, path, qv, k=_MMR_K, pool=_MMR_POOL, nprobe=2, lam=_MMR_LAM
+    )
+
+
+@register(
+    "q_mmr_ivf_batch",
+    _mmr_ivf_batch_sql(),
+    doc="batched MMR over the IVF-pruned pool (ann_mmr_topk_many on "
+    "shared_ann_index): three query vectors in ONE plan — shared "
+    "vectorized probe, partition-pruned scan of only the probed "
+    "cells, per-query cosine window keeps each query's pool of 20 "
+    "WITH vectors, then the greedy relevance-minus-redundancy "
+    "selection runs DISTRIBUTED (applyInPandas per qid group, the "
+    "shared _mmr_greedy loop — driver never holds QxPool vectors). "
+    "The oracle unrolls all three queries' five-step selections in "
+    "one statement (tagged CTE chains), so probe choice, pool "
+    "membership, and every selection step sit under the gate",
+)
+def q_mmr_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ann_mmr_topk_many
+    from cdc_system_spark.queries._maintained import shared_ann_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7, 23)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_mmr_topk_many(
+        spark, path, queries, k=_MMR_K, pool=_MMR_POOL, nprobe=2,
+        lam=_MMR_LAM,
     )
 
 

@@ -1090,3 +1090,38 @@ def test_ann_mmr_topk_multiversion_pool_dedup(spark, emb, tmp_path):
     rows = AI.ann_mmr_topk(spark, path, qv, k=5, pool=10, nprobe=4).collect()
     ids = [r["vec_id"] for r in rows]
     assert len(ids) == len(set(ids)) == 5
+
+
+def test_ann_mmr_topk_many_matches_single_query_form(spark, emb, tmp_path):
+    # the batched MMR must be ROW-IDENTICAL per query to the
+    # single-query ann_mmr_topk: same probe, same pruned pool, same
+    # shared greedy (here run distributed via applyInPandas)
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path, num_centroids=8)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    qids = [0, 7, 23]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = AI.ann_mmr_topk_many(
+        spark, path, queries, k=5, pool=20, nprobe=2, lam=0.7
+    ).collect()
+    got: dict[int, list] = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append(
+            (r["sel_rank"], r["vec_id"], r["cos_sim"], r["mmr_score"])
+        )
+    for rows in got.values():
+        rows.sort()
+    for qid in qids:
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == qid).head()["embedding"]]
+        single = [
+            tuple(r)
+            for r in AI.ann_mmr_topk(
+                spark, path, qv, k=5, pool=20, nprobe=2, lam=0.7
+            ).collect()
+        ]
+        assert got[qid] == single, qid
+    with pytest.raises(ValueError, match="pool >= k"):
+        AI.ann_mmr_topk_many(spark, path, queries, k=6, pool=5)

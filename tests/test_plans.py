@@ -117,6 +117,7 @@ def test_oracle_window_composition():
         # new in round 12, never driver-checked:
         "q_ann_prefix_batch",
         "q_mmr_ivf_topk",
+        "q_mmr_ivf_batch",
         # operator changed in round 12: pq_exact_rescore went
         # survivor-literal (every single-query PQ/IVFPQ form),
         # ann_prefix_topk gained the same rescore + per-id version
@@ -226,6 +227,10 @@ def test_python_only_where_intended(plans):
         # the batched stored-prefix cascade rides the same shared
         # _probe_many Arrow probe stage (round 12)
         "q_ann_prefix_batch",
+        # batched MMR: the shared Arrow probe plus the DISTRIBUTED
+        # greedy step (applyInPandas per qid group — the scale-correct
+        # home for the inherently sequential per-query selection)
+        "q_mmr_ivf_batch",
     }
     for name, df in plans.items():
         f = plan_features(df)
