@@ -62,6 +62,9 @@ __all__ = [
     "ann_index_topk",
     "ann_index_topk_many",
     "ann_prefix_topk",
+    "ann_prefix_topk_many",
+    "ann_mmr_topk",
+    "ann_mmr_topk_many",
     "pq_residual_codebooks",
     "ivfpq_recall",
     "ivfpq_residual_topk",
