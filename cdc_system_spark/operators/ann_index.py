@@ -709,7 +709,7 @@ def ann_prefix_topk_many(
     probe, probed_cells = _probe_many_pinned(
         queries, cents, nprobe, qid_col, qvec_col
     )
-    pruned = assignments.filter(F.col("centroid_id").isin(probed_cells))
+    pruned = _prune_cells(assignments, probed_cells)
     # the probe rows carry only the prefix slice into the coarse join —
     # the wide qvec floats stay out of the candidate-sized stream
     probe_p = probe.select(
@@ -871,7 +871,7 @@ def ann_mmr_topk_many(
         queries, cents, nprobe, qid_col, qvec_col
     )
     _, assignments = ann_index_load(spark, path)
-    pruned = assignments.filter(F.col("centroid_id").isin(probed_cells))
+    pruned = _prune_cells(assignments, probed_cells)
     scored = probe.join(pruned, "centroid_id").select(
         F.col(qid_col),
         F.col(id_col),
@@ -997,9 +997,10 @@ def _probe_many_pinned(
     EVERY cell just to feed the equi-join: without this, a 3-query
     batch against a 10⁵-cell index read the whole corpus to discard
     all but 6 cells at the join. The collect is bounded by
-    ``min(Q·nprobe, C)`` cell ids; a batch large enough to probe most
-    cells degenerates the filter to a no-op, which is then also the
-    correct plan (most of the corpus genuinely is a candidate)."""
+    ``min(Q·nprobe, C)`` cell ids; a batch that probes EVERY cell
+    (e.g. the recall evaluator's nprobe=C ground-truth pass) gets the
+    cell list replaced by an always-true predicate — a C-sized
+    literal IN would cost planning time to prune nothing."""
     probe = _probe_many(
         queries, cents, nprobe, qid_col, qvec_col
     ).localCheckpoint(eager=True)
@@ -1007,7 +1008,17 @@ def _probe_many_pinned(
         r["centroid_id"]
         for r in probe.select("centroid_id").distinct().collect()
     ]
+    if len(cells) >= len(cents):
+        return probe, None
     return probe, cells
+
+
+def _prune_cells(df: DataFrame, cells: list[int] | None) -> DataFrame:
+    """``df`` filtered to the probed partitions, or unchanged when the
+    probe covered every cell (``cells is None``)."""
+    if cells is None:
+        return df
+    return df.filter(F.col("centroid_id").isin(cells))
 
 
 def ann_index_topk_many(
@@ -1058,7 +1069,7 @@ def ann_index_topk_many(
     # scan ONLY the probed partitions (literal pruning at file listing
     # — the single-query form's physics); the equi-join alone would
     # scan every cell just to discard the unprobed ones
-    assignments = assignments.filter(F.col("centroid_id").isin(probed_cells))
+    assignments = _prune_cells(assignments, probed_cells)
     scored = probe.join(assignments, "centroid_id").select(
         F.col(qid_col),
         F.col(id_col),
@@ -1589,7 +1600,7 @@ def ivfpq_topk_many(
     # form's physics); the equi-join alone would scan every cell's
     # codes, and the rescore every cell's floats, to discard all but
     # the probed ones
-    assignments = assignments.filter(F.col("centroid_id").isin(probed_cells))
+    assignments = _prune_cells(assignments, probed_cells)
     if residual:
         rcode_cols = [f"rcode{j}" for j in range(m)]
         missing = [c for c in rcode_cols if c not in assignments.columns]
