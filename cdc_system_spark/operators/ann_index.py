@@ -66,6 +66,7 @@ __all__ = [
     "ann_mmr_topk",
     "ann_mmr_topk_many",
     "pq_residual_codebooks",
+    "ann_prefix_recall",
     "ivfpq_recall",
     "ivfpq_residual_topk",
     "ivfpq_topk",
@@ -1661,6 +1662,128 @@ def ivfpq_topk_many(
     )
 
 
+def _grid_recall(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    grid: list[tuple[int, int]],
+    k: int,
+    topk,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """The shared recall@k grid skeleton behind :func:`ivfpq_recall`
+    and :func:`ann_prefix_recall`: exact ground truth ONCE
+    (:func:`ann_index_topk_many` at nprobe=C — a full probe
+    degenerates to brute force, same rounded-6 + id-tiebreak
+    convention), then per (nprobe, rescore_factor, query) the
+    production plan via ``topk(qv, nprobe, rf)``, unioned and joined
+    against truth. One copy, so the truth convention and the recall
+    arithmetic cannot drift between the tiers' evaluators."""
+    from cdc_system_spark.functions.portable import round_portable
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got k={k}")
+    if not grid:
+        raise ValueError("grid must be non-empty")
+    for nprobe, rf in grid:
+        if nprobe < 1 or rf < 1:
+            raise ValueError(
+                f"grid entries must be >= 1, got ({nprobe}, {rf})"
+            )
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if not qrows:
+        raise ValueError("queries must be non-empty")
+    n_cells = len(_load_cents(spark, path))
+    truth = (
+        ann_index_topk_many(
+            spark,
+            path,
+            queries,
+            k=k,
+            nprobe=n_cells,
+            id_col=id_col,
+            vec_col=vec_col,
+            qid_col=qid_col,
+            qvec_col=qvec_col,
+        )
+        .select(F.col(qid_col), F.col(id_col), F.lit(1).alias("_t"))
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for nprobe, rf in grid:
+        for r in qrows:
+            qv = [float(x) for x in r[qvec_col]]
+            parts.append(
+                topk(qv, nprobe, rf).select(
+                    F.lit(nprobe).alias("nprobe"),
+                    F.lit(rf).alias("rescore_factor"),
+                    F.lit(r[qid_col]).alias(qid_col),
+                    F.col(id_col),
+                )
+            )
+    approx = parts[0]
+    for part in parts[1:]:
+        approx = approx.unionByName(part)
+    n_truth = truth.groupBy(qid_col).agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    return (
+        approx.join(truth, [qid_col, id_col], "left")
+        .groupBy("nprobe", "rescore_factor", qid_col)
+        .agg(F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_hit"))
+        .join(n_truth, qid_col)
+        .select(
+            "nprobe",
+            "rescore_factor",
+            qid_col,
+            "n_truth",
+            "n_hit",
+            round_portable(F.col("n_hit") / F.col("n_truth"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+def ann_prefix_recall(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    grid: list[tuple[int, int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Measured recall@k of the STORED-PREFIX cascade
+    (:func:`ann_prefix_topk`) against exact brute force across a
+    ``(nprobe, rescore_factor)`` grid — the health readout the PQ and
+    residual tiers already have (:func:`ivfpq_recall`), completing
+    the per-tier quality story: every compressed tier of the
+    maintained index now carries both a bench line AND a recall
+    evaluator. Unlike the trained-codebook tiers the prefix's recall
+    losses are purely geometric (how much ranking the first
+    ``prefix_dims`` components preserve vs the probe/rescore knobs) —
+    but the reading is still data-dependent, so rows-only under the
+    driver gate, arithmetic pinned by the shared skeleton."""
+    if ann_index_prefix_dims(spark, path) is None:
+        raise ValueError(
+            "index has no prefix tier — ann_index_build(prefix_dims=) first"
+        )
+    topk = lambda qv, np_, rf_: ann_prefix_topk(  # noqa: E731
+        spark, path, qv, k=k, nprobe=np_, rescore_factor=rf_,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return _grid_recall(
+        spark, path, queries, grid, k, topk,
+        id_col, vec_col, qid_col, qvec_col,
+    )
+
+
 def ivfpq_recall(
     spark: SparkSession,
     path: str,
@@ -1708,36 +1831,6 @@ def ivfpq_recall(
     Data-dependent centroid/candidate interplay makes this rows-only
     under the driver gate (``q_pq_recall``); the arithmetic is pinned
     by numpy parity in tests/test_ann_index.py."""
-    from cdc_system_spark.functions.portable import round_portable
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got k={k}")
-    if not grid:
-        raise ValueError("grid must be non-empty")
-    for nprobe, rf in grid:
-        if nprobe < 1 or rf < 1:
-            raise ValueError(
-                f"grid entries must be >= 1, got ({nprobe}, {rf})"
-            )
-    qrows = queries.select(qid_col, qvec_col).collect()
-    if not qrows:
-        raise ValueError("queries must be non-empty")
-    n_cells = len(_load_cents(spark, path))
-    truth = (
-        ann_index_topk_many(
-            spark,
-            path,
-            queries,
-            k=k,
-            nprobe=n_cells,
-            id_col=id_col,
-            vec_col=vec_col,
-            qid_col=qid_col,
-            qvec_col=qvec_col,
-        )
-        .select(F.col(qid_col), F.col(id_col), F.lit(1).alias("_t"))
-        .localCheckpoint(eager=False)
-    )
     if residual:
         # books=None mirrors the raw path's contract (r10 advisor): an
         # index with a STORED residual tier is evaluated through the
@@ -1769,39 +1862,9 @@ def ivfpq_recall(
             spark, path, books, qv, k=k, nprobe=np_, rescore_factor=rf_,
             id_col=id_col, vec_col=vec_col,
         )
-    parts = []
-    for nprobe, rf in grid:
-        for r in qrows:
-            qv = [float(x) for x in r[qvec_col]]
-            parts.append(
-                topk(qv, nprobe, rf).select(
-                    F.lit(nprobe).alias("nprobe"),
-                    F.lit(rf).alias("rescore_factor"),
-                    F.lit(r[qid_col]).alias(qid_col),
-                    F.col(id_col),
-                )
-            )
-    approx = parts[0]
-    for p in parts[1:]:
-        approx = approx.unionByName(p)
-    n_truth = truth.groupBy(qid_col).agg(
-        F.count("*").cast("long").alias("n_truth")
-    )
-    return (
-        approx.join(truth, [qid_col, id_col], "left")
-        .groupBy("nprobe", "rescore_factor", qid_col)
-        .agg(F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_hit"))
-        .join(n_truth, qid_col)
-        .select(
-            "nprobe",
-            "rescore_factor",
-            qid_col,
-            "n_truth",
-            "n_hit",
-            round_portable(F.col("n_hit") / F.col("n_truth"), 6).alias(
-                "recall_at_k"
-            ),
-        )
+    return _grid_recall(
+        spark, path, queries, grid, k, topk,
+        id_col, vec_col, qid_col, qvec_col,
     )
 
 

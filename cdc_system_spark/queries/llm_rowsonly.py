@@ -237,3 +237,30 @@ def q_ivfpq_residual_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_residual_topk(
         spark, path, qv, k=10, nprobe=2, rescore_factor=3, stored=True
     )
+
+
+@register(
+    "q_prefix_recall",
+    None,
+    doc="measured recall@10 of the STORED-PREFIX cascade "
+    "(ann_prefix_topk on the maintained prefix-tier index) vs exact "
+    "brute force, across the q_pq_recall (nprobe, rescore_factor) "
+    "grid — completes the per-tier quality story: raw PQ, residual "
+    "PQ, and the Matryoshka prefix tier each carry a bench line AND "
+    "a recall evaluator on the same knobs, so an operator can read "
+    "recall-per-scan-byte across all three compressions. Rows-only "
+    "like its twins (data-dependent composition); the cascade itself "
+    "is oracle-pinned by q_ann_prefix_topk",
+)
+def q_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_system_spark.operators.ann_index import ann_prefix_recall
+    from cdc_system_spark.queries._maintained import shared_ann_prefix_index
+
+    emb = catalog(spark, sf_dir).embeddings
+    path = shared_ann_prefix_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_prefix_recall(
+        spark, path, queries, grid=[(1, 1), (2, 3), (8, 6)], k=10
+    )

@@ -1125,3 +1125,31 @@ def test_ann_mmr_topk_many_matches_single_query_form(spark, emb, tmp_path):
         assert got[qid] == single, qid
     with pytest.raises(ValueError, match="pool >= k"):
         AI.ann_mmr_topk_many(spark, path, queries, k=6, pool=5)
+
+
+def test_ann_prefix_recall_saturates_at_full_knobs(spark, emb, tmp_path):
+    # shared-skeleton sanity: at nprobe=C with a corpus-covering
+    # rescore window the cascade IS brute force, so recall == 1.0;
+    # tighter knobs stay in [0, 1] and a tier-less index rejects
+    path = str(tmp_path / "idx")
+    AI.ann_index_build(emb.filter("vec_id % 3 <> 0"), path,
+                       num_centroids=4, prefix_dims=16)
+    AI.ann_index_ingest(emb.filter("vec_id % 3 = 0"), path)
+    queries = emb.filter(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    n_cell = AI.ann_index_load(spark, path)[1].count()
+    rows = AI.ann_prefix_recall(
+        spark, path, queries, grid=[(4, -(-n_cell // 10)), (1, 1)], k=10
+    ).collect()
+    by = {(r["nprobe"], r["rescore_factor"], r["qid"]): r for r in rows}
+    assert len(rows) == 4
+    for qid in (0, 7):
+        full = by[(4, -(-n_cell // 10), qid)]
+        assert full["recall_at_k"] == 1.0 and full["n_truth"] == 10
+        tight = by[(1, 1, qid)]
+        assert 0.0 <= tight["recall_at_k"] <= 1.0
+    plain = str(tmp_path / "plain")
+    AI.ann_index_build(emb, plain, num_centroids=4)
+    with pytest.raises(ValueError, match="no prefix tier"):
+        AI.ann_prefix_recall(spark, plain, queries, grid=[(1, 1)])
