@@ -62,5 +62,10 @@ def test_oracle_count_matches_registry():
         # stored-tier parity pinned in tests/test_ann_index.py
         "q_pq_recall_refined",
         "q_ivfpq_residual_refined",
+        # round 12: the prefix-tier recall evaluator — same
+        # data-dependent-composition reasoning as its PQ twins; the
+        # cascade itself is oracle-pinned by q_ann_prefix_topk and
+        # the full-knob saturation is pytest-pinned
+        "q_prefix_recall",
     ]
     assert len(oracle_backed) + len(rows_only) == len(QUERY_REGISTRY)

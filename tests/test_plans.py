@@ -215,19 +215,13 @@ def test_python_only_where_intended(plans):
         # vectorized numpy pass — the plan carries that Arrow branch
         # (empty at runtime in a well-maintained pipeline)
         "q_ann_probe_maintained",
-        # the batched IVFPQ forms ride the same shared _probe_many
-        # Arrow probe stage (round 10)
-        "q_ivfpq_batch",
-        "q_ivfpq_residual_batch",
-        # batch IVF probe selection is the same vectorized-numpy Arrow
-        # pass as the assignment side (literal-key DataFrame joins
-        # constant-fold into the forbidden BNLJ; literal explode stops
-        # scaling at C = sqrt(n))
-        "q_ann_topk_batch",
-        # the batched stored-prefix cascade rides the same shared
-        # _probe_many Arrow probe stage (round 12)
-        "q_ann_prefix_batch",
-        # batched MMR: the shared Arrow probe plus the DISTRIBUTED
+        # NOTE round 12: the batched IVF/IVFPQ/prefix forms' shared
+        # _probe_many Arrow stage no longer appears in their FINAL
+        # plans — _probe_many_pinned executes it eagerly
+        # (localCheckpoint) so its distinct cells can prune the
+        # assignment scan; the returned plan is JVM-only, the stronger
+        # property, so those queries sit in the ==0 branch below.
+        # Batched MMR keeps an IN-PLAN Arrow stage: the DISTRIBUTED
         # greedy step (applyInPandas per qid group — the scale-correct
         # home for the inherently sequential per-query selection)
         "q_mmr_ivf_batch",
