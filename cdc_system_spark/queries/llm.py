@@ -509,7 +509,7 @@ def _mmr_steps(tag: str = "", qid_lit: int | None = None) -> tuple[list[str], st
         )
 
     ctes = [
-        f"""s1{tag} AS (
+        f"""s1{tag} AS MATERIALIZED (
         SELECT vec_id, embedding, qsim, ROUND({lam} * qsim, 6) AS m
         FROM {cand} ORDER BY qsim DESC, vec_id LIMIT 1)"""
     ]
@@ -521,7 +521,7 @@ def _mmr_steps(tag: str = "", qid_lit: int | None = None) -> tuple[list[str], st
             f"c.vec_id <> (SELECT vec_id FROM {sj})" for sj in prev
         )
         ctes.append(
-            f"""s{i}{tag} AS (
+            f"""s{i}{tag} AS MATERIALIZED (
         SELECT c.vec_id, c.embedding, c.qsim,
                ROUND({lam} * c.qsim - {om} * {greatest}, 6) AS m
         FROM {cand} c WHERE {excl}
@@ -540,7 +540,7 @@ def _mmr_sql() -> str:
     """Brute-force-pool MMR twin: the pool is the corpus-wide cosine
     top-``_MMR_POOL`` (mmr_topk's stage 1)."""
     prefix = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT vec_id, embedding,
                ROUND({_dot_sql('embedding', 'qv')}
                      / (SQRT({_dot_sql('embedding', 'embedding')})
@@ -567,7 +567,7 @@ def _mmr_ivf_sql() -> str:
                    / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
                       * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
         FROM embeddings e, ic),
-    assign AS (
+    assign AS MATERIALIZED (
         SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
@@ -586,7 +586,7 @@ def _mmr_ivf_sql() -> str:
         SELECT e.vec_id, e.embedding
         FROM assign a JOIN embeddings e USING (vec_id)
         WHERE a.centroid_id IN (SELECT icid FROM qprobe)),
-    cand AS (
+    cand AS MATERIALIZED (
         SELECT c.vec_id, c.embedding,
                ROUND({_dot_sql('c.embedding', 'q.qv')}
                      / (SQRT({_dot_sql('c.embedding', 'c.embedding')})
@@ -614,7 +614,7 @@ def _mmr_ivf_batch_sql() -> str:
                    / (SQRT({_dot_sql('e.embedding', 'e.embedding')})
                       * SQRT({_dot_sql('ic.icv', 'ic.icv')})) AS cos_sim
         FROM embeddings e, ic),
-    assign AS (
+    assign AS MATERIALIZED (
         SELECT vec_id, CAST(icid AS BIGINT) AS centroid_id FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY cos_sim DESC, icid DESC) AS rk
@@ -639,7 +639,7 @@ def _mmr_ivf_batch_sql() -> str:
         SELECT e.vec_id, e.embedding
         FROM assign a JOIN embeddings e USING (vec_id)
         WHERE a.centroid_id IN (SELECT icid FROM qprobe{t})),
-    cand{t} AS (
+    cand{t} AS MATERIALIZED (
         SELECT c.vec_id, c.embedding,
                ROUND({_dot_sql('c.embedding', 'q.qv')}
                      / (SQRT({_dot_sql('c.embedding', 'c.embedding')})
