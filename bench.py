@@ -534,7 +534,32 @@ def _cpu_calibration(spark) -> dict:
             F.xxhash64("id").alias("h")
         ).agg(F.max("h")).collect()
         jvm_runs.append(time.perf_counter() - t0)
-    return {"python_sec": py_sec, "jvm_hash_sec": round(min(jvm_runs), 3)}
+    # writer-path probe (round 12): the maintenance actions are parquet
+    # WRITERS, and r12 measured the box's write path degrading ~1.4x
+    # while the compute families sat flat (cross-tree A/B: r11 code on
+    # the same day read the same elevated maintenance numbers) — a
+    # compute-family drift cannot adjudicate a writer-family flag, so
+    # the record needs its own write reference: a fixed 5M-row
+    # hash-column parquet write, min-of-3
+    import shutil
+    import tempfile
+
+    wr_base = tempfile.mkdtemp(prefix="bench_cal_wr_")
+    wr_runs = []
+    try:
+        for i in range(3):
+            t0 = time.perf_counter()
+            spark.range(0, 5_000_000, 1, 32).select(
+                "id", F.xxhash64("id").alias("h")
+            ).write.mode("overwrite").parquet(f"{wr_base}/{i}")
+            wr_runs.append(time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(wr_base, ignore_errors=True)
+    return {
+        "python_sec": py_sec,
+        "jvm_hash_sec": round(min(jvm_runs), 3),
+        "parquet_write_sec": round(min(wr_runs), 3),
+    }
 
 
 def main() -> None:
