@@ -19,6 +19,33 @@ def _is_path_not_found(exc: Exception) -> bool:
     return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 
+def read_model_rows(spark: SparkSession, src: str) -> list[dict]:
+    """Rows of a KB-sized MODEL table (centroids, PQ codebooks,
+    geometry/prefix meta) as plain dicts.
+
+    Probe entry points read one or more of these tables before the
+    real query is even planned; fetching a few KB through
+    ``spark.read.parquet(...).collect()`` costs a full distributed-job
+    round-trip per table per probe — a driver-blocking scheduling
+    barrier at any scale, and the dominant cost of the model reads at
+    bench scale. When the artifact sits on a filesystem the driver can
+    reach directly (a plain local path), read it in-process via
+    pyarrow; any other scheme (s3://, hdfs://) falls back to the Spark
+    reader unchanged. Contract parity with the Spark path: a MISSING
+    path raises ``AnalysisException`` with PATH_NOT_FOUND semantics in
+    both branches (the local branch falls through to the Spark reader,
+    which raises it), so absent-tier probes keep one contract; a
+    present-but-corrupt table raises in both branches and never
+    silently demotes a stored tier."""
+    import os
+
+    if "://" not in src and os.path.isdir(src):
+        import pyarrow.parquet as pq
+
+        return pq.read_table(src).to_pylist()
+    return [r.asDict() for r in spark.read.parquet(src).collect()]
+
+
 def write_stats_state(state: DataFrame, stats_path: str) -> None:
     """Persist a stats state, materializing first: the merge plan reads
     the very file the write replaces (the SnapshotTable self-overwrite

@@ -193,11 +193,14 @@ def ann_index_books(
     m·k-row collect, same driver budget as :func:`_load_cents`."""
     from pyspark.errors import AnalysisException
 
-    from cdc_system_spark.operators._index_stats import _is_path_not_found
+    from cdc_system_spark.operators._index_stats import (
+        _is_path_not_found,
+        read_model_rows,
+    )
 
     src = _books_res_path(path) if residual else _books_path(path)
     try:
-        rows = spark.read.parquet(src).collect()
+        rows = read_model_rows(spark, src)
     except AnalysisException as e:
         # only an ABSENT tier reads as "no PQ": a present-but-broken
         # books table (schema drift, corruption) must raise, not
@@ -224,10 +227,13 @@ def ann_index_prefix_dims(spark: SparkSession, path: str) -> int | None:
     path-not-found reads as "no tier"."""
     from pyspark.errors import AnalysisException
 
-    from cdc_system_spark.operators._index_stats import _is_path_not_found
+    from cdc_system_spark.operators._index_stats import (
+        _is_path_not_found,
+        read_model_rows,
+    )
 
     try:
-        rows = spark.read.parquet(_prefix_meta_path(path)).collect()
+        rows = read_model_rows(spark, _prefix_meta_path(path))
     except AnalysisException as e:
         if _is_path_not_found(e):
             return None
@@ -238,7 +244,9 @@ def ann_index_prefix_dims(spark: SparkSession, path: str) -> int | None:
 def _load_cents(spark: SparkSession, path: str) -> list[tuple[int, list[float]]]:
     """Centroid list from the frozen table — C rows, the only rows this
     module ever collects (same driver bound as ``auto_cells``)."""
-    rows = spark.read.parquet(_cent_path(path)).collect()
+    from cdc_system_spark.operators._index_stats import read_model_rows
+
+    rows = read_model_rows(spark, _cent_path(path))
     return sorted(
         (int(r["cell_id"]), [float(x) for x in r["cvec"]]) for r in rows
     )

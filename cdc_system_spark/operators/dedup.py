@@ -525,12 +525,14 @@ def duplicate_clusters(
         )
         new_labels = (
             labels.union(neighbor).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # Min-propagation is monotone: a node's label never increases,
         # so the label multiset changed iff its sum decreased. Checking
         # (count, sum) on the just-checkpointed frame costs one tiny
         # agg — the old old-vs-new join + filter + count was a full
-        # extra shuffle per round.
+        # extra shuffle per round. The checkpoint is LAZY: the sig agg
+        # is the round's first action and materializes it — one job
+        # per round, not two (r12 optimization).
         cur = _label_sig(new_labels)
         labels = new_labels
         if cur == prev_sig:
@@ -574,34 +576,36 @@ def star_contraction_clusters(
 
     def large_star(ed: DataFrame) -> DataFrame:
         # neighborhoods are over the SYMMETRIC relation — re-symmetrize
-        # every round (the stored set is directed after small-star)
+        # every round (the stored set is directed after small-star).
+        # No distinct() anywhere in this pass: the window MIN is
+        # duplicate-insensitive and small_star's round-final distinct
+        # dedups the output set — each intermediate distinct was a full
+        # (u,v) exchange per round buying nothing (r12 optimization:
+        # 6 → 3 shuffles per contraction round, same edge sets).
         sym = ed.union(
             ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
         m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         return (
             sym.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
         # orient max→min, then link every neighbor (all ≤ u) and u
-        # itself to the neighborhood minimum
-        oriented = (
-            ed.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        # itself to the neighborhood minimum; duplicates ride through
+        # the duplicate-insensitive window MIN and die at the round's
+        # one final distinct below
+        oriented = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
         m = F.min("v").over(Window.partitionBy("u"))
         with_m = oriented.withColumn("m", m)
         nbrs = with_m.filter(F.col("v") != F.col("m")).select(
             F.col("v").alias("u"), F.col("m").alias("v")
         )
-        self_link = with_m.select("u", F.col("m").alias("v")).distinct()
+        self_link = with_m.select("u", F.col("m").alias("v"))
         return nbrs.union(self_link).filter(F.col("u") != F.col("v")).distinct()
 
     edges = (
@@ -610,12 +614,15 @@ def star_contraction_clusters(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     prev_sig = None
     for _ in range(max_iters):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence signature below is the
+        # round's first (and only driver-blocking) action, so it also
+        # materializes the checkpoint — one job per round, not two
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         # convergence when the edge set stops changing: order-insensitive
         # signature via count + xor-free sum of a portable pair hash
         sig = edges.select(

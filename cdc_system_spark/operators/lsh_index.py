@@ -108,7 +108,9 @@ def _vkey(id_col: str, text_col: str) -> Column:
 
 
 def _read_meta(spark: SparkSession, path: str) -> tuple[int, int, int, str]:
-    row = spark.read.parquet(_meta_path(path)).collect()[0]
+    from cdc_system_spark.operators._index_stats import read_model_rows
+
+    row = read_model_rows(spark, _meta_path(path))[0]
     return (
         int(row["shingle_k"]),
         int(row["num_perms"]),

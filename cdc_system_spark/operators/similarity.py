@@ -1939,6 +1939,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     refine_iters: int = 0,
     sample_cap: int = 2048,
+    train_vecs: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: the vector space split into ``m`` contiguous
     subspaces, each with its own ``k``-centroid codebook —
@@ -1963,15 +1964,21 @@ def pq_codebooks(
     precedent)."""
     if m < 1 or k < 1:
         raise ValueError(f"m and k must be >= 1, got m={m} k={k}")
-    rows = (
-        emb.orderBy(id_col)
-        .limit(max(k, sample_cap if refine_iters else k))
-        .select(vec_col)
-        .collect()
-    )
-    if not rows:
+    if train_vecs is not None:
+        # caller supplies the smallest-id training vectors (the same
+        # orderBy().limit() contract, fetched through a cheaper reader
+        # — queries.base.embedding_head_vecs): skips the collect job
+        vecs = [[float(x) for x in v] for v in train_vecs]
+    else:
+        rows = (
+            emb.orderBy(id_col)
+            .limit(max(k, sample_cap if refine_iters else k))
+            .select(vec_col)
+            .collect()
+        )
+        vecs = [[float(x) for x in r[0]] for r in rows]
+    if not vecs:
         raise ValueError("cannot train codebooks on an empty frame")
-    vecs = [[float(x) for x in r[0]] for r in rows]
     d = len(vecs[0])
     if d % m:
         raise ValueError(f"vector dim {d} not divisible by m={m}")

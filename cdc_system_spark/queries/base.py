@@ -53,6 +53,71 @@ def catalog(spark: SparkSession, sf_dir: str) -> TableCatalog:
     return TableCatalog(spark, sf_dir)
 
 
+def embedding_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
+    """The retrieval queries' query vector: row ``vec_id`` of the
+    embeddings table as Python floats. The vector is collected to the
+    driver by construction — it becomes LITERALS in the probe plan
+    (the nprobe/LUT convention) — so the only question is how the one
+    row gets here. ``filter(id).head()`` serializes a full distributed
+    job round-trip into every retrieval query just to fetch it; when
+    the table is a plain local path, a pyarrow indexed read
+    (row-group-pruned by the vec_id predicate) returns the identical
+    widened doubles in-process. Non-local paths keep the Spark
+    filter+head fallback. Recomputed from the parquet input on every
+    call — nothing is memoized."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if "://" not in sf_dir and os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            path, columns=["embedding"], filters=[("vec_id", "==", vec_id)]
+        )
+        if t.num_rows:
+            return [float(x) for x in t.column("embedding")[0].as_py()]
+    row = (
+        catalog(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def embedding_head_vecs(spark: SparkSession, sf_dir: str, n: int) -> list[list[float]]:
+    """The ``n`` smallest-``vec_id`` embedding vectors — the
+    deterministic PQ-codebook training rows (the first-k-by-id
+    convention every literal-codebook oracle pins). Model-training
+    input is collected to the driver by definition (the books become
+    plan literals); same rationale and same local-path pyarrow fast
+    path as :func:`embedding_vec`, same Spark ``orderBy().limit()``
+    fallback, identical widened doubles either way."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if "://" not in sf_dir and os.path.exists(path):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        idx = pc.select_k_unstable(
+            t, k=n, sort_keys=[("vec_id", "ascending")]
+        )
+        return [
+            [float(x) for x in v]
+            for v in t.take(idx).column("embedding").to_pylist()
+        ]
+    return [
+        [float(x) for x in r[0]]
+        for r in catalog(spark, sf_dir)
+        .embeddings.orderBy("vec_id")
+        .limit(n)
+        .select("embedding")
+        .collect()
+    ]
+
+
 # ---- shared derived CDC log ------------------------------------------------
 
 #: SQL CTE body of the derived change log (DuckDB oracle side).

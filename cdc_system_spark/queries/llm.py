@@ -24,7 +24,12 @@ from cdc_system_spark.functions.portable import (
     round_portable,
     round_portable_sql,
 )
-from cdc_system_spark.queries.base import catalog, register
+from cdc_system_spark.queries.base import (
+    catalog,
+    embedding_head_vecs,
+    embedding_vec,
+    register,
+)
 
 # DuckDB twins of the shared building blocks; the MinHash-LSH CTE
 # chain lives in queries/fragments.py (shared with queries/curation.py)
@@ -364,7 +369,7 @@ _IVF_EXACT_SQL = f"""WITH c AS (
 )
 def q_ivf_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = embedding_vec(spark, sf_dir, 0)
     return S.ivf_topk_exact(emb, qv, centroid_ids=(0, 1, 2, 3), k=20, nprobe=2)
 
 
@@ -385,7 +390,7 @@ _TOPK_SQL = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id =
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = embedding_vec(spark, sf_dir, 0)
     return S.cosine_topk(emb, list(qv), k=20)
 
 
@@ -417,7 +422,7 @@ _FILTERED_TOPK_SQL = f"""WITH q AS (
 def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = catalog(spark, sf_dir)
     emb = cat.embeddings
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = embedding_vec(spark, sf_dir, 0)
     allowed = cat.documents.filter(
         (F.col("lang") == "en") & (F.col("n_chars") >= 200)
     ).select("doc_id")
@@ -463,7 +468,7 @@ _MRL_TOPK_SQL = f"""WITH q AS (
 )
 def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = embedding_vec(spark, sf_dir, 0)
     return S.prefix_rescore_topk(
         emb, qv, k=_MRL_K, prefix=_MRL_PREFIX, rescore_factor=_MRL_F
     )
@@ -669,7 +674,7 @@ def _mmr_ivf_batch_sql() -> str:
 )
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qv = embedding_vec(spark, sf_dir, 0)
     return S.mmr_topk(emb, qv, k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
 
 
@@ -694,10 +699,7 @@ def q_mmr_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_index(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    qv = embedding_vec(spark, sf_dir, 7)
     return ann_mmr_topk(
         spark, path, qv, k=_MMR_K, pool=_MMR_POOL, nprobe=2, lam=_MMR_LAM
     )
@@ -2197,7 +2199,7 @@ _QANN_SQL = f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id =
 )
 def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = embedding_vec(spark, sf_dir, 0)
     return S.quantized_topk(emb, list(qv), k=20, rescore_factor=3)
 
 
@@ -2368,7 +2370,7 @@ def q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.row_number().over(wl).cast("long").alias("rank")
     )
     emb = cat.embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = embedding_vec(spark, sf_dir, 0)
     sem = S.cosine_topk(emb, list(qv), k=50).select(
         F.col("vec_id").alias("doc_id"), "cos_sim"
     )
@@ -3548,7 +3550,9 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators.similarity import pq_codebooks, pq_encode
 
     emb = catalog(spark, sf_dir).embeddings
-    books = pq_codebooks(emb, m=4, k=8)
+    books = pq_codebooks(
+        emb, m=4, k=8, train_vecs=embedding_head_vecs(spark, sf_dir, 8)
+    )
     return pq_encode(emb, books)
 
 
@@ -3603,11 +3607,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_system_spark.operators.similarity import pq_codebooks, pq_topk
 
     emb = catalog(spark, sf_dir).embeddings
-    books = pq_codebooks(emb, m=4, k=8)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    books = pq_codebooks(
+        emb, m=4, k=8, train_vecs=embedding_head_vecs(spark, sf_dir, 8)
+    )
+    qv = embedding_vec(spark, sf_dir, 0)
     return pq_topk(emb, books, qv, k=10, rescore_factor=3)
 
 
@@ -3683,10 +3686,7 @@ def q_ann_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_prefix_index(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    qv = embedding_vec(spark, sf_dir, 7)
     return ann_prefix_topk(
         spark, path, qv, k=_PFX_K, nprobe=2, rescore_factor=_PFX_F
     )
@@ -3862,11 +3862,10 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_index(spark, sf_dir)
-    books = pq_codebooks(emb, m=4, k=8)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    books = pq_codebooks(
+        emb, m=4, k=8, train_vecs=embedding_head_vecs(spark, sf_dir, 8)
+    )
+    qv = embedding_vec(spark, sf_dir, 7)
     return ivfpq_topk(
         spark, path, books, qv, k=10, nprobe=2, rescore_factor=3
     )
@@ -3894,10 +3893,7 @@ def q_ivfpq_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_pq_index(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    qv = embedding_vec(spark, sf_dir, 7)
     return ivfpq_topk(
         spark, path, None, qv, k=10, nprobe=2, rescore_factor=3
     )
@@ -4031,10 +4027,7 @@ def q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_index(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    qv = embedding_vec(spark, sf_dir, 7)
     return ivfpq_residual_topk(
         spark, path, qv, k=10, nprobe=2, rescore_factor=3
     )
@@ -4073,10 +4066,7 @@ def q_ivfpq_residual_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_rpq_index(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    qv = embedding_vec(spark, sf_dir, 7)
     return ivfpq_residual_topk(
         spark, path, qv, k=10, nprobe=2, rescore_factor=3, stored=True
     )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_system_spark.operators import similarity as S
-from cdc_system_spark.queries.base import catalog, register
+from cdc_system_spark.queries.base import catalog, embedding_vec, register
 
 
 # -- IVF approximate top-k (rows-only: not naturally SQL-expressible) --------
@@ -22,7 +22,7 @@ from cdc_system_spark.queries.base import catalog, register
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = embedding_vec(spark, sf_dir, 0)
     centroids, assigned = S.assign_cells(emb, num_centroids=16)
     return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
 
@@ -47,7 +47,7 @@ def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog(spark, sf_dir).embeddings
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qv = embedding_vec(spark, sf_dir, 0)
     centroids = S.kmeans_refine(emb, num_centroids=16, iters=2)
     assigned = S.assign_with_centroids(emb, centroids)
     return S.ivf_topk(assigned, centroids, list(qv), k=20, nprobe=4)
@@ -230,10 +230,7 @@ def q_ivfpq_residual_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = catalog(spark, sf_dir).embeddings
     path = shared_ann_rpq_refined_index(spark, sf_dir)
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
-    ]
+    qv = embedding_vec(spark, sf_dir, 7)
     return ivfpq_residual_topk(
         spark, path, qv, k=10, nprobe=2, rescore_factor=3, stored=True
     )
