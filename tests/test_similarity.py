@@ -696,3 +696,66 @@ def test_filtered_cosine_topk_handles_awkward_allowed_column(spark, emb):
         ).collect()
     ]
     assert got == want and len(got) == 15
+
+
+# -- r12 optimization: SQL-text expression builds == Column-API builds --------
+# The literal-centroid / PQ-LUT expression family is now rendered as SQL
+# text and parsed once (py4j per-node construction cost measured in
+# SECONDS per query at C=16, d=64). These tests pin the parsed trees to
+# the original Column-API builds value-for-value, so a parser/semantics
+# drift (e.g. a bare decimal literal parsing as DECIMAL instead of
+# DOUBLE) can never silently change an oracle-checked result.
+
+
+def test_sql_expr_parity_lit_vec(spark):
+    from cdc_system_spark.functions.portable import lit_vec
+
+    vals = [1e-07, -3.0000000000000004e-05, 0.1 + 0.2, -1.5, 123456.789]
+    r = spark.range(1).select(
+        lit_vec(vals).alias("a"),
+        F.array(*[F.lit(float(x)) for x in vals]).alias("b"),
+    ).head()
+    assert list(r["a"]) == list(r["b"])
+
+
+def test_sql_expr_parity_nearest_centroid(emb):
+    # reference: the original Column-API argmax build, inlined
+    cents = S._collect_centroids(emb, tuple(range(8)), "vec_id", "embedding")
+    entries = []
+    for cid, cv in cents:
+        c_arr = F.array(*[F.lit(x) for x in cv])
+        entries.append(
+            F.struct(
+                S.cosine(F.col("embedding"), c_arr).alias("cos_sim"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+        )
+    ref = F.array_max(F.array(*entries))
+    new = S._nearest_centroid_expr(cents, "embedding")
+    rows = emb.select(ref.alias("a"), new.alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+
+
+def test_sql_expr_parity_pq_codes(emb):
+    books = S.pq_codebooks(emb, m=4, k=8)
+    sub = len(books[0][0])
+    # reference: the original Column-API sort_array build, inlined
+    ref_cols = []
+    for j in range(4):
+        ranked = F.sort_array(
+            F.array(
+                *[
+                    F.struct(
+                        S._pq_dist("embedding", j, sub, books[j][c]).alias("d"),
+                        F.lit(c).alias("c"),
+                    )
+                    for c in range(8)
+                ]
+            )
+        )
+        ref_cols.append(ranked[0]["c"].alias(f"ref{j}"))
+    new_cols = S.pq_code_columns(books, "embedding")
+    rows = emb.select("vec_id", *ref_cols, *new_cols).collect()
+    for r in rows:
+        for j in range(4):
+            assert r[f"ref{j}"] == r[f"code{j}"], (r["vec_id"], j)
