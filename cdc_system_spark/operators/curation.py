@@ -696,6 +696,12 @@ def containment_ingest(
     bands_in = _band_table(sig_in, id_col, num_perms, 1).localCheckpoint(
         eager=False
     )
+    # dedup_pairs=False on BOTH passes: the candidate sets here are
+    # 1-row-band collisions (multi-million rows at sf0.1); the distinct
+    # used to run before the selective containment filter, exchanging
+    # the whole set. The rejected/dropped ID sets below apply their own
+    # distinct, so deferring it keeps the raw collisions map-side end
+    # to end — identical admitted rows (est is a pure pair function).
     cand = lsh_cross_pairs(
         sig_in,
         sig_corpus,
@@ -704,6 +710,7 @@ def containment_ingest(
         rows_per_band=1,
         max_bucket=max_bucket,
         bands_a=bands_in,
+        dedup_pairs=False,
     )
     if allow_same_id:
         cand = cand.filter(F.col("id1") != F.col("id2"))
@@ -761,6 +768,7 @@ def containment_ingest(
             rows_per_band=1,
             max_bucket=max_bucket,
             bands=bands_in,
+            dedup_pairs=False,
         )
         .join(adm_ids.select(F.col(id_col).alias("id1")), "id1", "left_semi")
         .join(adm_ids.select(F.col(id_col).alias("id2")), "id2", "left_semi")

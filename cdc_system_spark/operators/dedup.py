@@ -72,23 +72,39 @@ def minhash_signatures(
     does not reach inside higher-order-function lambdas, making the
     naive form p× slower. Measured: 16 perms over sf0.1 went 50s → 2s.)
     """
-    sh = shingles(F.col(text_col), k=k)
-    hs = F.transform(sh, lambda s: md5_i64(s) % MINHASH_P)
-    zero = F.struct(*[F.lit(MINHASH_P).cast("long").alias(f"h{i}") for i in range(num_perms)])
+    # SQL-text build of the signature fold (the _dot_sqls rationale in
+    # operators/similarity.py: a p-perm fold built through the Column
+    # API costs ~0.5-1.5 s of py4j round-trips per query; the parsed
+    # tree is value-identical — integer md5/mod arithmetic throughout,
+    # parity pinned by test_minhash_sql_parity)
+    from cdc_system_spark.functions.portable import quote_sql
 
-    def merge(acc, h):
-        return F.struct(
-            *[
-                F.least(
-                    acc[f"h{i}"], (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
-                ).alias(f"h{i}")
-                for i in range(num_perms)
-            ]
-        )
-
-    cols = [F.col(id_col), F.aggregate(hs, zero, merge).alias("_sig")]
+    c = quote_sql(text_col)
+    n = f"greatest(length({c}) - {k - 1}, 1)"
+    sh_sql = f"transform(sequence(1, {n}), i -> substr({c}, i, {k}))"
+    hs_sql = (
+        f"transform({sh_sql}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_P}L)"
+    )
+    zero_sql = "named_struct(" + ",".join(
+        f"'h{i}', {MINHASH_P}L" for i in range(num_perms)
+    ) + ")"
+    merge_sql = "(acc, h) -> named_struct(" + ",".join(
+        f"'h{i}', least(acc.h{i},"
+        f" (h * {MINHASH_A[i]}L + {MINHASH_B[i]}L) % {MINHASH_P}L)"
+        for i in range(num_perms)
+    ) + ")"
+    cols = [
+        F.col(id_col),
+        F.expr(f"aggregate({hs_sql}, {zero_sql}, {merge_sql})").alias("_sig"),
+    ]
     if with_count:
-        cols.append(F.size(F.array_distinct(sh)).cast("long").alias("n_sh"))
+        cols.append(
+            F.expr(f"CAST(size(array_distinct({sh_sql})) AS BIGINT)").alias(
+                "n_sh"
+            )
+        )
     sig = spread(df).select(*cols).localCheckpoint(eager=False)
     out = [
         F.col(id_col),
@@ -121,21 +137,30 @@ def _band_table(
     stay collision-free, unlike a mod-P fold.
     """
     n_bands = num_perms // rows_per_band
-    pack = F.lit(2**31).cast("long")
 
-    def band_keys(b: int) -> list[Column]:
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+    def band_keys(b: int) -> list[str]:
+        cols = [f"`h{b * rows_per_band + r}`" for r in range(rows_per_band)]
         keys = []
         for j in range(0, rows_per_band, 2):
-            k = cols[j] * pack + cols[j + 1] if j + 1 < rows_per_band else cols[j]
-            keys.append(k.alias(f"k{j // 2}"))
+            k = (
+                f"{cols[j]} * 2147483648L + {cols[j + 1]}"
+                if j + 1 < rows_per_band
+                else cols[j]
+            )
+            keys.append(f"'k{j // 2}', {k}")
         return keys
 
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_idx"), *band_keys(b))
+    # SQL-text build (see minhash_signatures): value-identical int64
+    # packing, one parse instead of ~6 py4j calls per band
+    bands = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('band_idx', "
+            + ", ".join([str(b)] + band_keys(b))
+            + ")"
             for b in range(n_bands)
-        ]
+        )
+        + ")"
     )
     key_cols = _band_key_cols(rows_per_band)
     return sigs.select(
@@ -152,6 +177,7 @@ def lsh_cross_pairs(
     max_bucket: int = 1000,
     bands_a: DataFrame | None = None,
     bands_b: DataFrame | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Cross-frame LSH candidates: (id1 ∈ A, id2 ∈ B) pairs sharing ≥1
     band — near-dup detection of a NEW batch against an EXISTING corpus
@@ -191,7 +217,11 @@ def lsh_cross_pairs(
         on=key_cols,
         how="left_semi",
     ).select(*key_cols, F.col(id_col).alias("id2"))
-    return a.join(bounded, on=key_cols).select("id1", "id2").distinct()
+    raw = a.join(bounded, on=key_cols).select("id1", "id2")
+    # dedup_pairs=False: defer the distinct to a consumer whose
+    # selective filter + own dedup make it redundant (see
+    # lsh_candidate_pairs)
+    return raw.distinct() if dedup_pairs else raw
 
 
 def lsh_candidate_pairs(
@@ -201,10 +231,19 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket: int = 1000,
     bands: DataFrame | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band.
     ``bands`` (optional) supplies a prebuilt band table (see
     :func:`lsh_cross_pairs`) so the explode runs once across passes.
+
+    ``dedup_pairs=False`` skips the final ``distinct()`` — the RAW
+    band collisions, one row per (pair, agreeing band). For a consumer
+    that applies a SELECTIVE per-pair filter and then dedups survivors
+    itself (the containment-threshold path), deduplicating first means
+    a full exchange of the multi-million-row candidate set just to
+    drop rows a map-side filter would have killed; deferring it keeps
+    the big set map-side end to end (guide §2: shuffle fewer bytes).
 
     Band keys are NUMERIC: each pair of consecutive signature columns
     packs losslessly into one int64 (``h·2³¹ + h'`` — exact because
@@ -241,12 +280,12 @@ def lsh_candidate_pairs(
     )
     a = bounded.select(*key_cols, F.col(id_col).alias("id1"))
     b = bounded.select(*key_cols, F.col(id_col).alias("id2"))
-    return (
+    raw = (
         a.join(b, on=key_cols)
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
     )
+    return raw.distinct() if dedup_pairs else raw
 
 
 def minhash_jaccard_estimate(
@@ -877,6 +916,7 @@ def containment_pairs(
     num_perms: int = 16,
     rows_per_band: int = 1,
     signatures: DataFrame | None = None,
+    min_containment: float | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: per LSH candidate pair, the
     estimated CONTAINMENT of the smaller shingle set in the larger —
@@ -927,8 +967,20 @@ def containment_pairs(
         F.col(id_col), *[F.col(f"h{i}") for i in range(num_perms)]
     )
     counts = signatures.select(F.col(id_col), F.col("n_sh"))
+    # with a threshold, pairs stay RAW (one row per agreeing band) and
+    # the distinct moves BEHIND the selective filter: the est joins are
+    # broadcast-able signature lookups, so the multi-million-row
+    # candidate set never crosses an exchange before 99%+ of it dies
+    # map-side (measured at sf0.1: the 5.35M-pair distinct was the
+    # query's largest shuffle; survivors are ~41k rows). est is a pure
+    # function of the pair, so the deferred distinct yields the
+    # identical pair set.
     pairs = lsh_candidate_pairs(
-        sigs, id_col, num_perms=num_perms, rows_per_band=rows_per_band
+        sigs,
+        id_col,
+        num_perms=num_perms,
+        rows_per_band=rows_per_band,
+        dedup_pairs=min_containment is None,
     )
     ha = sigs.select(
         F.col(id_col).alias("id1"),
@@ -949,7 +1001,7 @@ def containment_pairs(
         .join(counts.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n_sh2")), "id2")
     )
     p = F.lit(num_perms)
-    return scored.select(
+    out = scored.select(
         "id1",
         "id2",
         "n_sh1",
@@ -965,6 +1017,14 @@ def containment_pairs(
             6,
         ).alias("est_containment"),
     )
+    if min_containment is not None:
+        # the deferred distinct: every duplicate of a pair carries the
+        # same est values, so a full-row distinct over the filtered
+        # survivors equals filter-after-distinct row for row
+        out = out.filter(
+            F.col("est_containment") >= min_containment
+        ).distinct()
+    return out
 
 
 def drop_contained(
@@ -989,11 +1049,13 @@ def drop_contained(
     ``signatures`` forwards to :func:`containment_pairs` (maintained-
     index reuse — no per-call text pass).
     """
-    pairs = containment_pairs(
+    # threshold pushed inside the generator: candidate dedup runs over
+    # the filtered survivors, not the raw candidate set (identical
+    # pair set — see containment_pairs.min_containment)
+    hits = containment_pairs(
         docs, text_col, id_col, k, num_perms, rows_per_band,
-        signatures=signatures,
+        signatures=signatures, min_containment=threshold,
     )
-    hits = pairs.filter(F.col("est_containment") >= threshold)
     drop = hits.select(
         F.when(F.col("n_sh1") < F.col("n_sh2"), F.col("id1"))
         .when(F.col("n_sh2") < F.col("n_sh1"), F.col("id2"))

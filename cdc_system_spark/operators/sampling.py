@@ -467,10 +467,14 @@ def containment_safe_split(
 
     if closure not in ("star", "lp"):
         raise ValueError(f"closure must be 'star' or 'lp', got {closure!r}")
+    # min_containment pushes the threshold INSIDE the pair generator:
+    # the candidate distinct then runs over the ~0.8%% of collisions
+    # that survive the filter instead of the full multi-million-row
+    # candidate set (see containment_pairs — identical pair set)
     pairs = containment_pairs(
         df, k=k, text_col=text_col, id_col=id_col, rows_per_band=1,
-        signatures=signatures,
-    ).filter(F.col("est_containment") >= threshold)
+        signatures=signatures, min_containment=threshold,
+    )
     cluster_fn = (
         star_contraction_clusters if closure == "star" else duplicate_clusters
     )

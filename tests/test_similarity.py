@@ -759,3 +759,79 @@ def test_sql_expr_parity_pq_codes(emb):
     for r in rows:
         for j in range(4):
             assert r[f"ref{j}"] == r[f"code{j}"], (r["vec_id"], j)
+
+
+def test_minhash_sql_parity(spark, sf_dir):
+    """minhash_signatures + _band_table now parse SQL text (see the
+    _dot_sqls rationale); pin them to the original Column-API builds
+    value-for-value — integer md5/mod arithmetic, so any drift is a
+    semantics bug, not rounding."""
+    from cdc_system_spark.functions.portable import md5_i64, shingles
+    from cdc_system_spark.operators import dedup as D
+    from cdc_system_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p, k = 16, 7
+    sh = shingles(F.col("text"), k=k)
+    hs = F.transform(sh, lambda s: md5_i64(s) % D.MINHASH_P)
+    zero = F.struct(
+        *[F.lit(D.MINHASH_P).cast("long").alias(f"h{i}") for i in range(p)]
+    )
+
+    def merge(acc, h):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"h{i}"],
+                    (h * D.MINHASH_A[i] + D.MINHASH_B[i]) % D.MINHASH_P,
+                ).alias(f"h{i}")
+                for i in range(p)
+            ]
+        )
+
+    ref = docs.select(
+        "doc_id",
+        F.aggregate(hs, zero, merge).alias("_sig"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_sh"),
+    ).select(
+        "doc_id",
+        *[F.col(f"_sig.h{i}").alias(f"h{i}") for i in range(p)],
+        "n_sh",
+    )
+    new = D.minhash_signatures(docs, k=k, num_perms=p, with_count=True)
+    a = sorted(map(tuple, ref.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b
+
+    # band table: packed int64 keys identical for 4-row and 1-row bands
+    for rpb in (4, 1):
+        sigs = new.select("doc_id", *[f"h{i}" for i in range(p)])
+        bt = D._band_table(sigs, "doc_id", p, rpb)
+        pack = F.lit(2**31).cast("long")
+        n_bands = p // rpb
+
+        def band_keys_ref(b_):
+            cols = [F.col(f"h{b_ * rpb + r}") for r in range(rpb)]
+            keys = []
+            for j in range(0, rpb, 2):
+                kk = (
+                    cols[j] * pack + cols[j + 1]
+                    if j + 1 < rpb
+                    else cols[j]
+                )
+                keys.append(kk.alias(f"k{j // 2}"))
+            return keys
+
+        bands_ref = F.array(
+            *[
+                F.struct(F.lit(b_).alias("band_idx"), *band_keys_ref(b_))
+                for b_ in range(n_bands)
+            ]
+        )
+        key_cols = D._band_key_cols(rpb)
+        ref_bt = sigs.select("doc_id", F.explode(bands_ref).alias("b")).select(
+            "doc_id", *[f"b.{c}" for c in key_cols]
+        )
+        assert sorted(map(tuple, bt.collect())) == sorted(
+            map(tuple, ref_bt.collect())
+        )
