@@ -100,21 +100,29 @@ def pagerank(
             F.lit(0.0)
         )
         init = F.when(is_seed, F.lit(1.0 / k)).otherwise(F.lit(0.0))
-    ranks = nodes.select("node", F.round(init, decimals).alias("r"))
+    # out-degree folded into the node table ONCE: each round's
+    # contribution join then touches a single rank table instead of
+    # (ranks ⋈ outdeg) per round — one join per round removed, same
+    # values (deg is per-node constant; a node appearing as source
+    # always has a non-null deg, so r/deg is untouched; dangling
+    # nodes' null deg is never read)
+    nodes_deg = nodes.join(outdeg, "node", "left").localCheckpoint(
+        eager=False
+    )
+    ranks = nodes_deg.select(
+        "node", "deg", F.round(init, decimals).alias("r")
+    )
     for _ in range(iters):
-        contribs = (
-            e.join(ranks, e["s"] == ranks["node"])
-            .join(outdeg.withColumnRenamed("node", "_on"), F.col("s") == F.col("_on"))
-            .select(
-                F.col("d").alias("node"),
-                F.round(F.col("r") / F.col("deg"), decimals).alias("c"),
-            )
+        contribs = e.join(ranks, e["s"] == ranks["node"]).select(
+            F.col("d").alias("node"),
+            F.round(F.col("r") / F.col("deg"), decimals).alias("c"),
         )
         sums = contribs.groupBy("node").agg(dsum("c", "sc"))
         ranks = (
-            nodes.join(sums, "node", "left")
+            nodes_deg.join(sums, "node", "left")
             .select(
                 "node",
+                "deg",
                 F.round(
                     base_col
                     + F.lit(damping) * F.coalesce(F.col("sc"), F.lit(0.0)),

@@ -32,21 +32,38 @@ TABLES = [
 BROADCASTABLE = {"region", "nation", "supplier", "part"}
 
 
+#: per-path SCHEMA cache (metadata only — the same category as Spark's
+#: own session-level file-listing caches): the first access to a table
+#: path infers its schema from the parquet footer exactly as before;
+#: later accesses skip the inference round-trip (~100 ms of driver-side
+#: footer reading + py4j per spark.read.parquet call, paid by EVERY
+#: query construction since each builds a fresh TableCatalog). Input
+#: tables are immutable for a process's lifetime; mutable index
+#: artifacts (ann/lsh index tables, whose schema can change at
+#: attach/compact time) deliberately do NOT use this.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        if name != "events":
-            raise
-        # events.ts is INT64 TIMESTAMP(NANOS), which Spark 4 rejects at
-        # schema inference unless spark.sql.legacy.parquet.nanosAsLong is
-        # set. The driver's verify harness supplies its OWN SparkSession
-        # (no such conf), so fall back to an explicit schema that reads
-        # the physical INT64 directly — works in any session.
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            if name != "events":
+                raise
+            # events.ts is INT64 TIMESTAMP(NANOS), which Spark 4 rejects at
+            # schema inference unless spark.sql.legacy.parquet.nanosAsLong is
+            # set. The driver's verify harness supplies its OWN SparkSession
+            # (no such conf), so fall back to an explicit schema that reads
+            # the physical INT64 directly — works in any session.
+            df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
     # ts long (nanos) → truncate to microseconds (same floor semantics as
     # DuckDB's CAST(ts_ns AS TIMESTAMP), keeping oracle parity).
     for f in df.schema.fields:
