@@ -36,26 +36,70 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     the regime where it's trivially cheap (input ≪ one split).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # Two probes, picked by plan shape:
+    # Partitioning is ESTIMATED from the plan, never from ``df.rdd``
+    # on an exchange-bearing frame: under AQE, asking an
+    # AdaptiveSparkPlan for its RDD materializes every intermediate
+    # exchange — eager shuffle jobs inside a query CONSTRUCTOR, whose
+    # stages are not even reused by the caller's later action (r12's
+    # one named structural driver barrier; fixed r13). Three cases:
     #
     # - BARE SCAN (scan + project/filter/generate only): the leaf-file
     #   count IS the partitioning, read straight from the catalog with
     #   zero planning cost. This is every production call site.
+    # - LEAF RDD / LOCAL RELATION (a localCheckpoint handoff, a
+    #   createDataFrame): no exchange anywhere in the plan, so ``.rdd``
+    #   is a plain conversion — exact and zero jobs (measured via
+    #   statusTracker). The checkpointed handoffs between pipeline
+    #   stages land here and keep the exact probe.
     # - DERIVED FRAME (any exchange-inducing node — join, aggregate,
-    #   window, repartition, union): the file count describes the leaf
-    #   scans, NOT the frame's live partitioning (a post-shuffle or
-    #   AQE-coalesced frame rooted in a many-file scan would wrongly
-    #   skip the repartition, and a union would sum all scans' files).
-    #   Fall back to the rdd probe, which reflects the actual physical
-    #   partitioning; its extra planning cost only applies to the rare
-    #   derived-frame call sites.
+    #   window, repartition, union): decided from the optimizer's SIZE
+    #   statistic (``optimizedPlan().stats().sizeInBytes`` — planning
+    #   metadata, no execution). A SMALL frame (est < target × the AQE
+    #   advisory partition size) is exactly the regime where AQE's
+    #   parallelism-first coalescing floors partitions at
+    #   minPartitionSize and can starve a CPU-heavy downstream fold
+    #   (measured: the minhash pass over a deduplicated version table
+    #   ran 10-way instead of 32, 3× on lsh_index_build) — and where
+    #   an explicit repartition costs at most target×advisory bytes of
+    #   shuffle, trivially cheap next to the fold it protects. A BIG
+    #   frame needs no help: anything past a real exchange already
+    #   carries ≥ bytes/parallelism ≥ advisory-sized partitions at
+    #   cluster parallelism, and an unconditional repartition would
+    #   insert a full extra shuffle in exactly the big-data regime
+    #   this helper must not tax.
     if _bare_scan(df):
         n_files = len(df.inputFiles())
-        if n_files:
-            return df.repartition(target) if n_files < target else df
-    if df.rdd.getNumPartitions() < target:
+        n = n_files if n_files else df.rdd.getNumPartitions()
+        return df.repartition(target) if n < target else df
+    if _estimated_bytes(df) < target * _ADVISORY_BYTES:
         return df.repartition(target)
     return df
+
+
+#: AQE's advisory shuffle-partition size (the session default, 64 MiB):
+#: target × this is the boundary between "an explicit repartition is
+#: trivially cheap" and "AQE already keeps post-exchange partitions at
+#: cluster parallelism" — the two regimes meet seamlessly (at the
+#: boundary, bytes/parallelism == advisory, AQE's own target).
+_ADVISORY_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """The optimizer's size estimate for the frame — pure planning
+    metadata (parquet file sizes propagated through the operators),
+    read without executing anything. Unknown ⇒ 0, i.e. 'small': the
+    cheap repartition is the safe default for the CPU-heavy folds
+    spread() exists to protect."""
+    try:
+        return int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+    except Exception:
+        return 0
 
 
 # Logical-plan nodes that change partitioning between the leaf scan and
@@ -123,8 +167,18 @@ def f64_sql(x: float) -> str:
     """A Python float as an EXACT Spark SQL double literal: ``repr``
     round-trips every finite double, and the ``D`` suffix pins the
     parse to DOUBLE (a bare decimal literal parses as DECIMAL, which
-    would silently change downstream arithmetic)."""
-    return repr(float(x)) + "D"
+    would silently change downstream arithmetic). Non-finite doubles
+    get the CAST-from-string form — ``repr`` renders them ``nan`` /
+    ``inf``, which the SQL parser rejects, while the ``F.lit(float)``
+    path this replaced accepted them (r12 advisor)."""
+    import math
+
+    v = float(x)
+    if not math.isfinite(v):
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'Infinity' if v > 0 else '-Infinity'}' AS DOUBLE)"
+    return repr(v) + "D"
 
 
 def arr_sql(vals) -> str:

@@ -19,6 +19,26 @@ def _is_path_not_found(exc: Exception) -> bool:
     return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
 
 
+def driver_local_fs(spark: SparkSession) -> bool:
+    """True iff Spark resolves scheme-less paths against the driver's
+    local filesystem. Scheme-less paths resolve against
+    ``fs.defaultFS``; on a cluster whose defaultFS is HDFS/S3A, a
+    same-named directory on the driver's local disk is NOT the table
+    Spark would read — the pyarrow fast paths must not read it (r12
+    advisor). Any failure to read the conf answers False: the Spark
+    reader is always correct, the fast path is only an optimization."""
+    try:
+        fs = (
+            spark.sparkContext._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+            or "file:///"
+        )
+        return fs.startswith("file:")
+    except Exception:
+        return False
+
+
 def read_model_rows(spark: SparkSession, src: str) -> list[dict]:
     """Rows of a KB-sized MODEL table (centroids, PQ codebooks,
     geometry/prefix meta) as plain dicts.
@@ -39,7 +59,7 @@ def read_model_rows(spark: SparkSession, src: str) -> list[dict]:
     silently demotes a stored tier."""
     import os
 
-    if "://" not in src and os.path.isdir(src):
+    if "://" not in src and os.path.isdir(src) and driver_local_fs(spark):
         import pyarrow.parquet as pq
 
         return pq.read_table(src).to_pylist()

@@ -447,12 +447,19 @@ def hamming_band_pairs(
         a.join(b, on=["band_idx", "val"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "s1", "s2")
-        .distinct()
     )
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    # distinct DEFERRED behind the selective Hamming filter (the r12
+    # containment-pairs lesson, guide §2.3): the raw multi-band
+    # collisions stay map-side — their only exchange is the dedup of
+    # the few survivors, not of every (pair, agreeing band) row.
+    # Identical pair set: the fingerprints (and hence ``hamming``) are
+    # pure per-id values, so every duplicate of a pair carries the same
+    # hamming and filter-then-distinct ≡ distinct-then-filter.
     return (
         cand.filter(ham <= max_hamming)
         .select("id1", "id2", ham.cast("int").alias("hamming"))
+        .distinct()
     )
 
 
@@ -549,34 +556,73 @@ def duplicate_clusters(
         .agg(F.least(F.min("b"), F.col("a")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
-    def _label_sig(frame: DataFrame) -> tuple:
-        row = frame.agg(
+    def _sig_agg(frame: DataFrame, tag: int) -> DataFrame:
+        return frame.agg(
+            F.lit(tag).alias("_r"),
             F.count("*").alias("n"),
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        return (row["n"], row["s"])
+        )
 
-    prev_sig = _label_sig(labels)
-    for _ in range(max_iters):
+    def _collect_sigs(*frames: DataFrame) -> list[tuple]:
+        """(count, label-sum) signature of each frame, ONE driver
+        action for all of them: the serial cost of a propagation round
+        is the blocking collect, not the tiny agg, so fusing K rounds'
+        signatures (and the lazy-checkpoint materializations they
+        trigger) into one action halves the per-round driver barriers
+        (guide §2.6 — the r13 optimization; r12 had already fused each
+        round's two jobs into one)."""
+        agg = _sig_agg(frames[0], 0)
+        for i, f in enumerate(frames[1:], start=1):
+            agg = agg.unionAll(_sig_agg(f, i))
+        rows = {r["_r"]: (r["n"], r["s"]) for r in agg.collect()}
+        return [rows[i] for i in range(len(frames))]
+
+    def _round(lbls: DataFrame) -> DataFrame:
         neighbor = (
-            edges.join(labels, edges.a == labels.node)
+            edges.join(lbls, edges.a == lbls.node)
             .select(F.col("b").alias("node"), F.col("lbl"))
         )
-        new_labels = (
-            labels.union(neighbor).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        return (
+            lbls.union(neighbor).groupBy("node").agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=False)
-        # Min-propagation is monotone: a node's label never increases,
-        # so the label multiset changed iff its sum decreased. Checking
-        # (count, sum) on the just-checkpointed frame costs one tiny
-        # agg — the old old-vs-new join + filter + count was a full
-        # extra shuffle per round. The checkpoint is LAZY: the sig agg
-        # is the round's first action and materializes it — one job
-        # per round, not two (r12 optimization).
-        cur = _label_sig(new_labels)
-        labels = new_labels
-        if cur == prev_sig:
+
+    # Min-propagation is monotone: a node's label never increases, so
+    # the label multiset changed iff its sum decreased — (count, sum)
+    # equality between consecutive rounds IS convergence, and one extra
+    # round past convergence is a no-op (per-node monotone + equal sum
+    # ⇒ per-node equal), so rounds can run in PAIRS with a single
+    # fused signature action covering both (plus, on the first pass,
+    # the seed's own signature — three aggs, one driver barrier).
+    prev_sig = None
+    it = 0
+    while it < max_iters:
+        if max_iters - it == 1:
+            # odd tail: never exceed max_iters rounds (capped-graph
+            # outputs must stay bit-identical to the unpaired loop)
+            l1 = _round(labels)
+            if prev_sig is None:
+                prev_sig, s1 = _collect_sigs(labels, l1)
+            else:
+                (s1,) = _collect_sigs(l1)
+            labels = l1
+            it += 1
+            if s1 == prev_sig:
+                break
+            prev_sig = s1
+            continue
+        l1 = _round(labels)
+        l2 = _round(l1)
+        if prev_sig is None:
+            s0, s1, s2 = _collect_sigs(labels, l1, l2)
+            prev_sig = s0
+        else:
+            s1, s2 = _collect_sigs(l1, l2)
+        it += 2
+        labels = l2
+        if s1 == prev_sig or s2 == s1:
+            # converged at l1 (then l2 == l1 by idempotence) or at l2
             break
-        prev_sig = cur
+        prev_sig = s2
     node_labels = labels.select(
         F.col("node").alias(id_col), F.col("lbl").alias("_lbl")
     )
@@ -656,26 +702,61 @@ def star_contraction_clusters(
         .localCheckpoint(eager=False)
     )
 
-    prev_sig = None
-    for _ in range(max_iters):
-        # LAZY checkpoint: the convergence signature below is the
-        # round's first (and only driver-blocking) action, so it also
-        # materializes the checkpoint — one job per round, not two
-        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
-        # convergence when the edge set stops changing: order-insensitive
-        # signature via count + xor-free sum of a portable pair hash
-        sig = edges.select(
+    def _sig_agg(frame: DataFrame, tag: int) -> DataFrame:
+        # order-insensitive edge-set signature: count + sum of a
+        # portable pair hash. Decimal accumulator: a long sum of 60-bit
+        # hashes overflows (ANSI aborts); decimal(38,0) is exact at any
+        # edge count.
+        return frame.select(
+            F.lit(tag).alias("_r"),
             F.count("*").alias("n"),
-            # decimal accumulator: a long sum of 60-bit hashes overflows
-            # (ANSI aborts); decimal(38,0) is exact at any edge count
             F.sum(
                 md5_i64(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")
             ).alias("h"),
-        ).collect()[0]
-        cur = (sig["n"], sig["h"])
-        if cur == prev_sig:
+        )
+
+    def _collect_sigs(*frames: DataFrame) -> list[tuple]:
+        agg = _sig_agg(frames[0], 0)
+        for i, f in enumerate(frames[1:], start=1):
+            agg = agg.unionAll(_sig_agg(f, i))
+        rows = {r["_r"]: (r["n"], r["h"]) for r in agg.collect()}
+        return [rows[i] for i in range(len(frames))]
+
+    def _round(ed: DataFrame) -> DataFrame:
+        # LAZY checkpoint: the fused convergence-signature action below
+        # is the first (and only driver-blocking) action over it
+        return small_star(large_star(ed)).localCheckpoint(eager=False)
+
+    # Contraction rounds run in PAIRS with one fused signature action
+    # per pair (guide §2.6, the r13 optimization — r12 had already cut
+    # each round to a single job): convergence means the edge set is a
+    # fixed point of the round function, so detecting it one round late
+    # computes one extra round over the already-contracted (smallest)
+    # edge set and returns the identical fixed point, while every pair
+    # saves a blocking driver round-trip.
+    prev_sig = None
+    it = 0
+    while it < max_iters:
+        if max_iters - it == 1:
+            # odd tail: never exceed max_iters rounds (capped-graph
+            # outputs must stay identical to the unpaired loop)
+            edges = _round(edges)
+            (cur,) = _collect_sigs(edges)
+            it += 1
+            if cur == prev_sig:
+                break
+            prev_sig = cur
+            continue
+        e1 = _round(edges)
+        e2 = _round(e1)
+        s1, s2 = _collect_sigs(e1, e2)
+        it += 2
+        edges = e2
+        if s1 == prev_sig or s2 == s1:
+            # converged at e1 (then e2 == e1: a fixed point maps to
+            # itself) or at e2
             break
-        prev_sig = cur
+        prev_sig = s2
     # after convergence every edge is (node, component_min); group-min
     # rather than assuming perfect star shape at the iteration cap
     roots = edges.groupBy("u").agg(F.min("v").alias("_lbl")).select(

@@ -888,6 +888,7 @@ def _assign_vectorized(
     cents: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-side argmax-cosine assignment: one numpy matmul per Arrow
     batch inside ``mapInPandas``.
@@ -899,6 +900,12 @@ def _assign_vectorized(
     vs microseconds for ``rows @ centroids.T``. Still zero joins, zero
     shuffles; ties break toward the larger cell id (same rule as
     ``max_by(struct(sim, cell_id))``).
+
+    ``extra_cols`` ride through the Arrow pass untouched, so a consumer
+    that needs per-row payload next to the assignment (e.g. the label
+    column of ``knn_label_noise``) gets it in the SAME corpus pass —
+    without it the caller joins the assignment back to the corpus by
+    id, a second full scan plus an exchange (guide §2.4).
     """
     from pyspark.sql import types as T
 
@@ -906,6 +913,7 @@ def _assign_vectorized(
         [
             emb.schema[id_col],
             emb.schema[vec_col],
+            *[emb.schema[c] for c in extra_cols],
             T.StructField("cell_id", T.LongType()),
         ]
     )
@@ -928,11 +936,14 @@ def _assign_vectorized(
                 {
                     id_col: pdf[id_col],
                     vec_col: pdf[vec_col],
+                    **{c: pdf[c] for c in extra_cols},
                     "cell_id": cid_arr[rev][best],
                 }
             )
 
-    return emb.select(id_col, vec_col).mapInPandas(batches, schema=out_schema)
+    return emb.select(id_col, vec_col, *extra_cols).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def kmeans_refine(
@@ -1366,6 +1377,7 @@ def auto_cells(
     refine_iters: int = 0,
     two_level_threshold: int = _TWO_LEVEL_THRESHOLD,
     coarse_probe: int = 2,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-scaled cell assignment: ``(id, vec, centroid_id)`` with
     ``C = max(4, ceil(sqrt(n)))`` cells (override via
@@ -1406,14 +1418,21 @@ def auto_cells(
             F.col(id_col).cast("long").alias("cell_id"),
             F.col(vec_col).alias("cvec"),
         )
-        return assign_two_level(
+        assigned = assign_two_level(
             spread(emb), cdf, id_col, vec_col, coarse_probe=coarse_probe
         ).withColumnRenamed("cell_id", "centroid_id")
+        if extra_cols:
+            # the two-level pass does not carry payload; re-attach by
+            # id (the pre-r13 shape — this path is the rare huge-C one)
+            assigned = assigned.join(
+                emb.select(id_col, *extra_cols), id_col
+            )
+        return assigned
     cents = _auto_cents(emb, id_col, vec_col, C, refine_iters)
     # spread: the argmax matmul is CPU-bound and a small corpus scans
     # as one split (a no-op at real scale, see spread's contract)
     return _assign_vectorized(
-        spread(emb), cents, id_col, vec_col
+        spread(emb), cents, id_col, vec_col, extra_cols=extra_cols
     ).withColumnRenamed("cell_id", "centroid_id")
 
 
@@ -1743,10 +1762,15 @@ def knn_label_noise(
         cells = assigned.select(id_col, "centroid_id")
         pts = spread(emb).join(cells, id_col)
     elif centroid_ids is None:
-        cells = auto_cells(emb, id_col, vec_col, num_centroids).select(
-            id_col, "centroid_id"
+        # the label rides THROUGH the vectorized assignment pass
+        # (extra_cols) instead of joining the assignment back to the
+        # corpus by id: the join form scanned the embeddings twice and
+        # paid an exchange + broadcast for a 1:1 id join (r13, guide
+        # §2.4 — the same inline-assignment shape the literal-centroid
+        # path got in r12). Identical row set: the join was 1:1 on id.
+        pts = auto_cells(
+            emb, id_col, vec_col, num_centroids, extra_cols=(label_col,)
         )
-        pts = spread(emb).join(cells, id_col)
     else:
         # literal-centroid path: the assignment is a pure per-row
         # expression — inline it (the semantic_dedup shape) instead of
@@ -2005,6 +2029,14 @@ def pq_codebooks(
         # caller supplies the smallest-id training vectors (the same
         # orderBy().limit() contract, fetched through a cheaper reader
         # — queries.base.embedding_head_vecs): skips the collect job
+        need = max(k, sample_cap if refine_iters else k)
+        if len(train_vecs) < k:
+            raise ValueError(
+                f"train_vecs supplies {len(train_vecs)} vectors but "
+                f"k={k} codebook centroids are required; pass the "
+                f"{need} smallest-id vectors (the orderBy().limit() "
+                "contract this parameter short-circuits)"
+            )
         vecs = [[float(x) for x in v] for v in train_vecs]
     else:
         rows = (

@@ -886,13 +886,29 @@ def bigram_surprisal(
         F.count("*").alias("_n")
     )
     g_counts = g_part.groupBy("g").agg(F.sum("_n").alias("c2"))
-    w_part = doc_grams.select("w1", salt).groupBy("w1", "_salt").agg(
-        F.count("*").alias("_n")
+    # unigram counts DERIVED from the bigram aggregate instead of a
+    # second full aggregation over the exploded gram set: c1(w1) =
+    # Σ c2(g) over grams whose first token is w1 (exact — both count
+    # the same bigram instances), and the first token of g is
+    # recoverable because tokens are space-split (no token contains a
+    # space). Computed as a window over the DISTINCT-gram table, so
+    # ONE aggregation branch (and one join on the scored side) serves
+    # both counts: the second full explode + w1-keyed instance
+    # aggregation and its separate count join are gone (guide §2.3;
+    # r13 — the r12 checkpoint experiment on this query lost to
+    # planning barriers, this form has none; the two-branch form
+    # duplicated the whole explode+agg subtree because the pruned
+    # projections defeat exchange reuse).
+    from pyspark.sql import Window
+
+    g_stats = g_counts.withColumn(
+        "c1",
+        F.sum("c2").over(
+            Window.partitionBy(F.substring_index(F.col("g"), " ", 1))
+        ),
     )
-    w_counts = w_part.groupBy("w1").agg(F.sum("_n").alias("c1"))
     scored = (
-        doc_grams.join(g_counts, "g")
-        .join(w_counts, "w1")
+        doc_grams.join(g_stats, "g")
         .select(
             F.col(id_col),
             round_portable(F.col("c1") / F.col("c2").cast("double"), 6).alias("_r"),

@@ -26,90 +26,83 @@ from cdc_system_spark.queries import llm  # noqa: E402,F401  (94, all oracle-bac
 from cdc_system_spark.queries import multimodal  # noqa: E402,F401  (8)
 from cdc_system_spark.queries import llm_rowsonly  # noqa: E402,F401  (9, no oracle)
 
-# Round-12 window: the driver's CORRECTNESS gate strong-checks the
-# FIRST 50 registry entries only; the window is an EXPLICIT 50-name
-# list. Composition policy (standing since r4), in priority order:
-#   1. every oracle-backed query that has NEVER received a driver
-#      CORRECTNESS row — round 12 adds two (the batched stored-prefix
-#      cascade and MMR over the IVF-pruned pool, the r11 verdict's
-#      tasks 1-2);
-#   2. every query whose operator CHANGED this round: the shared
-#      pq_exact_rescore now rescores through a survivor-literal
-#      pushed-down IN scan (every single-query PQ/IVFPQ form),
-#      ann_prefix_topk gained the same rescore plus the per-id
-#      version collapse (r11 advisor), filtered_cosine_topk's rename
-#      went positional, and mmr_topk's greedy step was factored into
-#      the shared _mmr_greedy — each covering query re-confirms;
-#   3. remaining slots re-confirm the queries with the OLDEST driver
-#      evidence: the COMPLETE 35-name r7-evidence pool (recomputed
-#      from the eleven CORRECTNESS_r01-r11 artifacts, re-pinned in
-#      tests/test_plans.py::test_oldest_evidence_pool_recorded),
-#      which moves the registry-wide evidence floor to r8, then
-#      r8-evidence names oldest-first (alphabetical within the round)
-#      in the 5 slots that remain.
-_WINDOW_R12 = [
-    # -- 1. new this round, never driver-checked --
-    "q_ann_prefix_batch",
-    "q_mmr_ivf_topk",
-    "q_mmr_ivf_batch",
-    # -- 2. operator changed this round (survivor-literal rescore /
-    #       positional rename / shared greedy step) --
-    "q_ann_filtered",
-    "q_ann_prefix_topk",
-    "q_mmr_topk",
-    "q_pq_topk",
-    "q_ivfpq_topk",
-    "q_ivfpq_topk_stored",
-    "q_ivfpq_residual",
-    "q_ivfpq_residual_stored",
-    # the batch forms now pin their assignment scans to the probed
-    # partitions via the materialized probe's distinct cell list
-    # (_probe_many_pinned) — the equi-join alone scanned every cell
-    "q_ann_topk_batch",
-    "q_ivfpq_batch",
-    "q_ivfpq_residual_batch",
-    # -- 3a. the COMPLETE r7-evidence pool (35) — floor moves to r8 --
-    "q_fingerprint",
-    "q_frame_sample",
-    "q_from_json",
-    "q_hash_sample",
-    "q_ingest_dup_report",
-    "q_isin_semijoin",
-    "q_kmv_merged_by",
-    "q_kmv_windowed",
-    "q_lang_id",
-    "q_lsh_index_maintained",
-    "q_lsh_index_stats",
-    "q_lsh_probe_maintained",
-    "q_media_byte_histogram",
-    "q_media_catalog",
-    "q_media_decode",
+# Round-13 window (optimization round — no new queries, so slots go
+# to changed-operator re-confirmations and the oldest-evidence pool):
+#   1. never driver-checked: NONE — every oracle-backed query has a
+#      green CORRECTNESS row as of r12 (recomputed from r01-r12);
+#   2. every query whose operator changed in the r13 optimization
+#      round: both connected-components loops now run their rounds in
+#      pairs with a fused convergence-signature action (dedup.py —
+#      covers q_dup_clusters, q_dup_clusters_star, the leakage splits
+#      and the curation pipeline), hamming_band_pairs defers its
+#      pair-distinct behind the Hamming filter (q_simhash_neardup,
+#      q_image_neardup), bigram_surprisal derives unigram counts from
+#      the bigram aggregate, and spread()'s partition probe became a
+#      plan-walking estimator (the ingest paths are its derived-frame
+#      call sites — q_neardup_ingest, q_containment_ingest);
+#   3. remaining 40 slots: the r8-evidence pool (48 names recomputed
+#      from CORRECTNESS_r01-r12, re-pinned in tests/test_plans.py),
+#      oldest-first = alphabetical within the round; the last 6
+#      (q_volume_shipping, q_waiting_suppliers, q_window_lag,
+#      q_window_ntile, q_window_running, q_zone_pruned_read) roll to
+#      the round-14 window.
+_WINDOW_R13 = [
+    # -- 2. operator changed this round --
+    "q_dup_clusters",
+    "q_dup_clusters_star",
+    "q_leakage_split_containment",
+    "q_leakage_split_maintained",
+    "q_curation_pipeline",
+    "q_simhash_neardup",
+    "q_image_neardup",
+    "q_bigram_surprisal",
     "q_neardup_ingest",
-    "q_pricing_summary",
-    "q_project_limit",
-    "q_quality_filter",
-    "q_rarity_score",
-    "q_redact_pii",
-    "q_regex_extract",
-    "q_repetition_filter",
-    "q_salted_join",
-    "q_session_window",
-    "q_shipping_priority",
-    "q_stratified_sample",
-    "q_term_frequency",
-    "q_text_quality",
-    "q_tfidf",
-    "q_to_json",
-    "q_token_count",
-    "q_tumbling_window",
-    "q_weighted_sample",
-    "q_window_rank",
-    # -- 3b. r8-evidence re-confirmations, oldest-first --
-    "q_agg_groupby",
+    "q_containment_ingest",
+    # -- 3. r8-evidence pool, oldest-first (alphabetical), 40 slots --
+    "q_anti_join",
+    "q_case_when",
+    "q_chunk_documents",
+    "q_count_distinct",
+    "q_customer_distribution",
+    "q_date_funcs",
+    "q_disjunctive_revenue",
+    "q_distinct",
+    "q_dormant_customers",
+    "q_except",
+    "q_forecast_revenue",
+    "q_grouping_sets",
+    "q_index_overlap",
+    "q_index_staleness",
+    "q_intersect",
+    "q_kmv_intersection",
+    "q_kmv_windowed_by",
+    "q_knn_label_noise",
+    "q_large_orders",
+    "q_local_volume",
+    "q_market_share",
+    "q_minhash_jaccard_est",
+    "q_normalize_text",
+    "q_order_priority",
+    "q_pagerank",
+    "q_percentiles",
+    "q_pivot",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_returned_items",
+    "q_scalar_subquery",
+    "q_semi_join",
+    "q_sliding_window",
+    "q_small_quantity_revenue",
+    "q_string_funcs",
+    "q_supplier_part_count",
+    "q_top_customers",
+    "q_top_supplier",
+    "q_union",
+    "q_url_dedup",
 ]
 
 # the active window (rotated per round; _set_window validates it)
-_WINDOW = _WINDOW_R12
+_WINDOW = _WINDOW_R13
 
 
 def _set_window() -> None:

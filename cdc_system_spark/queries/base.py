@@ -67,8 +67,10 @@ def embedding_vec(spark: SparkSession, sf_dir: str, vec_id: int) -> list[float]:
     call — nothing is memoized."""
     import os
 
+    from cdc_system_spark.operators._index_stats import driver_local_fs
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    if "://" not in sf_dir and os.path.exists(path):
+    if "://" not in sf_dir and os.path.exists(path) and driver_local_fs(spark):
         import pyarrow.parquet as pq
 
         t = pq.read_table(
@@ -95,8 +97,10 @@ def embedding_head_vecs(spark: SparkSession, sf_dir: str, n: int) -> list[list[f
     fallback, identical widened doubles either way."""
     import os
 
+    from cdc_system_spark.operators._index_stats import driver_local_fs
+
     path = os.path.join(sf_dir, "embeddings.parquet")
-    if "://" not in sf_dir and os.path.exists(path):
+    if "://" not in sf_dir and os.path.exists(path) and driver_local_fs(spark):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 

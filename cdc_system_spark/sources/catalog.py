@@ -48,7 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cached = _SCHEMA_CACHE.get(path)
+    # cache key: absolute path + mtime, so regenerating an input table
+    # at the same path within a long-lived process (or a cwd change
+    # aliasing two relative paths) never serves a stale schema (r12
+    # advisor). A scheme'd (non-local) path gets no mtime — keyed on
+    # the path alone, as before.
+    try:
+        key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        key = (path, None)
+    cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
     else:
@@ -63,7 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # (no such conf), so fall back to an explicit schema that reads
             # the physical INT64 directly — works in any session.
             df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[key] = df.schema
     # ts long (nanos) → truncate to microseconds (same floor semantics as
     # DuckDB's CAST(ts_ns AS TIMESTAMP), keeping oracle parity).
     for f in df.schema.fields:

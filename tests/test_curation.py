@@ -823,3 +823,98 @@ def test_containment_ingest_within_batch_and_same_id(spark):
         corpus, trunc, threshold=0.8, allow_same_id=True
     )
     assert allowed.count() == 1
+
+
+def test_cc_capped_iterations_match_unpaired_reference(spark):
+    # r13: both CC loops run contraction/propagation rounds in PAIRS
+    # with one fused signature action per pair. The pairing must not
+    # change the ROUND-COUNT semantics of the max_iters cap: a capped
+    # run's labels must equal exactly max_iters rounds of the unpaired
+    # reference (computed here in pure Python), and a converged run's
+    # labels must equal the fixed point regardless of where in a pair
+    # convergence lands.
+    from collections import defaultdict
+
+    from cdc_system_spark.operators.dedup import (
+        duplicate_clusters,
+        star_contraction_clusters,
+    )
+
+    chain = [(i, i + 1) for i in range(8)]          # diameter stretches rounds
+    extra = [(20, 21), (21, 22), (40, 41)]
+    edge_list = chain + extra
+    docs = spark.createDataFrame(
+        [(n,) for n in range(45)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(edge_list, "id1 long, id2 long")
+
+    adj = defaultdict(set)
+    for a, b in edge_list:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def lp_ref(rounds: int) -> dict[int, int]:
+        labels = {n: min({n} | adj[n]) for n in adj}
+        for _ in range(rounds):
+            labels = {
+                n: min([labels[n]] + [labels[m] for m in adj[n]])
+                for n in adj
+            }
+        return {
+            n: labels.get(n, n) for n in range(45)
+        }
+
+    def star_round(edges: set) -> set:
+        sym = edges | {(v, u) for u, v in edges}
+        nbr = defaultdict(set)
+        for u, v in sym:
+            nbr[u].add(v)
+        large = set()
+        for u in nbr:
+            m = min(nbr[u] | {u})
+            for v in nbr[u]:
+                if v > u:
+                    large.add((v, m))
+        oriented = {
+            (max(u, v), min(u, v)) for u, v in large if u != v
+        }
+        nbr2 = defaultdict(set)
+        for u, v in oriented:
+            nbr2[u].add(v)
+        res = set()
+        for u in nbr2:
+            m = min(nbr2[u])
+            for v in nbr2[u]:
+                if v != m:
+                    res.add((v, m))
+            res.add((u, m))
+        return {(u, v) for u, v in res if u != v}
+
+    def star_ref(rounds: int) -> dict[int, int]:
+        edges = {
+            (max(a, b), min(a, b)) for a, b in edge_list if a != b
+        }
+        for _ in range(rounds):
+            edges = star_round(edges)
+        roots = defaultdict(list)
+        for u, v in edges:
+            roots[u].append(v)
+        lbl = {u: min(vs) for u, vs in roots.items()}
+        return {n: lbl.get(n, n) for n in range(45)}
+
+    for k in (1, 2, 3, 25):
+        got_lp = {
+            r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(docs, pairs, max_iters=k).collect()
+        }
+        assert got_lp == lp_ref(k), f"LP mismatch at max_iters={k}"
+        got_st = {
+            r["doc_id"]: r["cluster_id"]
+            for r in star_contraction_clusters(
+                docs, pairs, max_iters=k
+            ).collect()
+        }
+        assert got_st == star_ref(k), f"star mismatch at max_iters={k}"
+    # fully converged: every chain member labels to its component min
+    assert got_lp[8] == 0 and got_lp[22] == 20 and got_lp[41] == 40
+    assert got_st == got_lp

@@ -23,64 +23,90 @@ def plans(spark, sf_dir):
 #: version of this test globbed ALL CORRECTNESS artifacts, so the pin
 #: self-expired the moment the driver delivered the next round's file
 #: (the r8 verdict's "What's wrong" #1). The pool is pinned as of a
-#: NAMED artifact set — delivery of CORRECTNESS_r12.json (or later)
-#: cannot change the recompute; the r13 session re-pins from r1-r12.
-_POOL_ROUNDS = range(1, 12)
+#: NAMED artifact set — delivery of CORRECTNESS_r13.json (or later)
+#: cannot change the recompute; the r14 session re-pins from r1-r13.
+_POOL_ROUNDS = range(1, 13)
 
-#: the oldest-evidence pool, RECOMPUTED from the eleven committed
-#: CORRECTNESS_r01-r11.json artifacts at round-12 start — 35 names
-#: whose latest driver-green row is round 7 (the r6 floor cleared in
-#: r11: the complete 29-name r6 pool re-confirmed, 50/50 green).
-#: _WINDOW_R12 re-confirms these oldest-first after the round-12
-#: additions and changed-operator re-confirmations.
-R7_EVIDENCE_POOL = {
-    "q_fingerprint",
-    "q_frame_sample",
-    "q_from_json",
-    "q_hash_sample",
-    "q_ingest_dup_report",
-    "q_isin_semijoin",
-    "q_kmv_merged_by",
-    "q_kmv_windowed",
-    "q_lang_id",
-    "q_lsh_index_maintained",
-    "q_lsh_index_stats",
-    "q_lsh_probe_maintained",
-    "q_media_byte_histogram",
-    "q_media_catalog",
-    "q_media_decode",
-    "q_neardup_ingest",
-    "q_pricing_summary",
-    "q_project_limit",
-    "q_quality_filter",
-    "q_rarity_score",
-    "q_redact_pii",
-    "q_regex_extract",
-    "q_repetition_filter",
-    "q_salted_join",
-    "q_session_window",
-    "q_shipping_priority",
-    "q_stratified_sample",
-    "q_term_frequency",
-    "q_text_quality",
-    "q_tfidf",
-    "q_to_json",
-    "q_token_count",
-    "q_tumbling_window",
-    "q_weighted_sample",
-    "q_window_rank",
+#: the oldest-evidence pool, RECOMPUTED from the twelve committed
+#: CORRECTNESS_r01-r12.json artifacts at round-13 start — 48 names
+#: whose latest driver-green row is round 8 (the r7 floor cleared in
+#: r12: the complete 35-name r7 pool re-confirmed, 50/50 green).
+#: _WINDOW_R13 re-confirms these oldest-first after the ten
+#: changed-operator re-confirmations; the 6 names past slot 50
+#: (q_volume_shipping .. q_zone_pruned_read, alphabetically last)
+#: roll to the round-14 window.
+R8_EVIDENCE_POOL = {
+    "q_anti_join",
+    "q_case_when",
+    "q_chunk_documents",
+    "q_containment_ingest",
+    "q_count_distinct",
+    "q_customer_distribution",
+    "q_date_funcs",
+    "q_disjunctive_revenue",
+    "q_distinct",
+    "q_dormant_customers",
+    "q_except",
+    "q_forecast_revenue",
+    "q_grouping_sets",
+    "q_image_neardup",
+    "q_index_overlap",
+    "q_index_staleness",
+    "q_intersect",
+    "q_kmv_intersection",
+    "q_kmv_windowed_by",
+    "q_knn_label_noise",
+    "q_large_orders",
+    "q_local_volume",
+    "q_market_share",
+    "q_minhash_jaccard_est",
+    "q_normalize_text",
+    "q_order_priority",
+    "q_pagerank",
+    "q_percentiles",
+    "q_pivot",
+    "q_product_profit",
+    "q_promo_revenue",
+    "q_returned_items",
+    "q_scalar_subquery",
+    "q_semi_join",
+    "q_sliding_window",
+    "q_small_quantity_revenue",
+    "q_string_funcs",
+    "q_supplier_part_count",
+    "q_top_customers",
+    "q_top_supplier",
+    "q_union",
+    "q_url_dedup",
+    "q_volume_shipping",
+    "q_waiting_suppliers",
+    "q_window_lag",
+    "q_window_ntile",
+    "q_window_running",
+    "q_zone_pruned_read",
+}
+
+#: pool names that did NOT fit the 50-slot window this round (the
+#: alphabetical tail); the round-14 rotation re-confirms these first
+_POOL_ROLLED_TO_R14 = {
+    "q_volume_shipping",
+    "q_waiting_suppliers",
+    "q_window_lag",
+    "q_window_ntile",
+    "q_window_running",
+    "q_zone_pruned_read",
 }
 
 
 def test_oldest_evidence_pool_recorded():
     """The recorded pool matches the artifacts it is pinned against
-    (r1-r11 by name — NOT a bare glob, which made the r8 pin expire
+    (r1-r12 by name — NOT a bare glob, which made the r8 pin expire
     the moment the next driver artifact landed). A checkout missing
     any pinned artifact skips the recompute but still pins the size."""
     import json
     import os
 
-    assert len(R7_EVIDENCE_POOL) == 35
+    assert len(R8_EVIDENCE_POOL) == 48
     here = os.path.dirname(__file__)
     arts = [os.path.join(here, "..", f"CORRECTNESS_r{r:02d}.json")
             for r in _POOL_ROUNDS]
@@ -93,50 +119,44 @@ def test_oldest_evidence_pool_recorded():
                   and v.get("hash_match") and not v.get("err"))
             if ok:
                 latest[name] = max(latest.get(name, 0), rnd)
-    assert not {n for n, r in latest.items() if r <= 6}, \
-        "r6 floor regressed — an artifact changed under the pin"
-    recomputed = {n for n, r in latest.items() if r == 7}
-    assert recomputed == R7_EVIDENCE_POOL
+    assert not {n for n, r in latest.items() if r <= 7}, \
+        "r7 floor regressed — an artifact changed under the pin"
+    recomputed = {n for n, r in latest.items() if r == 8}
+    assert recomputed == R8_EVIDENCE_POOL
 
 
 def test_oracle_window_composition():
     """The driver's CORRECTNESS gate checks only the FIRST 50 registry
-    entries. The window is now an explicit list (queries/__init__.py
-    ``_WINDOW_R12``) whose invariants ``_set_window`` already enforces
-    at import; here we pin the POLICY content: everything never
-    driver-checked sits inside, as does everything whose operator
-    changed this round (the survivor-literal rescore, the positional
-    rename, the shared greedy step, the batch partition pruning), the
-    COMPLETE recomputed r7-evidence pool (35 names — the floor moves
-    to r8), and no rows-only query wastes a strong-check slot."""
+    entries. The window is an explicit list (queries/__init__.py
+    ``_WINDOW_R13``) whose invariants ``_set_window`` already enforces
+    at import; here we pin the POLICY content: every query whose
+    operator changed in the r13 optimization round sits inside (the
+    paired-round CC loops, the deferred Hamming distinct, the derived
+    unigram counts, the spread estimator's derived-frame call sites),
+    the recomputed r8-evidence pool fills every remaining slot
+    oldest-first (42 of 48 fit; the named alphabetical tail rolls to
+    r14), and no rows-only query wastes a strong-check slot."""
     names = list(QUERY_REGISTRY)
     window = set(names[:50])
     rows_only = [n for n in names[:50] if QUERY_REGISTRY[n].sql is None]
     assert rows_only == [], f"rows-only queries waste oracle slots: {rows_only}"
-    must_cover = {
-        # new in round 12, never driver-checked:
-        "q_ann_prefix_batch",
-        "q_mmr_ivf_topk",
-        "q_mmr_ivf_batch",
-        # operator changed in round 12: pq_exact_rescore went
-        # survivor-literal (every single-query PQ/IVFPQ form),
-        # ann_prefix_topk gained the same rescore + per-id version
-        # collapse, filtered_cosine_topk's rename went positional,
-        # mmr_topk's greedy step was factored into _mmr_greedy:
-        "q_ann_filtered",
-        "q_ann_prefix_topk",
-        "q_mmr_topk",
-        "q_pq_topk",
-        "q_ivfpq_topk",
-        "q_ivfpq_topk_stored",
-        "q_ivfpq_residual",
-        "q_ivfpq_residual_stored",
-        # and the batch forms gained probed-cell partition pruning
-        # (_probe_many_pinned):
-        "q_ann_topk_batch",
-        "q_ivfpq_batch",
-        "q_ivfpq_residual_batch",
-    } | R7_EVIDENCE_POOL
+    changed_r13 = {
+        # both CC loops run paired rounds with a fused signature action:
+        "q_dup_clusters",
+        "q_dup_clusters_star",
+        "q_leakage_split_containment",
+        "q_leakage_split_maintained",
+        "q_curation_pipeline",
+        # hamming_band_pairs defers its distinct behind the filter:
+        "q_simhash_neardup",
+        "q_image_neardup",
+        # unigram counts derived from the bigram aggregate:
+        "q_bigram_surprisal",
+        # spread()'s plan-walking estimator (derived-frame ingest paths):
+        "q_neardup_ingest",
+        "q_containment_ingest",
+    }
+    must_cover = changed_r13 | (R8_EVIDENCE_POOL - _POOL_ROLLED_TO_R14)
     missing = must_cover - window
     assert not missing, f"rotated out of the oracle window: {sorted(missing)}"
 

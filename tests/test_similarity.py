@@ -835,3 +835,25 @@ def test_minhash_sql_parity(spark, sf_dir):
         assert sorted(map(tuple, bt.collect())) == sorted(
             map(tuple, ref_bt.collect())
         )
+
+
+def test_auto_cells_extra_cols_passthrough(emb):
+    # r13: knn_label_noise's auto path carries the label THROUGH the
+    # vectorized assignment pass instead of joining the assignment back
+    # to the corpus by id — rows must equal the join form exactly
+    from cdc_system_spark.operators.similarity import auto_cells
+
+    with_label = {
+        (r["vec_id"], r["label"], r["centroid_id"])
+        for r in auto_cells(
+            emb, extra_cols=("label",)
+        ).select("vec_id", "label", "centroid_id").collect()
+    }
+    joined = {
+        (r["vec_id"], r["label"], r["centroid_id"])
+        for r in auto_cells(emb)
+        .select("vec_id", "centroid_id")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .collect()
+    }
+    assert with_label == joined
